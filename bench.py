@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (count + a cheap checksum action via
+``write.format('noop')``-style collapse: we use ``df.foreach``-free
+``count()`` over the final plan, which forces every operator) and timed
+wall-clock.  The benchmark set is the scan/join/agg-heavy subset — the
+queries with real row volume at sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from kafkastreamsproject_spark.plans.registry import all_queries
+from kafkastreamsproject_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "daily_agg",
+    "enrich_join",
+    "windowed_counts",
+    "anomaly_detect",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="kafkastreamsproject_spark-bench")
+    specs = all_queries()
+    names = [n for n in BENCH_QUERIES if n in specs]
+
+    # Warm the JVM + parquet footers once so timings measure the engine.
+    specs[names[0]].spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].spark(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,294 @@
+"""Reference-parity queries (SURVEY.md §2) over the driver's testdata.
+
+Mapping of the reference's Divvy domain onto the synthetic tables
+(FIXTURES.md §B): ``events`` plays the trip stream (``ts`` ≙ dateTime,
+``user_id`` ≙ stationId, ``value`` ≙ temperature, ``event_type`` ∈
+{click, view} ≙ trip type == 1 i.e. "started"); ``customer`` plays the
+static station dimension (``c_custkey`` ≙ station id, ``c_name`` ≙
+stationName, ``c_acctbal`` ≙ totalDocks stand-in).  Every query is the
+batch re-expression of a reference operator; the streaming runtime runs
+the same logical plans (kafkastreamsproject_spark.streaming).
+
+Scale notes: the aggregations are plain hash aggregates (map-side partial
+combine bounds shuffle volume by group cardinality); the dimension join is
+broadcast (no shuffle of the fact side); every filter/projection reaches
+the parquet scan (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.operators.aggregation import (
+    anomaly_summary,
+    windowed_station_counts,
+)
+from kafkastreamsproject_spark.operators.joins import broadcast_enrich
+from kafkastreamsproject_spark.plans.registry import register
+from kafkastreamsproject_spark.sources.testdata import load_table
+
+# event_type values that play "trip type == 1" (a started trip).
+STARTED_TYPES = ("click", "view")
+_STARTED_SQL = "event_type IN ('click', 'view')"
+
+
+def _started_col() -> F.Column:
+    return F.col("event_type").isin(*STARTED_TYPES).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Flagship: A1–A5 daily aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "daily_agg",
+    oracle=f"""
+    SELECT
+      user_id,
+      CAST(CAST(ts AS DATE) AS VARCHAR)         AS event_day,
+      ROUND(AVG(value), 6)                      AS avg_value,
+      CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS started_events,
+      CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 0 ELSE 1 END) AS BIGINT) AS ended_events,
+      CAST(MAX(ts) AS TIMESTAMP)                AS update_time
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("reference", "A1", "A2", "A3", "A4", "A5", "P5"),
+)
+def daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1–A5 (consumer/CustomTransformer.kt:22-46): per (station, day) —
+    conditional started/ended counts, mean temperature, max event time.
+    Spark plan: partial+final HashAggregate; shuffle bounded by group count.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    started = _started_col()
+    return ev.groupBy(
+        "user_id", F.to_date("ts").cast("string").alias("event_day")
+    ).agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.sum(started).alias("started_events"),
+        F.sum(1 - started).alias("ended_events"),
+        F.max("ts").alias("update_time"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J1/P3: broadcast stream–static enrichment with fail-on-miss
+# --------------------------------------------------------------------------
+
+
+@register(
+    "enrich_join",
+    oracle="""
+    SELECT
+      e.event_id,
+      CAST(e.ts AS TIMESTAMP) AS event_ts,
+      e.user_id,
+      e.event_type,
+      e.value,
+      c.c_name      AS user_name,
+      c.c_mktsegment AS user_segment,
+      c.c_nationkey AS user_nationkey
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("reference", "J1", "P3"),
+)
+def enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (consumer/KafkaConsumer.kt:45-46): per-event dimension lookup,
+    strict fail-on-miss, as a broadcast hash join + assert_true guard —
+    the O(n)-per-record scan becomes a map-side O(1) hash probe.
+    P3 (model/TripStation.kt:25-43): projection + renames.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    joined = broadcast_enrich(ev, cust, "user_id", "c_custkey", on_miss="error")
+    return joined.select(
+        "event_id",
+        F.col("ts").alias("event_ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("user_segment"),
+        F.col("c_nationkey").alias("user_nationkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: tumbling-window per-station counts
+# --------------------------------------------------------------------------
+
+_WINDOW_MINUTES = 60
+
+
+@register(
+    "windowed_counts",
+    oracle=f"""
+    SELECT
+      CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      user_id,
+      CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS started,
+      CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 0 ELSE 1 END) AS BIGINT) AS ended,
+      CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("reference", "A6", "T1"),
+)
+def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (model/anomalyDetection/TripStationCount.kt:7-17): tumbling
+    event-time window × station → started/ended counts.  Batch uses the
+    same F.window() the streaming pipeline uses with a watermark.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    started = _started_col()
+    return (
+        ev.groupBy(
+            F.window("ts", f"{_WINDOW_MINUTES} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.sum(started).alias("started"),
+            F.sum(1 - started).alias("ended"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "started",
+            "ended",
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 + P7/P8: anomaly summarization with threshold
+# --------------------------------------------------------------------------
+
+_ANOMALY_D_PCT = 10.0  # scripts/processing.sh:12 → D=10 (% of docks)
+
+
+@register(
+    "anomaly_detect",
+    oracle=f"""
+    WITH counts AS (
+      SELECT
+        CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start,
+        e.user_id,
+        CAST(MAX(c.c_custkey % 37 + 3) AS BIGINT) AS total_docks,
+        CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS started,
+        CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 0 ELSE 1 END) AS BIGINT) AS ended
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT
+      window_start,
+      user_id,
+      CAST(CASE WHEN ended > started THEN ended - started ELSE 0 END AS BIGINT)
+        AS returned_over_rented,
+      CAST(CASE WHEN started > ended THEN started - ended ELSE 0 END AS BIGINT)
+        AS rented_over_returned,
+      total_docks,
+      ROUND(ABS(ended - started) / CAST(total_docks AS DOUBLE), 6) AS n_to_docks_ratio
+    FROM counts
+    WHERE ABS(ended - started) / CAST(total_docks AS DOUBLE) >= {_ANOMALY_D_PCT} / 100.0
+    """,
+    tags=("reference", "A7", "P7", "P8"),
+)
+def anomaly_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (TripStationSummaryInfo.kt:17-25) + the scripts' D-threshold
+    filter: windowed surplus counts and dock-saturation ratio, kept when
+    ratio ≥ D%.  totalDocks stand-in: a deterministic small positive int
+    derived from the dimension key (so the threshold has selectivity).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", (F.col("c_custkey") % 37 + 3).alias("docks")
+    )
+    enriched = broadcast_enrich(ev, cust, "user_id", "c_custkey", on_miss="drop")
+    started = _started_col()
+    counts = (
+        enriched.groupBy(F.window("ts", f"{_WINDOW_MINUTES} minutes").alias("w"), "user_id")
+        .agg(
+            F.max("docks").alias("total_docks"),
+            F.sum(started).alias("started"),
+            F.sum(1 - started).alias("ended"),
+        )
+    )
+    s, e, d = F.col("started"), F.col("ended"), F.col("total_docks")
+    return (
+        counts.filter(F.abs(e - s) / d >= _ANOMALY_D_PCT / 100.0)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            F.when(e > s, e - s).otherwise(F.lit(0)).cast("long").alias(
+                "returned_over_rented"
+            ),
+            F.when(s > e, s - e).otherwise(F.lit(0)).cast("long").alias(
+                "rented_over_returned"
+            ),
+            "total_docks",
+            F.round(F.abs(e - s) / d, 6).alias("n_to_docks_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P1/P2/P6/P10: scalar expression surface
+# --------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value * 1.1, 6) AS boosted
+    FROM events
+    WHERE user_id = 7 AND value > 50.0
+    """,
+    tags=("reference", "P1"),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (producer/KafkaProducer.kt:58): equality-predicate narrowing +
+    projection.  Both predicates push down to the parquet scan
+    (PushedFilters in the physical plan) and only 4 columns are read.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return ev.filter((F.col("user_id") == 7) & (F.col("value") > 50.0)).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1.1, 6).alias("boosted"),
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT
+      event_id,
+      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+      CAST(epoch_ms(ts) AS BIGINT) AS ts_millis
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+    tags=("reference", "P2", "P6", "P10"),
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (JSON deserialize, KafkaConsumer.kt:44) + P10 (epoch millis,
+    lib/Libs.kt:13): parse the JSON payload column and expose event time
+    as epoch milliseconds — from_json/get_json_object at the boundary,
+    typed columns inside, exactly the reference's serde stance inverted.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+            F.unix_millis(F.col("ts")).alias("ts_millis"),
+        )
+        .filter(F.col("prop_k").isNotNull())
+    )

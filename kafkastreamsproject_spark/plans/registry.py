@@ -1,0 +1,73 @@
+"""Named-query registry — the engine's public query surface.
+
+Every operator the engine claims (SURVEY.md §2 inventory + the
+training-data-pipeline extensions) is exposed as a named query:
+a Spark builder ``(spark, sf_dir) -> DataFrame`` plus, where the
+semantics are ANSI-SQL-expressible, a DuckDB oracle SQL string over the
+same parquet tables.  The driver cross-checks the pair (row count +
+schema + order-insensitive value hash), so:
+
+- every computed column is aliased IDENTICALLY in both formulations;
+- double-valued aggregates are rounded (6 dp) on BOTH sides so
+  summation-order FP noise cannot flip the value hash;
+- result sets are deterministic (explicit tie-breaks in any top-k).
+
+Queries register themselves via the ``@register`` decorator at import
+time; ``all_queries()`` imports every query module and returns the map.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: modules that define queries (imported lazily by all_queries)
+_QUERY_MODULES = [
+    "kafkastreamsproject_spark.plans.reference",
+    "kafkastreamsproject_spark.plans.relational",
+    "kafkastreamsproject_spark.plans.text",
+    "kafkastreamsproject_spark.plans.dedup",
+    "kafkastreamsproject_spark.plans.similarity",
+    "kafkastreamsproject_spark.plans.multimodal",
+]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One named query: Spark builder + optional DuckDB oracle SQL."""
+
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+) -> Callable:
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a query."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, spark=fn, oracle=oracle, doc=(fn.__doc__ or "").strip(), tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    """Import all query modules and return the full registry."""
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return dict(_REGISTRY)
