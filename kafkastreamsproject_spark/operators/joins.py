@@ -58,7 +58,10 @@ def enrich_trips(trips: DataFrame, stations: DataFrame, on_miss: OnMiss = "error
     Column renames follow model/TripStation.kt:25-43 (dateTime→tripTime,
     name→stationName, station.* → station-prefixed).
     """
-    joined = broadcast_enrich(trips, stations, "stationId", "id", on_miss)
+    # Both sides carry an `id` column; rename the dim's before joining so
+    # every downstream reference is unambiguous.
+    stations = stations.withColumnRenamed("id", "__station_id")
+    joined = broadcast_enrich(trips, stations, "stationId", "__station_id", on_miss)
     return joined.select(
         F.col("id").alias("tripId"),
         F.col("type").alias("tripType"),
