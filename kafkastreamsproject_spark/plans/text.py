@@ -1,3 +1,172 @@
-"""Text-analysis queries over ``documents`` (M4 extensions). Populated in M2."""
+"""Text-analysis queries over ``documents`` (SURVEY.md §2.7 / M4 extension:
+token counting, quality scoring, language-ID, fingerprinting).
+
+All expressions are JVM-side (functions/text.py) — no Python UDFs in any
+hot path.  The DuckDB twins use list lambdas over the same tokenization
+(split on ``' +'``) so both engines see identical token streams.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.functions import text as TX
+from kafkastreamsproject_spark.plans.registry import register
+from kafkastreamsproject_spark.sources.testdata import load_table
+
+# DuckDB-side tokenization shared by the oracle strings.
+_SQL_TOKENS = "string_split_regex(trim(text), ' +')"
+_SQL_STOP = "('" + "', '".join(TX.STOPWORDS) + "')"
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(len({_SQL_TOKENS}) AS INT) AS n_tokens,
+      CAST(len(list_distinct({_SQL_TOKENS})) AS INT) AS n_distinct_tokens,
+      ROUND(length(replace(trim(text), ' ', ''))
+            / CAST(len({_SQL_TOKENS}) AS DOUBLE), 6) AS avg_token_len,
+      CAST(len(list_filter({_SQL_TOKENS}, t -> t IN {_SQL_STOP})) AS INT)
+        AS n_stopwords
+    FROM documents
+    """,
+    tags=("text",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, mean token
+    length, stopword count — one split per row, fully codegen'd."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.n_tokens(t).alias("n_tokens"),
+        TX.n_distinct_tokens(t).alias("n_distinct_tokens"),
+        F.round(TX.avg_token_len(t), 6).alias("avg_token_len"),
+        TX.stopword_count(t).alias("n_stopwords"),
+    )
+
+
+@register(
+    "lang_profile",
+    oracle=f"""
+    SELECT
+      lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      ROUND(AVG(n_chars), 6) AS avg_chars,
+      ROUND(AVG(len({_SQL_TOKENS})), 6) AS avg_tokens,
+      CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text",),
+)
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language label — the summary a curation
+    pipeline reads before choosing per-language sampling rates."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(TX.n_tokens(F.col("text"))), 6).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT
+        doc_id, lang,
+        len(list_distinct({_SQL_TOKENS}))
+          / CAST(len({_SQL_TOKENS}) AS DOUBLE) AS ttr,
+        len(list_filter({_SQL_TOKENS}, t -> t IN {_SQL_STOP}))
+          / CAST(len({_SQL_TOKENS}) AS DOUBLE) AS sw,
+        length(replace(trim(text), ' ', ''))
+          / CAST(len({_SQL_TOKENS}) AS DOUBLE) AS alen
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      ROUND(ttr * 0.6 + (1.0 - sw) * 0.3
+            + (CASE WHEN alen >= 3.0 AND alen <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.1,
+            6) AS quality
+    FROM feats
+    """,
+    tags=("text",),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (lexical diversity, stopword ratio,
+    token-length sanity) — the filter stage of a data-quality pipeline."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+def _sql_marker_count(lang: str) -> str:
+    markers = "('" + "', '".join(TX.LANG_MARKERS[lang]) + "')"
+    return f"len(list_filter({_SQL_TOKENS}, t -> t IN {markers}))"
+
+
+def _sql_lang_id() -> str:
+    counts = {lang: _sql_marker_count(lang) for lang in TX.LANG_MARKERS}
+    best = "GREATEST(" + ", ".join(counts.values()) + ")"
+    whens = "\n        ".join(
+        f"WHEN {counts[lang]} = {best} THEN '{lang}'" for lang in TX.LANG_MARKERS
+    )
+    return f"CASE {whens} ELSE 'unknown' END"
+
+
+@register(
+    "lang_id_predict",
+    oracle=f"""
+    SELECT
+      doc_id,
+      lang AS label,
+      {_sql_lang_id()} AS predicted
+    FROM documents
+    """,
+    tags=("text",),
+)
+def lang_id_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with deterministic argmax tie-break —
+    the n-gram-heuristic operator shape (accuracy is a model question;
+    the engine contract is the deterministic scoring plan)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        TX.lang_id(F.col("text")).alias("predicted"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT
+      doc_id,
+      md5(text) AS exact_fp,
+      md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' '))
+        AS tokenset_fp
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact md5 + order-insensitive token-set
+    md5.  The first 8 hex chars of either give a uniform shard key for
+    distributed dedup at 100 TB."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.exact_fingerprint(t).alias("exact_fp"),
+        TX.tokenset_fingerprint(t).alias("tokenset_fp"),
+    )
