@@ -1,0 +1,96 @@
+"""Vector math over ``array<float>`` columns — all JVM-side higher-order
+functions (zip_with / aggregate / transform), no Python UDFs.
+
+Precision contract: every product/sum is computed in DOUBLE (float32
+inputs cast up before multiplying) and accumulated left-to-right, so
+results are deterministic; scores surfaced to users/oracles are rounded
+to 6 dp to absorb engine-level summation-order differences.
+
+Scale notes (100 TB / billions of vectors):
+- brute-force cosine is one scan of the corpus per query batch; the
+  query side must be broadcast (tiny) so no shuffle of the corpus.
+- the LSH path (hyperplane signatures) turns the all-pairs problem into
+  a per-bucket problem: signature computation is a map-only pass, the
+  only shuffle groups by bucket id, and candidate pairs are generated
+  inside buckets (expected bucket size « corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential accumulation."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH (signed random projections)
+# ---------------------------------------------------------------------------
+# Hyperplane i has integer components h_i[j] = ((i*31 + j*17) % 7) - 3 —
+# a deterministic, engine-portable pseudo-random pattern (no RNG, no
+# float literals), so Spark and any SQL oracle compute bit-identical
+# signatures.  Integer components keep each projection an exact double.
+
+N_PLANES = 8
+
+
+def _plane_dot(vec: Column, plane: int) -> Column:
+    """Projection of vec onto integer hyperplane `plane` (exact double)."""
+    prods = F.transform(
+        vec,
+        lambda x, idx: x.cast("double")
+        * (((F.lit(plane) * 31 + idx * 17) % 7) - 3).cast("double"),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """LSH bucket id = packed sign bits of n_planes projections."""
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        bit = (_plane_dot(vec, i) > 0).cast("int")
+        bucket = bucket + bit * (1 << i)
+    return bucket
+
+
+def sql_plane_dot(vec_expr: str, plane: int) -> str:
+    """DuckDB twin of _plane_dot (1-based list indexing → j = i-1)."""
+    return (
+        f"list_sum(list_transform(range(1, len({vec_expr})+1), i -> "
+        f"CAST({vec_expr}[i] AS DOUBLE) * ((({plane}*31 + (i-1)*17) % 7) - 3)))"
+    )
+
+
+def sql_lsh_bucket(vec_expr: str, n_planes: int = N_PLANES) -> str:
+    """DuckDB twin of lsh_bucket."""
+    bits = [
+        f"(CASE WHEN {sql_plane_dot(vec_expr, i)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def sql_dot(a: str, b: str) -> str:
+    return SQL_DOT.format(a=a, b=b)
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"

@@ -1,3 +1,195 @@
-"""Similarity-search queries over ``embeddings`` (M4 extensions). Populated in M3."""
+"""Similarity-search queries over ``embeddings`` (array<float>, 64-dim,
+unit-normalized): brute-force cosine top-k, metadata-blocked near-dup
+pairs, and an LSH-bucketed variant that is the 100 TB scale path.
+
+Determinism: scores are rounded to 6 dp and every ranking uses
+(rounded score DESC, neighbor id ASC), so the selected row set is
+engine-portable despite FP summation-order noise.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.functions import vectors as V
+from kafkastreamsproject_spark.plans.registry import register
+from kafkastreamsproject_spark.sources.testdata import load_table
+
+_TOP_K = 5
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_NEARDUP_T = 0.30
+_LSH_T = 0.20
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(len(embedding)) AS INT) AS dim_min,
+           CAST(MAX(len(embedding)) AS INT) AS dim_max,
+           ROUND(AVG(sqrt({V.sql_dot('embedding', 'embedding')})), 6) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity",),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table audit: per label, vector count, dimensionality
+    bounds, mean L2 norm (≈1.0 — the corpus is unit-normalized)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.col("embedding")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min(F.size(e)).alias("dim_min"),
+        F.max(F.size(e)).alias("dim_max"),
+        F.round(F.avg(V.norm(e)), 6).alias("avg_norm"),
+    )
+
+
+@register(
+    "ann_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND({V.sql_cosine('q.embedding', 'e.embedding')}, 6) AS score
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "bench"),
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline every ANN variant is
+    measured against.  The query set is broadcast, so the corpus is
+    scanned exactly once with no shuffle of embedding payloads; the only
+    shuffle carries (query_id, neighbor_id, score) triples into the
+    per-query top-k window."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
+@register(
+    "neardup_cosine_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+           ROUND({V.sql_cosine('a.embedding', 'b.embedding')}, 6) AS score
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {V.sql_cosine('a.embedding', 'b.embedding')} >= {_NEARDUP_T}
+    """,
+    tags=("similarity", "dedup"),
+)
+def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection with metadata blocking: only
+    same-label pairs are compared (the blocking key bounds the quadratic
+    term by the largest block, not the corpus).  Pair order id_a<id_b
+    halves the work and dedups the symmetric pair."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("e_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("e_b"),
+    )
+    cos = V.cosine(F.col("e_a"), F.col("e_b"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cos >= _NEARDUP_T)
+        .select(
+            "id_a", "id_b", "label", F.round(cos, 6).alias("score")
+        )
+    )
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    SELECT {V.sql_lsh_bucket('embedding')} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM embeddings
+    GROUP BY 1
+    """,
+    tags=("similarity",),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH signature assignment (map-only): 8 integer
+    hyperplanes → 8 sign bits → bucket id.  At 100 TB this pass is
+    embarrassingly parallel and the bucket histogram (this query) is the
+    skew diagnostic that sizes the per-bucket join."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.select(V.lsh_bucket(F.col("embedding")).alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@register(
+    "ann_lsh_neardup",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {V.sql_lsh_bucket('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+           ROUND({V.sql_cosine('a.embedding', 'b.embedding')}, 6) AS score
+    FROM sig a
+    JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {V.sql_cosine('a.embedding', 'b.embedding')} >= {_LSH_T}
+    """,
+    tags=("similarity", "dedup"),
+)
+def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup: candidate pairs only within an LSH bucket
+    (equi-join on bucket id — a real shuffle key, unlike the all-pairs
+    cross join), then exact cosine confirmation.  This is the scale
+    path: shuffle ∝ corpus size, pair work ∝ Σ bucket²."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    sig = emb.select(
+        "vec_id", "embedding", V.lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = sig.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("bucket"),
+        F.col("embedding").alias("e_a"),
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("embedding").alias("e_b"),
+    )
+    cos = V.cosine(F.col("e_a"), F.col("e_b"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cos >= _LSH_T)
+        .select("id_a", "id_b", "bucket", F.round(cos, 6).alias("score"))
+    )
