@@ -1,0 +1,115 @@
+"""Engine-portable content hashing: token hashes, MinHash, SimHash.
+
+Portability contract: the base token hash is the first 8 hex chars of
+md5 parsed as an integer — Spark ``conv(substring(md5(t),1,8),16,10)``
+and DuckDB ``('0x'||substr(md5(t),1,8))::BIGINT`` produce identical
+values — so MinHash/SimHash signatures (pure integer arithmetic on top)
+are bit-identical across engines and across Spark versions.  No RNG:
+permutation coefficients are fixed odd multipliers.
+
+Scale notes: signature computation is map-only (one pass per document,
+no shuffle).  MinHash-LSH banding turns near-dup search into an
+equi-join on (band_id, band_minhashes); SimHash pairs are confirmed by
+a single ``bit_count(a XOR b)`` — both are the standard 100 TB-corpus
+dedup designs (cf. MinHash banding as in Mining of Massive Datasets;
+SimHash as in Charikar's similarity estimation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1 — the MinHash permutation modulus.
+MINHASH_P = 2_147_483_647
+N_PERMS = 8
+SIMHASH_BITS = 32
+
+
+def _perm_coeffs(k: int) -> tuple[int, int]:
+    """Fixed permutation h_k(x) = (a_k·x + b_k) mod P coefficients."""
+    return 2 * k + 1, k * 7919 + 1
+
+
+# ---------------------------------------------------------------------------
+# Spark columns
+# ---------------------------------------------------------------------------
+
+
+def token_hash32(tok: Column) -> Column:
+    """Portable 32-bit token hash (md5 prefix)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def hashed_tokens(tokens: Column) -> Column:
+    """Distinct-token 32-bit hashes for a token-array column."""
+    return F.transform(F.array_distinct(tokens), token_hash32)
+
+
+def hash_list(strings: Column) -> Column:
+    """32-bit hashes of an arbitrary string-array column (e.g. shingles)."""
+    return F.transform(strings, token_hash32)
+
+
+def minhash(hashes: Column, k: int) -> Column:
+    """k-th MinHash: min over tokens of the k-th permutation."""
+    a, b = _perm_coeffs(k)
+    return F.array_min(
+        F.transform(hashes, lambda h: (h * a + b) % MINHASH_P)
+    )
+
+
+def minhash_signature(hashes: Column, n_perms: int = N_PERMS) -> list[Column]:
+    return [minhash(hashes, k).alias(f"mh{k}") for k in range(n_perms)]
+
+
+def simhash32(hashes: Column) -> Column:
+    """32-bit SimHash: per bit, sum ±1 over token hashes; bit set iff
+    the weight is positive."""
+    sig = F.lit(0)
+    for j in range(SIMHASH_BITS):
+        weight = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        sig = sig + (weight > 0).cast("long") * (1 << j)
+    return sig
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins
+# ---------------------------------------------------------------------------
+
+SQL_HASHED_TOKENS = (
+    "list_transform(list_distinct(string_split_regex(trim({text}), ' +')), "
+    "t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+)
+
+
+def sql_hashed_tokens(text: str = "text") -> str:
+    return SQL_HASHED_TOKENS.format(text=text)
+
+
+def sql_hash_list(list_expr: str) -> str:
+    """DuckDB twin of :func:`hash_list`."""
+    return (
+        f"list_transform({list_expr}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    )
+
+
+def sql_minhash(hashes_expr: str, k: int) -> str:
+    a, b = _perm_coeffs(k)
+    return f"list_min(list_transform({hashes_expr}, h -> (h * {a} + {b}) % {MINHASH_P}))"
+
+
+def sql_simhash32(hashes_expr: str) -> str:
+    bits = []
+    for j in range(SIMHASH_BITS):
+        weight = f"list_sum(list_transform({hashes_expr}, h -> ((h >> {j}) & 1) * 2 - 1))"
+        bits.append(f"(CASE WHEN {weight} > 0 THEN {1 << j}::BIGINT ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"

@@ -75,6 +75,27 @@ def quality_score(text: Column) -> Column:
     return ttr * F.lit(0.6) + (F.lit(1.0) - sw) * F.lit(0.3) + len_ok * F.lit(0.1)
 
 
+def shingles(text: Column, width: int = 5) -> Column:
+    """Distinct w-word shingles (the near-dup signature unit: token sets
+    are degenerate on small vocabularies; shingles discriminate)."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (width - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, width)),
+        )
+    )
+
+
+def sql_shingles(width: int = 5, text: str = "text") -> str:
+    """DuckDB twin of :func:`shingles` (1-based inclusive list slicing)."""
+    t = f"string_split_regex(trim({text}), ' +')"
+    return (
+        f"list_distinct(list_transform(range(1, len({t}) - {width} + 2), "
+        f"i -> array_to_string({t}[i:i+{width - 1}], ' ')))"
+    )
+
+
 def exact_fingerprint(text: Column) -> Column:
     """md5 of the raw text — exact-duplicate key."""
     return F.md5(text)
