@@ -292,3 +292,90 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prop_k").isNotNull())
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming runtime through the driver contract: the flagship aggregation
+# executed by Structured Streaming (file stream → watermark → update-mode
+# agg → memory sink), oracle-checked against the same SQL as daily_agg.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "streaming_daily_agg",
+    oracle=f"""
+    SELECT
+      user_id,
+      CAST(CAST(ts AS DATE) AS VARCHAR)         AS event_day,
+      ROUND(AVG(value), 6)                      AS avg_value,
+      CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS started_events,
+      CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 0 ELSE 1 END) AS BIGINT) AS ended_events,
+      CAST(MAX(ts) AS TIMESTAMP)                AS update_time
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("reference", "streaming", "A1", "T1", "T3"),
+)
+def streaming_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1–A5 executed by the STREAMING runtime (SURVEY §2.5): parquet
+    file-stream source, 1-day watermark (T1/T4/T7), update-mode grouped
+    aggregation over the streaming state store, availableNow trigger
+    (T3 checkpointed micro-batches), memory sink.  The emitted final
+    state must equal the batch plan — which the DuckDB oracle checks.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        # file-stream sources take a directory; the glob narrows it to
+        # the events table only
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    started = _started_col()
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy("user_id", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.sum(started).alias("started_events"),
+            F.sum(1 - started).alias("ended_events"),
+            F.max("ts").alias("update_time"),
+        )
+        .select(
+            "user_id",
+            F.to_date("w.start").cast("string").alias("event_day"),
+            "avg_value",
+            "started_events",
+            "ended_events",
+            "update_time",
+        )
+    )
+    name = f"stream_daily_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

@@ -1,0 +1,159 @@
+"""Streaming pipelines — the reference's two topologies on Structured
+Streaming, with the same logical plans the batch operators use.
+
+Topology 1 (wired in the reference): trip stream → broadcast station
+join (J1) → per-(station, day) aggregation in a streaming state store
+(A1–A5), emitted in update mode (T2 divergence: Spark emits changed
+keys per micro-batch instead of full-store scans every 5 stream-minutes
+— see streaming/punctuate.py for the faithful per-key-timer variant).
+Watermarking (T1/T4/T7) bounds state: the reference evicts all days
+older than the newest and zero-reinitializes late events
+(CustomTransformer.kt:71-80 — a bug); the watermark instead drops
+late-beyond-delay rows and retires state deterministically.
+
+Topology 2 (declared, unwired in the reference): windowed per-station
+counts (A6) + anomaly summarization with the D% dock threshold (A7),
+append mode after the watermark closes each window.
+
+Checkpointing (T3): every query takes a ``checkpoint`` path; micro-batch
+commit replaces the reference's ``commit.interval.ms=0`` eager commits
+with exactly-once epochs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kafkastreamsproject_spark.operators.joins import enrich_trips
+
+
+def daily_agg_stream(
+    trips: DataFrame,
+    stations: DataFrame,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Topology 1 logical plan (A1–A5 over a stream).
+
+    Same aggregation the batch ``daily_aggregate`` declares, but grouped
+    on a day-window of the event time: streaming update mode requires
+    the event-time column inside the grouping to let the watermark
+    retire per-day state (T4).  ``updateTime = max(tripTime)`` is the
+    deterministic stand-in for last-arrival (SURVEY §2 A5).
+    """
+    enriched = enrich_trips(trips, stations, on_miss="drop")
+    started = (F.col("tripType") == 1).cast("long")
+    return (
+        enriched.withWatermark("tripTime", watermark)
+        .groupBy(
+            F.col("stationName"),
+            F.window("tripTime", "1 day").alias("day_window"),
+        )
+        .agg(
+            F.avg("temperature").alias("avgTemperature"),
+            F.sum(started).alias("startedTrips"),
+            F.sum(1 - started).alias("endedTrips"),
+            F.max("tripTime").alias("updateTime"),
+        )
+        .select(
+            "stationName",
+            F.to_date("day_window.start").alias("eventDay"),
+            "avgTemperature",
+            "startedTrips",
+            "endedTrips",
+            "updateTime",
+        )
+    )
+
+
+def windowed_anomaly_stream(
+    trips: DataFrame,
+    stations: DataFrame,
+    period_minutes: int = 60,
+    threshold_pct: float = 10.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Topology 2 logical plan (A6+A7 over a stream, append mode).
+
+    P and D are the reference consumer's unused CLI parameters
+    (KafkaConsumer.kt:21-28; wired per scripts/processing.sh:12).
+    """
+    enriched = enrich_trips(trips, stations, on_miss="drop")
+    started = (F.col("tripType") == 1).cast("long")
+    counts = (
+        enriched.withWatermark("tripTime", watermark)
+        .groupBy(
+            F.window("tripTime", f"{period_minutes} minutes").alias("window"),
+            "stationName",
+        )
+        .agg(
+            F.sum(started).alias("started"),
+            F.sum(1 - started).alias("ended"),
+            F.first("stationTotalDocks").alias("totalDocks"),
+        )
+    )
+    s, e, d = F.col("started"), F.col("ended"), F.col("totalDocks")
+    return (
+        counts.select(
+            "window",
+            "stationName",
+            F.when(e > s, e - s).otherwise(F.lit(0)).alias("returnedOverRented"),
+            F.when(s > e, s - e).otherwise(F.lit(0)).alias("rentedOverReturned"),
+            "totalDocks",
+            (F.abs(e - s) / d.cast("double")).alias("nToDocksRatio"),
+        )
+        .filter(F.col("nToDocksRatio") >= threshold_pct / 100.0)
+    )
+
+
+def to_memory_sink(
+    df: DataFrame,
+    query_name: str,
+    checkpoint: str,
+    output_mode: str = "update",
+) -> StreamingQuery:
+    """S8 stand-in for tests: memory sink, availableNow trigger."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def to_console_sink(
+    df: DataFrame, checkpoint: str, output_mode: str = "update"
+) -> StreamingQuery:
+    """S8: the reference's foreach-println terminal operator."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .format("console")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def to_kafka_sink(
+    df: DataFrame,
+    checkpoint: str,
+    brokers: str = "localhost:9092",
+    topic: str = "etl-topic",
+    output_mode: str = "update",
+) -> StreamingQuery:
+    """S9: JSON-serialize rows to a Kafka topic (etl-topic /
+    anomalies-topic are the reference's declared sinks,
+    scripts/prepareAndRun.sh:12-14).  Requires the Kafka connector."""
+    payload = df.select(
+        F.to_json(F.struct(*df.columns)).alias("value")
+    )
+    return (
+        payload.writeStream.outputMode(output_mode)
+        .format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

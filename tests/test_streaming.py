@@ -1,0 +1,173 @@
+"""Streaming parity tests (SURVEY.md §5.2 item 2): replay a trip fixture
+through the file-stream source and check the streaming pipelines against
+the batch operators on identical data (self-oracle).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from kafkastreamsproject_spark.operators.aggregation import daily_aggregate
+from kafkastreamsproject_spark.operators.joins import enrich_trips
+from kafkastreamsproject_spark.schemas import STATION, TRIP
+from kafkastreamsproject_spark.streaming.pipeline import (
+    daily_agg_stream,
+    to_memory_sink,
+    windowed_anomaly_stream,
+)
+from kafkastreamsproject_spark.streaming.punctuate import punctuated_daily_agg
+from kafkastreamsproject_spark.streaming.replay import write_trip_chunk
+from kafkastreamsproject_spark.streaming.sources import trip_file_stream
+
+
+def _t(day: int, hour: int, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 3, day, hour, minute, 0)
+
+
+_DAY1 = [
+    (1, 1, _t(1, 8), 168, 300.0, "Subscriber", "Male", 9, 10.0, "clear"),
+    (2, 0, _t(1, 9), 168, 600.0, "Customer", "Female", 9, 14.0, "clear"),
+    (3, 1, _t(1, 10), 42, 120.0, "Subscriber", "", 9, -2.0, "snow"),
+    (4, 1, _t(1, 10, 30), 42, 90.0, "Subscriber", "", 9, 0.0, "snow"),
+]
+_DAY2 = [
+    (5, 1, _t(2, 8), 168, 240.0, "Customer", "Male", 9, 8.0, "rain"),
+    (6, 0, _t(2, 8, 30), 42, 500.0, "Subscriber", "Female", 9, 6.0, "rain"),
+    (7, 0, _t(2, 9), 42, 500.0, "Subscriber", "Female", 9, 7.0, "rain"),
+]
+
+_STATIONS = [
+    (168, "Michigan Ave", 24, 20, "In Service", 41.88, -87.62, "POINT"),
+    (42, "Wabash Ave", 10, 10, "In Service", 41.89, -87.63, "POINT"),
+]
+
+
+@pytest.fixture(scope="module")
+def stations(spark):
+    return spark.createDataFrame(_STATIONS, STATION)
+
+
+@pytest.fixture(scope="module")
+def batch_trips(spark):
+    return spark.createDataFrame(_DAY1 + _DAY2, TRIP)
+
+
+def test_file_stream_daily_agg_matches_batch(spark, stations, batch_trips, tmp_path):
+    """Full replay through the streaming topology == batch daily agg."""
+    data_dir = str(tmp_path / "replay")
+    write_trip_chunk(data_dir, _DAY1, 0)
+    write_trip_chunk(data_dir, _DAY2, 1)
+
+    stream = trip_file_stream(spark, data_dir)
+    assert stream.isStreaming
+    agg = daily_agg_stream(stream, stations)
+    q = to_memory_sink(agg, "daily_agg_out", str(tmp_path / "ckpt"), "update")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.stationName, str(r.eventDay)): r
+        for r in spark.sql("SELECT * FROM daily_agg_out").collect()
+    }
+    want = {
+        (r.stationName, str(r.eventDay)): r
+        for r in daily_aggregate(enrich_trips(batch_trips, stations)).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g.startedTrips == w.startedTrips, k
+        assert g.endedTrips == w.endedTrips, k
+        assert g.avgTemperature == pytest.approx(w.avgTemperature), k
+        assert g.updateTime == w.updateTime, k
+
+
+def test_windowed_anomaly_stream_appends_closed_windows(
+    spark, stations, tmp_path
+):
+    """Append-mode anomaly topology: windows closed by the watermark are
+    emitted with the reference's surplus/ratio math (A6/A7)."""
+    data_dir = str(tmp_path / "replay2")
+    write_trip_chunk(data_dir, _DAY1, 0)
+    write_trip_chunk(data_dir, _DAY2, 1)
+
+    stream = trip_file_stream(spark, data_dir, max_files_per_trigger=1)
+    anomalies = windowed_anomaly_stream(
+        stream, stations, period_minutes=60, threshold_pct=5.0,
+        watermark="30 minutes",
+    )
+    q = to_memory_sink(anomalies, "anomaly_out", str(tmp_path / "ckpt2"), "append")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM anomaly_out").collect()
+    # Day-1 windows close when the watermark reaches day-2 data.
+    assert rows, "no anomaly windows emitted"
+    by_key = {(r.stationName, r.window.start): r for r in rows}
+    # Wabash Ave 10:00 window on day 1: 2 started, 0 ended, 10 docks →
+    # ratio 0.2 ≥ 0.05 threshold.
+    key = ("Wabash Ave", _t(1, 10))
+    assert key in by_key
+    r = by_key[key]
+    assert r.rentedOverReturned == 2 and r.returnedOverRented == 0
+    assert r.nToDocksRatio == pytest.approx(0.2)
+
+
+def test_punctuated_daily_agg_emits_on_stream_time(spark, stations, tmp_path):
+    """T2/T4 faithful operator: no emission while data arrives; keys emit
+    when stream time (watermark) advances past their timer, and closed
+    days are evicted."""
+    data_dir = str(tmp_path / "replay3")
+    ckpt = str(tmp_path / "ckpt3")
+    write_trip_chunk(data_dir, _DAY1, 0)
+
+    collected: list = []
+
+    def _run(trips_stream):
+        # foreachBatch sink: supports checkpoint recovery across runs
+        # (the memory sink does not).
+        agg = punctuated_daily_agg(trips_stream, stations, watermark="10 minutes")
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _epoch: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _run(trip_file_stream(spark, data_dir))
+    # The data batch emits nothing (transform returns null); the
+    # follow-up watermark-advance batch fires the timers — so each key
+    # appears EXACTLY ONCE and with its COMPLETE day aggregate.  Partial
+    # or duplicate rows would mean records emitted directly.
+    first = list(collected)
+    emitted1 = {(r.stationName, str(r.eventDay)): r for r in first}
+    assert len(first) == len(emitted1) == 2
+    r = emitted1[("Michigan Ave", "2024-03-01")]
+    assert r.startedTrips == 1 and r.endedTrips == 1
+    assert r.avgTemperature == pytest.approx(12.0)
+    assert r.updateTime == _t(1, 9)
+    w = emitted1[("Wabash Ave", "2024-03-01")]
+    assert w.startedTrips == 2 and w.endedTrips == 0
+    assert w.avgTemperature == pytest.approx(-1.0)
+
+    # Day-2 data advances the watermark past day-1 end: day-1 keys
+    # re-emit once more (punctuator cadence) and are then evicted (T4);
+    # day-2 keys emit via their own timers.
+    write_trip_chunk(data_dir, _DAY2, 1)
+    collected.clear()
+    _run(trip_file_stream(spark, data_dir))
+
+    emitted2 = {(r.stationName, str(r.eventDay)): r for r in collected}
+    assert ("Wabash Ave", "2024-03-02") in emitted2
+    r2 = emitted2[("Wabash Ave", "2024-03-02")]
+    assert r2.startedTrips == 0 and r2.endedTrips == 2
+    assert r2.avgTemperature == pytest.approx(6.5)
+    # day-1 aggregates survive intact through the checkpoint restart
+    if ("Michigan Ave", "2024-03-01") in emitted2:
+        r1 = emitted2[("Michigan Ave", "2024-03-01")]
+        assert r1.startedTrips == 1 and r1.endedTrips == 1
