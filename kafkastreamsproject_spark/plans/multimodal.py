@@ -1,3 +1,86 @@
-"""Multimodal-column queries (binary payloads + typed metadata). Populated in M6."""
+"""Multimodal-column queries: binary payload metadata (oracle-checked)
+and the mapInPandas feature-extraction path (rows-only; the Python-side
+fake decoder has no SQL twin — its Spark plumbing is pinned by
+tests/test_multimodal.py)."""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.functions.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample_times,
+)
+from kafkastreamsproject_spark.plans.registry import register
+from kafkastreamsproject_spark.sources.testdata import load_table
+
+
+@register(
+    "binary_metadata",
+    oracle="""
+    SELECT
+      doc_id AS media_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      sha256(text) AS payload_sha256,
+      'text/plain' AS media_type,
+      CAST(n_chars * 10 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column audit: payload sizes, content hash, typed metadata —
+    planning-level media ops that never decode bytes.  The BinaryType
+    payload stays opaque; only octet_length touches it."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = documents_as_media(docs)
+    return media.select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        # hash the string (not the blob): DuckDB's sha256 takes VARCHAR
+        F.sha2(F.decode("payload", "utf-8"), 256).alias("payload_sha256"),
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@register(
+    "frame_sample_plan",
+    oracle="""
+    SELECT
+      doc_id AS media_id,
+      list_transform(range(0, n_chars * 10, 1000), x -> CAST(x AS BIGINT))
+        AS sample_times_ms,
+      CAST(len(range(0, n_chars * 10, 1000)) AS INT) AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video-shaped media: 1 frame/s timestamps
+    derived from duration metadata — pure column math; the decoder
+    (mapInPandas) would receive (media_id, payload, sample_times_ms)."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = documents_as_media(docs)
+    times = frame_sample_times(F.col("meta.duration_ms"))
+    return media.select(
+        "media_id",
+        times.alias("sample_times_ms"),
+        F.size(times).alias("n_frames"),
+    )
+
+
+@register(
+    "media_features",
+    oracle=None,  # Python-side decoder stub — no SQL twin; schema/batch
+    # behavior pinned in tests/test_multimodal.py
+    tags=("multimodal",),
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (mapInPandas) over media
+    payloads using the deterministic fake decoder — the full multimodal
+    plumbing (binary column → Python batch → fixed-dim float array)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return extract_features(documents_as_media(docs), mode="fake")
