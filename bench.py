@@ -27,10 +27,17 @@ from kafkastreamsproject_spark.session import get_spark
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
     "daily_agg",
     "enrich_join",
     "windowed_counts",
     "anomaly_detect",
+    "sessionization",
+    "top3_orders_per_customer",
+    "dedup_exact_keep_first",
+    "minhash_lsh_pairs",
+    "ann_topk_cosine",
 ]
 
 

@@ -202,9 +202,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (band_id, h1, h2) — a real shuffle key); confirm with exact
     shingle-set Jaccard.  The classic shingle→minhash→band→bucket-join
     pipeline, all relational."""
+    # The signature relation feeds the band explode (twice, self-join)
+    # and both confirmation sides — persist it or the md5/minhash
+    # pipeline recomputes 4×.  Signatures are ~40B/doc: trivially
+    # memory-resident at any corpus size worth sharding.
     sigs = _shingled_corpus2(spark, sf_dir).select(
         "doc_id", "sh", *H.minhash_signature(F.col("hs"))
-    )
+    ).persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -296,7 +300,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = F.lit(0).cast("long")
     for j in range(H.SIMHASH_BITS):
         sig = sig + (F.col(f"w{j}") > 0).cast("long") * (1 << j)
-    sigs = weights.select("doc_id", sig.alias("simhash"))
+    sigs = weights.select("doc_id", sig.alias("simhash")).persist()
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
     ham = H.hamming32(F.col("sh_a"), F.col("sh_b"))
@@ -340,7 +344,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the candidate-blocking key (equi-join on shingle — rare shingles
     keep candidate volume ∝ true near-dups, not corpus²); exact
     shingle-set Jaccard confirms."""
-    shingled = _shingled_corpus2(spark, sf_dir).select("doc_id", "sh")
+    shingled = _shingled_corpus2(spark, sf_dir).select("doc_id", "sh").persist()
     exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
     a = exploded.select(F.col("doc_id").alias("id_a"), "shingle")
     b = exploded.select(

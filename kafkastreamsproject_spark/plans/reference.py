@@ -379,3 +379,39 @@ def streaming_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@register(
+    "window_format",
+    oracle=f"""
+    SELECT
+      strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M')
+        || ' .. ' ||
+      strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR,
+               '%Y-%m-%d %H:%M') AS window_label,
+      user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("reference", "P9"),
+)
+def window_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (TripStationSummaryInfo.kt:18-19): render window bounds as a
+    human-readable label — the window struct already carries start/end;
+    date_format is display-only and never used as a join/group key."""
+    ev = load_table(spark, "events", sf_dir)
+    w = F.window("ts", f"{_WINDOW_MINUTES} minutes")
+    return (
+        ev.groupBy(w.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.concat(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm"),
+                F.lit(" .. "),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm"),
+            ).alias("window_label"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -174,9 +174,11 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join), then exact cosine confirmation.  This is the scale
     path: shuffle ∝ corpus size, pair work ∝ Σ bucket²."""
     emb = load_table(spark, "embeddings", sf_dir)
+    # persisted: both join sides derive from it, and the 8 projection
+    # sums per vector are worth computing once
     sig = emb.select(
         "vec_id", "embedding", V.lsh_bucket(F.col("embedding")).alias("bucket")
-    )
+    ).persist()
     a = sig.select(
         F.col("vec_id").alias("id_a"),
         F.col("bucket"),

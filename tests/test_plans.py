@@ -1,0 +1,85 @@
+"""Physical-plan audits: the scale properties the engine promises must
+be visible in the executed plan, not just intended.
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema)
+- dimension joins are broadcast (no shuffle of the fact side)
+- aggregations are partial+final hash aggregates inside codegen
+- no accidental cartesian products anywhere in the registry
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from kafkastreamsproject_spark.plans.registry import all_queries
+
+_SPECS = all_queries()
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_project_pushes_down(spark, sf_dir):
+    plan = _plan(_SPECS["filter_project"].spark(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "user_id" in plan.split("PushedFilters")[1][:200]
+    # only the 4 needed columns are read
+    read_schema = plan.split("ReadSchema")[1][:300]
+    for col in ("event_id", "user_id", "event_type", "value"):
+        assert col in read_schema
+    assert "props" not in read_schema
+
+
+def test_enrich_join_is_broadcast(spark, sf_dir):
+    plan = _plan(_SPECS["enrich_join"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation_in_codegen(spark, sf_dir):
+    df = _SPECS["q1_pricing_summary"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "PushedFilters" in plan
+    codegen = _plan(df, "codegen")
+    assert "WholeStageCodegen" in codegen
+
+
+def test_q5_dimensions_broadcast(spark, sf_dir):
+    plan = _plan(_SPECS["q5_region_revenue"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_daily_agg_two_phase(spark, sf_dir):
+    plan = _plan(_SPECS["daily_agg"].spark(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, s in _SPECS.items()
+        if "similarity" not in s.tags or n in ("embedding_norms",)
+    ),
+)
+def test_no_cartesian_products(spark, sf_dir, name):
+    """No registry query may plan a cartesian product — the intentional
+    pair generators (top-k cross, blocked self-joins) must come out as
+    broadcast nested loop with a bounded side or an equi-join.
+    The ann_* cross joins against a 10-row broadcast query set are the
+    one sanctioned BroadcastNestedLoopJoin."""
+    if name == "streaming_daily_agg":
+        pytest.skip("streaming query starts a real stream")
+    plan = _plan(_SPECS[name].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
