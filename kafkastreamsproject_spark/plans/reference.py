@@ -415,3 +415,37 @@ def window_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "json_roundtrip",
+    oracle="""
+    SELECT
+      event_id,
+      to_json(struct_pack(
+        event_id := event_id,
+        event_type := event_type,
+        user_id := user_id
+      ))::VARCHAR AS payload
+    FROM events
+    WHERE event_id < 1000
+    """,
+    tags=("reference", "P6", "S4"),
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/S4 (KafkaConsumer.kt:58, KafkaProducer.kt:59): JSON-serialize
+    records at the sink boundary — the payload the Kafka sink would
+    write.  Inside the engine data stays typed; to_json appears exactly
+    once, at the edge.  Field set avoids nulls/doubles (Spark omits
+    null fields where DuckDB emits them)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.col("user_id"),
+            )
+        ).alias("payload"),
+    )

@@ -453,3 +453,131 @@ def quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
         F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95_qty"),
     )
+
+
+@register(
+    "large_orders",
+    oracle="""
+    SELECT c.c_name AS cust_name, o.o_orderkey AS orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           o.o_totalprice AS totalprice,
+           ROUND(SUM(l.l_quantity), 4) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING ROUND(SUM(l.l_quantity), 4) > 150
+    """,
+    tags=("relational", "bench"),
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via grouped HAVING.  The
+    heavy groupBy runs on (orderkey) keys already co-partitioned with
+    the join shuffle; customer is broadcast at the end so only the few
+    surviving orders pay the dimension lookup."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_name").alias("cust_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").cast("string").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+@register(
+    "above_segment_average",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             SUM(o.o_totalprice) AS total_spend
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    seg AS (
+      SELECT c_mktsegment, AVG(total_spend) AS seg_avg FROM spend
+      GROUP BY c_mktsegment
+    )
+    SELECT s.c_custkey AS custkey, s.c_mktsegment AS segment,
+           ROUND(s.total_spend, 4) AS total_spend,
+           ROUND(g.seg_avg, 4) AS seg_avg
+    FROM spend s JOIN seg g ON s.c_mktsegment = g.c_mktsegment
+    WHERE s.total_spend > 1.5 * g.seg_avg
+    """,
+    tags=("relational",),
+)
+def above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated scalar subquery: customers spending >1.5× their
+    segment's average.  Expressed as agg → re-agg → broadcast join-back
+    (the segment averages are |segments| rows), the shape Catalyst
+    produces when decorrelating the subquery."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("total_spend"))
+    )
+    seg = spend.groupBy("c_mktsegment").agg(F.avg("total_spend").alias("seg_avg"))
+    return (
+        spend.join(F.broadcast(seg), "c_mktsegment")
+        .filter(F.col("total_spend") > 1.5 * F.col("seg_avg"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round("total_spend", 4).alias("total_spend"),
+            F.round("seg_avg", 4).alias("seg_avg"),
+        )
+    )
+
+
+@register(
+    "returned_revenue_report",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
+           n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS lost_revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, custkey
+    LIMIT 20
+    """,
+    tags=("relational", "bench"),
+)
+def returned_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, top 20 customers.
+    Selective returnflag filter pushes to the lineitem scan; both
+    dimensions broadcast; rounded revenue + custkey tie-break makes the
+    LIMIT row set engine-stable."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("lost_revenue")
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("custkey"))
+        .limit(20)
+    )
