@@ -48,7 +48,8 @@ def _started_col() -> F.Column:
     SELECT
       user_id,
       CAST(CAST(ts AS DATE) AS VARCHAR)         AS event_day,
-      ROUND(AVG(value), 6)                      AS avg_value,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+                                                AS avg_value,
       CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS started_events,
       CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 0 ELSE 1 END) AS BIGINT) AS ended_events,
       CAST(MAX(ts) AS TIMESTAMP)                AS update_time
@@ -67,7 +68,13 @@ def daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "user_id", F.to_date("ts").cast("string").alias("event_day")
     ).agg(
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        # DECIMAL-accumulated mean: 2-dp values sum exactly, so the
+        # 6-dp rounding is order-independent and engine-stable
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
         F.sum(started).alias("started_events"),
         F.sum(1 - started).alias("ended_events"),
         F.max("ts").alias("update_time"),
@@ -307,7 +314,8 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       user_id,
       CAST(CAST(ts AS DATE) AS VARCHAR)         AS event_day,
-      ROUND(AVG(value), 6)                      AS avg_value,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+                                                AS avg_value,
       CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS started_events,
       CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 0 ELSE 1 END) AS BIGINT) AS ended_events,
       CAST(MAX(ts) AS TIMESTAMP)                AS update_time
@@ -353,7 +361,11 @@ def streaming_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.withWatermark("ts", "1 day")
         .groupBy("user_id", F.window("ts", "1 day").alias("w"))
         .agg(
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
             F.sum(started).alias("started_events"),
             F.sum(1 - started).alias("ended_events"),
             F.max("ts").alias("update_time"),

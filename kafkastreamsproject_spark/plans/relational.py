@@ -23,13 +23,16 @@ from kafkastreamsproject_spark.sources.testdata import load_table
     SELECT
       l_returnflag,
       l_linestatus,
-      ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
-      ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-      ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
-      ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
-      ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_qty,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_base_price,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS sum_disc_price,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(1 - l_discount AS DECIMAL(4,2))
+                     * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE), 4) AS sum_charge,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+      ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
       CAST(COUNT(*) AS BIGINT)                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -43,19 +46,29 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan→partial agg; shuffle carries ≤ |flag×status| × partitions rows.
     """
     li = load_table(spark, "lineitem", sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # money math in DECIMAL: 2-dp inputs are exactly representable, so
+    # the sums are integers at fixed scale — order-independent and
+    # bit-identical across engines (a raw double SUM over ~10^5 values
+    # carries ~1e-8 absolute error, enough to flip a 4-dp rounding
+    # boundary nondeterministically under AQE's varying merge order).
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax_f = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(qty).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(ep).cast("double"), 4).alias("sum_base_price"),
+            F.round(F.sum(ep * disc_f).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(ep * disc_f * tax_f).cast("double"), 4).alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(ep).cast("double") / n, 6).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / n, 6
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -66,7 +79,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l.l_orderkey AS orderkey,
-      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+      ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS revenue,
       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
       o.o_orderpriority AS orderpriority
     FROM customer c
@@ -107,7 +120,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+                ).cast("double"),
+                4,
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("orderkey"))
@@ -120,7 +137,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n.n_name AS nation,
-      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -162,7 +179,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+                ).cast("double"),
+                4,
             ).alias("revenue")
         )
     )
@@ -321,7 +342,7 @@ def priority_order_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_returnflag,
       l_linestatus,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS revenue,
       CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -497,19 +518,20 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
       SELECT c.c_custkey, c.c_mktsegment,
-             SUM(o.o_totalprice) AS total_spend
+             SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS total_spend_dec
       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       GROUP BY c.c_custkey, c.c_mktsegment
     ),
     seg AS (
-      SELECT c_mktsegment, AVG(total_spend) AS seg_avg FROM spend
-      GROUP BY c_mktsegment
+      SELECT c_mktsegment,
+             CAST(SUM(total_spend_dec) AS DOUBLE) / COUNT(*) AS seg_avg
+      FROM spend GROUP BY c_mktsegment
     )
     SELECT s.c_custkey AS custkey, s.c_mktsegment AS segment,
-           ROUND(s.total_spend, 4) AS total_spend,
+           ROUND(CAST(s.total_spend_dec AS DOUBLE), 4) AS total_spend,
            ROUND(g.seg_avg, 4) AS seg_avg
     FROM spend s JOIN seg g ON s.c_mktsegment = g.c_mktsegment
-    WHERE s.total_spend > 1.5 * g.seg_avg
+    WHERE CAST(s.total_spend_dec AS DOUBLE) > 1.5 * g.seg_avg
     """,
     tags=("relational",),
 )
@@ -520,19 +542,29 @@ def above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces when decorrelating the subquery."""
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
+    # DECIMAL accumulation end-to-end: exact sums make the >1.5x-average
+    # filter and the 4-dp roundings order-independent and engine-stable.
     spend = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_mktsegment")
-        .agg(F.sum("o_totalprice").alias("total_spend"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias(
+                "total_spend_dec"
+            )
+        )
     )
-    seg = spend.groupBy("c_mktsegment").agg(F.avg("total_spend").alias("seg_avg"))
+    seg = spend.groupBy("c_mktsegment").agg(
+        (F.sum("total_spend_dec").cast("double") / F.count(F.lit(1))).alias(
+            "seg_avg"
+        )
+    )
     return (
         spend.join(F.broadcast(seg), "c_mktsegment")
-        .filter(F.col("total_spend") > 1.5 * F.col("seg_avg"))
+        .filter(F.col("total_spend_dec").cast("double") > 1.5 * F.col("seg_avg"))
         .select(
             F.col("c_custkey").alias("custkey"),
             F.col("c_mktsegment").alias("segment"),
-            F.round("total_spend", 4).alias("total_spend"),
+            F.round(F.col("total_spend_dec").cast("double"), 4).alias("total_spend"),
             F.round("seg_avg", 4).alias("seg_avg"),
         )
     )
@@ -543,7 +575,7 @@ def above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
            n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS lost_revenue
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS lost_revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -575,7 +607,11 @@ def returned_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+                ).cast("double"),
+                4,
             ).alias("lost_revenue")
         )
         .orderBy(F.col("lost_revenue").desc(), F.col("custkey"))

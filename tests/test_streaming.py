@@ -171,3 +171,47 @@ def test_punctuated_daily_agg_emits_on_stream_time(spark, stations, tmp_path):
     if ("Michigan Ave", "2024-03-01") in emitted2:
         r1 = emitted2[("Michigan Ave", "2024-03-01")]
         assert r1.startedTrips == 1 and r1.endedTrips == 1
+
+
+def test_late_event_dropped_by_watermark(spark, stations, tmp_path):
+    """T7 divergence: an event arriving after the watermark has passed
+    its day is DROPPED (the reference would zero-reinitialize the
+    evicted day's state — a corruption bug we deliberately fix)."""
+    data_dir = str(tmp_path / "replay4")
+    ckpt = str(tmp_path / "ckpt4")
+    collected: list = []
+
+    def _run():
+        stream = trip_file_stream(spark, data_dir)
+        agg = daily_agg_stream(stream, stations, watermark="10 minutes")
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _e: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # run 1: both days → watermark ends up near day-2 09:00.
+    write_trip_chunk(data_dir, _DAY1 + _DAY2, 0)
+    _run()
+    assert any(str(r.eventDay) == "2024-03-01" for r in collected)
+
+    # run 2: one LATE day-1 event (far behind the watermark) plus one
+    # fresh day-2 event.  The late row must not produce a day-1 update.
+    collected.clear()
+    late = [(99, 1, _t(1, 8, 30), 168, 10.0, "Subscriber", "Male", 9, 99.0, "clear")]
+    fresh = [(100, 0, _t(2, 10), 42, 10.0, "Customer", "Female", 9, 5.0, "rain")]
+    write_trip_chunk(data_dir, late + fresh, 1)
+    _run()
+
+    days = {str(r.eventDay) for r in collected}
+    assert "2024-03-01" not in days, (
+        f"late day-1 event leaked into state: {collected}"
+    )
+    # the fresh day-2 event DID update its aggregate
+    wab = [r for r in collected
+           if r.stationName == "Wabash Ave" and str(r.eventDay) == "2024-03-02"]
+    assert wab and wab[0].endedTrips == 3
