@@ -617,3 +617,90 @@ def returned_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), F.col("custkey"))
         .limit(20)
     )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "agg"),
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (flag, status): all 2^2 grouping sets in one Expand
+    pass — the full-lattice companion to rollup_revenue."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "ship_lag_by_priority",
+    oracle="""
+    SELECT
+      o.o_orderpriority AS orderpriority,
+      ROUND(CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE)
+            / COUNT(*), 6) AS avg_lag_days,
+      CAST(MAX(datediff('day', o.o_orderdate, l.l_shipdate)) AS INT) AS max_lag_days
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("relational", "datetime"),
+)
+def ship_lag_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: order→ship lag in days per priority class.
+    Integer day-diffs sum exactly, so the mean is order-independent."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(
+            F.round(
+                F.sum(lag).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_lag_days"),
+            F.max(lag).alias("max_lag_days"),
+        )
+    )
+
+
+@register(
+    "part_name_pattern",
+    oracle="""
+    SELECT p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           MIN(p_retailprice) AS min_price,
+           MIN(upper(substr(p_name, 1, 12))) AS first_name_prefix
+    FROM part
+    WHERE p_name LIKE '%a%' AND p_type NOT LIKE '%ECONOMY%'
+    GROUP BY p_brand
+    """,
+    tags=("relational", "string"),
+)
+def part_name_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: LIKE / NOT LIKE filters (pushed to the scan as
+    string-contains), substr/upper scalar functions, min-selection
+    aggregates (selections, not sums — inherently FP-stable)."""
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.filter(F.col("p_name").like("%a%") & ~F.col("p_type").like("%ECONOMY%"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.min(F.upper(F.substring("p_name", 1, 12))).alias("first_name_prefix"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Property-based checks (hypothesis) for the portable signature math.
+
+These pin the *algorithmic* contracts that the oracle comparisons can't
+see: MinHash approximates Jaccard, SimHash Hamming distance tracks
+dissimilarity, and the portable token hash is uniform-ish and stable.
+Pure-Python mirrors of the SQL/Spark formulas are used so the properties
+run without a JVM round-trip per example.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+from kafkastreamsproject_spark.functions.hashing import MINHASH_P, _perm_coeffs
+
+WORDS = [f"w{i}" for i in range(50)]
+
+
+def _h32(tok: str) -> int:
+    """Python mirror of the portable md5-prefix token hash."""
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+
+def _minhash_sig(tokens: set[str], n_perms: int = 16) -> list[int]:
+    hs = [_h32(t) for t in tokens]
+    return [
+        min((h * a + b) % MINHASH_P for h in hs)
+        for a, b in (_perm_coeffs(k) for k in range(n_perms))
+    ]
+
+
+@given(
+    a=st.sets(st.sampled_from(WORDS), min_size=5, max_size=40),
+    b=st.sets(st.sampled_from(WORDS), min_size=5, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_minhash_estimates_jaccard(a: set[str], b: set[str]):
+    """E[fraction of agreeing minhashes] = Jaccard(a, b); with 16 perms
+    the estimate must land within a generous tolerance band."""
+    true_j = len(a & b) / len(a | b)
+    sa, sb = _minhash_sig(a), _minhash_sig(b)
+    est = sum(x == y for x, y in zip(sa, sb)) / len(sa)
+    assert abs(est - true_j) <= 0.5  # 16 perms: σ = √(j(1-j)/16) ≤ 0.125
+    if true_j == 1.0:
+        assert est == 1.0  # identical sets always collide on every perm
+    if true_j == 0.0 and est > 0:
+        # disjoint sets may still collide per-perm, but rarely on many
+        assert est <= 0.5
+
+
+@given(tokens=st.sets(st.sampled_from(WORDS), min_size=1, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_minhash_is_permutation_of_min(tokens: set[str]):
+    """Each minhash must equal the permuted minimum — i.e. signature of
+    a superset can only be ≤ elementwise."""
+    sig = _minhash_sig(tokens)
+    bigger = _minhash_sig(tokens | {"extra_token"})
+    assert all(b <= s for s, b in zip(sig, bigger))
+
+
+@given(st.text(min_size=1, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_token_hash_stable_and_bounded(tok: str):
+    h = _h32(tok)
+    assert 0 <= h < 2**32
+    assert h == _h32(tok)

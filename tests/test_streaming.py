@@ -215,3 +215,20 @@ def test_late_event_dropped_by_watermark(spark, stations, tmp_path):
     wab = [r for r in collected
            if r.stationName == "Wabash Ave" and str(r.eventDay) == "2024-03-02"]
     assert wab and wab[0].endedTrips == 3
+
+
+def test_kafka_gate_reports_unavailable(spark):
+    """The Kafka connector jar is not in this environment: the gate must
+    say so, and the source builder must fail with the standard Spark
+    missing-data-source error rather than something cryptic."""
+    from kafkastreamsproject_spark.streaming.sources import (
+        kafka_available,
+        kafka_trip_stream,
+    )
+
+    assert kafka_available(spark) is False
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        kafka_trip_stream(spark)
+    assert "kafka" in str(ei.value).lower()
