@@ -1,0 +1,115 @@
+"""CLI entry points mirroring the reference's two mains.
+
+Reference surface:
+- consumer main: ``[stationsFile, P, D]`` with defaults P=50, D=60,
+  Divvy_Bicycle_Stations.csv (consumer/KafkaConsumer.kt:19-31) →
+  builds the ETL+aggregation topology and runs it;
+- producer main: ``[folder]`` (producer/KafkaProducer.kt:17-23) →
+  replays CSVs into the input topic at a throttled rate.
+
+Engine equivalents (a reference user's switch path):
+
+    python -m kafkastreamsproject_spark.app consume \
+        --input DIR --stations FILE.csv [--period 50] [--threshold 60] \
+        [--output DIR] [--checkpoint DIR] [--anomalies]
+
+    python -m kafkastreamsproject_spark.app produce \
+        --input DIR_OR_FILE.csv --output DIR [--chunk-rows 500]
+
+``consume`` runs the streaming topology over a file-stream input
+(Kafka variant available via streaming.sources.kafka_trip_stream when
+the connector jar is present) and writes to console or parquet.
+``produce`` is the replay producer: it splits trip CSVs into
+sequentially named chunks that the consumer's file stream picks up —
+the reference's throttled replay without per-row sleeps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+from kafkastreamsproject_spark.session import get_spark
+from kafkastreamsproject_spark.sources.csv import read_stations_csv, read_trips_csv
+from kafkastreamsproject_spark.streaming.pipeline import (
+    daily_agg_stream,
+    to_console_sink,
+    to_parquet_sink,
+    windowed_anomaly_stream,
+)
+from kafkastreamsproject_spark.streaming.replay import write_trip_chunk
+from kafkastreamsproject_spark.streaming.sources import trip_file_stream
+
+
+def _consume(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="kafkastreamsproject-consume")
+    stations = read_stations_csv(spark, args.stations)
+    trips = trip_file_stream(spark, args.input)
+    if args.anomalies:
+        out = windowed_anomaly_stream(
+            trips,
+            stations,
+            period_minutes=args.period,
+            threshold_pct=args.threshold,
+            watermark=args.watermark,
+        )
+        mode = "append"
+    else:
+        out = daily_agg_stream(trips, stations, watermark=args.watermark)
+        mode = "update" if not args.output else "append"
+    ckpt = args.checkpoint or tempfile.mkdtemp(prefix="ksp_ckpt_")
+    if args.output:
+        q = to_parquet_sink(out, args.output, ckpt, mode)
+        q.processAllAvailable()
+        q.stop()
+    else:
+        q = to_console_sink(out, ckpt, mode)
+        q.awaitTermination(args.timeout) if args.timeout else q.awaitTermination()
+        q.stop()
+    return 0
+
+
+def _produce(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="kafkastreamsproject-produce")
+    trips = read_trips_csv(spark, args.input).orderBy("dateTime")
+    rows = [tuple(r) for r in trips.collect()]
+    for chunk_id, start in enumerate(range(0, len(rows), args.chunk_rows)):
+        write_trip_chunk(args.output, rows[start : start + args.chunk_rows], chunk_id)
+    print(f"wrote {len(rows)} trips in {chunk_id + 1} chunks to {args.output}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="kafkastreamsproject_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("consume", help="run the ETL + aggregation topology")
+    c.add_argument("--input", required=True, help="trip CSV stream directory")
+    c.add_argument("--stations", required=True, help="stations CSV (S7 side input)")
+    c.add_argument("--period", type=int, default=50, help="window period P, minutes")
+    c.add_argument("--threshold", type=float, default=60.0, help="anomaly D, %% docks")
+    c.add_argument("--anomalies", action="store_true", help="run topology 2 instead")
+    c.add_argument(
+        "--watermark",
+        default="1 day",
+        help="late-data delay; append sinks seal windows only once the "
+        "watermark passes them",
+    )
+    c.add_argument("--output", help="parquet output dir (default: console sink)")
+    c.add_argument("--checkpoint", help="checkpoint dir (default: temp)")
+    c.add_argument("--timeout", type=int, help="console-mode run seconds")
+    c.set_defaults(fn=_consume)
+
+    p = sub.add_parser("produce", help="replay trip CSVs into stream chunks")
+    p.add_argument("--input", required=True, help="trip CSV file or directory")
+    p.add_argument("--output", required=True, help="chunk output directory")
+    p.add_argument("--chunk-rows", type=int, default=500)
+    p.set_defaults(fn=_produce)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

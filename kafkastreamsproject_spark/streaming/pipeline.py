@@ -157,3 +157,55 @@ def to_kafka_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def session_stream(
+    trips: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sessionization on a stream: ``session_window`` merges events into
+    variable-length sessions closed after ``gap`` of event-time silence —
+    the streaming twin of the batch lag+cumsum sessionization query.
+    Append mode: a session emits once its window is sealed by the
+    watermark."""
+    return (
+        trips.withWatermark("dateTime", watermark)
+        .groupBy(
+            F.session_window("dateTime", gap).alias("session"),
+            F.col("stationId"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("dateTime").alias("first_event"),
+            F.max("dateTime").alias("last_event"),
+        )
+        .select(
+            "stationId",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+def to_parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Exactly-once parquet sink: the file sink commits each epoch's
+    files through the checkpointed metadata log, so replayed batches
+    after failure never double-write (the engine's replacement for the
+    reference's eager commit.interval.ms=0, T3)."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -232,3 +232,76 @@ def test_kafka_gate_reports_unavailable(spark):
     with _pytest.raises(Exception) as ei:
         kafka_trip_stream(spark)
     assert "kafka" in str(ei.value).lower()
+
+
+def test_session_stream_seals_sessions(spark, stations, tmp_path):
+    """session_window sessionization: three events within the gap form
+    one session; the watermark advancing past gap+delay seals it."""
+    from kafkastreamsproject_spark.streaming.pipeline import session_stream
+
+    data_dir = str(tmp_path / "replay5")
+    burst = [
+        (1, 1, _t(1, 8, 0), 168, 1.0, "s", "m", 9, 1.0, "clear"),
+        (2, 0, _t(1, 8, 10), 168, 1.0, "s", "m", 9, 1.0, "clear"),
+        (3, 1, _t(1, 8, 25), 168, 1.0, "s", "m", 9, 1.0, "clear"),
+        # far-future event to advance the watermark past the session
+        (4, 1, _t(2, 12), 42, 1.0, "s", "m", 9, 1.0, "clear"),
+    ]
+    write_trip_chunk(data_dir, burst, 0)
+    stream = trip_file_stream(spark, data_dir, max_files_per_trigger=1)
+    sess = session_stream(stream, gap="30 minutes", watermark="10 minutes")
+    q = to_memory_sink(sess, "session_out", str(tmp_path / "ckpt5"), "append")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = [r for r in spark.sql("SELECT * FROM session_out").collect()
+            if r.stationId == 168]
+    assert len(rows) == 1
+    s = rows[0]
+    assert s.n_events == 3
+    assert s.first_event == _t(1, 8, 0) and s.last_event == _t(1, 8, 25)
+    # session extends gap past the last event
+    assert s.session_start == _t(1, 8, 0)
+    assert s.session_end == _t(1, 8, 55)
+
+
+def test_cli_produce_then_consume_parquet(spark, tmp_path):
+    """The reference user's switch path end-to-end: produce (replay CSVs
+    into chunks) then consume (topology 1 → exactly-once parquet)."""
+    import pandas as pd
+
+    from kafkastreamsproject_spark.app import main
+
+    # stage a trips CSV + stations CSV like the reference's inputs
+    src = tmp_path / "divvy.csv"
+    pdf = pd.DataFrame(
+        _DAY1 + _DAY2,
+        columns=["id", "type", "dateTime", "stationId", "duration",
+                 "userType", "gender", "week", "temperature", "events"],
+    )
+    pdf["dateTime"] = pd.to_datetime(pdf["dateTime"]).dt.strftime(
+        "%Y-%m-%dT%H:%M:%S.%f").str[:-3] + "Z"
+    pdf.to_csv(src, index=False)
+    stations_csv = tmp_path / "stations.csv"
+    stations_csv.write_text(
+        "ID,name,totalDocks,docksInService,status,lat,lon,location\n"
+        "168,Michigan Ave,24,20,In Service,41.88,-87.62,P\n"
+        "42,Wabash Ave,10,10,In Service,41.89,-87.63,P\n"
+    )
+
+    replay_dir = str(tmp_path / "chunks")
+    out_dir = str(tmp_path / "agg_out")
+    assert main(["produce", "--input", str(src), "--output", replay_dir,
+                 "--chunk-rows", "4"]) == 0
+    assert main(["consume", "--input", replay_dir, "--stations",
+                 str(stations_csv), "--output", out_dir,
+                 "--watermark", "10 minutes",
+                 "--checkpoint", str(tmp_path / "ckpt6")]) == 0
+
+    result = spark.read.parquet(out_dir)
+    # append-mode file sink only seals watermark-closed day windows:
+    # day 1 closes when day-2 data arrives.
+    rows = {(r.stationName, str(r.eventDay)): r for r in result.collect()}
+    assert ("Michigan Ave", "2024-03-01") in rows
+    r = rows[("Michigan Ave", "2024-03-01")]
+    assert r.startedTrips == 1 and r.endedTrips == 1
