@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from kafkastreamsproject_spark.schemas import TRIP_STATION_COLUMNS
 
 OnMiss = Literal["error", "drop", "null"]
+DimSize = Literal["bounded", "scaling"]
 
 
 def broadcast_enrich(
@@ -26,16 +27,25 @@ def broadcast_enrich(
     fact_key: str,
     dim_key: str,
     on_miss: OnMiss = "error",
+    dim_size: DimSize = "bounded",
 ) -> DataFrame:
-    """Generic fact⨝dim broadcast enrichment with a miss policy.
+    """Generic fact⨝dim enrichment with a miss policy.
 
     - ``error``: replicate the reference's throw-on-miss (KafkaConsumer.kt:46)
       via a left join + ``raise_error`` guard (evaluated distributed, no
       driver round-trip).
     - ``drop``: inner join (misses silently dropped).
     - ``null``: left join (misses null-padded).
+
+    ``dim_size`` is the scale contract: ``bounded`` dims (stations,
+    nation, region — cardinality fixed regardless of data volume) are
+    FORCE-broadcast; ``scaling`` dims (customer, supplier — grow with
+    the dataset) are left to Catalyst, which broadcasts below
+    ``spark.sql.autoBroadcastJoinThreshold`` and falls back to a
+    shuffled join beyond it.  Forcing a broadcast of a scaling table is
+    the classic 100 TB OOM: correct at sf0.1, fatal at sf100.
     """
-    dimb = F.broadcast(dim)
+    dimb = F.broadcast(dim) if dim_size == "bounded" else dim
     if on_miss == "drop":
         return fact.join(dimb, fact[fact_key] == dimb[dim_key], "inner")
     joined = fact.join(dimb, fact[fact_key] == dimb[dim_key], "left")

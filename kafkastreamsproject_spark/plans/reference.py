@@ -111,7 +111,9 @@ def enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, "events", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
-    joined = broadcast_enrich(ev, cust, "user_id", "c_custkey", on_miss="error")
+    joined = broadcast_enrich(
+        ev, cust, "user_id", "c_custkey", on_miss="error", dim_size="scaling"
+    )
     return joined.select(
         "event_id",
         F.col("ts").alias("event_ts"),
@@ -216,7 +218,9 @@ def anomaly_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir).select(
         "c_custkey", (F.col("c_custkey") % 37 + 3).alias("docks")
     )
-    enriched = broadcast_enrich(ev, cust, "user_id", "c_custkey", on_miss="drop")
+    enriched = broadcast_enrich(
+        ev, cust, "user_id", "c_custkey", on_miss="drop", dim_size="scaling"
+    )
     started = _started_col()
     counts = (
         enriched.groupBy(F.window("ts", f"{_WINDOW_MINUTES} minutes").alias("w"), "user_id")

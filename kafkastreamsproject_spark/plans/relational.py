@@ -96,9 +96,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective 3-way join + agg + deterministic top-10.
-    customer is broadcast (small side); orders⨝lineitem shuffles on
-    orderkey only after both sides are filtered — predicate pushdown
-    keeps the scan minimal.  Revenue rounded before ranking so the
+    customer SCALES with the dataset, so its join is advisory — Catalyst
+    broadcasts below autoBroadcastJoinThreshold, shuffles beyond;
+    orders⨝lineitem shuffles on orderkey only after both sides are
+    filtered — predicate pushdown keeps the scan minimal.  Revenue rounded before ranking so the
     ordering (and thus the row set) is FP-stable across engines.
     """
     cust = load_table(spark, "customer", sf_dir).filter(
@@ -112,7 +113,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.to_date("o_orderdate").cast("string").alias("orderdate"),
@@ -152,10 +153,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "bench"),
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table join with region narrowing.  All dimension
-    tables (region, nation, supplier, customer) broadcast; the only
-    shuffle is lineitem⨝orders on orderkey.  Catalyst prunes every scan
-    to the joined/grouped columns.
+    """TPC-H Q5 shape: 6-table join with region narrowing.  Bounded dims
+    (region, nation) are force-broadcast; scaling dims (customer,
+    supplier) join advisorily so the same plan survives sf100.
+    Catalyst prunes every scan to the joined/grouped columns.
     """
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir).filter(
@@ -168,9 +169,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -501,7 +502,7 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             F.col("c_name").alias("cust_name"),
             F.col("o_orderkey").alias("orderkey"),
@@ -545,7 +546,7 @@ def above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DECIMAL accumulation end-to-end: exact sums make the >1.5x-average
     # filter and the 4-dp roundings order-independent and engine-stable.
     spend = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias(
@@ -598,7 +599,7 @@ def returned_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"),
