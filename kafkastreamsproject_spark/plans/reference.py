@@ -465,3 +465,33 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("payload"),
     )
+
+
+@register(
+    "daily_event_ids",
+    oracle="""
+    SELECT
+      user_id,
+      CAST(CAST(ts AS DATE) AS VARCHAR) AS event_day,
+      list_sort(list(event_id)) AS event_ids,
+      CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE user_id < 20
+    GROUP BY 1, 2
+    """,
+    tags=("reference", "A6"),
+)
+def daily_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6's dateTimeList shape (TripStationCount.kt:11 collects the
+    contributing event times): collect_list per group, sorted for
+    determinism (the reference's arrival order is undefined under
+    parallelism).  Unbounded per-group lists are a scale smell — the
+    narrowing filter stands in for the targeted diagnostics such a
+    query is actually for."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    return ev.groupBy(
+        "user_id", F.to_date("ts").cast("string").alias("event_day")
+    ).agg(
+        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
