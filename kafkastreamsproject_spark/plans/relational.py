@@ -705,3 +705,58 @@ def part_name_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.upper(F.substring("p_name", 1, 12))).alias("first_name_prefix"),
         )
     )
+
+
+@register(
+    "scd2_customer_tier",
+    oracle="""
+    WITH snap AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ),
+    ch AS (
+      SELECT c_custkey AS custkey, 'UPGRADED' AS segment
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT s.* FROM snap s
+    WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.custkey = s.custkey)
+    UNION ALL
+    SELECT s.custkey, s.segment, s.valid_from,
+           TIMESTAMP '2024-06-01 00:00:00' AS valid_to, FALSE AS is_current
+    FROM snap s
+    WHERE EXISTS (SELECT 1 FROM ch WHERE ch.custkey = s.custkey)
+    UNION ALL
+    SELECT custkey, segment,
+           TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM ch
+    """,
+    tags=("relational", "cdc"),
+)
+def scd2_customer_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 upsert (MERGE INTO emulation, operators/scd2.py): a change
+    batch (every 7th customer upgraded) applied to a type-2 dimension
+    snapshot — untouched rows carried, changed rows closed at the change
+    timestamp, new versions opened current."""
+    import datetime as _dt
+
+    from kafkastreamsproject_spark.operators.scd2 import scd2_apply_changes
+
+    cust = load_table(spark, "customer", sf_dir)
+    snapshot = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(_dt.datetime(2024, 1, 1)).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("UPGRADED").alias("segment"),
+    )
+    return scd2_apply_changes(
+        snapshot, changes, "custkey", F.lit(_dt.datetime(2024, 6, 1))
+    )
