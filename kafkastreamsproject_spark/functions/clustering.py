@@ -1,0 +1,78 @@
+"""Connected components over a pair list — duplicate-cluster formation.
+
+Near-dup detection produces PAIRS; deduplication needs CLUSTERS (every
+doc transitively connected to a canonical survivor).  This is connected
+components, computed by iterative min-label propagation expressed in
+DataFrame operations:
+
+    label(n) ← min(label(n), min over neighbors m of label(m))
+
+repeated until no label changes.  Each iteration is one join + one
+aggregation (shuffle on node id); convergence takes O(diameter)
+iterations — near-dup graphs are unions of small cliques, so 2–3
+rounds in practice.  This is the dataframe-native form of the
+small-star/large-star technique (cf. "Connected Components in
+MapReduce and Beyond", SoCC 2014); for billion-edge graphs the same
+loop runs unchanged, with checkpointing every few rounds to truncate
+lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by ``edges``.
+
+    Returns (node, component) where component = min node id reachable.
+    Deterministic; isolated nodes (absent from edges) are the caller's
+    concern — a left join against the corpus adds singletons.
+    """
+    both = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    both = both.persist()
+
+    labels = (
+        both.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(labels, both.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels

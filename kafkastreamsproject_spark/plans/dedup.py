@@ -366,3 +366,68 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _SHINGLE_JACCARD_T)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# Pair-generation CTEs shared by minhash_lsh_pairs and dedup_clusters.
+_SQL_MINHASH_CTES = f"""
+    corpus2 AS ({_SQL_CORPUS2}),
+    sigs AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh,
+        {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(H.N_PERMS))}
+      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, mh{2*b} AS h1, mh{2*b+1} AS h2 FROM sigs"
+          for b in range(_N_BANDS)
+      )}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.h1 = b.h1 AND a.h2 = b.h2
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE len(list_intersect(sa.sh, sb.sh))
+            / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE)
+            >= {_MINHASH_JACCARD_T}
+    )
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(u, comp) AS (
+      SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.u
+    )
+    SELECT u AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY u
+    """,
+    tags=("dedup", "clustering"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the
+    confirmed MinHash-LSH near-dup pairs (iterative min-label
+    propagation, functions/clustering.py).  cluster_id = min doc_id of
+    the component — the canonical survivor a dedup pipeline keeps."""
+    from kafkastreamsproject_spark.functions.clustering import connected_components
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

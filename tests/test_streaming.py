@@ -305,3 +305,29 @@ def test_cli_produce_then_consume_parquet(spark, tmp_path):
     assert ("Michigan Ave", "2024-03-01") in rows
     r = rows[("Michigan Ave", "2024-03-01")]
     assert r.startedTrips == 1 and r.endedTrips == 1
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: starts pair with ends at
+    the same station within the horizon; out-of-horizon ends don't."""
+    from kafkastreamsproject_spark.streaming.join import start_end_pairs
+
+    rows = [
+        (1, 1, _t(1, 8, 0), 168, 1.0, "s", "m", 9, 1.0, "c"),   # start
+        (2, 0, _t(1, 8, 45), 168, 1.0, "s", "m", 9, 1.0, "c"),  # end +45m ✓
+        (3, 0, _t(1, 11, 0), 168, 1.0, "s", "m", 9, 1.0, "c"),  # end +3h ✗
+        (4, 0, _t(1, 8, 30), 42, 1.0, "s", "m", 9, 1.0, "c"),   # other station ✗
+        # watermark pusher
+        (5, 1, _t(2, 12, 0), 42, 1.0, "s", "m", 9, 1.0, "c"),
+    ]
+    data_dir = str(tmp_path / "replay6")
+    write_trip_chunk(data_dir, rows, 0)
+    stream = trip_file_stream(spark, data_dir, max_files_per_trigger=1)
+    pairs = start_end_pairs(stream, horizon_minutes=90, watermark="10 minutes")
+    q = to_memory_sink(pairs, "ssj_out", str(tmp_path / "ckpt7"), "append")
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("SELECT * FROM ssj_out").collect()
+    assert [(r.start_id, r.end_id) for r in got] == [(1, 2)]
+    assert got[0].gap_minutes == pytest.approx(45.0)
