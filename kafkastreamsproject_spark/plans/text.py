@@ -170,3 +170,68 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.exact_fingerprint(t).alias("exact_fp"),
         TX.tokenset_fingerprint(t).alias("tokenset_fp"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, unnest({_SQL_TOKENS.replace("trim(text)", "trim(text)")}) AS term
+      FROM documents
+    ),
+    tfc AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tf GROUP BY doc_id, term
+    ),
+    dfc AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tfc.doc_id, tfc.term, tfc.tf,
+             ROUND(tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf
+      FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rn AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, fully relational: term frequencies (explode + groupBy),
+    document frequencies (second groupBy), idf = ln(N/df) via a 1-row
+    broadcast of the corpus count, top-3 terms per doc by rounded score
+    with a term tie-break.  At 100 TB each stage is a partial+final hash
+    aggregate; the df table is |vocabulary| rows — broadcastable."""
+    docs = load_table(spark, "documents", sf_dir)
+    terms = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+    )
