@@ -760,3 +760,88 @@ def scd2_customer_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply_changes(
         snapshot, changes, "custkey", F.lit(_dt.datetime(2024, 6, 1))
     )
+
+
+@register(
+    "asof_view_before_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(v.ts AS TIMESTAMP) AS asof_ts,
+           v.event_id AS asof_event_id
+    FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    tags=("relational", "asof"),
+)
+def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase attributed to the
+    latest at-or-before view by the same user — Spark lacks a native
+    ASOF JOIN, so it's composed as union + keyed window +
+    last_value(ignorenulls): one shuffle on the key, no nested loop,
+    streams at any size.  Oracle uses DuckDB's native ASOF JOIN."""
+    from kafkastreamsproject_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id"
+    )
+    out = asof_join(
+        purchases, views, key="user_id", left_ts="purchase_ts",
+        right_ts="ts", right_payload=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_ts",
+        "asof_ts", F.col("asof_event_id"),
+    )
+
+
+@register(
+    "quantity_band_join",
+    oracle="""
+    WITH bands(band_id, lo, hi, label) AS (
+      VALUES (0, 0.0, 10.0, 'b0'), (1, 10.0, 20.0, 'b1'),
+             (2, 20.0, 30.0, 'b2'), (3, 30.0, 40.0, 'b3'),
+             (4, 40.0, 50.0, 'b4'), (5, 50.0, 60.0, 'b5')
+    )
+    SELECT b.label AS band, CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 4)
+             AS band_revenue
+    FROM lineitem l JOIN bands b
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.label
+    """,
+    tags=("relational", "rangejoin"),
+)
+def quantity_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a banding dimension (operators/asof.py:
+    band_range_join): broadcast non-equi join — the inner side is
+    |bands| rows so the nested loop is bounded.  For REGULAR bands like
+    these the arithmetic fast path (regular_band, no join at all) is
+    the 100 TB answer; the test asserts both paths agree."""
+    from kafkastreamsproject_spark.operators.asof import band_range_join
+
+    li = load_table(spark, "lineitem", sf_dir)
+    bands = spark.createDataFrame(
+        [(i, i * 10.0, (i + 1) * 10.0, f"b{i}") for i in range(6)],
+        "band_id int, lo double, hi double, label string",
+    )
+    return (
+        band_range_join(li, bands, "l_quantity")
+        .groupBy(F.col("label").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double"),
+                4,
+            ).alias("band_revenue"),
+        )
+    )
