@@ -495,3 +495,106 @@ def daily_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("event_id")).alias("event_ids"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "time_rollup",
+    oracle="""
+    SELECT
+      CASE WHEN GROUPING(d) = 0 AND GROUPING(h) = 0 THEN 'hour'
+           WHEN GROUPING(d) = 0 THEN 'day' ELSE 'month' END AS grain,
+      CAST(COALESCE(h, d, m) AS TIMESTAMP) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_value
+    FROM (
+      SELECT value,
+             date_trunc('month', ts) AS m,
+             date_trunc('day', ts) AS d,
+             date_trunc('hour', ts) AS h
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((m), (m, d), (m, d, h))
+    """,
+    tags=("reference", "rollup", "hypertable"),
+)
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: the same events
+    rolled up at hour/day/month grains in ONE pass (GROUPING SETS →
+    a single Expand + hash aggregate; at 100 TB this replaces three
+    separate scans, and each grain's output is the precomputed rollup
+    table a time-series store would maintain)."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.select(
+        "value",
+        F.date_trunc("month", "ts").alias("m"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).createOrReplaceTempView("__time_rollup_src")
+    return spark.sql(
+        """
+        SELECT
+          CASE WHEN grouping(d) = 0 AND grouping(h) = 0 THEN 'hour'
+               WHEN grouping(d) = 0 THEN 'day' ELSE 'month' END AS grain,
+          COALESCE(h, d, m) AS bucket,
+          COUNT(*) AS n_events,
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4)
+            AS total_value
+        FROM __time_rollup_src
+        GROUP BY GROUPING SETS ((m), (m, d), (m, d, h))
+        """
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+    """,
+    tags=("sampling",),
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample keyed on the portable id
+    hash — reproducible across engines, runs, and partitionings (unlike
+    df.sample, whose row selection depends on partition layout).  The
+    standard way to carve held-out slices from a training corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return docs.filter(h % 10 == 0).select("doc_id", "lang")
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+    tags=("sampling",),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly 20 docs per language, chosen by
+    hash order (deterministic, unbiased w.r.t. document content) — the
+    per-stratum quota sampling a balanced eval set needs.  One shuffle
+    on the stratum key."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = W.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
