@@ -195,3 +195,129 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _LSH_T)
         .select("id_a", "id_b", "bucket", F.round(cos, 6).alias("score"))
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-style coarse quantization: centroid "training" (per-label elementwise
+# mean — labels play the cluster assignment a k-means would produce) and
+# nearest-centroid assignment.  Together with the LSH bucket path these are
+# the two standard ANN scale strategies.
+# --------------------------------------------------------------------------
+
+_DIM = 64
+
+_SQL_UNNEST_POS = (
+    "unnest(list_transform(range(1, len(embedding) + 1), "
+    "i -> {'pos': i, 'val': CAST(embedding[i] AS DOUBLE)}))"
+)
+
+
+@register(
+    "label_centroids",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label, {_SQL_UNNEST_POS} AS u FROM embeddings
+    ),
+    per_pos AS (
+      SELECT label, u.pos AS pos, ROUND(AVG(u.val), 6) AS v
+      FROM ex GROUP BY label, u.pos
+    )
+    SELECT label,
+           list_transform(
+             list_sort(list(struct_pack(pos := pos, v := v)),
+                       'ASC') , s -> s.v) AS centroid
+    FROM per_pos GROUP BY label
+    """,
+    tags=("similarity", "ivf"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training step: per-cluster elementwise mean
+    via posexplode + grouped avg + ordered re-assembly — the map-reduce
+    centroid update of a k-means iteration, shuffling only
+    (label, position, partial-sum) triples, never whole vectors."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", (F.col("pos") + 1).alias("pos"), F.col("val").cast("double"))
+    per_pos = ex.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("v"))
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("v")))
+                ),
+                lambda s: s.getField("v"),
+            ).alias("centroid")
+        )
+    )
+
+
+@register(
+    "ivf_assign",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label, {_SQL_UNNEST_POS} AS u FROM embeddings
+    ),
+    per_pos AS (
+      SELECT label, u.pos AS pos, ROUND(AVG(u.val), 6) AS v
+      FROM ex GROUP BY label, u.pos
+    ),
+    cents AS (
+      SELECT label AS c_label,
+             list_transform(
+               list_sort(list(struct_pack(pos := pos, v := v)), 'ASC'),
+               s -> s.v) AS centroid
+      FROM per_pos GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label AS true_label, c.c_label,
+             list_sum(list_transform(range(1, {_DIM} + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id, true_label,
+           CAST(c_label AS INT) AS assigned_label,
+           ROUND(d2, 6) AS dist2
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    tags=("similarity", "ivf"),
+)
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment: nearest centroid per vector (squared L2,
+    deterministic tie-break).  The centroid table is tiny and broadcast;
+    the corpus is scanned once — at query time, probing only the
+    assigned (or few nearest) inverted lists is what makes IVF sublinear
+    in corpus size."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = label_centroids(spark, sf_dir).select(
+        F.col("label").alias("c_label"), "centroid"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.col("c_label").cast("int").alias("assigned_label"),
+        d2.alias("d2"),
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "assigned_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", "assigned_label", F.round("d2", 6).alias("dist2"))
+    )
