@@ -845,3 +845,73 @@ def quantity_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band_revenue"),
         )
     )
+
+
+@register(
+    "running_customer_revenue",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 4) AS running_spend
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    tags=("relational", "window"),
+)
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frame: per-customer running spend in order-date
+    order (total order via the orderkey tie-break).  DECIMAL
+    accumulation keeps every prefix sum exact, so the frame is
+    deterministic at any position."""
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.to_date("o_orderdate").cast("string").alias("orderdate"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double"),
+            4,
+        ).alias("running_spend"),
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4) AS qty,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS price,
+             ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value
+    FROM agg UNPIVOT (value FOR metric IN (qty, price, disc))
+    """,
+    tags=("relational", "unpivot"),
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): three per-flag sums melted into
+    (flag, metric, value) rows — the inverse of status_pivot, planned as
+    a single Expand (no self-union of scans)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"), 4).alias("qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double"), 4).alias("price"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double"), 4).alias("disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
