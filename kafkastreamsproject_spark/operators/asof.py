@@ -37,7 +37,10 @@ def asof_join(
     (``strict``: strictly-before) its timestamp, per key.
 
     Left rows with no qualifying right row are dropped (inner as-of,
-    matching DuckDB's ASOF JOIN).
+    matching DuckDB's ASOF JOIN).  If the right side has DUPLICATE
+    timestamps within a key, which of the tied rows wins is
+    unspecified (as in DuckDB) — pre-aggregate the right side to one
+    row per (key, ts) when that matters.
     """
     lcols = left.columns
     # side_rank orders right rows before left rows at equal timestamps,

@@ -137,3 +137,45 @@ def test_approx_distinct_bounded_error(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(2, 0.1 * v), (k, approx[k], v)
+
+
+def test_enrich_join_null_mode(spark, trips, stations):
+    from kafkastreamsproject_spark.operators.joins import broadcast_enrich
+    from kafkastreamsproject_spark.schemas import TRIP
+
+    bad = spark.createDataFrame(
+        [(99, 1, _ts(1, 8), 777, 1.0, "x", "y", 1, 0.0, "clear")], TRIP
+    )
+    out = broadcast_enrich(
+        trips.unionAll(bad), stations.withColumnRenamed("id", "sid"),
+        "stationId", "sid", on_miss="null",
+    )
+    assert out.count() == 7
+    miss = out.filter(out.stationId == 777).first()
+    assert miss.name is None  # null-padded, not dropped, not raised
+
+
+def test_anomaly_summary_unthresholded(trips, stations):
+    from kafkastreamsproject_spark.operators.aggregation import (
+        anomaly_summary,
+        windowed_station_counts,
+    )
+    from kafkastreamsproject_spark.operators.joins import enrich_trips
+
+    counts = windowed_station_counts(enrich_trips(trips, stations), 60)
+    all_rows = anomaly_summary(counts, threshold_pct=None)
+    # None keeps every window, including ones below any threshold
+    # (Michigan 08:00: |1-0|/24 ≈ 0.042)
+    assert all_rows.count() == counts.count()
+    assert all_rows.filter(all_rows.nToDocksRatio < 0.05).count() > 0
+
+
+def test_load_tables_loads_everything(spark, sf_dir):
+    from kafkastreamsproject_spark.schemas import TESTDATA_TABLES
+    from kafkastreamsproject_spark.sources.testdata import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    assert set(tables) == set(TESTDATA_TABLES)
+    assert tables["events"].schema["ts"].dataType.typeName() == "timestamp"
+    for name, df in tables.items():
+        assert df.count() > 0, name
