@@ -74,9 +74,11 @@ def _produce(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="kafkastreamsproject-produce")
     trips = read_trips_csv(spark, args.input).orderBy("dateTime")
     rows = [tuple(r) for r in trips.collect()]
+    n_chunks = 0
     for chunk_id, start in enumerate(range(0, len(rows), args.chunk_rows)):
         write_trip_chunk(args.output, rows[start : start + args.chunk_rows], chunk_id)
-    print(f"wrote {len(rows)} trips in {chunk_id + 1} chunks to {args.output}")
+        n_chunks = chunk_id + 1
+    print(f"wrote {len(rows)} trips in {n_chunks} chunks to {args.output}")
     return 0
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafkastreamsproject_spark.operators.cache import track
+
 
 def connected_components(
     edges: DataFrame,
@@ -75,4 +77,7 @@ def connected_components(
         if changed == 0:
             break
     both.unpersist()
-    return labels
+    # The final labels handle stays persisted while the caller consumes
+    # it; track() hands it to the registry's deferred-release scope so it
+    # is unpersisted when the next query builds.
+    return track(labels)

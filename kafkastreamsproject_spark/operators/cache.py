@@ -1,0 +1,47 @@
+"""Query-scoped cache management.
+
+Self-join-shaped plans (MinHash banding, LSH bucketing, SimHash
+all-pairs) must ``persist()`` their shared input or Spark recomputes the
+full upstream pipeline once per reference.  But a persist with no
+matching unpersist leaks: across a long registry run on one shared
+session the block manager accumulates every query's cache (visible as
+``CacheManager: Asked to cache already cached data`` warnings and
+creeping executor memory).
+
+The contract here: a query builder calls :func:`scoped_persist` for any
+DataFrame it needs cached *while its result is being consumed*.  The
+registry wrapper (plans/registry.py) calls :func:`release_persisted`
+right before building the NEXT query — by which point the previous
+query's result has been collected and its caches are dead weight.  Live
+cached handles are therefore bounded by one query's working set, not the
+whole run's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and track the handle for deferred release."""
+    df = df.persist()
+    _LIVE.append(df)
+    return df
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Track an already-persisted handle for deferred release."""
+    _LIVE.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every tracked handle (idempotent, never raises)."""
+    while _LIVE:
+        df = _LIVE.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass

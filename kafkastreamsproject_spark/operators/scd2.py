@@ -18,7 +18,7 @@ sources/bucketed.py).  With Delta available the same call maps to one
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -34,11 +34,28 @@ def scd2_apply_changes(
     (null = open), is_current boolean`` alongside the dimension columns;
     ``changes`` carries the dimension columns only.  Returns the new
     snapshot (not written — callers choose the sink).
+
+    One version is applied per key per call: if ``changes`` carries
+    several rows for a key, only the LATEST by ``change_ts`` survives
+    (row_number pre-dedupe below; ties broken by the dimension columns
+    for determinism).  Without this, every change row would open as
+    current simultaneously and the closed leg would duplicate each
+    current row once per matching change.  Multi-step histories are
+    applied as successive calls in change_ts order — the same contract
+    as Delta's ``MERGE`` (which also rejects multiple source matches).
     """
     dim_cols = [c for c in changes.columns]
     ch = changes.select(
         *dim_cols,
         change_ts.alias("__change_ts"),
+    )
+    latest = W.partitionBy(key).orderBy(
+        F.col("__change_ts").desc(), *[F.col(c).desc() for c in dim_cols]
+    )
+    ch = (
+        ch.withColumn("__rn", F.row_number().over(latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
     ch_keys = ch.select(F.col(key).alias("__ck")).distinct()
 

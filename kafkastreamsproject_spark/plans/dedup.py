@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.functions import text as TX
+from kafkastreamsproject_spark.operators.cache import scoped_persist
 from kafkastreamsproject_spark.plans.registry import register
 from kafkastreamsproject_spark.sources.testdata import load_table
 
@@ -143,27 +144,6 @@ def _shingled_corpus2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "minhash_signatures",
-    oracle=f"""
-    WITH corpus2 AS ({_SQL_CORPUS2}),
-    sigs AS (
-      SELECT doc_id, {_SQL_HASHES} AS hs FROM corpus2 WHERE {_SQL_MIN_TOKS}
-    )
-    SELECT doc_id,
-      {", ".join(f"{H.sql_minhash('hs', k)} AS mh{k}" for k in range(H.N_PERMS))}
-    FROM sigs
-    """,
-    tags=("dedup", "minhash"),
-)
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 permutations over portable 32-bit shingle
-    hashes) — map-only; signatures are ~40 bytes per doc regardless of
-    document size, which is what makes 100 TB near-dup feasible."""
-    shingled = _shingled_corpus2(spark, sf_dir)
-    return shingled.select("doc_id", *H.minhash_signature(F.col("hs")))
-
-
-@register(
     "minhash_lsh_pairs",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
@@ -206,9 +186,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and both confirmation sides — persist it or the md5/minhash
     # pipeline recomputes 4×.  Signatures are ~40B/doc: trivially
     # memory-resident at any corpus size worth sharding.
-    sigs = _shingled_corpus2(spark, sf_dir).select(
-        "doc_id", "sh", *H.minhash_signature(F.col("hs"))
-    ).persist()
+    sigs = scoped_persist(
+        _shingled_corpus2(spark, sf_dir).select(
+            "doc_id", "sh", *H.minhash_signature(F.col("hs"))
+        )
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -300,7 +282,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = F.lit(0).cast("long")
     for j in range(H.SIMHASH_BITS):
         sig = sig + (F.col(f"w{j}") > 0).cast("long") * (1 << j)
-    sigs = weights.select("doc_id", sig.alias("simhash")).persist()
+    sigs = scoped_persist(weights.select("doc_id", sig.alias("simhash")))
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
     ham = H.hamming32(F.col("sh_a"), F.col("sh_b"))
@@ -344,7 +326,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the candidate-blocking key (equi-join on shingle — rare shingles
     keep candidate volume ∝ true near-dups, not corpus²); exact
     shingle-set Jaccard confirms."""
-    shingled = _shingled_corpus2(spark, sf_dir).select("doc_id", "sh").persist()
+    shingled = scoped_persist(
+        _shingled_corpus2(spark, sf_dir).select("doc_id", "sh")
+    )
     exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
     a = exploded.select(F.col("doc_id").alias("id_a"), "shingle")
     b = exploded.select(

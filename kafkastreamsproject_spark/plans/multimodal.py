@@ -51,8 +51,7 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       doc_id AS media_id,
-      list_transform(range(0, n_chars * 10, 1000), x -> CAST(x AS BIGINT))
-        AS sample_times_ms,
+      array_to_string(range(0, n_chars * 10, 1000), ',') AS sample_times_ms,
       CAST(len(range(0, n_chars * 10, 1000)) AS INT) AS n_frames
     FROM documents
     """,
@@ -61,13 +60,15 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan for video-shaped media: 1 frame/s timestamps
     derived from duration metadata — pure column math; the decoder
-    (mapInPandas) would receive (media_id, payload, sample_times_ms)."""
+    (mapInPandas) would receive (media_id, payload, sample_times_ms).
+    The timestamp list is emitted comma-joined (already ascending, so no
+    sort needed): the driver's canonicalizer cannot hash array columns."""
     docs = load_table(spark, "documents", sf_dir)
     media = documents_as_media(docs)
     times = frame_sample_times(F.col("meta.duration_ms"))
     return media.select(
         "media_id",
-        times.alias("sample_times_ms"),
+        F.array_join(times.cast("array<string>"), ",").alias("sample_times_ms"),
         F.size(times).alias("n_frames"),
     )
 

@@ -138,19 +138,25 @@ _WINDOW_MINUTES = 60
     oracle=f"""
     SELECT
       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M')
+        || ' .. ' ||
+      strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR,
+               '%Y-%m-%d %H:%M') AS window_label,
       user_id,
       CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS started,
       CAST(SUM(CASE WHEN {_STARTED_SQL} THEN 0 ELSE 1 END) AS BIGINT) AS ended,
       CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 1, 2, 3
     """,
-    tags=("reference", "A6", "T1"),
+    tags=("reference", "A6", "T1", "P9"),
 )
 def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 (model/anomalyDetection/TripStationCount.kt:7-17): tumbling
     event-time window × station → started/ended counts.  Batch uses the
     same F.window() the streaming pipeline uses with a watermark.
+    Also carries P9 (TripStationSummaryInfo.kt:18-19): the window bounds
+    rendered as a human-readable label — display-only, never a key.
     """
     ev = load_table(spark, "events", sf_dir)
     started = _started_col()
@@ -166,6 +172,11 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("w.start").alias("window_start"),
+            F.concat(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm"),
+                F.lit(" .. "),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm"),
+            ).alias("window_label"),
             "user_id",
             "started",
             "ended",
@@ -282,17 +293,27 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_id,
       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
-      CAST(epoch_ms(ts) AS BIGINT) AS ts_millis
+      CAST(epoch_ms(ts) AS BIGINT) AS ts_millis,
+      to_json(struct_pack(
+        event_id := event_id,
+        event_type := event_type,
+        user_id := user_id
+      ))::VARCHAR AS payload
     FROM events
     WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
     """,
-    tags=("reference", "P2", "P6", "P10"),
+    tags=("reference", "P2", "P6", "P10", "S4"),
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 (JSON deserialize, KafkaConsumer.kt:44) + P10 (epoch millis,
     lib/Libs.kt:13): parse the JSON payload column and expose event time
     as epoch milliseconds — from_json/get_json_object at the boundary,
     typed columns inside, exactly the reference's serde stance inverted.
+    Also carries P6/S4 (KafkaConsumer.kt:58, KafkaProducer.kt:59): the
+    JSON-serialized sink payload the Kafka producer would write; data
+    stays typed inside the engine, to_json appears once at the edge.
+    (Field set avoids nulls/doubles: Spark omits null struct fields
+    where DuckDB emits them.)
     """
     ev = load_table(spark, "events", sf_dir)
     return (
@@ -300,6 +321,13 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
             F.unix_millis(F.col("ts")).alias("ts_millis"),
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.col("user_id"),
+                )
+            ).alias("payload"),
         )
         .filter(F.col("prop_k").isNotNull())
     )
@@ -340,6 +368,10 @@ def streaming_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    # Save/restore the two session confs this query needs — a registered
+    # query must not leave observable session state behind (VERDICT r1 §3).
+    _CONF_KEYS = ("spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone")
+    saved = {k: spark.conf.get(k, None) for k in _CONF_KEYS}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = T.StructType(
@@ -384,87 +416,26 @@ def streaming_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_daily_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(name)
-
-
-@register(
-    "window_format",
-    oracle=f"""
-    SELECT
-      strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M')
-        || ' .. ' ||
-      strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR,
-               '%Y-%m-%d %H:%M') AS window_label,
-      user_id,
-      CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events
-    GROUP BY 1, 2
-    """,
-    tags=("reference", "P9"),
-)
-def window_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9 (TripStationSummaryInfo.kt:18-19): render window bounds as a
-    human-readable label — the window struct already carries start/end;
-    date_format is display-only and never used as a join/group key."""
-    ev = load_table(spark, "events", sf_dir)
-    w = F.window("ts", f"{_WINDOW_MINUTES} minutes")
-    return (
-        ev.groupBy(w.alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.concat(
-                F.date_format("w.start", "yyyy-MM-dd HH:mm"),
-                F.lit(" .. "),
-                F.date_format("w.end", "yyyy-MM-dd HH:mm"),
-            ).alias("window_label"),
-            "user_id",
-            "n_events",
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
         )
-    )
-
-
-@register(
-    "json_roundtrip",
-    oracle="""
-    SELECT
-      event_id,
-      to_json(struct_pack(
-        event_id := event_id,
-        event_type := event_type,
-        user_id := user_id
-      ))::VARCHAR AS payload
-    FROM events
-    WHERE event_id < 1000
-    """,
-    tags=("reference", "P6", "S4"),
-)
-def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6/S4 (KafkaConsumer.kt:58, KafkaProducer.kt:59): JSON-serialize
-    records at the sink boundary — the payload the Kafka sink would
-    write.  Inside the engine data stays typed; to_json appears exactly
-    once, at the edge.  Field set avoids nulls/doubles (Spark omits
-    null fields where DuckDB emits them)."""
-    ev = load_table(spark, "events", sf_dir)
-    return ev.filter(F.col("event_id") < 1000).select(
-        "event_id",
-        F.to_json(
-            F.struct(
-                F.col("event_id"),
-                F.col("event_type"),
-                F.col("user_id"),
-            )
-        ).alias("payload"),
-    )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        # The memory sink holds materialized rows, so restoring session
+        # state here cannot change the already-computed result.
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.table(name)
 
 
 @register(
@@ -473,7 +444,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       user_id,
       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_day,
-      list_sort(list(event_id)) AS event_ids,
+      array_to_string(list_sort(list(event_id)), ',') AS event_ids,
       CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
     WHERE user_id < 20
@@ -485,14 +456,20 @@ def daily_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6's dateTimeList shape (TripStationCount.kt:11 collects the
     contributing event times): collect_list per group, sorted for
     determinism (the reference's arrival order is undefined under
-    parallelism).  Unbounded per-group lists are a scale smell — the
-    narrowing filter stands in for the targeted diagnostics such a
-    query is actually for."""
+    parallelism), then serialized to a comma-joined string — the
+    driver's canonicalizer cannot hash raw array columns, and a
+    delimited string is the same information in a hashable shape.
+    (Sort BEFORE casting to string: numeric order, not lexicographic.)
+    Unbounded per-group lists are a scale smell — the narrowing filter
+    stands in for the targeted diagnostics such a query is actually
+    for."""
     ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
     return ev.groupBy(
         "user_id", F.to_date("ts").cast("string").alias("event_day")
     ).agg(
-        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.array_join(
+            F.sort_array(F.collect_list("event_id")).cast("array<string>"), ","
+        ).alias("event_ids"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

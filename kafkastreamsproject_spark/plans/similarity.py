@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.functions import vectors as V
+from kafkastreamsproject_spark.operators.cache import scoped_persist
 from kafkastreamsproject_spark.plans.registry import register
 from kafkastreamsproject_spark.sources.testdata import load_table
 
@@ -94,19 +95,29 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "neardup_cosine_pairs",
     oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-           ROUND({V.sql_cosine('a.embedding', 'b.embedding')}, 6) AS score
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {V.sql_cosine('a.embedding', 'b.embedding')} >= {_NEARDUP_T}
+    SELECT id_a, id_b, label, score FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+             ROUND({V.sql_cosine('a.embedding', 'b.embedding')}, 6) AS score
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE score >= {_NEARDUP_T}
     """,
-    tags=("similarity", "dedup"),
+    tags=("similarity", "dedup", "diagnostic"),
 )
 def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection with metadata blocking: only
-    same-label pairs are compared (the blocking key bounds the quadratic
-    term by the largest block, not the corpus).  Pair order id_a<id_b
-    halves the work and dedups the symmetric pair."""
+    """Embedding-cosine near-dup pairs, EXACT DIAGNOSTIC BASELINE — not
+    the production path.  Blocking on ``label`` bounds the quadratic
+    term only by the largest block: with a handful of labels this is
+    O(n²/|labels|) pair work and does NOT survive 100×; use
+    ann_lsh_neardup (bucketed, pair work ∝ Σ bucket²) at scale.  Kept
+    because every ANN/recall measurement needs the exact answer at test
+    scale (tests/test_scale_ops.py pins LSH recall against it).
+
+    The threshold is applied to the 6-dp ROUNDED score on both engines:
+    Spark's left-to-right float aggregate and DuckDB's list_sum can
+    differ in the last ulp, which would otherwise flip pair inclusion at
+    the boundary.  Pair order id_a<id_b halves the work and dedups the
+    symmetric pair."""
     emb = load_table(spark, "embeddings", sf_dir)
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("e_a")
@@ -116,13 +127,11 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("label_b"),
         F.col("embedding").alias("e_b"),
     )
-    cos = V.cosine(F.col("e_a"), F.col("e_b"))
+    score = F.round(V.cosine(F.col("e_a"), F.col("e_b")), 6)
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
-        .filter(cos >= _NEARDUP_T)
-        .select(
-            "id_a", "id_b", "label", F.round(cos, 6).alias("score")
-        )
+        .select("id_a", "id_b", "label", score.alias("score"))
+        .filter(F.col("score") >= _NEARDUP_T)
     )
 
 
@@ -160,11 +169,12 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding, {V.sql_lsh_bucket('embedding')} AS bucket
       FROM embeddings
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
-           ROUND({V.sql_cosine('a.embedding', 'b.embedding')}, 6) AS score
-    FROM sig a
-    JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {V.sql_cosine('a.embedding', 'b.embedding')} >= {_LSH_T}
+    SELECT id_a, id_b, bucket, score FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+             ROUND({V.sql_cosine('a.embedding', 'b.embedding')}, 6) AS score
+      FROM sig a
+      JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE score >= {_LSH_T}
     """,
     tags=("similarity", "dedup"),
 )
@@ -172,13 +182,17 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup: candidate pairs only within an LSH bucket
     (equi-join on bucket id — a real shuffle key, unlike the all-pairs
     cross join), then exact cosine confirmation.  This is the scale
-    path: shuffle ∝ corpus size, pair work ∝ Σ bucket²."""
+    path: shuffle ∝ corpus size, pair work ∝ Σ bucket².  The keep/drop
+    threshold applies to the 6-dp ROUNDED score on both engines so
+    last-ulp FP noise cannot flip boundary pairs."""
     emb = load_table(spark, "embeddings", sf_dir)
     # persisted: both join sides derive from it, and the 8 projection
     # sums per vector are worth computing once
-    sig = emb.select(
-        "vec_id", "embedding", V.lsh_bucket(F.col("embedding")).alias("bucket")
-    ).persist()
+    sig = scoped_persist(
+        emb.select(
+            "vec_id", "embedding", V.lsh_bucket(F.col("embedding")).alias("bucket")
+        )
+    )
     a = sig.select(
         F.col("vec_id").alias("id_a"),
         F.col("bucket"),
@@ -189,11 +203,11 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("bucket_b"),
         F.col("embedding").alias("e_b"),
     )
-    cos = V.cosine(F.col("e_a"), F.col("e_b"))
+    score = F.round(V.cosine(F.col("e_a"), F.col("e_b")), 6)
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
-        .filter(cos >= _LSH_T)
-        .select("id_a", "id_b", "bucket", F.round(cos, 6).alias("score"))
+        .select("id_a", "id_b", "bucket", score.alias("score"))
+        .filter(F.col("score") >= _LSH_T)
     )
 
 
@@ -217,29 +231,35 @@ _SQL_UNNEST_POS = (
     oracle=f"""
     WITH ex AS (
       SELECT label, {_SQL_UNNEST_POS} AS u FROM embeddings
-    ),
-    per_pos AS (
-      SELECT label, u.pos AS pos, ROUND(AVG(u.val), 6) AS v
-      FROM ex GROUP BY label, u.pos
     )
-    SELECT label,
-           list_transform(
-             list_sort(list(struct_pack(pos := pos, v := v)),
-                       'ASC') , s -> s.v) AS centroid
-    FROM per_pos GROUP BY label
+    SELECT label, CAST(u.pos AS INT) AS pos, ROUND(AVG(u.val), 6) AS v
+    FROM ex GROUP BY label, u.pos
     """,
     tags=("similarity", "ivf"),
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer training step: per-cluster elementwise mean
-    via posexplode + grouped avg + ordered re-assembly — the map-reduce
-    centroid update of a k-means iteration, shuffling only
-    (label, position, partial-sum) triples, never whole vectors."""
+    via posexplode + grouped avg — the map-reduce centroid update of a
+    k-means iteration, shuffling only (label, position, partial-sum)
+    triples, never whole vectors.  Emitted LONG-format (label, pos, v):
+    one row per centroid component, 1-based pos — a canonicalizable
+    shape (the driver cannot hash array columns); _centroid_vectors
+    re-assembles the array form for ivf_assign."""
     emb = load_table(spark, "embeddings", sf_dir)
     ex = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
-    ).select("label", (F.col("pos") + 1).alias("pos"), F.col("val").cast("double"))
-    per_pos = ex.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("v"))
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return ex.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("v"))
+
+
+def _centroid_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, centroid array<double>) — ordered re-assembly of the
+    long-format centroids for the assignment join."""
+    per_pos = label_centroids(spark, sf_dir)
     return (
         per_pos.groupBy("label")
         .agg(
@@ -295,7 +315,7 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned (or few nearest) inverted lists is what makes IVF sublinear
     in corpus size."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = label_centroids(spark, sf_dir).select(
+    cents = _centroid_vectors(spark, sf_dir).select(
         F.col("label").alias("c_label"), "centroid"
     )
     d2 = F.aggregate(

@@ -50,34 +50,6 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "lang_profile",
-    oracle=f"""
-    SELECT
-      lang,
-      CAST(COUNT(*) AS BIGINT) AS n_docs,
-      ROUND(AVG(n_chars), 6) AS avg_chars,
-      ROUND(AVG(len({_SQL_TOKENS})), 6) AS avg_tokens,
-      CAST(MIN(n_chars) AS BIGINT) AS min_chars,
-      CAST(MAX(n_chars) AS BIGINT) AS max_chars
-    FROM documents
-    GROUP BY lang
-    """,
-    tags=("text",),
-)
-def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus profile per language label — the summary a curation
-    pipeline reads before choosing per-language sampling rates."""
-    docs = load_table(spark, "documents", sf_dir)
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-        F.round(F.avg(TX.n_tokens(F.col("text"))), 6).alias("avg_tokens"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
-    )
-
-
-@register(
     "quality_score",
     oracle=f"""
     WITH feats AS (

@@ -71,7 +71,21 @@ def run_compare(
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Run Spark query + oracle; raise AssertionError with a diff on mismatch."""
     assert spec.oracle is not None, f"{spec.name} has no oracle"
-    got = spec.spark(spark, sf_dir).toPandas()
+    spark_df = spec.spark(spark, sf_dir)
+    # The DRIVER's canonicalizer (unlike this local one) cannot hash
+    # array/map columns — it pandas-sorts on every column and dies on
+    # unhashable lists (round-1 daily_event_ids failure).  Reject the
+    # shape here so it can never reach a CORRECTNESS round again:
+    # serialize lists with array_join/sort_array on the Spark side and
+    # array_to_string/list_sort in the oracle.
+    from pyspark.sql import types as _T
+
+    for f in spark_df.schema.fields:
+        assert not isinstance(f.dataType, (_T.ArrayType, _T.MapType)), (
+            f"{spec.name}: oracle-checked column '{f.name}' is "
+            f"{f.dataType.simpleString()} — driver canonicalizer cannot hash it"
+        )
+    got = spark_df.toPandas()
     con = duckdb_connection(sf_dir)
     try:
         want = con.execute(spec.oracle).df()

@@ -123,7 +123,12 @@ def test_windowed_counts_and_anomaly(trips, stations):
 
 
 def test_approx_distinct_bounded_error(spark, sf_dir):
+    """approx_count_distinct has no exact oracle (HLL is engine-specific,
+    CORRECTNESS row stays no_oracle by design) — so pin its error
+    envelope against the exact twin instead: |approx − exact| ≤ 3·rsd·exact
+    (rsd=0.02 in the query), floored at 2 for tiny groups."""
     from kafkastreamsproject_spark.plans.registry import all_queries
+    from kafkastreamsproject_spark.plans.relational import distinct_counts
 
     specs = all_queries()
     approx = {
@@ -132,11 +137,12 @@ def test_approx_distinct_bounded_error(spark, sf_dir):
     }
     exact = {
         r.event_type: r.n_users
-        for r in specs["distinct_counts"].spark(spark, sf_dir).collect()
+        for r in distinct_counts(spark, sf_dir).collect()
     }
     assert set(approx) == set(exact)
+    rsd = 0.02
     for k, v in exact.items():
-        assert abs(approx[k] - v) <= max(2, 0.1 * v), (k, approx[k], v)
+        assert abs(approx[k] - v) <= max(2, 3 * rsd * v), (k, approx[k], v)
 
 
 def test_enrich_join_null_mode(spark, trips, stations):
