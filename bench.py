@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "dedup_exact_keep_first",
     "minhash_lsh_pairs",
     "ann_topk_cosine",
+    # added in r2: Expand (grouping-set rollup) and window-shuffle
+    # (quota sampling) plan shapes the original 12 didn't exercise
+    "time_rollup",
+    "stratified_sample",
 ]
 
 

@@ -38,10 +38,16 @@ def cosine(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 # Hyperplane LSH (signed random projections)
 # ---------------------------------------------------------------------------
-# Hyperplane i has integer components h_i[j] = ((i*31 + j*17) % 7) - 3 —
+# Hyperplane i has integer components h_i[j] = ((i*24 + j*2) % 97) - 48 —
 # a deterministic, engine-portable pseudo-random pattern (no RNG, no
 # float literals), so Spark and any SQL oracle compute bit-identical
 # signatures.  Integer components keep each projection an exact double.
+# The modulus must exceed both the plane count and the vector dim or the
+# pattern cycles and planes repeat (the previous mod-7 pattern made
+# plane 7 ≡ plane 0 — one of the 8 signature bits carried no
+# information); 97 is prime and coprime to both strides, so planes
+# 0..96 are pairwise-distinct patterns and all 64 components within a
+# plane are distinct phases.
 
 N_PLANES = 8
 
@@ -51,7 +57,7 @@ def _plane_dot(vec: Column, plane: int) -> Column:
     prods = F.transform(
         vec,
         lambda x, idx: x.cast("double")
-        * (((F.lit(plane) * 31 + idx * 17) % 7) - 3).cast("double"),
+        * (((F.lit(plane) * 24 + idx * 2) % 97) - 48).cast("double"),
     )
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -65,11 +71,31 @@ def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
+def lsh_band_bucket(vec: Column, band: int, planes_per_band: int) -> Column:
+    """Bucket id for one band of a banded (AND-OR) cosine LSH.
+
+    Band ``b`` packs the sign bits of planes ``b·k .. b·k+k-1`` (k =
+    planes_per_band) — disjoint plane sets per band.  Two vectors are
+    candidates when ANY band's buckets match: P(candidate) =
+    1-(1-p^k)^L for p = 1-θ/π, the classic AND-OR construction that
+    pushes recall toward 1 for small θ while k keeps random pairs
+    apart.  Single-bucket :func:`lsh_bucket` is the L=1 special case —
+    high precision, low recall; banding is what a production near-dup
+    pass over embeddings should use (see
+    tests/test_scale_ops.py::test_banded_lsh_recall_on_planted_neardups
+    for the measured recall/cost envelope)."""
+    bucket = F.lit(0)
+    for i in range(planes_per_band):
+        bit = (_plane_dot(vec, band * planes_per_band + i) > 0).cast("int")
+        bucket = bucket + bit * (1 << i)
+    return bucket
+
+
 def sql_plane_dot(vec_expr: str, plane: int) -> str:
     """DuckDB twin of _plane_dot (1-based list indexing → j = i-1)."""
     return (
         f"list_sum(list_transform(range(1, len({vec_expr})+1), i -> "
-        f"CAST({vec_expr}[i] AS DOUBLE) * ((({plane}*31 + (i-1)*17) % 7) - 3)))"
+        f"CAST({vec_expr}[i] AS DOUBLE) * ((({plane}*24 + (i-1)*2) % 97) - 48)))"
     )
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from kafkastreamsproject_spark.functions import text as TX
 from kafkastreamsproject_spark.operators.cache import scoped_persist
 from kafkastreamsproject_spark.plans.registry import register
-from kafkastreamsproject_spark.sources.testdata import load_table
+from kafkastreamsproject_spark.sources.testdata import fan_out, load_table
 
 _SHIFT = 1_000_000
 
@@ -134,12 +134,20 @@ _SQL_MIN_TOKS = (
 
 
 def _shingled_corpus2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """corpus2 rows with ≥ w tokens, plus shingle + shingle-hash arrays."""
-    c2 = _corpus2(spark, sf_dir)
+    """corpus2 rows with ≥ w tokens, plus the shingle-hash array ``hs``.
+
+    Only the 32-bit shingle hashes leave this relation: every downstream
+    consumer (MinHash, SimHash, Jaccard confirmation) operates on the
+    hashes, so the ~25-byte shingle strings are never carried through a
+    shuffle or cache — per MMDS's "hash shingles to 4 bytes" guidance.
+    ``fan_out`` widens the scan first: shingling + md5 is the CPU-heavy
+    stage and the documents file is a single row group locally.
+    """
+    c2 = fan_out(_corpus2(spark, sf_dir))
     sh = TX.shingles(F.col("text"), _SHINGLE_W)
     return (
         c2.filter(F.size(TX.tokens(F.col("text"))) >= _SHINGLE_W)
-        .select("doc_id", sh.alias("sh"), H.hash_list(sh).alias("hs"))
+        .select("doc_id", H.hash_list(sh).alias("hs"))
     )
 
 
@@ -148,7 +156,7 @@ def _shingled_corpus2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
     sigs AS (
-      SELECT doc_id, {_SQL_SHINGLES} AS sh,
+      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
         {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(H.N_PERMS))}
       FROM corpus2 WHERE {_SQL_MIN_TOKS}
     ),
@@ -165,13 +173,13 @@ def _shingled_corpus2(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND a.doc_id < b.doc_id
     )
     SELECT c.id_a, c.id_b,
-      ROUND(len(list_intersect(sa.sh, sb.sh))
-            / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jaccard
+      ROUND(len(list_intersect(sa.hset, sb.hset))
+            / CAST(len(list_distinct(sa.hset || sb.hset)) AS DOUBLE), 6) AS jaccard
     FROM cands c
     JOIN sigs sa ON sa.doc_id = c.id_a
     JOIN sigs sb ON sb.doc_id = c.id_b
-    WHERE len(list_intersect(sa.sh, sb.sh))
-          / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE)
+    WHERE len(list_intersect(sa.hset, sb.hset))
+          / CAST(len(list_distinct(sa.hset || sb.hset)) AS DOUBLE)
           >= {_MINHASH_JACCARD_T}
     """,
     tags=("dedup", "minhash", "bench"),
@@ -180,15 +188,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: band the 8-perm shingle signature into 4
     bands of 2; candidate pairs share at least one full band (equi-join
     on (band_id, h1, h2) — a real shuffle key); confirm with exact
-    shingle-set Jaccard.  The classic shingle→minhash→band→bucket-join
-    pipeline, all relational."""
+    Jaccard over the distinct shingle-HASH sets (MMDS: shingles are
+    hashed to 32 bits and never carried further — the hash arrays are
+    ~6% the bytes of the shingle strings, so both the cache and the
+    confirmation join shrink accordingly; both engines compute the same
+    md5-based hashes, so the oracle stays bit-identical).  The classic
+    shingle→minhash→band→bucket-join pipeline, all relational."""
     # The signature relation feeds the band explode (twice, self-join)
     # and both confirmation sides — persist it or the md5/minhash
-    # pipeline recomputes 4×.  Signatures are ~40B/doc: trivially
-    # memory-resident at any corpus size worth sharding.
+    # pipeline recomputes 4×.  Signatures + hash sets are ~450B/doc:
+    # trivially memory-resident at any corpus size worth sharding.
     sigs = scoped_persist(
         _shingled_corpus2(spark, sf_dir).select(
-            "doc_id", "sh", *H.minhash_signature(F.col("hs"))
+            "doc_id",
+            F.array_distinct("hs").alias("hset"),
+            *H.minhash_signature(F.col("hs")),
         )
     )
     band_structs = F.array(
@@ -224,10 +238,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("hset").alias("h_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("hset").alias("h_b"))
+    jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(
+        F.array_union("h_a", "h_b")
     ).cast("double")
     return (
         cands.join(sa, "id_a")
@@ -298,51 +312,55 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
     shingled AS (
-      SELECT doc_id, {_SQL_SHINGLES} AS sh
+      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset
       FROM corpus2 WHERE {_SQL_MIN_TOKS}
     ),
     exploded AS (
-      SELECT doc_id, unnest(sh) AS shingle FROM shingled
+      SELECT doc_id, unnest(hset) AS h FROM shingled
     ),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM exploded a JOIN exploded b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ON a.h = b.h AND a.doc_id < b.doc_id
     )
     SELECT c.id_a, c.id_b,
-      ROUND(len(list_intersect(sa.sh, sb.sh))
-            / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jaccard
+      ROUND(len(list_intersect(sa.hset, sb.hset))
+            / CAST(len(list_distinct(sa.hset || sb.hset)) AS DOUBLE), 6) AS jaccard
     FROM cands c
     JOIN shingled sa ON sa.doc_id = c.id_a
     JOIN shingled sb ON sb.doc_id = c.id_b
-    WHERE len(list_intersect(sa.sh, sb.sh))
-          / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE)
+    WHERE len(list_intersect(sa.hset, sb.hset))
+          / CAST(len(list_distinct(sa.hset || sb.hset)) AS DOUBLE)
           >= {_SHINGLE_JACCARD_T}
     """,
     tags=("dedup", "ngram"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-blocked n-gram Jaccard: 5-word shingles; a shared shingle
-    is the candidate-blocking key (equi-join on shingle — rare shingles
-    keep candidate volume ∝ true near-dups, not corpus²); exact
-    shingle-set Jaccard confirms."""
+    """Shingle-blocked n-gram Jaccard: 5-word shingles hashed to 32 bits;
+    a shared shingle hash is the candidate-blocking key (equi-join on the
+    hash — rare shingles keep candidate volume ∝ true near-dups, not
+    corpus²); exact Jaccard over the distinct hash sets confirms.  The
+    blocking join shuffles 8-byte longs instead of ~25-byte shingle
+    strings, and both engines compute identical md5-based hashes."""
     shingled = scoped_persist(
-        _shingled_corpus2(spark, sf_dir).select("doc_id", "sh")
+        _shingled_corpus2(spark, sf_dir).select(
+            "doc_id", F.array_distinct("hs").alias("hset")
+        )
     )
-    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
-    a = exploded.select(F.col("doc_id").alias("id_a"), "shingle")
+    exploded = shingled.select("doc_id", F.explode("hset").alias("h"))
+    a = exploded.select(F.col("doc_id").alias("id_a"), "h")
     b = exploded.select(
-        F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b")
+        F.col("doc_id").alias("id_b"), F.col("h").alias("h_b")
     )
     cands = (
-        a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, (F.col("h") == F.col("h_b")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("hset").alias("h_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("hset").alias("h_b2"))
+    jac = F.size(F.array_intersect("h_a", "h_b2")) / F.size(
+        F.array_union("h_a", "h_b2")
     ).cast("double")
     return (
         cands.join(sa, "id_a")
@@ -356,7 +374,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_MINHASH_CTES = f"""
     corpus2 AS ({_SQL_CORPUS2}),
     sigs AS (
-      SELECT doc_id, {_SQL_SHINGLES} AS sh,
+      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
         {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(H.N_PERMS))}
       FROM corpus2 WHERE {_SQL_MIN_TOKS}
     ),
@@ -377,8 +395,8 @@ _SQL_MINHASH_CTES = f"""
       FROM cands c
       JOIN sigs sa ON sa.doc_id = c.id_a
       JOIN sigs sb ON sb.doc_id = c.id_b
-      WHERE len(list_intersect(sa.sh, sb.sh))
-            / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE)
+      WHERE len(list_intersect(sa.hset, sb.hset))
+            / CAST(len(list_distinct(sa.hset || sb.hset)) AS DOUBLE)
             >= {_MINHASH_JACCARD_T}
     )
 """

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from kafkastreamsproject_spark.functions import vectors as V
 from kafkastreamsproject_spark.operators.cache import scoped_persist
 from kafkastreamsproject_spark.plans.registry import register
-from kafkastreamsproject_spark.sources.testdata import load_table
+from kafkastreamsproject_spark.sources.testdata import fan_out, load_table
 
 _TOP_K = 5
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -39,7 +39,7 @@ _LSH_T = 0.20
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table audit: per label, vector count, dimensionality
     bounds, mean L2 norm (≈1.0 — the corpus is unit-normalized)."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
     e = F.col("embedding")
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -72,7 +72,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned exactly once with no shuffle of embedding payloads; the only
     shuffle carries (query_id, neighbor_id, score) triples into the
     per-query top-k window."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -118,7 +118,7 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ in the last ulp, which would otherwise flip pair inclusion at
     the boundary.  Pair order id_a<id_b halves the work and dedups the
     symmetric pair."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("e_a")
     )
@@ -151,7 +151,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes → 8 sign bits → bucket id.  At 100 TB this pass is
     embarrassingly parallel and the bucket histogram (this query) is the
     skew diagnostic that sizes the per-bucket join."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
     return (
         emb.select(V.lsh_bucket(F.col("embedding")).alias("bucket"), "vec_id")
         .groupBy("bucket")
@@ -185,7 +185,7 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: shuffle ∝ corpus size, pair work ∝ Σ bucket².  The keep/drop
     threshold applies to the 6-dp ROUNDED score on both engines so
     last-ulp FP noise cannot flip boundary pairs."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
     # persisted: both join sides derive from it, and the 8 projection
     # sums per vector are worth computing once
     sig = scoped_persist(
@@ -245,7 +245,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per centroid component, 1-based pos — a canonicalizable
     shape (the driver cannot hash array columns); _centroid_vectors
     re-assembles the array form for ivf_assign."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
     ex = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).select(
@@ -314,7 +314,7 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned once — at query time, probing only the
     assigned (or few nearest) inverted lists is what makes IVF sublinear
     in corpus size."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
     cents = _centroid_vectors(spark, sf_dir).select(
         F.col("label").alias("c_label"), "centroid"
     )

@@ -39,6 +39,28 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before CPU-heavy per-row work.
+
+    A single-row-group parquet file is unsplittable, so a scan of it
+    yields one partition and per-row compute (md5 shingle hashing,
+    cosine over embedding arrays) serializes on one core no matter how
+    many the session has.  When — and only when — the scan's parallelism
+    is below the session's, round-robin repartition to the session's
+    parallelism: a shuffle of the (small, or it would be splittable)
+    input that unlocks every core for the expensive map stage.
+
+    At 100 TB the corpus has orders of magnitude more row groups than
+    the cluster has cores, the gate is false, and this is a no-op — no
+    accidental full-corpus shuffle at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     """Load every testdata table as a dict of lazy DataFrames."""
     return {t: load_table(spark, t, sf_dir) for t in TESTDATA_TABLES}

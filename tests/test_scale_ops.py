@@ -64,3 +64,141 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+# ---------------------------------------------------------------------------
+# LSH recall / candidate-cost envelopes (VERDICT r1 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_recall_and_candidate_cost(spark, sf_dir):
+    """MinHash-LSH banding must recover ≥0.9 of the true J≥0.5 pairs
+    (ngram_jaccard_pairs is the exact same-threshold baseline), and its
+    banding must be PRECISE — candidate pairs ≤ 2× confirmed pairs —
+    or the confirmation join degenerates toward all-pairs at scale."""
+    from kafkastreamsproject_spark.plans.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    mh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(spark, sf_dir).collect()}
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(spark, sf_dir).collect()}
+    recall = len(mh & exact) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.3f} < 0.9"
+
+    # candidate-pair cost: rebuild the banding join without confirmation
+    from kafkastreamsproject_spark.functions import hashing as H
+    from kafkastreamsproject_spark.plans.dedup import _N_BANDS, _shingled_corpus2
+
+    sigs = _shingled_corpus2(spark, sf_dir).select(
+        "doc_id", *H.minhash_signature(F.col("hs"))
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.col(f"mh{2*b}").alias("h1"),
+                F.col(f"mh{2*b+1}").alias("h2"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_id", "band.h1", "band.h2"
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_id", "h1", "h2")
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("h1").alias("h1_b"),
+        F.col("h2").alias("h2_b"),
+    )
+    n_cands = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("h1") == F.col("h1_b"))
+            & (F.col("h2") == F.col("h2_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert n_cands <= 2 * len(mh), (n_cands, len(mh))
+
+
+def test_banded_lsh_recall_on_planted_neardups(spark, sf_dir):
+    """Banded (AND-OR) cosine LSH achieves ≥0.9 recall on genuine
+    near-duplicates (cos ≥ 0.9 — the regime near-dup LSH is designed
+    for; at cos 0.3 NO sublinear LSH reaches 0.9 recall, which is why
+    ann_lsh_neardup documents itself as bucket-local).  Plants a noisy
+    copy of every embedding, runs 4 bands × 6 planes, and asserts the
+    planted pair is a candidate in ≥1 band for ≥90% of vectors while
+    candidate volume stays ≪ all-pairs."""
+    from kafkastreamsproject_spark.functions import vectors as V
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    shift = 10_000_000
+    # deterministic jitter vector u (same for every row): component
+    # 0.02·(((7j) mod 5) − 2) — small enough that cos(v, v+u) ≥ 0.9
+    noisy = emb.select(
+        (F.col("vec_id") + shift).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, j: x.cast("double") + 0.02 * (((j * 7) % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(noisy).persist()
+    n = emb.count()
+
+    # precondition: the planted pairs really are near-dups
+    joined = emb.alias("o").join(
+        noisy.withColumn("vec_id", F.col("vec_id") - shift).alias("p"), "vec_id"
+    )
+    min_cos = joined.select(
+        F.min(V.cosine(F.col("o.embedding"), F.col("p.embedding"))).alias("m")
+    ).first().m
+    assert min_cos >= 0.9, min_cos
+
+    n_bands, ppb = 4, 6
+    banded = both.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).alias("band_id"),
+                        V.lsh_band_bucket(F.col("embedding"), bd, ppb).alias("bkt"),
+                    )
+                    for bd in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band_id", "bb.bkt")
+
+    a = banded.select(F.col("vec_id").alias("id_a"), "band_id", "bkt")
+    bb = banded.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("bkt").alias("bkt_b"),
+    )
+    cands = (
+        a.join(
+            bb,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("bkt") == F.col("bkt_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    n_cands = cands.count()
+    planted_found = cands.filter(F.col("id_b") - F.col("id_a") == shift).count()
+    recall = planted_found / n
+    all_pairs = (2 * n) * (2 * n - 1) // 2
+    both.unpersist()
+    cands.unpersist()
+    assert recall >= 0.9, f"banded LSH recall {recall:.3f} < 0.9"
+    assert n_cands <= 0.25 * all_pairs, (n_cands, all_pairs)
