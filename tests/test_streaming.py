@@ -9,6 +9,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from kafkastreamsproject_spark.operators.aggregation import daily_aggregate
 from kafkastreamsproject_spark.operators.joins import enrich_trips
 from kafkastreamsproject_spark.schemas import STATION, TRIP
@@ -331,3 +333,69 @@ def test_stream_stream_interval_join(spark, tmp_path):
     got = spark.sql("SELECT * FROM ssj_out").collect()
     assert [(r.start_id, r.end_id) for r in got] == [(1, 2)]
     assert got[0].gap_minutes == pytest.approx(45.0)
+
+
+# ---------------------------------------------------------------------------
+# Kafka payload-format contract (S6/S9).  The connector jar and a broker
+# are absent in this sandbox (no network: Maven Central unresolvable),
+# so the TRANSPORT cannot run here — kafka_available() gates the real
+# path.  What CAN be pinned is the FORMAT: the exact to_json payload
+# to_kafka_sink would publish and the exact from_json parse
+# kafka_trip_stream applies to consumed bytes
+# (consumer/KafkaConsumer.kt:40-41 parses Trip JSON;
+# producer/KafkaProducer.kt:59 serializes it).  These tests drive both
+# directions through the very expressions the Kafka path uses, batch-side.
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_payload_roundtrip_trip_schema(spark):
+    """Input direction: a Trip JSON document (what the reference's
+    producer puts on input-topic) must survive value→from_json(TRIP)
+    with every field typed, and serialize back to an equivalent doc."""
+    import datetime as dt
+    import json
+
+    from kafkastreamsproject_spark.schemas import TRIP
+
+    rows = [
+        (7, 1, dt.datetime(2024, 3, 1, 8, 0, 0), 168, 300.0,
+         "Subscriber", "Male", 9, 10.5, "clear"),
+        (8, 0, dt.datetime(2024, 3, 2, 9, 30, 0), 42, None,
+         "Customer", "", 9, -2.0, "snow"),
+    ]
+    typed = spark.createDataFrame(rows, TRIP)
+
+    # what to_kafka_sink would publish (streaming/pipeline.py:149-151)
+    payload = typed.select(F.to_json(F.struct(*typed.columns)).alias("value"))
+    # what kafka_trip_stream does to consumed bytes (streaming/sources.py:66-68)
+    parsed = payload.select(
+        F.from_json(F.col("value").cast("string"), TRIP).alias("trip")
+    ).select("trip.*")
+
+    # from_json yields all-nullable fields (a JSON doc can omit any key),
+    # so the contract is name+type equality, not nullability
+    assert [(f.name, f.dataType) for f in parsed.schema.fields] == [
+        (f.name, f.dataType) for f in typed.schema.fields
+    ]
+    assert sorted(map(tuple, parsed.collect())) == sorted(map(tuple, typed.collect()))
+
+    # and the wire bytes are plain JSON any Kafka consumer can read
+    doc = json.loads(payload.first().value)
+    assert doc["id"] == 7 and doc["stationId"] == 168
+    assert doc["userType"] == "Subscriber"
+
+
+def test_kafka_sink_payload_is_flat_json_per_column(spark, stations):
+    """Output direction: the enriched/aggregated sink payload must be a
+    flat one-object-per-row JSON with one key per column — the shape
+    the reference's etl-topic / anomalies-topic consumers expect
+    (scripts/prepareAndRun.sh:12-14)."""
+    import json
+
+    summary = spark.createDataFrame(
+        [("a", 3, 2), ("b", 1, 0)], ["station", "started", "ended"]
+    )
+    payload = summary.select(F.to_json(F.struct(*summary.columns)).alias("value"))
+    docs = [json.loads(r.value) for r in payload.collect()]
+    assert all(set(d) == {"station", "started", "ended"} for d in docs)
+    assert {d["station"] for d in docs} == {"a", "b"}
