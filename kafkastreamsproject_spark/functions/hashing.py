@@ -63,6 +63,27 @@ def minhash_signature(hashes: Column, n_perms: int = N_PERMS) -> list[Column]:
     return [minhash(hashes, k).alias(f"mh{k}") for k in range(n_perms)]
 
 
+def minhash_signature_array(hashes: Column, n_perms: int = N_PERMS) -> Column:
+    """All n_perms MinHashes as ONE array column in ONE expression.
+
+    The per-column form (:func:`minhash_signature`) references the
+    ``hashes`` expression once per permutation; after Catalyst collapses
+    projections the upstream shingle+md5 pipeline is embedded in every
+    one of them, and higher-order-function subtrees defeat Spark's
+    per-project common-subexpression elimination — measured ~3× slower
+    than this single-expression form at 10× local scale.  The
+    permutation coefficients (a=2k+1, b=7919k+1, _perm_coeffs) are
+    computed arithmetically from the lambda variable so the whole
+    signature is one pass over one evaluation of ``hashes``."""
+    ks = F.array(*[F.lit(k) for k in range(n_perms)])
+    return F.transform(
+        ks,
+        lambda k: F.array_min(
+            F.transform(hashes, lambda h: (h * (k * 2 + 1) + (k * 7919 + 1)) % MINHASH_P)
+        ),
+    )
+
+
 def simhash32(hashes: Column) -> Column:
     """32-bit SimHash: per bit, sum ±1 over token hashes; bit set iff
     the weight is positive."""

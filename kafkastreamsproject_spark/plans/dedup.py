@@ -202,15 +202,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingled_corpus2(spark, sf_dir).select(
             "doc_id",
             F.array_distinct("hs").alias("hset"),
-            *H.minhash_signature(F.col("hs")),
+            H.minhash_signature_array(F.col("hs")).alias("mhs"),
         )
     )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.col(f"mh{2*b}").alias("h1"),
-                F.col(f"mh{2*b+1}").alias("h2"),
+                F.col("mhs")[2 * b].alias("h1"),
+                F.col("mhs")[2 * b + 1].alias("h2"),
             )
             for b in range(_N_BANDS)
         ]
