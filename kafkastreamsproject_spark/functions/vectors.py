@@ -51,6 +51,49 @@ def cosine(a: Column, b: Column) -> Column:
 
 N_PLANES = 8
 
+#: Target mean bucket occupancy for the adaptive plane count.  Pair work
+#: inside a bucket is quadratic in its size, so holding E[|bucket|]
+#: constant as the corpus grows keeps TOTAL candidate-pair work linear:
+#: with p = log2(n / TARGET) planes, Σ|bucket|² ≈ n·TARGET under the
+#: uniform model (skew adds a data-dependent factor on top — that part
+#: is AQE skew-join's job, not the signature's).
+LSH_TARGET_BUCKET = 32
+
+#: Plane-count bounds.  The floor pins behavior at test scale (≤ ~65k
+#: vectors all resolve to 8 planes, so oracle rows are stable across
+#: sf0.001–0.1); the cap bounds SQL-side unrolling — 30 planes supports
+#: ~34 B vectors at TARGET=32 before the cap binds.
+LSH_MIN_PLANES = 8
+LSH_MAX_PLANES = 30
+
+
+def adaptive_n_planes(n_rows: int) -> int:
+    """Plane count for a corpus of ``n_rows``: ceil(log2(n/TARGET)),
+    clamped to [LSH_MIN_PLANES, LSH_MAX_PLANES].
+
+    A FIXED plane count is the classic LSH scale trap: bucket occupancy
+    grows linearly with the corpus, so candidate pairs grow
+    quadratically (measured in scripts/scale_smoke.py: Σ bucket² grew
+    ~95× for 10× docs at p=8).  Growing p with log2(n) holds occupancy
+    ~constant.  The driver-side count() that feeds this is a
+    parquet-metadata aggregate — the same statistics AQE reads, one
+    cheap job, no data scan."""
+    import math
+
+    if n_rows <= 0:
+        return LSH_MIN_PLANES
+    p = math.ceil(math.log2(max(1.0, n_rows / LSH_TARGET_BUCKET)))
+    return max(LSH_MIN_PLANES, min(LSH_MAX_PLANES, p))
+
+
+def sql_adaptive_n_planes(table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`adaptive_n_planes` as a scalar subquery."""
+    return (
+        f"(SELECT GREATEST({LSH_MIN_PLANES}, LEAST({LSH_MAX_PLANES}, "
+        f"CAST(CEIL(LOG2(GREATEST(1.0, COUNT(*) / {LSH_TARGET_BUCKET}.0))) AS INT))) "
+        f"FROM {table})"
+    )
+
 
 def _plane_dot(vec: Column, plane: int) -> Column:
     """Projection of vec onto integer hyperplane `plane` (exact double)."""
@@ -104,6 +147,22 @@ def sql_lsh_bucket(vec_expr: str, n_planes: int = N_PLANES) -> str:
     bits = [
         f"(CASE WHEN {sql_plane_dot(vec_expr, i)} > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(n_planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def sql_lsh_bucket_adaptive(vec_expr: str, p_expr: str) -> str:
+    """DuckDB twin of an ADAPTIVE-plane lsh_bucket: plane i contributes
+    its sign bit only when ``i < p_expr`` (the corpus-sized plane count,
+    normally :func:`sql_adaptive_n_planes`'s scalar subquery).  The
+    outer CASE short-circuits, so planes beyond p are never computed —
+    the unrolled LSH_MAX_PLANES terms cost nothing until the corpus
+    actually needs them."""
+    bits = [
+        f"(CASE WHEN {i} < {p_expr} THEN "
+        f"(CASE WHEN {sql_plane_dot(vec_expr, i)} > 0 THEN {1 << i} ELSE 0 END) "
+        f"ELSE 0 END)"
+        for i in range(LSH_MAX_PLANES)
     ]
     return "(" + " + ".join(bits) + ")"
 

@@ -25,17 +25,20 @@ from pyspark.sql import DataFrame
 _LIVE: list[DataFrame] = []
 
 
-def scoped_persist(df: DataFrame) -> DataFrame:
-    """Persist ``df`` serialized and track the handle for deferred release.
+def scoped_persist(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK_DESER
+) -> DataFrame:
+    """Persist ``df`` and track the handle for deferred release.
 
-    MEMORY_AND_DISK (serialized in PySpark), not the
-    MEMORY_AND_DISK_DESER default of DataFrame.persist(): the cached
-    relations here carry array columns (shingle-hash sets, embeddings),
-    and deserialized storage boxes every element as a JVM object —
-    measured 2.4× slower to materialize at 10× local scale purely from
-    allocation/GC churn, and several × the bytes.  Serialized blocks
-    also spill to disk compactly when an executor is tight."""
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    Default is MEMORY_AND_DISK_DESER (DataFrame.persist's own default):
+    A/B-measured on the MinHash signature relation (array-heavy, the
+    worst case for object boxing) at 1× and 10× local scale, serialized
+    MEMORY_AND_DISK was ~20% slower at 1× and a wash at 10× — the
+    single-expression signature rewrite removed the materialization cost
+    that once favored serialized blocks.  Call sites that cache a
+    relation larger than executor memory can pass ``level`` explicitly;
+    serialized blocks spill to disk more compactly."""
+    df = df.persist(level)
     _LIVE.append(df)
     return df
 

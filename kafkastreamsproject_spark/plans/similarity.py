@@ -138,7 +138,7 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_buckets",
     oracle=f"""
-    SELECT {V.sql_lsh_bucket('embedding')} AS bucket,
+    SELECT {V.sql_lsh_bucket_adaptive('embedding', V.sql_adaptive_n_planes())} AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
     FROM embeddings
@@ -147,13 +147,19 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity",),
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH signature assignment (map-only): 8 integer
-    hyperplanes → 8 sign bits → bucket id.  At 100 TB this pass is
-    embarrassingly parallel and the bucket histogram (this query) is the
-    skew diagnostic that sizes the per-bucket join."""
-    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    """Hyperplane-LSH signature assignment (map-only): p integer
+    hyperplanes → p sign bits → bucket id, with p sized to the corpus
+    (p = log2(n/32), floor 8 — functions/vectors.py:adaptive_n_planes).
+    A fixed p is the LSH scale trap: bucket occupancy grows with the
+    corpus and pair work quadratically; log-scaling p holds occupancy
+    ~constant.  At 100 TB this pass is embarrassingly parallel and the
+    bucket histogram (this query) is the skew diagnostic that sizes the
+    per-bucket join."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    p = V.adaptive_n_planes(emb.count())
     return (
-        emb.select(V.lsh_bucket(F.col("embedding")).alias("bucket"), "vec_id")
+        fan_out(emb)
+        .select(V.lsh_bucket(F.col("embedding"), p).alias("bucket"), "vec_id")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -166,7 +172,8 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_neardup",
     oracle=f"""
     WITH sig AS (
-      SELECT vec_id, embedding, {V.sql_lsh_bucket('embedding')} AS bucket
+      SELECT vec_id, embedding,
+             {V.sql_lsh_bucket_adaptive('embedding', V.sql_adaptive_n_planes())} AS bucket
       FROM embeddings
     )
     SELECT id_a, id_b, bucket, score FROM (
@@ -182,15 +189,19 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup: candidate pairs only within an LSH bucket
     (equi-join on bucket id — a real shuffle key, unlike the all-pairs
     cross join), then exact cosine confirmation.  This is the scale
-    path: shuffle ∝ corpus size, pair work ∝ Σ bucket².  The keep/drop
-    threshold applies to the 6-dp ROUNDED score on both engines so
-    last-ulp FP noise cannot flip boundary pairs."""
-    emb = fan_out(load_table(spark, "embeddings", sf_dir))
-    # persisted: both join sides derive from it, and the 8 projection
+    path: shuffle ∝ corpus size, pair work ∝ Σ bucket², held LINEAR in
+    the corpus by the adaptive plane count (p = log2(n/32) — see
+    ann_lsh_buckets).  The keep/drop threshold applies to the 6-dp
+    ROUNDED score on both engines so last-ulp FP noise cannot flip
+    boundary pairs."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    p = V.adaptive_n_planes(emb.count())
+    emb = fan_out(emb)
+    # persisted: both join sides derive from it, and the p projection
     # sums per vector are worth computing once
     sig = scoped_persist(
         emb.select(
-            "vec_id", "embedding", V.lsh_bucket(F.col("embedding")).alias("bucket")
+            "vec_id", "embedding", V.lsh_bucket(F.col("embedding"), p).alias("bucket")
         )
     )
     a = sig.select(

@@ -202,3 +202,78 @@ def test_banded_lsh_recall_on_planted_neardups(spark, sf_dir):
     cands.unpersist()
     assert recall >= 0.9, f"banded LSH recall {recall:.3f} < 0.9"
     assert n_cands <= 0.25 * all_pairs, (n_cands, all_pairs)
+
+
+def test_adaptive_lsh_planes_hold_bucket_occupancy(spark, sf_dir, tmp_path):
+    """The adaptive plane count (p = log2(n/32), floor 8) is the LSH
+    family's scale contract: as the corpus grows, p grows so that mean
+    bucket occupancy — and with it Σ bucket², the candidate-pair cost —
+    stays ~linear in n instead of quadratic.  Replicates embeddings 40×
+    (circularly rotated per replica so replicas hash independently),
+    then asserts (a) Spark and the DuckDB oracle SQL agree bucket-by-
+    bucket at the ADAPTIVE p (>8 here — the masked-unroll SQL path is
+    actually exercised), and (b) adaptive p cuts Σ bucket² vs fixed p=8
+    by at least the 2^(p-8) uniform-model factor's half."""
+    import duckdb
+
+    from kafkastreamsproject_spark.functions import vectors as V
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    n_rep, dim = 40, 64
+    reps = []
+    for i in range(n_rep):
+        rot = i % dim
+        rotated = (
+            F.concat(
+                F.slice("embedding", rot + 1, dim - rot),
+                F.slice("embedding", 1, rot),
+            )
+            if rot
+            else F.col("embedding")
+        )
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                rotated.alias("embedding"),
+            )
+        )
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    out = str(tmp_path / "emb40.parquet")
+    big.coalesce(4).write.mode("overwrite").parquet(out)
+
+    n = spark.read.parquet(out).count()
+    p = V.adaptive_n_planes(n)
+    assert p > 8, (n, p)  # the adaptive path must actually engage
+
+    def histogram(n_planes):
+        return {
+            r.bucket: r.n
+            for r in spark.read.parquet(out)
+            .groupBy(V.lsh_bucket(F.col("embedding"), n_planes).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    got = histogram(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{out}/*.parquet'")
+    want = dict(
+        con.execute(
+            f"SELECT {V.sql_lsh_bucket_adaptive('embedding', V.sql_adaptive_n_planes())} "
+            f"AS bucket, COUNT(*) FROM embeddings GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+    fixed = histogram(8)
+    cost = lambda h: sum(v * v for v in h.values())  # noqa: E731
+    # Under the uniform model Σb² shrinks 2^(p-8)×; real buckets are
+    # cluster-skewed and tight clusters (genuine near-dups, cos≈1) sit
+    # in one bucket at ANY p — only the non-cluster mass splits.  So
+    # demand a meaningful but skew-tolerant cut vs fixed p=8, plus
+    # strictly more distinct buckets (the splittable mass did split).
+    assert cost(got) <= 0.8 * cost(fixed), (cost(got), cost(fixed), p)
+    assert len(got) > len(fixed), (len(got), len(fixed))
