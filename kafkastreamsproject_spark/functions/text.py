@@ -64,6 +64,32 @@ def type_token_ratio(text: Column) -> Column:
     return n_distinct_tokens(text).cast("double") / n_tokens(text).cast("double")
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2 style, lookahead-free so both
+#: Java regex and DuckDB's RE2 accept it verbatim): contraction
+#: suffixes, space-prefixed letter runs, space-prefixed digit runs,
+#: space-prefixed punctuation runs.  Counting these pieces is the
+#: standard cheap proxy for LLM token budget — real BPE merges only
+#: split WITHIN these pieces, so the piece count is a lower bound and
+#: tracks the true token count closely on natural text.
+BPE_ISH_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_ish_pieces(text: Column) -> Column:
+    """BPE-style pre-token pieces (array<string>), JVM-side regex."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def n_bpe_tokens(text: Column) -> Column:
+    """LLM token-budget estimate: count of BPE-ish pieces."""
+    return F.size(bpe_ish_pieces(text))
+
+
+def sql_n_bpe_tokens(text: str = "text") -> str:
+    """DuckDB twin of :func:`n_bpe_tokens` (same RE2-safe pattern)."""
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({text}, '{pat}')) AS INT)"
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic in [0, ~1]: rewards lexical diversity,
     penalizes stopword stuffing and degenerate token lengths.  The exact

@@ -30,14 +30,18 @@ _SQL_STOP = "('" + "', '".join(TX.STOPWORDS) + "')"
       ROUND(length(replace(trim(text), ' ', ''))
             / CAST(len({_SQL_TOKENS}) AS DOUBLE), 6) AS avg_token_len,
       CAST(len(list_filter({_SQL_TOKENS}, t -> t IN {_SQL_STOP})) AS INT)
-        AS n_stopwords
+        AS n_stopwords,
+      {TX.sql_n_bpe_tokens()} AS n_bpe_tokens
     FROM documents
     """,
     tags=("text",),
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics: counts, distinct counts, mean token
-    length, stopword count — one split per row, fully codegen'd."""
+    length, stopword count, and a BPE-ish-piece count (the cheap LLM
+    token-budget proxy — GPT-2-style lookahead-free pre-tokenizer regex,
+    functions/text.py:BPE_ISH_PATTERN) — one split + one regex pass per
+    row, fully codegen'd."""
     docs = load_table(spark, "documents", sf_dir)
     t = F.col("text")
     return docs.select(
@@ -46,6 +50,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.n_distinct_tokens(t).alias("n_distinct_tokens"),
         F.round(TX.avg_token_len(t), 6).alias("avg_token_len"),
         TX.stopword_count(t).alias("n_stopwords"),
+        TX.n_bpe_tokens(t).alias("n_bpe_tokens"),
     )
 
 

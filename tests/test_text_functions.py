@@ -1,0 +1,67 @@
+"""Cross-engine parity of the BPE-ish pre-tokenizer (functions/text.py).
+
+The pattern must mean the same thing to Java regex (Spark), RE2
+(DuckDB), and Python ``re`` — it is deliberately lookahead-free so all
+three agree.  The synthetic corpus is plain lowercase words, so these
+tests supply the punctuation/contraction/digit shapes the corpus lacks.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafkastreamsproject_spark.functions import text as TX
+from pyspark.sql import functions as F
+
+TRICKY = [
+    "the cat's hat isn't 42 dogs!",
+    "a-b c_d 3.14",
+    "it'll we've I'd",
+    "  spaces  everywhere  ",
+    "UPPER lower MiXeD 000",
+    "!!!",
+    "x",
+]
+
+
+def _py_count(s: str) -> int:
+    return sum(1 for _ in re.finditer(TX.BPE_ISH_PATTERN, s))
+
+
+def test_bpe_ish_spark_matches_duckdb_and_python(spark):
+    pdf = pd.DataFrame({"doc_id": range(len(TRICKY)), "text": TRICKY})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r.doc_id: r.n
+        for r in sdf.select(
+            "doc_id", TX.n_bpe_tokens(F.col("text")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = dict(
+        con.execute(f"SELECT doc_id, {TX.sql_n_bpe_tokens()} FROM documents").fetchall()
+    )
+    con.close()
+    assert got == want
+    assert got == {i: _py_count(s) for i, s in enumerate(TRICKY)}
+
+
+@given(
+    st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_ish_duckdb_matches_python(s: str):
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": [s]}))
+    (n,) = con.execute(f"SELECT {TX.sql_n_bpe_tokens()} FROM documents").fetchone()
+    con.close()
+    assert n == _py_count(s)
