@@ -57,10 +57,11 @@ def main() -> None:
     # Warm the JVM + parquet footers once so timings measure the engine.
     specs[names[0]].spark(spark, sf_dir).count()
 
-    # Two timed runs per query, best-of reported: strips one-time plan
+    # Three timed runs per query, best-of reported: strips one-time plan
     # compilation and JIT noise so the number tracks the engine, not the
-    # JVM's warm-up curve.
-    runs = 2
+    # JVM's warm-up curve (whole-stage-codegen'd joins keep improving
+    # through the second execution; run 3 is reliably steady-state).
+    runs = 3
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
