@@ -30,12 +30,23 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges``.
 
     Returns (node, component) where component = min node id reachable.
     Deterministic; isolated nodes (absent from edges) are the caller's
     concern — a left join against the corpus adds singletons.
+
+    Every ``checkpoint_every`` rounds the label relation is
+    localCheckpoint'ed: persist() alone bounds RECOMPUTATION but the
+    logical plan still deepens by three operators per round, and past
+    ~15 rounds (high-diameter graphs — duplicate CHAINS, not cliques)
+    Catalyst analysis time dominates the actual shuffle work.
+    Checkpointing truncates lineage to the materialized rows.  Near-dup
+    clique graphs converge in 2–3 rounds and never hit this; on a real
+    cluster swap localCheckpoint for a reliable ``checkpoint()`` dir so
+    executor loss cannot orphan the truncated lineage.
     """
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -49,7 +60,7 @@ def connected_components(
         .persist()
     )
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             both.join(labels, both.v == labels.node)
             .groupBy("u")
@@ -76,6 +87,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+        if (it + 1) % checkpoint_every == 0:
+            truncated = labels.localCheckpoint()  # also materializes
+            labels.unpersist()
+            labels = truncated.persist()
     both.unpersist()
     # The final labels handle stays persisted while the caller consumes
     # it; track() hands it to the registry's deferred-release scope so it

@@ -3,9 +3,12 @@ Streaming, with the same logical plans the batch operators use.
 
 Topology 1 (wired in the reference): trip stream → broadcast station
 join (J1) → per-(station, day) aggregation in a streaming state store
-(A1–A5), emitted in update mode (T2 divergence: Spark emits changed
-keys per micro-batch instead of full-store scans every 5 stream-minutes
-— see streaming/punctuate.py for the faithful per-key-timer variant).
+(A1–A5), emitted in update mode (the scale-correct default: changed
+keys per micro-batch).  The reference's T2 punctuation has BOTH
+faithful twins here: streaming/punctuate.py for per-key event-time
+timers, and :func:`to_full_store_sink` (complete mode) for the global
+full-store emission every punctuation interval
+(CustomTransformer.kt:57-64).
 Watermarking (T1/T4/T7) bounds state: the reference evicts all days
 older than the newest and zero-reinitializes late events
 (CustomTransformer.kt:71-80 — a bug); the watermark instead drops
@@ -122,6 +125,39 @@ def to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def to_full_store_sink(
+    df: DataFrame,
+    query_name: str,
+    checkpoint: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """T2 faithful GLOBAL variant: emit the ENTIRE aggregation store
+    every trigger (reference ``CustomTransformer.kt:57-64`` — the
+    punctuator iterates ``store.all()`` and forwards every (station,
+    day) row each 5 stream-minutes, not just changed keys).
+
+    Structured Streaming's ``complete`` output mode IS that semantics:
+    each micro-batch replaces the sink with the full state store.  The
+    cost is also the reference's cost: state is never retired (complete
+    mode ignores the watermark), so the keyspace must be bounded — true
+    here (stations × days, and the reference's own store evicts old
+    days).  The default topology stays ``update`` mode (emit changed
+    keys only — the scale-correct choice); this sink exists for parity
+    with the reference's full-store punctuation contract.
+
+    ``trigger_seconds`` maps the reference's 5-minute wall-clock
+    punctuation interval (``PUNCTUATE_INTERVAL_MS``) onto a
+    processing-time trigger; ``None`` = availableNow (drain, for tests).
+    """
+    w = df.writeStream.outputMode("complete").format("memory").queryName(query_name)
+    w = w.option("checkpointLocation", checkpoint)
+    if trigger_seconds is None:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()
 
 
 def to_console_sink(

@@ -277,3 +277,26 @@ def test_adaptive_lsh_planes_hold_bucket_occupancy(spark, sf_dir, tmp_path):
     # strictly more distinct buckets (the splittable mass did split).
     assert cost(got) <= 0.8 * cost(fixed), (cost(got), cost(fixed), p)
     assert len(got) > len(fixed), (len(got), len(fixed))
+
+
+def test_connected_components_long_chain_and_cliques(spark):
+    """connected_components on a 20-node CHAIN (diameter 19 — min-label
+    needs many propagation rounds, forcing the lineage-checkpoint path
+    at checkpoint_every=3) plus two disjoint triangles; every node must
+    land in the component of its minimum reachable id."""
+    from kafkastreamsproject_spark.functions.clustering import connected_components
+    from kafkastreamsproject_spark.operators.cache import release_persisted
+
+    chain = [(i, i + 1) for i in range(100, 119)]  # one 20-node chain
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(7, 8), (8, 9), (9, 7)]
+    edges = spark.createDataFrame(chain + tri1 + tri2, ["id_a", "id_b"])
+
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, checkpoint_every=3).collect()
+    }
+    release_persisted()
+    want = {n: 100 for n in range(100, 120)}
+    want.update({1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7})
+    assert got == want

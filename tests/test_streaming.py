@@ -16,6 +16,7 @@ from kafkastreamsproject_spark.operators.joins import enrich_trips
 from kafkastreamsproject_spark.schemas import STATION, TRIP
 from kafkastreamsproject_spark.streaming.pipeline import (
     daily_agg_stream,
+    to_full_store_sink,
     to_memory_sink,
     windowed_anomaly_stream,
 )
@@ -84,6 +85,41 @@ def test_file_stream_daily_agg_matches_batch(spark, stations, batch_trips, tmp_p
         assert g.endedTrips == w.endedTrips, k
         assert g.avgTemperature == pytest.approx(w.avgTemperature), k
         assert g.updateTime == w.updateTime, k
+
+
+def test_full_store_sink_emits_entire_store_every_trigger(
+    spark, stations, batch_trips, tmp_path
+):
+    """T2 global-punctuation parity (CustomTransformer.kt:57-64): the
+    complete-mode sink must hold the FULL store after every trigger —
+    day-1 keys reappear in the final snapshot even though the last
+    micro-batch only carried day-2 trips, and exactly once each (a
+    snapshot, not an update log)."""
+    data_dir = str(tmp_path / "replay_full")
+    write_trip_chunk(data_dir, _DAY1, 0)
+    write_trip_chunk(data_dir, _DAY2, 1)
+
+    stream = trip_file_stream(spark, data_dir, max_files_per_trigger=1)
+    agg = daily_agg_stream(stream, stations)
+    q = to_full_store_sink(agg, "full_store_out", str(tmp_path / "ckpt_full"))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM full_store_out").collect()
+    got = {(r.stationName, str(r.eventDay)): r for r in rows}
+    assert len(rows) == len(got), "snapshot must have one row per key"
+    want = {
+        (r.stationName, str(r.eventDay)): r
+        for r in daily_aggregate(enrich_trips(batch_trips, stations)).collect()
+    }
+    # every key ever aggregated is present — including day-1 keys whose
+    # state did not change in the final micro-batch
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g.startedTrips == w.startedTrips, k
+        assert g.endedTrips == w.endedTrips, k
+        assert g.avgTemperature == pytest.approx(w.avgTemperature), k
 
 
 def test_windowed_anomaly_stream_appends_closed_windows(
