@@ -102,6 +102,53 @@ def hamming32(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_block_bounds(
+    n_bits: int = SIMHASH_BITS, max_hamming: int = 6
+) -> list[tuple[int, int]]:
+    """Pigeonhole banding bounds: ``max_hamming + 1`` disjoint (start,
+    length) bit-blocks covering the signature.  A pair within
+    ``max_hamming`` differs in at most ``max_hamming`` bits, which can
+    dirty at most ``max_hamming`` blocks — so at least one block matches
+    EXACTLY, and candidate generation becomes an equi-join on
+    (block index, block value) with zero false negatives (Manku,
+    Jarlin & Sarma's simhash dedup design).  Width-generic: the
+    production configuration is a 64-bit signature with max_hamming 3
+    (four 16-bit blocks → 65k bucket values per block); the local
+    oracle-checked query keeps 32/6 (seven 4-5-bit blocks) for
+    cross-engine signature portability."""
+    n_blocks = max_hamming + 1
+    if n_blocks > n_bits:
+        raise ValueError(f"{n_blocks} blocks > {n_bits} signature bits")
+    base, extra = divmod(n_bits, n_blocks)
+    bounds, start = [], 0
+    for k in range(n_blocks):
+        length = base + (1 if k < extra else 0)
+        bounds.append((start, length))
+        start += length
+    return bounds
+
+
+def simhash_block_structs(
+    sig: Column, n_bits: int = SIMHASH_BITS, max_hamming: int = 6
+) -> Column:
+    """Array of (blk, val) structs for :func:`simhash_block_bounds` —
+    ``explode`` it to get the banding relation for the candidate
+    equi-join."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("blk"),
+                F.shiftright(sig, start)
+                .bitwiseAND(F.lit((1 << length) - 1))
+                .alias("val"),
+            )
+            for k, (start, length) in enumerate(
+                simhash_block_bounds(n_bits, max_hamming)
+            )
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL twins
 # ---------------------------------------------------------------------------

@@ -66,3 +66,51 @@ def test_token_hash_stable_and_bounded(tok: str):
     h = _h32(tok)
     assert 0 <= h < 2**32
     assert h == _h32(tok)
+
+
+def _block_vals(x: int, bounds: list[tuple[int, int]]) -> list[int]:
+    return [(x >> s) & ((1 << ln) - 1) for s, ln in bounds]
+
+
+@given(
+    sig=st.integers(0, 2**32 - 1),
+    flips=st.sets(st.integers(0, 31), max_size=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_simhash_banding_pigeonhole_32_6(sig: int, flips: set[int]):
+    """The banded candidate join has ZERO false negatives: any pair
+    within Hamming ≤ 6 must share at least one of the 7 blocks exactly
+    (simhash_neardup's candidate generation relies on this)."""
+    from kafkastreamsproject_spark.functions.hashing import simhash_block_bounds
+
+    other = sig
+    for j in flips:
+        other ^= 1 << j
+    bounds = simhash_block_bounds(32, 6)
+    assert len(bounds) == 7
+    assert sum(ln for _, ln in bounds) == 32
+    assert sorted(s for s, _ in bounds)[0] == 0  # covers bit 0 upward
+    assert any(
+        a == b for a, b in zip(_block_vals(sig, bounds), _block_vals(other, bounds))
+    )
+
+
+@given(
+    sig=st.integers(0, 2**64 - 1),
+    flips=st.sets(st.integers(0, 63), max_size=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_simhash_banding_pigeonhole_64_3(sig: int, flips: set[int]):
+    """Production configuration (64-bit signature, Hamming ≤ 3 → four
+    16-bit blocks): the same pigeonhole guarantee at the width a 100 TB
+    corpus needs for selective buckets (65k values per block)."""
+    from kafkastreamsproject_spark.functions.hashing import simhash_block_bounds
+
+    other = sig
+    for j in flips:
+        other ^= 1 << j
+    bounds = simhash_block_bounds(64, 3)
+    assert [ln for _, ln in bounds] == [16, 16, 16, 16]
+    assert any(
+        a == b for a, b in zip(_block_vals(sig, bounds), _block_vals(other, bounds))
+    )
