@@ -25,6 +25,8 @@ with exactly-once epochs.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -158,6 +160,60 @@ def to_full_store_sink(
     else:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w.start()
+
+
+def to_rollup_store_sink(
+    trips: DataFrame,
+    stations: DataFrame,
+    store_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Durable continuous aggregate: fold each micro-batch of RAW trips
+    into the day-partitioned rollup store (operators/incremental.py) —
+    the reference's whole Topology 1 (enrich → A1–A5 upsert) made
+    persistent, queryable mid-stream via ``finalize_rollup``.
+
+    ``foreachBatch`` hands us the micro-batch as a plain DataFrame, so
+    the batch enrich + the store merge run unchanged.  Restart safety:
+    Structured Streaming replays an uncommitted epoch after a crash, and
+    a re-applied fold would double-count — so each epoch writes a marker
+    under ``<store>/_applied_epochs`` and replayed epochs are skipped.
+    The crash window between merge-commit and marker-write is the
+    documented at-least-once residue; closing it needs an atomically
+    committing table format (Delta/Iceberg), which is exactly what those
+    formats' transaction logs exist for.
+    """
+    from kafkastreamsproject_spark.operators.incremental import (
+        merge_daily_rollup,
+    )
+
+    markers = Path(store_path) / "_applied_epochs"
+
+    def _fold(batch: DataFrame, epoch_id: int) -> None:
+        marker = markers / f"{epoch_id}.done"
+        if marker.exists():
+            return  # replayed epoch: already folded into the store
+        enriched = enrich_trips(batch, stations, on_miss="drop")
+        merge_daily_rollup(
+            batch.sparkSession,
+            store_path,
+            enriched,
+            key_alias="stationName",
+            key_col="stationName",
+            time_col="tripTime",
+            value_col="temperature",
+            type_col="tripType",
+            started_types=(1,),
+        )
+        markers.mkdir(parents=True, exist_ok=True)
+        marker.touch()
+
+    return (
+        trips.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def to_console_sink(

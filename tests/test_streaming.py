@@ -435,3 +435,57 @@ def test_kafka_sink_payload_is_flat_json_per_column(spark, stations):
     docs = [json.loads(r.value) for r in payload.collect()]
     assert all(set(d) == {"station", "started", "ended"} for d in docs)
     assert {d["station"] for d in docs} == {"a", "b"}
+
+
+def test_rollup_store_sink_matches_batch_and_is_restart_safe(
+    spark, stations, batch_trips, tmp_path
+):
+    """Durable continuous aggregate (to_rollup_store_sink): after
+    draining the replay, the finalized store must equal the batch
+    daily_aggregate; draining AGAIN from the same checkpoint (restart)
+    must not double-fold any epoch."""
+    from kafkastreamsproject_spark.operators.incremental import finalize_rollup
+    from kafkastreamsproject_spark.streaming.pipeline import to_rollup_store_sink
+
+    data_dir = str(tmp_path / "replay_rollup")
+    write_trip_chunk(data_dir, _DAY1, 0)
+    write_trip_chunk(data_dir, _DAY2, 1)
+    store = str(tmp_path / "rollup_store")
+    ckpt = str(tmp_path / "ckpt_rollup")
+
+    def drain():
+        stream = trip_file_stream(spark, data_dir, max_files_per_trigger=1)
+        q = to_rollup_store_sink(stream, stations, store, ckpt)
+        q.awaitTermination()
+
+    drain()
+
+    def read_store():
+        return {
+            (r.stationName, r.event_day): (
+                r.avg_value,
+                r.started_events,
+                r.ended_events,
+                r.update_time,
+            )
+            for r in finalize_rollup(spark, store, key_alias="stationName").collect()
+        }
+
+    got = read_store()
+    want = {
+        (r.stationName, str(r.eventDay)): (
+            round(r.avgTemperature, 6),
+            r.startedTrips,
+            r.endedTrips,
+            r.updateTime,
+        )
+        for r in daily_aggregate(enrich_trips(batch_trips, stations)).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k][0] == pytest.approx(w[0]), k
+        assert got[k][1:] == w[1:], k
+
+    # restart from the same checkpoint: no new input → no epoch refolds
+    drain()
+    assert read_store() == got
