@@ -73,12 +73,23 @@ def _consume(args: argparse.Namespace) -> int:
 def _produce(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="kafkastreamsproject-produce")
     trips = read_trips_csv(spark, args.input).orderBy("dateTime")
-    rows = [tuple(r) for r in trips.collect()]
-    n_chunks = 0
-    for chunk_id, start in enumerate(range(0, len(rows), args.chunk_rows)):
-        write_trip_chunk(args.output, rows[start : start + args.chunk_rows], chunk_id)
-        n_chunks = chunk_id + 1
-    print(f"wrote {len(rows)} trips in {n_chunks} chunks to {args.output}")
+    # toLocalIterator streams one partition at a time through the
+    # driver (order preserved after the sort), so peak driver memory is
+    # one partition + one chunk — not the whole dataset as collect()
+    # would hold.  Mirrors the reference's single-producer replay
+    # (producer/KafkaProducer.kt) which is inherently a serial walk.
+    n_rows, n_chunks, chunk = 0, 0, []
+    for r in trips.toLocalIterator():
+        chunk.append(tuple(r))
+        n_rows += 1
+        if len(chunk) == args.chunk_rows:
+            write_trip_chunk(args.output, chunk, n_chunks)
+            n_chunks += 1
+            chunk = []
+    if chunk:
+        write_trip_chunk(args.output, chunk, n_chunks)
+        n_chunks += 1
+    print(f"wrote {n_rows} trips in {n_chunks} chunks to {args.output}")
     return 0
 
 

@@ -97,3 +97,20 @@ def test_registry_within_driver_cap():
         f"{len(_SPECS)} registered queries > driver cap {DRIVER_QUERY_CAP}: "
         "merge or prune before adding more"
     )
+
+
+def test_oracled_queries_emit_only_scalar_columns(spark, sf_dir):
+    """The driver's correctness canonicalizer pandas-sorts and hashes
+    every oracled result; array/map/struct columns crash it (round 1:
+    daily_event_ids, 'unhashable type: list').  Serialized forms
+    (array_join / to_json) are the sanctioned shape.  Only no-oracle
+    queries (rows-only check) may return complex types."""
+    for name, spec in _SPECS.items():
+        if spec.oracle is None or name == "streaming_daily_agg":
+            continue
+        df = spec.spark(spark, sf_dir)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            assert not any(k in t for k in ("array", "map", "struct")), (
+                f"{name}.{f.name}: {t} would crash the driver canonicalizer"
+            )
