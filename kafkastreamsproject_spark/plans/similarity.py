@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.functions import vectors as V
+from kafkastreamsproject_spark.operators import selfjoin as SJ
 from kafkastreamsproject_spark.operators.cache import scoped_persist
 from kafkastreamsproject_spark.plans.registry import register
 from kafkastreamsproject_spark.sources.testdata import fan_out, load_table
@@ -191,9 +192,16 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join), then exact cosine confirmation.  This is the scale
     path: shuffle ∝ corpus size, pair work ∝ Σ bucket², held LINEAR in
     the corpus by the adaptive plane count (p = log2(n/32) — see
-    ann_lsh_buckets).  The keep/drop threshold applies to the 6-dp
-    ROUNDED score on both engines so last-ulp FP noise cannot flip
-    boundary pairs."""
+    ann_lsh_buckets).  Residual per-bucket skew (clustered corpora
+    concentrate sign patterns: Σ bucket² ran ~25× the uniform model at
+    30× sf0.1, scripts/scale_smoke.py) is handled by the
+    triangle-blocked self-join: when the bucket histogram shows a
+    bucket over TARGET_BLOCK_ROWS, pair generation splits it into B
+    id-hash blocks keyed by block PAIR, bounding every task at
+    (|bucket|/B)² work — identical output, B=1 (plain join) whenever
+    the data doesn't need it.  The keep/drop threshold applies to the
+    6-dp ROUNDED score on both engines so last-ulp FP noise cannot
+    flip boundary pairs."""
     emb = load_table(spark, "embeddings", sf_dir)
     p = V.adaptive_n_planes(emb.count())
     emb = fan_out(emb)
@@ -204,20 +212,22 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", V.lsh_bucket(F.col("embedding"), p).alias("bucket")
         )
     )
-    a = sig.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("bucket"),
-        F.col("embedding").alias("e_a"),
+    # Bucket histogram max — the skew diagnostic that sizes the block
+    # count.  One cheap aggregate over the persisted signatures; at
+    # test scale it resolves to B=1 and the plan is the plain join.
+    max_bucket = (
+        sig.groupBy("bucket").count().agg(F.max("count").alias("m")).first().m
     )
-    b = sig.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("embedding").alias("e_b"),
-    )
-    score = F.round(V.cosine(F.col("e_a"), F.col("e_b")), 6)
+    n_blocks = SJ.n_blocks_for(int(max_bucket or 0))
+    pairs = SJ.blocked_self_pairs(sig, "bucket", "vec_id", n_blocks)
+    score = F.round(V.cosine(F.col("embedding_a"), F.col("embedding_b")), 6)
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", "bucket", score.alias("score"))
+        pairs.select(
+            F.col("vec_id_a").alias("id_a"),
+            F.col("vec_id_b").alias("id_b"),
+            "bucket",
+            score.alias("score"),
+        )
         .filter(F.col("score") >= _LSH_T)
     )
 

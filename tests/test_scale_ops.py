@@ -300,3 +300,87 @@ def test_connected_components_long_chain_and_cliques(spark):
     want = {n: 100 for n in range(100, 120)}
     want.update({1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7})
     assert got == want
+
+
+def test_blocked_self_pairs_equals_naive_join(spark):
+    """Triangle-blocked pair generation is row-identical to the naive
+    within-bucket self-join for every block count, on deliberately
+    skewed buckets (one hot bucket ≫ the rest), including payload
+    columns and the canonical id_a < id_b order."""
+    import pandas as pd
+
+    from kafkastreamsproject_spark.operators.selfjoin import (
+        blocked_self_pairs,
+        n_blocks_for,
+    )
+
+    # 1 hot bucket (60 rows) + 10 cold buckets (3 rows each); payload
+    # is a value column so the swap path is exercised end-to-end.
+    rows = [(i, 0, i * 7 % 101) for i in range(60)]
+    rows += [(100 + b * 10 + j, b, j) for b in range(1, 11) for j in range(3)]
+    df = spark.createDataFrame(rows, "id long, bucket int, val long")
+
+    a = df.select(
+        F.col("id").alias("id_a"), "bucket", F.col("val").alias("val_a")
+    )
+    b = df.select(
+        F.col("id").alias("id_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("val").alias("val_b"),
+    )
+    naive = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("bucket", "id_a", "id_b", "val_a", "val_b")
+        .toPandas()
+        .sort_values(["bucket", "id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(naive) == 60 * 59 // 2 + 10 * 3  # sanity: skew is real
+
+    for n_blocks in (1, 3, 8):
+        blocked = (
+            blocked_self_pairs(df, "bucket", "id", n_blocks)
+            .select(
+                "bucket",
+                F.col("id_a"),
+                F.col("id_b"),
+                "val_a",
+                "val_b",
+            )
+            .toPandas()
+            .sort_values(["bucket", "id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(naive, blocked, check_dtype=False)
+
+    # block-count sizing: no blocking until a bucket exceeds the target,
+    # then ceil-scaled, then capped
+    assert n_blocks_for(100) == 1
+    assert n_blocks_for(4096) == 1
+    assert n_blocks_for(8000) == 2
+    assert n_blocks_for(10**9) == 16
+
+
+def test_blocked_self_pairs_bounds_task_width(spark):
+    """The physical join key includes the block pair: with B blocks a
+    hot bucket's pairs spread over B(B+1)/2 distinct shuffle keys
+    instead of 1 (the whole point — AQE cannot split one key's rows)."""
+    from kafkastreamsproject_spark.operators.selfjoin import blocked_self_pairs
+
+    df = spark.createDataFrame(
+        [(i, 0, 0) for i in range(200)], "id long, bucket int, val long"
+    )
+    pairs = blocked_self_pairs(df, "bucket", "id", 4)
+    # count distinct physical task keys seen by the join
+    keyed = (
+        df.withColumn(
+            "__blk", F.pmod(F.xxhash64("id"), F.lit(4)).cast("int")
+        )
+        .groupBy("__blk")
+        .count()
+    )
+    sizes = {r["__blk"]: r["count"] for r in keyed.collect()}
+    assert len(sizes) == 4  # hash spreads ids over all blocks
+    # every pair appears exactly once
+    assert pairs.count() == 200 * 199 // 2
+    assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
