@@ -1,0 +1,189 @@
+"""Incremental near-dup at ingest — the streaming member of the
+MinHash-LSH family.
+
+A training-data pipeline doesn't near-dup a frozen corpus once: new
+documents arrive continuously and each must be checked against
+EVERYTHING already accepted, without rescanning the accepted corpus.
+The classic answer is a persistent signature store: per micro-batch,
+
+1. signature the batch (shingle → 32-bit hash → MinHash, the same
+   relational pipeline as the batch query `minhash_lsh_pairs`);
+2. LSH-band both the batch and the store and equi-join on
+   (band_id, h1, h2) — candidate work scales with signature
+   collisions, never with |store| × |batch|;
+3. confirm candidates with exact Jaccard over the hashed shingle sets
+   and write the (new_doc, matched_doc, jaccard) verdicts;
+4. append only the NON-duplicate signatures to the store — the first
+   occurrence stays canonical, so the store grows with the UNIQUE
+   corpus, not the raw stream.
+
+State lives in parquet, not the streaming state store: signatures are
+~450 B/doc and must outlive any one query (state-store TTL is bounded
+by watermarks; a dedup corpus is forever).  At scale the store would
+be bucketed by band hash so step 2's join is shuffle-free on the store
+side.
+
+Restart safety follows `to_rollup_store_sink`'s epoch-marker idiom:
+replayed epochs are skipped, and the residue window between store
+append and marker write is the documented at-least-once seam that a
+transactional table format would close.
+
+Batch-internal duplicates: within one micro-batch the same banded join
+runs batch×batch (id-ordered) so two copies arriving together yield
+one canonical survivor, same as the batch query.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kafkastreamsproject_spark.functions import hashing as H
+from kafkastreamsproject_spark.functions import text as TX
+
+SHINGLE_W = 5
+N_BANDS = 4  # 8 perms → 4 bands of 2 rows
+JACCARD_T = 0.5
+
+_SIG_SCHEMA = "doc_id long, hset array<bigint>, mhs array<bigint>"
+
+
+def doc_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, hset, mhs) for every doc with ≥ SHINGLE_W tokens.
+
+    hset = distinct 32-bit shingle hashes (Jaccard confirmation side),
+    mhs = 8-perm MinHash signature (banding side).  Identical hashing
+    to the batch family, so batch and streaming verdicts agree.
+    """
+    sh = TX.shingles(F.col("text"), SHINGLE_W)
+    return (
+        docs.filter(F.size(TX.tokens(F.col("text"))) >= SHINGLE_W)
+        .select("doc_id", H.hash_list(sh).alias("hs"))
+        .select(
+            "doc_id",
+            F.array_distinct("hs").alias("hset"),
+            H.minhash_signature_array(F.col("hs")).alias("mhs"),
+        )
+    )
+
+
+def _bands(sigs: DataFrame) -> DataFrame:
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.col("mhs")[2 * b].alias("h1"),
+                F.col("mhs")[2 * b + 1].alias("h2"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_id", "band.h1", "band.h2"
+    )
+
+
+def _confirmed_pairs(
+    new_sigs: DataFrame, against_sigs: DataFrame, within_batch: bool
+) -> DataFrame:
+    """(new_doc_id, matched_doc_id, jaccard ≥ T) — banded candidates
+    confirmed by exact Jaccard.  ``within_batch`` orders ids so each
+    batch-internal pair surfaces once with the LOWER id canonical."""
+    nb = _bands(new_sigs).select(
+        F.col("doc_id").alias("new_doc_id"), "band_id", "h1", "h2"
+    )
+    ab = _bands(against_sigs).select(
+        F.col("doc_id").alias("matched_doc_id"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("h1").alias("h1_b"),
+        F.col("h2").alias("h2_b"),
+    )
+    cond = (
+        (F.col("band_id") == F.col("band_id_b"))
+        & (F.col("h1") == F.col("h1_b"))
+        & (F.col("h2") == F.col("h2_b"))
+    )
+    if within_batch:
+        cond = cond & (F.col("matched_doc_id") < F.col("new_doc_id"))
+    cands = nb.join(ab, cond).select("new_doc_id", "matched_doc_id").distinct()
+    sa = new_sigs.select(F.col("doc_id").alias("new_doc_id"), F.col("hset").alias("h_a"))
+    sb = against_sigs.select(
+        F.col("doc_id").alias("matched_doc_id"), F.col("hset").alias("h_b")
+    )
+    jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(
+        F.array_union("h_a", "h_b")
+    ).cast("double")
+    return (
+        cands.join(sa, "new_doc_id")
+        .join(sb, "matched_doc_id")
+        .filter(jac >= JACCARD_T)
+        .select("new_doc_id", "matched_doc_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _read_store(spark: SparkSession, sig_path: Path) -> DataFrame:
+    if sig_path.exists() and any(sig_path.glob("*.parquet")):
+        return spark.read.schema(_SIG_SCHEMA).parquet(str(sig_path))
+    return spark.createDataFrame([], _SIG_SCHEMA)
+
+
+def ingest_batch(
+    batch: DataFrame, store_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """One fold of the dedup-at-ingest loop, batch-mode callable (the
+    foreachBatch body, exposed for tests and backfills).
+
+    Returns (matches, accepted): near-dup verdicts for this batch and
+    the signatures admitted to the store.  Side effect: appends
+    ``accepted`` under ``<store>/signatures`` and ``matches`` under
+    ``<store>/matches``.
+    """
+    spark = batch.sparkSession
+    root = Path(store_path)
+    sig_path = root / "signatures"
+
+    sigs = doc_signatures(batch)
+    sigs.persist()
+    store = _read_store(spark, sig_path)
+
+    vs_store = _confirmed_pairs(sigs, store, within_batch=False)
+    vs_batch = _confirmed_pairs(sigs, sigs, within_batch=True)
+    # localCheckpoint(eager) pins BOTH results to the store's PRE-append
+    # snapshot: the returned DataFrames carry no lineage back to the
+    # store files, so later evaluation cannot re-scan the store after
+    # this batch's own signatures were appended (a doc would "match"
+    # itself) and the appends below never read what they write.
+    matches = vs_store.unionByName(vs_batch).localCheckpoint(eager=True)
+    dup_ids = matches.select(F.col("new_doc_id").alias("doc_id")).distinct()
+    accepted = sigs.join(dup_ids, "doc_id", "left_anti").localCheckpoint(eager=True)
+    sigs.unpersist()
+
+    matches.write.mode("append").parquet(str(root / "matches"))
+    accepted.write.mode("append").parquet(str(sig_path))
+    return matches, accepted
+
+
+def to_neardup_ingest_sink(
+    docs: DataFrame, store_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming dedup-at-ingest: fold each micro-batch of documents
+    (doc_id, text, ...) through :func:`ingest_batch`."""
+    markers = Path(store_path) / "_applied_epochs"
+
+    def _fold(batch: DataFrame, epoch_id: int) -> None:
+        marker = markers / f"{epoch_id}.done"
+        if marker.exists():
+            return  # replayed epoch: already folded into the store
+        ingest_batch(batch, store_path)
+        markers.mkdir(parents=True, exist_ok=True)
+        marker.touch()
+
+    return (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,99 @@
+"""Incremental near-dup at ingest (streaming/neardup.py): store growth,
+verdict correctness, batch-internal dedup, restart idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.streaming.neardup import (
+    ingest_batch,
+    to_neardup_ingest_sink,
+)
+
+# ≥ 5 tokens each (the shingle width).  C is A with ONE trailing token
+# changed: 5-shingle sets intersect 5/7 → Jaccard ≈ 0.714 ≥ 0.5.
+# D and E are exact copies arriving in the same batch.
+_A = "the quick brown fox jumps over the lazy dog today"
+_B = "completely different words about training data pipelines at scale"
+_C = "the quick brown fox jumps over the lazy dog tomorrow"
+_D = "another document full of entirely novel tokens for testing"
+_E = _D
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ingest_batch_dedups_against_store_and_within_batch(spark, tmp_path):
+    store = str(tmp_path / "neardup_store")
+
+    m1, a1 = ingest_batch(_docs(spark, [(1, _A), (2, _B)]), store)
+    assert m1.count() == 0
+    assert sorted(r.doc_id for r in a1.select("doc_id").collect()) == [1, 2]
+
+    m2, a2 = ingest_batch(
+        _docs(spark, [(3, _C), (4, _D), (5, _E)]), store
+    )
+    verdicts = {
+        (r.new_doc_id, r.matched_doc_id): r.jaccard for r in m2.collect()
+    }
+    assert set(verdicts) == {(3, 1), (5, 4)}
+    assert verdicts[(3, 1)] == 0.714286  # 5/7, rounded to 6 dp
+    assert verdicts[(5, 4)] == 1.0
+    # only the canonical fresh doc enters the store
+    assert [r.doc_id for r in a2.select("doc_id").collect()] == [4]
+
+    stored = spark.read.parquet(f"{store}/signatures")
+    assert sorted(r.doc_id for r in stored.select("doc_id").collect()) == [1, 2, 4]
+
+
+def test_neardup_ingest_sink_is_restart_safe(spark, tmp_path):
+    data_dir = tmp_path / "doc_stream"
+    data_dir.mkdir()
+    _docs(spark, [(1, _A), (2, _B)]).coalesce(1).write.parquet(
+        str(data_dir / "chunk0")
+    )
+    _docs(spark, [(3, _C), (4, _D)]).coalesce(1).write.parquet(
+        str(data_dir / "chunk1")
+    )
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(data_dir / "*"))
+        )
+        q = to_neardup_ingest_sink(stream, store, ckpt)
+        q.awaitTermination()
+
+    drain()
+    sigs = spark.read.parquet(f"{store}/signatures")
+    matches = spark.read.parquet(f"{store}/matches")
+    assert sorted(r.doc_id for r in sigs.select("doc_id").collect()) == [1, 2, 4]
+    assert {(r.new_doc_id, r.matched_doc_id) for r in matches.collect()} == {(3, 1)}
+
+    # restart from the same checkpoint: no new files → no re-folds,
+    # store byte-stable
+    drain()
+    assert spark.read.parquet(f"{store}/signatures").count() == 3
+    assert spark.read.parquet(f"{store}/matches").count() == 1
+
+
+def test_streaming_verdicts_agree_with_batch_family(spark, sf_dir, tmp_path):
+    """Feeding the documents table through ingest in one batch yields
+    the same (pair, jaccard) set as the batch minhash_lsh_pairs query —
+    identical hashing end-to-end."""
+    from kafkastreamsproject_spark.plans.dedup import _corpus2, minhash_lsh_pairs
+
+    store = str(tmp_path / "store_agree")
+    matches, _ = ingest_batch(_corpus2(spark, sf_dir), store)
+    got = {
+        (r.matched_doc_id, r.new_doc_id, r.jaccard) for r in matches.collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
