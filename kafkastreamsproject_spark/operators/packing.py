@@ -25,9 +25,9 @@ assignment — which is what makes a packed corpus reproducible across
 reruns and resumable mid-pipeline.
 
 At 100 TB: 10¹⁰ docs at 16 B of metadata is ~160 GB of shuffle spread
-over N≈10⁴ shards of ~10⁶ docs each; the FFD inner loop is pure
-pandas/numpy over one shard's arrays.  The linear first-fit scan is
-O(packs) per doc worst-case; ``docs_per_shard`` bounds it, and a
+over N≈10⁴ shards of ~10⁶ docs each; the FFD inner loop is a
+vectorized numpy first-fit sweep (one C-speed comparison pass per
+doc).  ``docs_per_shard`` bounds the worst case, and a
 capacity-indexed search tree is the drop-in refinement if a shard's
 open-pack count ever dominates.
 
@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -60,24 +61,33 @@ def _ffd_pack(pdf_iter_key: tuple, pdf: pd.DataFrame, budget: int) -> pd.DataFra
     ids = pdf["doc_id"].to_numpy()
     toks = pdf["n_tokens"].to_numpy()
 
-    remaining: list[int] = []  # open-pack remaining capacity, by local pack idx
-    assign = [0] * len(ids)
-    overflow = [False] * len(ids)
-    for i, t in enumerate(toks):
-        t = int(t)
+    n = len(ids)
+    # remaining capacity per open pack; -1 marks oversize-owned (closed)
+    # packs.  The first-fit scan is vectorized: one C-speed comparison
+    # sweep per doc instead of a Python loop over open packs — the
+    # difference between O(docs·packs) interpreter steps and the same
+    # bound in numpy, which holds to ~10^6 docs/shard.
+    remaining = np.empty(n, dtype=np.int64)
+    n_packs = 0
+    assign = np.zeros(n, dtype=np.int64)
+    overflow = np.zeros(n, dtype=bool)
+    for i in range(n):
+        t = int(toks[i])
         if t > budget:
-            remaining.append(-1)  # closed: oversize doc owns the pack
-            assign[i] = len(remaining) - 1
+            remaining[n_packs] = -1  # closed: oversize doc owns the pack
+            assign[i] = n_packs
             overflow[i] = True
+            n_packs += 1
             continue
-        for p, r in enumerate(remaining):
-            if r >= t:
-                remaining[p] = r - t
-                assign[i] = p
-                break
+        fits = remaining[:n_packs] >= t
+        if fits.any():
+            p = int(np.argmax(fits))
+            remaining[p] -= t
+            assign[i] = p
         else:
-            remaining.append(budget - t)
-            assign[i] = len(remaining) - 1
+            remaining[n_packs] = budget - t
+            assign[i] = n_packs
+            n_packs += 1
 
     out = pd.DataFrame(
         {
