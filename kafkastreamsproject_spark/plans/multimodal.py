@@ -82,6 +82,25 @@ def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (mapInPandas) over media
     payloads using the deterministic fake decoder — the full multimodal
-    plumbing (binary column → Python batch → fixed-dim float array)."""
+    plumbing (binary column → Python batch → fixed-dim float array).
+
+    The raw ``array<float>`` feature stays internal: the driver
+    canonicalizes even non-oracled queries' Spark output, and pandas
+    cannot hash list cells (round 2's one red row).  Emit the vector
+    comma-joined at 6 dp — same canonicalizable shape as
+    daily_event_ids' array_join."""
     docs = load_table(spark, "documents", sf_dir)
-    return extract_features(documents_as_media(docs), mode="fake")
+    feats = extract_features(documents_as_media(docs), mode="fake")
+    serialized = F.array_join(
+        F.transform(
+            "feature",
+            lambda x: F.round(x.cast("double"), 6).cast("string"),
+        ),
+        ",",
+    )
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        serialized.alias("feature_csv"),
+        F.size("feature").alias("feature_dim"),
+    )

@@ -30,11 +30,26 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     Oracle SQL must correspondingly CAST ns timestamps to µs TIMESTAMP.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The caller may hand us a session we didn't build (the driver does);
-    # event-time semantics must not depend on its JVM-default timezone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # nanosAsLong is read at ANALYSIS time (schema inference), so setting
+    # it only around the read() call below is sufficient — but it has no
+    # per-reader option form, so save/restore rather than leak session
+    # mutation out of a query builder.  The timezone, by contrast, is
+    # consumed at EXECUTION time by timestamp expressions; restoring it
+    # here would re-expose event-time results to the caller's JVM-default
+    # zone.  It is therefore pinned once per session (idempotent; the
+    # driver's oracle recipe assumes UTC) rather than toggled per read.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(nanos_key, None)
+    spark.conf.set(nanos_key, "true")
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    finally:
+        if prev is None:
+            spark.conf.unset(nanos_key)
+        else:
+            spark.conf.set(nanos_key, prev)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df

@@ -99,15 +99,39 @@ def test_registry_within_driver_cap():
     )
 
 
-def test_oracled_queries_emit_only_scalar_columns(spark, sf_dir):
-    """The driver's correctness canonicalizer pandas-sorts and hashes
-    every oracled result; array/map/struct columns crash it (round 1:
-    daily_event_ids, 'unhashable type: list').  Serialized forms
-    (array_join / to_json) are the sanctioned shape.  Only no-oracle
-    queries (rows-only check) may return complex types."""
+def test_building_queries_leaves_session_conf_unchanged(spark, sf_dir):
+    """Query builders must not leak session-conf mutation (round 2
+    advice: load_table set nanosAsLong + timezone on every call with no
+    restore).  The timezone is pinned UTC by the session factory and the
+    driver's oracle recipe, so 'unchanged' here means 'still exactly
+    UTC'; nanosAsLong must be bit-identical before/after every build."""
+    keys = [
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.files.maxPartitionBytes",
+    ]
+    before = {k: spark.conf.get(k, None) for k in keys}
+    assert before["spark.sql.session.timeZone"] == "UTC"
     for name, spec in _SPECS.items():
-        if spec.oracle is None or name == "streaming_daily_agg":
-            continue
+        if name == "streaming_daily_agg":
+            continue  # starts a real stream
+        spec.spark(spark, sf_dir)
+        after = {k: spark.conf.get(k, None) for k in keys}
+        assert after == before, f"{name} mutated session conf: {after} != {before}"
+
+
+def test_all_queries_emit_only_scalar_columns(spark, sf_dir):
+    """The driver's correctness canonicalizer pandas-sorts and hashes
+    EVERY registered query's Spark result — including no-oracle ones
+    (round 1: daily_event_ids; round 2: media_features, both
+    'unhashable type: list').  Serialized forms (array_join / to_json)
+    are the sanctioned shape; no registered query may emit
+    array/map/struct output, oracle or not."""
+    for name, spec in _SPECS.items():
+        if name == "streaming_daily_agg":
+            continue  # building it starts a real stream; its output is
+            # oracle-checked scalar anyway (CORRECTNESS_r02)
         df = spec.spark(spark, sf_dir)
         for f in df.schema.fields:
             t = f.dataType.simpleString()
