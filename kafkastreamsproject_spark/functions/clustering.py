@@ -60,6 +60,7 @@ def connected_components(
         .persist()
     )
 
+    converged = False
     for it in range(max_iterations):
         neighbor_min = (
             both.join(labels, both.v == labels.node)
@@ -86,12 +87,25 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
         if (it + 1) % checkpoint_every == 0:
             truncated = labels.localCheckpoint()  # also materializes
             labels.unpersist()
             labels = truncated.persist()
     both.unpersist()
+    if not converged:
+        # Exhausting the budget means the labels are WRONG (a component
+        # with diameter > max_iterations still carries several labels),
+        # and a dedup pipeline would then keep multiple "canonical" docs
+        # from one duplicate cluster.  Silent truncation is corruption;
+        # fail loudly and let the caller raise the budget.
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the budget); raise "
+            "max_iterations — labels at this point would be incorrect"
+        )
     # The final labels handle stays persisted while the caller consumes
     # it; track() hands it to the registry's deferred-release scope so it
     # is unpersisted when the next query builds.

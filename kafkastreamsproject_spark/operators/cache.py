@@ -15,9 +15,22 @@ right before building the NEXT query — by which point the previous
 query's result has been collected and its caches are dead weight.  Live
 cached handles are therefore bounded by one query's working set, not the
 whole run's.
+
+CONCURRENCY CONTRACT (deliberate, documented): the module-global
+``_LIVE`` list assumes strict single-threaded build → consume → build
+sequencing — the driver's, bench's, and pytest's actual execution
+model.  Two interleaved registered-query consumers on one session would
+release each other's caches (silent full recompute, never wrong
+results).  Callers OUTSIDE the registry path (backfills invoking
+``connected_components`` directly, notebooks) should not rely on the
+registry's deferred release firing: wrap the work in
+:func:`cache_scope`, which releases exactly the handles persisted
+inside the ``with`` block, deterministically, on exit.
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
@@ -57,3 +70,25 @@ def release_persisted() -> None:
             df.unpersist()
         except Exception:
             pass
+
+
+@contextmanager
+def cache_scope():
+    """Deterministic release for non-registry callers.
+
+    Handles persisted (via :func:`scoped_persist` / :func:`track`)
+    inside the ``with`` block are unpersisted on exit — even on error —
+    without touching handles that were already live when the scope
+    opened.  Consume (collect/write) the result INSIDE the block; after
+    exit its caches are gone and evaluation falls back to full
+    recompute."""
+    mark = len(_LIVE)
+    try:
+        yield
+    finally:
+        while len(_LIVE) > mark:
+            df = _LIVE.pop()
+            try:
+                df.unpersist()
+            except Exception:
+                pass

@@ -31,10 +31,10 @@ over a hypertable; the registry's ``time_rollup`` is the one-shot twin.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.operators.fs import hadoop_exists
 
 #: Decimal type for the mergeable value sum: wide enough that partial
 #: sums of partial sums cannot overflow (38 digits total in parquet).
@@ -107,7 +107,9 @@ def merge_daily_rollup(
         return []
 
     merged = partials
-    if os.path.exists(store_path):
+    # Hadoop FS probe (not os.path): a remote store URI must read as
+    # "exists" or the first batch silently overwrites history from empty.
+    if hadoop_exists(spark, store_path):
         existing = (
             spark.read.parquet(store_path)
             # partition pruning: only affected-day directories are read

@@ -41,9 +41,12 @@ _QUERY_MODULES = [
     "kafkastreamsproject_spark.plans.dedup",
     "kafkastreamsproject_spark.plans.similarity",
     "kafkastreamsproject_spark.plans.multimodal",
+    "kafkastreamsproject_spark.plans.ingest",
+    "kafkastreamsproject_spark.plans.shadow",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
+_SHADOW: dict[str, "QuerySpec"] = {}
 
 
 @dataclass(frozen=True)
@@ -55,17 +58,27 @@ class QuerySpec:
     oracle: str | None = None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    tier: str = "primary"
 
 
 def register(
     name: str,
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
+    tier: str = "primary",
 ) -> Callable:
-    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a query."""
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a query.
+
+    ``tier="primary"`` queries are the externally-verified surface (the
+    driver checks at most DRIVER_QUERY_CAP of them).  ``tier="shadow"``
+    queries are full capability surface beyond the cap: same builder +
+    oracle contract, exercised by the LOCAL compare gate
+    (tests/test_shadow_queries.py) instead of the driver — so fitting
+    the cap never again means deleting working plan shapes.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
-        if name in _REGISTRY:
+        if name in _REGISTRY or name in _SHADOW:
             raise ValueError(f"duplicate query name: {name}")
 
         @functools.wraps(fn)
@@ -76,20 +89,31 @@ def register(
             release_persisted()
             return fn(spark, sf_dir)
 
-        _REGISTRY[name] = QuerySpec(
+        spec = QuerySpec(
             name=name,
             spark=wrapped,
             oracle=oracle,
             doc=(fn.__doc__ or "").strip(),
             tags=tags,
+            tier=tier,
         )
+        (_REGISTRY if tier == "primary" else _SHADOW)[name] = spec
         return fn
 
     return deco
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    """Import all query modules and return the full registry."""
+    """Import all query modules and return the driver-facing registry
+    (primary tier only — at most DRIVER_QUERY_CAP entries)."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     return dict(_REGISTRY)
+
+
+def shadow_queries() -> dict[str, QuerySpec]:
+    """The capability surface beyond the driver cap: oracle-checked
+    locally, never submitted to the external gate."""
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return dict(_SHADOW)

@@ -229,13 +229,27 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("relational",),
+    tier="shadow",
+)
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation: per event type, distinct users and days.
     Catalyst expands multi-distinct into a partial-agg + expand plan;
     at 100 TB prefer approx_count_distinct (see approx_distinct_users)
     unless exactness is contractual.
 
-    Unregistered (registry is capped at DRIVER_QUERY_CAP): COUNT DISTINCT
+    Shadow tier (registry is capped at DRIVER_QUERY_CAP): COUNT DISTINCT
     is driver-verified via dedup_rate_by_source; this exact twin backs the
     approx-error-envelope property test (tests/test_reference_domain.py).
     """
@@ -365,10 +379,15 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
     tags=("relational", "agg"),
+    tier="shadow",
 )
 def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: linestatus values to columns.  Explicit value list keeps the
-    plan a single-pass aggregation (no distinct-values pre-query)."""
+    plan a single-pass aggregation (no distinct-values pre-query).
+
+    Shadow tier since round 3: its single-pass conditional-sum shape is
+    driver-covered by grouping_sets_revenue; the freed primary slot
+    verifies the streaming near-dup ingest family."""
     li = load_table(spark, "lineitem", sf_dir)
     out = (
         li.groupBy("l_returnflag")

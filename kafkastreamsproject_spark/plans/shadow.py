@@ -1,0 +1,361 @@
+"""Shadow-tier queries: the capability surface beyond the driver cap.
+
+Round 2 fit the registry to the driver's 50-query correctness cap by
+DELETING eight working oracle-checked queries — a coverage regression
+(round-2 advice).  This module restores them under ``tier="shadow"``:
+same builder + DuckDB-oracle contract as primary queries, verified by
+the LOCAL compare gate (tests/test_shadow_queries.py::test_shadow_query
+runs run_compare on every entry at sf0.001) instead of the external
+driver.  Plan shapes exercised here and nowhere in the primary tier:
+grouped HAVING (TPC-H Q18), decorrelated scalar subquery, anti/semi
+joins with residual conditions, ROLLUP/CUBE Expand, date arithmetic,
+LIKE-pushdown string surface, map-only MinHash signatures, and the
+per-language corpus profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.functions import hashing as H
+from kafkastreamsproject_spark.functions import text as TX
+from kafkastreamsproject_spark.plans.dedup import (
+    _SQL_CORPUS2,
+    _SQL_HASHES,
+    _SQL_MIN_TOKS,
+    _shingled_corpus2,
+)
+from kafkastreamsproject_spark.plans.registry import register
+from kafkastreamsproject_spark.plans.text import _SQL_TOKENS
+from kafkastreamsproject_spark.sources.testdata import load_table
+
+
+@register(
+    "orders_without_lineitems",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, o.o_orderstatus AS orderstatus,
+           o.o_totalprice AS totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+    )
+    """,
+    tags=("relational", "join"),
+    tier="shadow",
+)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS).  Spark plans a broadcast/shuffle anti-hash
+    join on the single key column — lineitem is pruned to l_orderkey
+    before the build side, so the probe carries minimal bytes.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("orderstatus"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+@register(
+    "priority_order_exists",
+    oracle="""
+    SELECT o.o_orderpriority AS orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("relational", "join"),
+    tier="shadow",
+)
+def priority_order_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join with a non-equi
+    residual condition, then a tiny aggregation."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "agg"),
+    tier="shadow",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag×status → grand total).
+    Spark's Expand operator emits the grouping sets in one pass over the
+    scan — no re-reads, shuffle bounded by Σ|grouping-set cardinalities|.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "agg"),
+    tier="shadow",
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (flag, status): all 2^2 grouping sets in one Expand
+    pass — the full-lattice companion to rollup_revenue."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "large_orders",
+    oracle="""
+    SELECT c.c_name AS cust_name, o.o_orderkey AS orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           o.o_totalprice AS totalprice,
+           ROUND(SUM(l.l_quantity), 4) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING ROUND(SUM(l.l_quantity), 4) > 150
+    """,
+    tags=("relational", "bench"),
+    tier="shadow",
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via grouped HAVING.  The
+    heavy groupBy runs on (orderkey) keys already co-partitioned with
+    the join shuffle; customer is broadcast at the end so only the few
+    surviving orders pay the dimension lookup."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_name").alias("cust_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").cast("string").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+@register(
+    "above_segment_average",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS total_spend_dec
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    seg AS (
+      SELECT c_mktsegment,
+             CAST(SUM(total_spend_dec) AS DOUBLE) / COUNT(*) AS seg_avg
+      FROM spend GROUP BY c_mktsegment
+    )
+    SELECT s.c_custkey AS custkey, s.c_mktsegment AS segment,
+           ROUND(CAST(s.total_spend_dec AS DOUBLE), 4) AS total_spend,
+           ROUND(g.seg_avg, 4) AS seg_avg
+    FROM spend s JOIN seg g ON s.c_mktsegment = g.c_mktsegment
+    WHERE CAST(s.total_spend_dec AS DOUBLE) > 1.5 * g.seg_avg
+    """,
+    tags=("relational",),
+    tier="shadow",
+)
+def above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated scalar subquery: customers spending >1.5× their
+    segment's average.  Expressed as agg → re-agg → broadcast join-back
+    (the segment averages are |segments| rows), the shape Catalyst
+    produces when decorrelating the subquery."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    # DECIMAL accumulation end-to-end: exact sums make the >1.5x-average
+    # filter and the 4-dp roundings order-independent and engine-stable.
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias(
+                "total_spend_dec"
+            )
+        )
+    )
+    seg = spend.groupBy("c_mktsegment").agg(
+        (F.sum("total_spend_dec").cast("double") / F.count(F.lit(1))).alias("seg_avg")
+    )
+    return (
+        spend.join(F.broadcast(seg), "c_mktsegment")
+        .filter(F.col("total_spend_dec").cast("double") > 1.5 * F.col("seg_avg"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("total_spend_dec").cast("double"), 4).alias("total_spend"),
+            F.round("seg_avg", 4).alias("seg_avg"),
+        )
+    )
+
+
+@register(
+    "ship_lag_by_priority",
+    oracle="""
+    SELECT
+      o.o_orderpriority AS orderpriority,
+      ROUND(CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE)
+            / COUNT(*), 6) AS avg_lag_days,
+      CAST(MAX(datediff('day', o.o_orderdate, l.l_shipdate)) AS INT) AS max_lag_days
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("relational", "datetime"),
+    tier="shadow",
+)
+def ship_lag_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: order→ship lag in days per priority class.
+    Integer day-diffs sum exactly, so the mean is order-independent."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(
+            F.round(F.sum(lag).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_lag_days"
+            ),
+            F.max(lag).alias("max_lag_days"),
+        )
+    )
+
+
+@register(
+    "part_name_pattern",
+    oracle="""
+    SELECT p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           MIN(p_retailprice) AS min_price,
+           MIN(upper(substr(p_name, 1, 12))) AS first_name_prefix
+    FROM part
+    WHERE p_name LIKE '%a%' AND p_type NOT LIKE '%ECONOMY%'
+    GROUP BY p_brand
+    """,
+    tags=("relational", "string"),
+    tier="shadow",
+)
+def part_name_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: LIKE / NOT LIKE filters (pushed to the scan as
+    string-contains), substr/upper scalar functions, min-selection
+    aggregates (selections, not sums — inherently FP-stable)."""
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.filter(F.col("p_name").like("%a%") & ~F.col("p_type").like("%ECONOMY%"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.min(F.upper(F.substring("p_name", 1, 12))).alias("first_name_prefix"),
+        )
+    )
+
+
+@register(
+    "lang_profile",
+    oracle=f"""
+    SELECT
+      lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      ROUND(AVG(n_chars), 6) AS avg_chars,
+      ROUND(AVG(len({_SQL_TOKENS})), 6) AS avg_tokens,
+      CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text",),
+    tier="shadow",
+)
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language label — the summary a curation
+    pipeline reads before choosing per-language sampling rates."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(TX.tokens(F.col("text")))), 6).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH corpus2 AS ({_SQL_CORPUS2}),
+    sigs AS (
+      SELECT doc_id, {_SQL_HASHES} AS hs FROM corpus2 WHERE {_SQL_MIN_TOKS}
+    )
+    SELECT doc_id,
+      {", ".join(f"{H.sql_minhash('hs', k)} AS mh{k}" for k in range(H.N_PERMS))}
+    FROM sigs
+    """,
+    tags=("dedup", "minhash"),
+    tier="shadow",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 permutations over portable 32-bit shingle
+    hashes) — map-only; signatures are ~40 bytes per doc regardless of
+    document size, which is what makes 100 TB near-dup feasible."""
+    shingled = _shingled_corpus2(spark, sf_dir)
+    return shingled.select("doc_id", *H.minhash_signature(F.col("hs")))

@@ -24,9 +24,18 @@ be bucketed by band hash so step 2's join is shuffle-free on the store
 side.
 
 Restart safety follows `to_rollup_store_sink`'s epoch-marker idiom:
-replayed epochs are skipped, and the residue window between store
-append and marker write is the documented at-least-once seam that a
-transactional table format would close.
+replayed epochs are skipped via marker files.  The two appends
+(signatures, then matches) are individually non-atomic, so the crash
+windows are: (a) after signatures, before matches — replay re-derives
+the batch; the store append is idempotent (anti-join vs existing store
+ids) and the verdict log is at-least-once (duplicate match rows
+possible, documented); (b) after matches, before the marker — same
+replay, same guarantees.  Signatures are written FIRST because store
+consistency outranks the verdict log: a lost verdict row is
+re-derivable, lost accepted signatures would admit a later twin as
+canonical.  A transactional table format would close both windows.
+All store probes go through the Hadoop FileSystem API
+(operators/fs.py) so a remote store URI is never mistaken for absent.
 
 Batch-internal duplicates: within one micro-batch the same banded join
 runs batch×batch (id-ordered) so two copies arriving together yield
@@ -35,14 +44,17 @@ one canonical survivor, same as the batch query.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from kafkastreamsproject_spark.functions import hashing as H
 from kafkastreamsproject_spark.functions import text as TX
+from kafkastreamsproject_spark.operators.fs import (
+    hadoop_exists,
+    hadoop_has_files,
+    hadoop_touch,
+)
 
 SHINGLE_W = 5
 N_BANDS = 4  # 8 perms → 4 bands of 2 rows
@@ -108,6 +120,14 @@ def _confirmed_pairs(
     )
     if within_batch:
         cond = cond & (F.col("matched_doc_id") < F.col("new_doc_id"))
+    else:
+        # Store probe: a doc id never collides with a store id in normal
+        # operation, but a crash-replayed epoch (signatures already
+        # appended, marker unwritten) re-presents its own docs; the
+        # self-pair must not surface as a duplicate verdict.  Store
+        # idempotency under that replay is handled separately in
+        # ingest_batch (anti-join vs existing store ids).
+        cond = cond & (F.col("matched_doc_id") != F.col("new_doc_id"))
     cands = nb.join(ab, cond).select("new_doc_id", "matched_doc_id").distinct()
     sa = new_sigs.select(F.col("doc_id").alias("new_doc_id"), F.col("hset").alias("h_a"))
     sb = against_sigs.select(
@@ -124,9 +144,12 @@ def _confirmed_pairs(
     )
 
 
-def _read_store(spark: SparkSession, sig_path: Path) -> DataFrame:
-    if sig_path.exists() and any(sig_path.glob("*.parquet")):
-        return spark.read.schema(_SIG_SCHEMA).parquet(str(sig_path))
+def _read_store(spark: SparkSession, sig_path: str) -> DataFrame:
+    # Hadoop FS probe, not os.path: the store may be a remote URI, and a
+    # driver-local check would silently treat it as absent (first batch
+    # overwrites-from-empty instead of merging).
+    if hadoop_has_files(spark, sig_path):
+        return spark.read.schema(_SIG_SCHEMA).parquet(sig_path)
     return spark.createDataFrame([], _SIG_SCHEMA)
 
 
@@ -142,8 +165,7 @@ def ingest_batch(
     ``<store>/matches``.
     """
     spark = batch.sparkSession
-    root = Path(store_path)
-    sig_path = root / "signatures"
+    sig_path = f"{store_path}/signatures"
 
     sigs = doc_signatures(batch)
     sigs.persist()
@@ -158,11 +180,24 @@ def ingest_batch(
     # itself) and the appends below never read what they write.
     matches = vs_store.unionByName(vs_batch).localCheckpoint(eager=True)
     dup_ids = matches.select(F.col("new_doc_id").alias("doc_id")).distinct()
-    accepted = sigs.join(dup_ids, "doc_id", "left_anti").localCheckpoint(eager=True)
+    # Second anti-join (vs store ids, column-pruned to 8 B/row): a
+    # crash-replayed epoch whose signatures already landed re-admits the
+    # same docs, and without this guard would append them twice.  With
+    # it, the store append is idempotent under replay.
+    accepted = (
+        sigs.join(dup_ids, "doc_id", "left_anti")
+        .join(store.select("doc_id"), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     sigs.unpersist()
 
-    matches.write.mode("append").parquet(str(root / "matches"))
-    accepted.write.mode("append").parquet(str(sig_path))
+    # Signatures append FIRST: the two appends are not atomic, and a
+    # crash between them must leave the STORE consistent (a replayed
+    # epoch then re-derives the same verdicts) — losing a verdict log
+    # row is recoverable, losing accepted signatures is corpus
+    # corruption (a later twin would be admitted as canonical).
+    accepted.write.mode("append").parquet(sig_path)
+    matches.write.mode("append").parquet(f"{store_path}/matches")
     return matches, accepted
 
 
@@ -171,15 +206,15 @@ def to_neardup_ingest_sink(
 ) -> StreamingQuery:
     """Streaming dedup-at-ingest: fold each micro-batch of documents
     (doc_id, text, ...) through :func:`ingest_batch`."""
-    markers = Path(store_path) / "_applied_epochs"
+    markers = f"{store_path}/_applied_epochs"
 
     def _fold(batch: DataFrame, epoch_id: int) -> None:
-        marker = markers / f"{epoch_id}.done"
-        if marker.exists():
+        marker = f"{markers}/{epoch_id}.done"
+        spark = batch.sparkSession
+        if hadoop_exists(spark, marker):
             return  # replayed epoch: already folded into the store
         ingest_batch(batch, store_path)
-        markers.mkdir(parents=True, exist_ok=True)
-        marker.touch()
+        hadoop_touch(spark, marker)
 
     return (
         docs.writeStream.foreachBatch(_fold)

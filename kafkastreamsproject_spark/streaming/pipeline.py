@@ -25,7 +25,6 @@ with exactly-once epochs.
 
 from __future__ import annotations
 
-from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -187,11 +186,14 @@ def to_rollup_store_sink(
         merge_daily_rollup,
     )
 
-    markers = Path(store_path) / "_applied_epochs"
+    from kafkastreamsproject_spark.operators.fs import hadoop_exists, hadoop_touch
+
+    markers = f"{store_path}/_applied_epochs"
 
     def _fold(batch: DataFrame, epoch_id: int) -> None:
-        marker = markers / f"{epoch_id}.done"
-        if marker.exists():
+        # Hadoop FS markers (not pathlib): the store may be a remote URI.
+        marker = f"{markers}/{epoch_id}.done"
+        if hadoop_exists(batch.sparkSession, marker):
             return  # replayed epoch: already folded into the store
         enriched = enrich_trips(batch, stations, on_miss="drop")
         merge_daily_rollup(
@@ -205,8 +207,7 @@ def to_rollup_store_sink(
             type_col="tripType",
             started_types=(1,),
         )
-        markers.mkdir(parents=True, exist_ok=True)
-        marker.touch()
+        hadoop_touch(batch.sparkSession, marker)
 
     return (
         trips.writeStream.foreachBatch(_fold)

@@ -302,6 +302,47 @@ def test_connected_components_long_chain_and_cliques(spark):
     assert got == want
 
 
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    """An exhausted iteration budget means WRONG labels (a long chain
+    still carries several per component) — the round-2 advice case.  It
+    must raise, not silently return corrupt clusters; and with cache
+    handles cleaned up on the error path."""
+    import pytest
+
+    from kafkastreamsproject_spark.functions.clustering import connected_components
+    from kafkastreamsproject_spark.operators.cache import cache_scope
+
+    chain = [(i, i + 1) for i in range(100, 119)]  # diameter 19 > budget 3
+    edges = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with cache_scope():
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iterations=3).collect()
+
+
+def test_cache_scope_releases_only_inner_handles(spark):
+    """cache_scope unpersists exactly what was persisted inside the
+    block, leaving pre-existing live handles alone — the deterministic
+    release path for non-registry callers (round-2 advice)."""
+    from kafkastreamsproject_spark.operators.cache import (
+        _LIVE,
+        cache_scope,
+        release_persisted,
+        scoped_persist,
+    )
+
+    release_persisted()
+    outer = scoped_persist(spark.range(10))
+    outer.count()
+    with cache_scope():
+        inner = scoped_persist(spark.range(20))
+        inner.count()
+        assert inner.is_cached and outer.is_cached
+    assert not inner.is_cached, "inner handle must be released on scope exit"
+    assert outer.is_cached, "pre-existing handle must survive the scope"
+    assert _LIVE == [outer]
+    release_persisted()
+
+
 def test_blocked_self_pairs_equals_naive_join(spark):
     """Triangle-blocked pair generation is row-identical to the naive
     within-bucket self-join for every block count, on deliberately

@@ -1,0 +1,32 @@
+"""Shadow-tier correctness gate: every query beyond the driver's
+50-query cap is oracle-checked HERE, by the same compare the driver
+runs (row count + schema + order-insensitive canonical values), so
+fitting the cap never again deletes verified capability surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafkastreamsproject_spark.plans.registry import (
+    DRIVER_QUERY_CAP,
+    all_queries,
+    shadow_queries,
+)
+from kafkastreamsproject_spark.testing.compare import run_compare
+
+_SHADOW = shadow_queries()
+
+
+def test_shadow_tier_is_populated_and_disjoint():
+    primary = all_queries()
+    assert len(primary) <= DRIVER_QUERY_CAP
+    assert _SHADOW, "shadow tier should hold the beyond-cap surface"
+    assert not set(primary) & set(_SHADOW)
+    # shadow entries are full contract: every one carries an oracle
+    for name, spec in _SHADOW.items():
+        assert spec.oracle is not None, f"{name} registered shadow without oracle"
+
+
+@pytest.mark.parametrize("name", sorted(_SHADOW))
+def test_shadow_query(spark, sf_dir, name):
+    run_compare(spark, _SHADOW[name], sf_dir)
