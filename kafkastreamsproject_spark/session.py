@@ -20,6 +20,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: Connector coordinates matched to the installed PySpark (4.x, Scala
+#: 2.13).  Opt-in via SPARK_GRAFT_KAFKA=1 because resolving it needs
+#: Maven Central network access, which this sandbox does not have
+#: (probed round 2; documented in COVERAGE.md) — the moment the
+#: environment gains network, the Kafka integration tests run
+#: unmodified under `SPARK_GRAFT_KAFKA=1 pytest tests/`.
+def _kafka_packages() -> str:
+    import pyspark
+
+    scala = "2.13"
+    return f"org.apache.spark:spark-sql-kafka-0-10_{scala}:{pyspark.__version__}"
+
+
 def get_spark(
     app_name: str = "kafkastreamsproject_spark",
     master: str | None = None,
@@ -45,6 +58,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if os.environ.get("SPARK_GRAFT_KAFKA") == "1":
+        # Takes effect only on JVM launch — set before the first
+        # getOrCreate of the process, not on a live session.
+        builder = builder.config("spark.jars.packages", _kafka_packages())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -256,20 +256,57 @@ def test_late_event_dropped_by_watermark(spark, stations, tmp_path):
 
 
 def test_kafka_gate_reports_unavailable(spark):
-    """The Kafka connector jar is not in this environment: the gate must
-    say so, and the source builder must fail with the standard Spark
-    missing-data-source error rather than something cryptic."""
+    """Without the connector jar, the gate must say so and the source
+    builder must fail with the standard Spark missing-data-source error
+    rather than something cryptic.  (Skipped when the jar IS present —
+    then test_kafka_connector_loads_when_vendored takes over.)"""
     from kafkastreamsproject_spark.streaming.sources import (
         kafka_available,
         kafka_trip_stream,
     )
 
-    assert kafka_available(spark) is False
     import pytest as _pytest
 
+    if kafka_available(spark):
+        _pytest.skip("connector jar present; gate correctly reports available")
     with _pytest.raises(Exception) as ei:
         kafka_trip_stream(spark)
     assert "kafka" in str(ei.value).lower()
+
+
+def test_kafka_connector_loads_when_vendored(spark):
+    """Integration seam for the vendored-connector path: under
+    ``SPARK_GRAFT_KAFKA=1`` the session factory adds the
+    spark-sql-kafka coordinates to ``spark.jars.packages``
+    (session.py:_kafka_packages) and this test runs unmodified —
+    building the Kafka source plan must then succeed (no broker needed;
+    plan construction only validates the data source).  Skips cleanly
+    while the sandbox has no Maven access."""
+    import os
+
+    from kafkastreamsproject_spark.session import _kafka_packages
+    from kafkastreamsproject_spark.streaming.sources import (
+        kafka_available,
+        kafka_trip_stream,
+    )
+
+    # The coordinates must track the installed PySpark so the vendoring
+    # attempt can never pull a mismatched connector.
+    import pyspark
+
+    assert _kafka_packages().endswith(f":{pyspark.__version__}")
+    assert "spark-sql-kafka-0-10_2.13" in _kafka_packages()
+
+    if not kafka_available(spark):
+        pytest.skip(
+            "Kafka connector jar not on classpath (no Maven network in "
+            "this sandbox); run with SPARK_GRAFT_KAFKA=1 where network "
+            "exists"
+        )
+    # Jar present: the full source plan must build.
+    df = kafka_trip_stream(spark)
+    assert df.schema.fieldNames()  # typed Trip columns came through
+    assert os.environ.get("SPARK_GRAFT_KAFKA") != "", "env flag observable"
 
 
 def test_session_stream_seals_sessions(spark, stations, tmp_path):
