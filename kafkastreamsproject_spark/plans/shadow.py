@@ -340,6 +340,254 @@ def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(CAST(SUM(volume) AS DOUBLE), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("relational", "join"),
+    tier="shadow",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the SAME dimension joined twice under different
+    roles (nation as supplier-side and customer-side), an OR'd
+    cross-pair filter, and year bucketing.  Both nation aliases
+    broadcast; the fact side never shuffles for the dimensions."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(volume).cast("double"), 4).alias("revenue"))
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("relational", "join", "agg"),
+    tier="shadow",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join preserved through a double
+    aggregation — per-customer order counts, then the histogram of those
+    counts (zero-order customers MUST survive as c_count = 0, which is
+    what distinguishes the outer join from an inner one)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS total_bal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("relational", "join", "subquery"),
+    tier="shadow",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-scalar-subquery threshold (above-average
+    account balance, computed from an exact DECIMAL sum so the boundary
+    cannot flip between engines) + anti join (customers with no orders)
+    + final rollup.  The scalar is a one-row broadcast; the anti join
+    prunes orders to the key column."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey")
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "ntile_value_bands",
+    oracle="""
+    SELECT event_type, band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS sum_value
+    FROM (
+      SELECT event_type, value,
+             NTILE(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS band
+      FROM events
+    )
+    GROUP BY event_type, band
+    """,
+    tags=("relational", "window"),
+    tier="shadow",
+)
+def ntile_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE window: equal-frequency quartile banding of event values
+    per type (the bucketing step of a quantile-feature pipeline), with
+    an explicit (value, event_id) tie-break so band assignment is
+    deterministic on both engines."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(4).over(w).alias("band"))
+        .groupBy("event_type", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "moving_avg_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+           ROUND(
+             CAST(SUM(rev) OVER w AS DOUBLE)
+               / COUNT(*) OVER w, 4) AS ma7_revenue
+    FROM daily
+    WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', d)
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("relational", "window", "datetime"),
+    tier="shadow",
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed moving window: 7-day moving average of daily order
+    revenue.  RANGE (not ROWS) over epoch-day numbers so calendar GAPS
+    shrink the window — the correct time-series semantics; the average
+    is derived from an exact DECIMAL running sum / count so both
+    engines agree to the last bit."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = (
+        W.orderBy(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.sum("rev").over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+        ).alias("ma7_revenue"),
+    )
+
+
+@register(
+    "building_big_spenders_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+    tags=("relational", "setop"),
+    tier="shadow",
+)
+def building_big_spenders_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT — the semi-join twin of the registered EXCEPT
+    query (building_customers_minus_big_spenders); both inputs pruned to
+    the key column before the set op."""
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    big = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cust.intersect(big)
+
+
+@register(
     "minhash_signatures",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
