@@ -240,9 +240,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("hset").alias("h_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("hset").alias("h_b"))
-    jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(
-        F.array_union("h_a", "h_b")
-    ).cast("double")
+    # hset is distinct, so |A∪B| = |A|+|B|−|A∩B| — one array_intersect
+    # per pair instead of intersect + a materialized union array.
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    jac = inter / (F.size("h_a") + F.size("h_b") - inter).cast("double")
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
@@ -399,9 +400,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("hset").alias("h_a"))
     sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("hset").alias("h_b2"))
-    jac = F.size(F.array_intersect("h_a", "h_b2")) / F.size(
-        F.array_union("h_a", "h_b2")
-    ).cast("double")
+    # distinct sets: |A∪B| = |A|+|B|−|A∩B|, no union array materialized
+    inter = F.size(F.array_intersect("h_a", "h_b2"))
+    jac = inter / (F.size("h_a") + F.size("h_b2") - inter).cast("double")
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")

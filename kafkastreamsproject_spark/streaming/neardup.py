@@ -133,9 +133,10 @@ def _confirmed_pairs(
     sb = against_sigs.select(
         F.col("doc_id").alias("matched_doc_id"), F.col("hset").alias("h_b")
     )
-    jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(
-        F.array_union("h_a", "h_b")
-    ).cast("double")
+    # hset is distinct, so |A∪B| = |A|+|B|−|A∩B| — same identity as the
+    # batch family; no union array is materialized per candidate pair.
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    jac = inter / (F.size("h_a") + F.size("h_b") - inter).cast("double")
     return (
         cands.join(sa, "new_doc_id")
         .join(sb, "matched_doc_id")
