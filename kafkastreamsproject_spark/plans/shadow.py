@@ -588,6 +588,85 @@ def building_big_spenders_intersect(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "contamination_check",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset
+      FROM documents WHERE {_SQL_MIN_TOKS}
+    ),
+    train_hashes AS (
+      SELECT DISTINCT unnest(hset) AS h FROM shingled WHERE doc_id % 10 != 0
+    ),
+    test_exploded AS (
+      SELECT doc_id, unnest(hset) AS h FROM shingled WHERE doc_id % 10 = 0
+    ),
+    hits AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM test_exploded t
+      WHERE t.h IN (SELECT h FROM train_hashes)
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.hset) AS BIGINT) AS n_shingles,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0) / CAST(len(s.hset) AS DOUBLE), 6)
+             AS containment
+    FROM shingled s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    WHERE s.doc_id % 10 = 0
+    """,
+    tags=("text", "dedup"),
+    tier="shadow",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination (decontamination's measurement step):
+    per held-out document, the fraction of its distinct shingle hashes
+    present anywhere in the training split — the n-gram containment
+    score used to drop evaluation leakage from a training corpus.
+
+    Spark-first shape: the train side collapses to DISTINCT 8-byte
+    shingle hashes (never documents), the test side explodes to
+    (doc_id, hash) rows, and containment is a semi-join hit-count over
+    the hash equi-join — work scales with |test shingles| + |train
+    vocabulary|, not |train docs| × |test docs|.  At 100 TB the train
+    hash set is further shardable by hash range with the semi-join
+    running per shard."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sh = TX.shingles(F.col("text"), 5)
+    shingled = (
+        docs.filter(F.size(TX.tokens(F.col("text"))) >= 5)
+        .select("doc_id", F.array_distinct(H.hash_list(sh)).alias("hset"))
+    )
+    from kafkastreamsproject_spark.operators.cache import scoped_persist
+
+    shingled = scoped_persist(shingled)
+    train_hashes = (
+        shingled.filter(F.col("doc_id") % 10 != 0)
+        .select(F.explode("hset").alias("h"))
+        .distinct()
+    )
+    test = shingled.filter(F.col("doc_id") % 10 == 0)
+    hits = (
+        test.select("doc_id", F.explode("hset").alias("h"))
+        .join(train_hashes, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        test.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("hset").cast("long").alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0))
+                / F.size("hset").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+@register(
     "minhash_signatures",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
