@@ -667,6 +667,56 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_audit",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                                     v -> abs(CAST(v AS DOUBLE)))) AS absmax,
+             len(embedding) AS dim
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           ROUND(absmax / 127.0, 6) AS scale,
+           CASE WHEN absmax = 0 THEN 0.0 ELSE
+             ROUND(sqrt(list_sum(list_transform(embedding, v ->
+               pow(CAST(v AS DOUBLE)
+                   - round(CAST(v AS DOUBLE) / (absmax / 127.0))
+                     * (absmax / 127.0), 2)))
+               / dim), 6)
+           END AS q_rmse
+    FROM base
+    """,
+    tags=("similarity",),
+    tier="shadow",
+)
+def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit: per vector, the symmetric scale
+    (max|x|/127) and the reconstruction RMSE of round(x/scale)·scale —
+    the storage decision an ANN system makes before committing a corpus
+    to int8 (4× smaller, 4× the scan throughput).  Pure higher-order
+    column math; the quantized corpus itself would be materialized with
+    the same transform.  All arithmetic is double on both engines, in
+    array index order, so the oracle is bit-stable."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    absmax = F.array_max(F.transform(x, F.abs))
+    scale = absmax / F.lit(127.0)
+    err_sum = F.aggregate(
+        x,
+        F.lit(0.0),
+        lambda acc, v: acc + F.pow(v - F.round(v / scale) * scale, F.lit(2)),
+    )
+    rmse = F.sqrt(err_sum / F.size("embedding"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(scale, 6).alias("scale"),
+        F.when(absmax == 0, F.lit(0.0)).otherwise(F.round(rmse, 6)).alias("q_rmse"),
+    )
+
+
+@register(
     "minhash_signatures",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
