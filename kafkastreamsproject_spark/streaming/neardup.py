@@ -202,6 +202,102 @@ def ingest_batch(
     return matches, accepted
 
 
+def compact_store(
+    spark: SparkSession,
+    store_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact the signature store's append log into few large files.
+
+    Every epoch appends one parquet file per shuffle partition, so a
+    long-running ingest accumulates thousands of tiny files and the
+    per-batch store scan becomes metadata-bound (the classic streaming
+    small-files failure).  This maintenance op rewrites the store at
+    ~``target_file_bytes`` per file and swaps it in via two Hadoop FS
+    renames.  Returns the number of files after compaction.
+
+    Contract: single-writer — run between epochs (the ingest loop is a
+    sequential foreachBatch, so any pause point is safe); the rename
+    swap is atomic on HDFS/local FS, and on rename-less object stores
+    the same sequence degrades to copy+delete with a visible-but-
+    consistent intermediate (both generations hold identical rows).
+    """
+    import math
+
+    sig_path = f"{store_path}/signatures"
+    if not hadoop_has_files(spark, sig_path):
+        return 0
+    store = spark.read.schema(_SIG_SCHEMA).parquet(sig_path)
+    fs, src = _fs_and_path(spark, sig_path)
+    total_bytes = fs.getContentSummary(src).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    tmp = f"{store_path}/signatures_compacting"
+    store.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = f"{store_path}/signatures_old"
+    _, old_p = _fs_and_path(spark, old)
+    if fs.exists(old_p):
+        fs.delete(old_p, True)
+    _, tmp_p = _fs_and_path(spark, tmp)
+    fs.rename(src, old_p)
+    fs.rename(tmp_p, src)
+    fs.delete(old_p, True)
+    return n_files
+
+
+def materialize_banded_store(
+    spark: SparkSession,
+    store_path: str,
+    table_name: str,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the store's LSH bands as a BUCKETED table — the
+    at-scale probe shape: bucketed on the candidate join key
+    (band_id, h1, h2), so :func:`probe_banded_store`'s equi-join reads
+    co-located buckets and plans ZERO Exchange on the store side; only
+    the (small) incoming batch shuffles.  Refresh cadence matches
+    compaction: bands derive from the signature log, so rebuild after
+    every compact (or every K epochs)."""
+    store = _read_store(spark, f"{store_path}/signatures")
+    (
+        _bands(store)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band_id", "h1", "h2")
+        .sortBy("band_id", "h1", "h2")
+        .saveAsTable(table_name)
+    )
+
+
+def probe_banded_store(
+    batch_sigs: DataFrame, spark: SparkSession, table_name: str
+) -> DataFrame:
+    """Candidate (new_doc_id, matched_doc_id) pairs from the bucketed
+    band table: store side scans its buckets in place, batch side
+    shuffles to match — the |store|-proportional half of the probe never
+    moves at 100 TB."""
+    store_bands = spark.table(table_name).select(
+        F.col("doc_id").alias("matched_doc_id"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("h1").alias("h1_b"),
+        F.col("h2").alias("h2_b"),
+    )
+    nb = _bands(batch_sigs).select(
+        F.col("doc_id").alias("new_doc_id"), "band_id", "h1", "h2"
+    )
+    cond = (
+        (F.col("band_id") == F.col("band_id_b"))
+        & (F.col("h1") == F.col("h1_b"))
+        & (F.col("h2") == F.col("h2_b"))
+        & (F.col("matched_doc_id") != F.col("new_doc_id"))
+    )
+    return nb.join(store_bands, cond).select("new_doc_id", "matched_doc_id").distinct()
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path as fp
+
+    return fp(spark, path)
+
+
 def to_neardup_ingest_sink(
     docs: DataFrame, store_path: str, checkpoint: str
 ) -> StreamingQuery:

@@ -81,6 +81,109 @@ def test_neardup_ingest_sink_is_restart_safe(spark, tmp_path):
     assert spark.read.parquet(f"{store}/matches").count() == 1
 
 
+def test_compact_store_preserves_rows_and_verdicts(spark, tmp_path):
+    """Compaction rewrites the append log into few large files without
+    changing a single stored row, and the next ingest sees identical
+    state."""
+    import glob
+
+    from kafkastreamsproject_spark.streaming.neardup import compact_store
+
+    store = str(tmp_path / "compact_store")
+    ingest_batch(_docs(spark, [(1, _A), (2, _B)]), store)
+    ingest_batch(_docs(spark, [(4, _D)]), store)
+    ingest_batch(
+        _docs(spark, [(6, "yet more fresh vocabulary nothing matches here at all")]),
+        store,
+    )
+    sig_glob = f"{store}/signatures/*.parquet"
+    files_before = len(glob.glob(sig_glob))
+    assert files_before >= 3  # one-plus file per epoch: the append log
+    before = {
+        (r.doc_id, tuple(r.mhs))
+        for r in spark.read.parquet(f"{store}/signatures").collect()
+    }
+
+    n_files = compact_store(spark, store)
+    assert n_files == 1  # tiny store → single file
+    assert len(glob.glob(sig_glob)) < files_before
+    after = {
+        (r.doc_id, tuple(r.mhs))
+        for r in spark.read.parquet(f"{store}/signatures").collect()
+    }
+    assert after == before
+
+    # post-compaction ingest still deduplicates against the same state
+    m, a = ingest_batch(_docs(spark, [(7, _C)]), store)
+    assert {(r.new_doc_id, r.matched_doc_id) for r in m.collect()} == {(7, 1)}
+    assert a.count() == 0
+
+
+def test_banded_store_probe_matches_and_avoids_store_shuffle(spark, tmp_path):
+    """The bucketed band table yields exactly the candidate pairs the
+    direct banded join produces, with zero Exchange above the store-side
+    scan — the 100 TB probe shape (only the incoming batch shuffles)."""
+    import contextlib
+    import io
+
+    from kafkastreamsproject_spark.streaming.neardup import (
+        _bands,
+        doc_signatures,
+        materialize_banded_store,
+        probe_banded_store,
+    )
+
+    store = str(tmp_path / "banded_store")
+    ingest_batch(_docs(spark, [(1, _A), (2, _B), (4, _D)]), store)
+    materialize_banded_store(spark, store, "banded_store_test", n_buckets=4)
+
+    batch = doc_signatures(_docs(spark, [(7, _C), (8, _E)]))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cands = probe_banded_store(batch, spark, "banded_store_test")
+        # capture the plan BEFORE executing: after an action AQE's
+        # explain prints initial + final plans and double-counts nodes
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cands.explain("formatted")
+        plan = buf.getvalue()
+        got = {(r.new_doc_id, r.matched_doc_id) for r in cands.collect()}
+        # direct (unbucketed) banded join over the same state
+        store_bands = _bands(
+            spark.read.parquet(f"{store}/signatures")
+        ).selectExpr(
+            "doc_id AS matched_doc_id", "band_id AS band_id_b",
+            "h1 AS h1_b", "h2 AS h2_b",
+        )
+        nb = _bands(batch).selectExpr(
+            "doc_id AS new_doc_id", "band_id", "h1", "h2"
+        )
+        from pyspark.sql import functions as FF
+
+        want_df = nb.join(
+            store_bands,
+            (FF.col("band_id") == FF.col("band_id_b"))
+            & (FF.col("h1") == FF.col("h1_b"))
+            & (FF.col("h2") == FF.col("h2_b")),
+        ).select("new_doc_id", "matched_doc_id").distinct()
+        want = {(r.new_doc_id, r.matched_doc_id) for r in want_df.collect()}
+        assert got == want and (7, 1) in got
+
+        # store side: bucketed scan, no Exchange feeding it.  The only
+        # hashpartitioning Exchanges allowed are on the BATCH side and
+        # the final distinct — the store's FileScan must carry the
+        # bucket spec instead.
+        assert "Bucketed: true" in plan, plan
+        import re
+
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges <= 2, f"store side gained a shuffle:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS banded_store_test")
+
+
 def test_streaming_verdicts_agree_with_batch_family(spark, sf_dir, tmp_path):
     """Feeding the documents table through ingest in one batch yields
     the same (pair, jaccard) set as the batch minhash_lsh_pairs query —
