@@ -717,6 +717,62 @@ def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_resample",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_s) AS DOUBLE) AS n_total,
+             CAST(COUNT(*) AS DOUBLE) AS n_sources
+      FROM counts
+    ),
+    rates AS (
+      SELECT c.source,
+             LEAST(1.0, (t.n_total / t.n_sources) / c.n_s) AS rate
+      FROM counts c, tot t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 1000000
+          < CAST(floor(r.rate * 1000000) AS BIGINT)
+    """,
+    tags=("sampling",),
+    tier="shadow",
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: downsample over-represented sources
+    toward a UNIFORM per-source share (the data-mixing step before
+    training).  Per-source acceptance rate = min(1, target_share/actual
+    _share); acceptance is the portable id-hash Bernoulli, so the
+    resample is deterministic across engines, runs, and partitionings.
+    The rate table is |sources| rows — broadcast; one scan of the
+    corpus, no shuffle of document rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    rates = counts.join(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0), (F.col("n_total") / F.col("n_sources")) / F.col("n_s")
+        ).alias("rate"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(h % 1_000_000 < F.floor(F.col("rate") * 1_000_000).cast("long"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
     "minhash_signatures",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),

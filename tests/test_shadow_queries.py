@@ -30,3 +30,18 @@ def test_shadow_tier_is_populated_and_disjoint():
 @pytest.mark.parametrize("name", sorted(_SHADOW))
 def test_shadow_query(spark, sf_dir, name):
     run_compare(spark, _SHADOW[name], sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(_SHADOW))
+def test_shadow_query_plans_no_cartesian(spark, sf_dir, name):
+    """Shadow queries obey the same plan hygiene as primary ones: no
+    CartesianProduct anywhere (q22's one-row scalar broadcast plans as
+    BroadcastNestedLoopJoin with a bounded side — the sanctioned
+    shape)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _SHADOW[name].spark(spark, sf_dir).explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue(), name
