@@ -1,0 +1,152 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+Every stage is one of the engine's individually-verified operators;
+this module is the COMPOSITION a real corpus run executes, in the
+canonical order (cheap row-local filters before pairwise stages,
+pairwise dedup before packing so packs never waste budget on dropped
+docs):
+
+1. exact dedup         keep-first over md5(text)          (plans/dedup.py semantics)
+2. near-dup dedup      MinHash-LSH pairs → connected      (functions/hashing.py,
+                       components → keep cluster min       functions/clustering.py)
+3. quality filter      composite heuristic ≥ threshold    (functions/text.py)
+4. language filter     keep an allow-list of n-gram       (functions/text.py)
+                       lang-ID predictions
+5. decontamination     drop docs whose shingle containment (same semi-join as
+                       vs a held-out set exceeds a cap      plans/shadow.py)
+6. sequence packing    token-budget FFD shards            (operators/packing.py)
+
+Scale shape: stages 1–2 shuffle hashes/ids only (never text bodies),
+3–5 are scans with row-local predicates plus one hash semi-join, and 6
+shuffles ~16 B/doc metadata.  Nothing collects to the driver; the
+output is a DataFrame a writer partitions straight to parquet.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.functions import text as TX
+from kafkastreamsproject_spark.functions.clustering import connected_components
+from kafkastreamsproject_spark.operators.cache import cache_scope, scoped_persist
+from kafkastreamsproject_spark.operators.packing import pack_documents
+from kafkastreamsproject_spark.streaming.neardup import (
+    _confirmed_pairs,
+    doc_signatures,
+)
+
+
+@dataclass(frozen=True)
+class CurationStats:
+    """Per-stage survivor counts — the funnel a curation run reports."""
+
+    input: int
+    after_exact_dedup: int
+    after_neardup_dedup: int
+    after_quality: int
+    after_lang: int
+    after_decontamination: int
+    packs: int
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    quality_min: float = 0.5,
+    langs: tuple[str, ...] | None = None,
+    holdout: DataFrame | None = None,
+    containment_max: float = 0.5,
+    pack_budget: int = 2048,
+) -> tuple[DataFrame, CurationStats]:
+    """Run the full curation funnel over ``docs`` (doc_id, text, ...).
+
+    Returns ``(packed, stats)``: one row per surviving document with its
+    pack assignment (doc_id, n_tokens, shard_id, pack_id, pack_tokens,
+    overflow), and the per-stage funnel counts.
+
+    ``holdout`` (doc_id, text) enables stage 5: any doc whose distinct
+    shingle-hash containment against the holdout's hash universe exceeds
+    ``containment_max`` is dropped as contaminated.
+
+    The stage counts force one action per stage — acceptable for a
+    batch curation run (each stage's output feeds the next anyway); for
+    a pure single-pass plan, call with ``stats=False`` semantics by
+    composing the stages yourself.
+    """
+    n_input = docs.count()
+
+    # 1. exact dedup, keep-first (deterministic survivor)
+    w = W.partitionBy(TX.exact_fingerprint(F.col("text"))).orderBy("doc_id")
+    exact = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    with cache_scope():
+        exact = scoped_persist(exact)
+        n_exact = exact.count()
+
+        # 2. near-dup dedup: confirmed pairs → components → keep minimum
+        sigs = scoped_persist(doc_signatures(exact))
+        pairs = _confirmed_pairs(sigs, sigs, within_batch=True).select(
+            F.col("matched_doc_id").alias("id_a"),
+            F.col("new_doc_id").alias("id_b"),
+        )
+        clusters = connected_components(pairs)
+        losers = clusters.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        neardup = exact.join(losers, "doc_id", "left_anti")
+        neardup = scoped_persist(neardup)
+        n_neardup = neardup.count()
+
+        # 3–4. row-local filters (one scan each over the cached survivors)
+        quality = neardup.filter(TX.quality_score(F.col("text")) >= quality_min)
+        n_quality = quality.count()
+        if langs is not None:
+            quality = quality.filter(TX.lang_id(F.col("text")).isin(*langs))
+        n_lang = quality.count()
+
+        # 5. decontamination vs the holdout's shingle-hash universe
+        if holdout is not None:
+            hold_hashes = (
+                doc_signatures(holdout)
+                .select(F.explode("hset").alias("h"))
+                .distinct()
+            )
+            doc_hashes = doc_signatures(quality).select(
+                "doc_id", F.size("hset").alias("n_sh"), F.explode("hset").alias("h")
+            )
+            contained = (
+                doc_hashes.join(hold_hashes, "h", "left_semi")
+                .groupBy("doc_id", "n_sh")
+                .agg(F.count(F.lit(1)).alias("n_hit"))
+                .filter(F.col("n_hit") / F.col("n_sh") > containment_max)
+                .select("doc_id")
+            )
+            quality = quality.join(contained, "doc_id", "left_anti")
+        clean = scoped_persist(quality)
+        n_clean = clean.count()
+
+        # 6. token counts → budgeted packs (metadata-only shuffle)
+        with_tokens = clean.select(
+            "doc_id", TX.n_bpe_tokens(F.col("text")).alias("n_tokens")
+        )
+        packed = pack_documents(with_tokens, pack_budget)
+        # materialize before the scope closes: packed reads `clean`
+        packed = packed.localCheckpoint(eager=True)
+        n_packs = packed.select("shard_id", "pack_id").distinct().count()
+
+    return packed, CurationStats(
+        input=n_input,
+        after_exact_dedup=n_exact,
+        after_neardup_dedup=n_neardup,
+        after_quality=n_quality,
+        after_lang=n_lang,
+        after_decontamination=n_clean,
+        packs=n_packs,
+    )

@@ -1,0 +1,84 @@
+"""End-to-end curation funnel (pipelines/curation.py): each stage drops
+exactly the planted offenders, the survivors pack within budget, and no
+near-dup pair survives."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.pipelines.curation import curate_corpus
+
+# ≥5 tokens each (shingle width).  Vocabulary chosen so quality and
+# lang-ID behave predictably: 'the'/'a' are stopword/en markers.
+_GOOD_EN = "the quick brown fox jumps over a lazy dog near the river bank today"
+_GOOD_EN2 = "another perfectly reasonable document with the varied tokens a reader expects here"
+_NEAR_DUP = "the quick brown fox jumps over a lazy dog near the river bank tomorrow"
+_EXACT_DUP = _GOOD_EN
+_LOW_QUALITY = "spam spam spam spam spam spam spam spam spam spam spam spam"
+_FRENCH = "le merge le merge la table le merge la vitesse le merge encore la"
+_HELD_OUT = "completely unique holdout evaluation sentence nothing else repeats this exact phrasing anywhere"
+_CONTAMINATED = _HELD_OUT + " extra"
+
+
+def test_curation_funnel_drops_each_offender_class(spark):
+    rows = [
+        (1, _GOOD_EN),
+        (2, _GOOD_EN2),
+        (3, _EXACT_DUP),     # exact dup of 1 → stage 1
+        (4, _NEAR_DUP),      # near dup of 1 → stage 2
+        (5, _LOW_QUALITY),   # degenerate TTR → stage 3
+        (6, _FRENCH),        # lang filter → stage 4
+        (7, _CONTAMINATED),  # overlaps holdout → stage 5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    holdout = spark.createDataFrame([(100, _HELD_OUT)], "doc_id long, text string")
+
+    packed, stats = curate_corpus(
+        docs,
+        quality_min=0.5,
+        langs=("en",),
+        holdout=holdout,
+        containment_max=0.5,
+        pack_budget=64,
+    )
+    survivors = sorted(r.doc_id for r in packed.select("doc_id").collect())
+    assert survivors == [1, 2], (survivors, stats)
+
+    assert stats.input == 7
+    assert stats.after_exact_dedup == 6        # dropped 3
+    assert stats.after_neardup_dedup == 5      # dropped 4
+    assert stats.after_quality == 4            # dropped 5
+    assert stats.after_lang == 3               # dropped 6
+    assert stats.after_decontamination == 2    # dropped 7
+    assert stats.packs >= 1
+
+    # packing invariant: within budget unless flagged overflow
+    bad = packed.filter((F.col("pack_tokens") > 64) & (~F.col("overflow"))).count()
+    assert bad == 0
+
+
+def test_curation_on_real_corpus_is_neardup_free(spark, sf_dir):
+    """Run the funnel over the documents table doubled with planted
+    exact copies; verify the output carries no exact dups and no
+    confirmed near-dup pair (the pipeline's core guarantee)."""
+    from kafkastreamsproject_spark.streaming.neardup import (
+        _confirmed_pairs,
+        doc_signatures,
+    )
+    from kafkastreamsproject_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    packed, stats = curate_corpus(doubled, quality_min=0.0, pack_budget=4096)
+
+    assert stats.after_exact_dedup == stats.input // 2  # every copy dropped
+    survivors = packed.select("doc_id")
+    kept_docs = doubled.join(survivors, "doc_id", "left_semi")
+    sigs = doc_signatures(kept_docs).persist()
+    leftover_pairs = _confirmed_pairs(sigs, sigs, within_batch=True).count()
+    sigs.unpersist()
+    assert leftover_pairs == 0, "near-dup pair survived curation"
+    # every doc appears exactly once in the packing assignment
+    assert packed.count() == packed.select("doc_id").distinct().count()
