@@ -150,3 +150,26 @@ def curate_corpus(
         after_decontamination=n_clean,
         packs=n_packs,
     )
+
+
+def write_training_shards(
+    packed: DataFrame, docs: DataFrame, path: str
+) -> None:
+    """Materialize the curated corpus as training shards.
+
+    Joins the pack assignment back to the document bodies and writes
+    parquet partitioned by ``shard_id``, rows sorted by (pack_id,
+    doc_id) within each shard so a sequential reader sees every pack's
+    documents contiguously — the layout a packed-sequence data loader
+    streams without shuffling.  One output directory per shard; shard
+    count was sized by ``pack_documents`` (one FFD task each), so files
+    are uniform.  This is the ONLY stage that moves text bodies, and it
+    moves them exactly once."""
+    (
+        packed.join(docs.select("doc_id", "text"), "doc_id")
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "pack_id", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

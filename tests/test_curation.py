@@ -82,3 +82,23 @@ def test_curation_on_real_corpus_is_neardup_free(spark, sf_dir):
     assert leftover_pairs == 0, "near-dup pair survived curation"
     # every doc appears exactly once in the packing assignment
     assert packed.count() == packed.select("doc_id").distinct().count()
+
+
+def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Shard writer: one directory per shard, every packed doc present
+    exactly once with its body, pack-contiguous row order."""
+    from kafkastreamsproject_spark.pipelines.curation import write_training_shards
+    from kafkastreamsproject_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    packed, _ = curate_corpus(docs, quality_min=0.0, pack_budget=1024)
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, docs, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == packed.count()
+    assert back.select("doc_id").distinct().count() == packed.count()
+    assert "text" in back.columns and "pack_tokens" in back.columns
+    shard_dirs = [p.name for p in (tmp_path / "shards").iterdir()
+                  if p.name.startswith("shard_id=")]
+    assert len(shard_dirs) == packed.select("shard_id").distinct().count()
