@@ -68,7 +68,11 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The store lives in a throwaway temp dir; both ``ingest_batch`` calls
     eagerly localCheckpoint their results, so the returned DataFrame has
-    no lineage into the deleted files.
+    no lineage into the deleted files.  The driver-local temp path is a
+    single-machine (local[*]) harness choice — this query VERIFIES the
+    ingest loop; a production deployment runs
+    ``to_neardup_ingest_sink`` against a shared store URI (HDFS/S3),
+    which the loop's Hadoop-FS probes already handle.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     shifted = docs.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "text")

@@ -95,7 +95,8 @@ def test_registry_within_driver_cap():
 
     assert len(_SPECS) <= DRIVER_QUERY_CAP, (
         f"{len(_SPECS)} registered queries > driver cap {DRIVER_QUERY_CAP}: "
-        "merge or prune before adding more"
+        "demote something to tier='shadow' (locally oracle-checked, "
+        "tests/test_shadow_queries.py) instead of deleting capability"
     )
 
 
