@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.plans.dedup import _SHIFT, _SQL_MINHASH_CTES
 from kafkastreamsproject_spark.plans.registry import register
-from kafkastreamsproject_spark.sources.testdata import load_table
+from kafkastreamsproject_spark.sources.testdata import fan_out, load_table
 from kafkastreamsproject_spark.streaming.neardup import ingest_batch
 
 
@@ -74,7 +74,11 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``to_neardup_ingest_sink`` against a shared store URI (HDFS/S3),
     which the loop's Hadoop-FS probes already handle.
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # fan_out: the local documents file is one row group, so without it
+    # each batch's shingle+md5 signaturing serializes on one core (the
+    # streaming sink doesn't need this — its micro-batches arrive
+    # already partitioned by the source).
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     shifted = docs.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "text")
     store = tempfile.mkdtemp(prefix="neardup_ingest_store_")
     try:
