@@ -299,11 +299,20 @@ def _fs_and_path(spark: SparkSession, path: str):
 
 
 def to_neardup_ingest_sink(
-    docs: DataFrame, store_path: str, checkpoint: str
+    docs: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Streaming dedup-at-ingest: fold each micro-batch of documents
-    (doc_id, text, ...) through :func:`ingest_batch`."""
+    (doc_id, text, ...) through :func:`ingest_batch`.
+
+    ``compact_every=N`` runs :func:`compact_store` after every N-th
+    applied epoch — inside the sequential foreachBatch loop, so the
+    single-writer contract holds by construction and the append-log
+    file count stays bounded on a long-running ingest."""
     markers = f"{store_path}/_applied_epochs"
+    applied = {"n": 0}
 
     def _fold(batch: DataFrame, epoch_id: int) -> None:
         marker = f"{markers}/{epoch_id}.done"
@@ -312,6 +321,9 @@ def to_neardup_ingest_sink(
             return  # replayed epoch: already folded into the store
         ingest_batch(batch, store_path)
         hadoop_touch(spark, marker)
+        applied["n"] += 1
+        if compact_every and applied["n"] % compact_every == 0:
+            compact_store(spark, store_path)
 
     return (
         docs.writeStream.foreachBatch(_fold)

@@ -184,6 +184,44 @@ def test_banded_store_probe_matches_and_avoids_store_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS banded_store_test")
 
 
+def test_sink_with_periodic_compaction_matches_uncompacted(spark, tmp_path):
+    """compact_every wired into the sink: same signatures and verdicts
+    as an uncompacted run, fewer store files."""
+    import glob
+
+    data_dir = tmp_path / "cstream"
+    data_dir.mkdir()
+    for i, rows in enumerate([[(1, _A)], [(2, _B)], [(3, _C)], [(4, _D)]]):
+        _docs(spark, rows).coalesce(1).write.parquet(str(data_dir / f"chunk{i}"))
+
+    stores = {}
+    for label, every in (("plain", None), ("compacted", 2)):
+        store = str(tmp_path / f"store_{label}")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(data_dir / "*"))
+        )
+        q = to_neardup_ingest_sink(
+            stream, store, str(tmp_path / f"ckpt_{label}"), compact_every=every
+        )
+        q.awaitTermination()
+        stores[label] = {
+            "sigs": sorted(
+                r.doc_id
+                for r in spark.read.parquet(f"{store}/signatures").collect()
+            ),
+            "matches": {
+                (r.new_doc_id, r.matched_doc_id)
+                for r in spark.read.parquet(f"{store}/matches").collect()
+            },
+            "files": len(glob.glob(f"{store}/signatures/*.parquet")),
+        }
+    assert stores["plain"]["sigs"] == stores["compacted"]["sigs"] == [1, 2, 4]
+    assert stores["plain"]["matches"] == stores["compacted"]["matches"] == {(3, 1)}
+    assert stores["compacted"]["files"] < stores["plain"]["files"]
+
+
 def test_streaming_verdicts_agree_with_batch_family(spark, sf_dir, tmp_path):
     """Feeding the documents table through ingest in one batch yields
     the same (pair, jaccard) set as the batch minhash_lsh_pairs query —
