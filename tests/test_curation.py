@@ -84,6 +84,29 @@ def test_curation_on_real_corpus_is_neardup_free(spark, sf_dir):
     assert packed.count() == packed.select("doc_id").distinct().count()
 
 
+def test_curation_edge_cases(spark):
+    """Degenerate corpora must flow through, not crash: empty input,
+    docs below the shingle width (no signatures → kept, near-dup stage
+    is a no-op for them), and an all-identical corpus collapsing to one
+    survivor."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    packed, stats = curate_corpus(empty, quality_min=0.0)
+    assert stats.input == 0 and packed.count() == 0
+
+    tiny = spark.createDataFrame(
+        [(1, "too short"), (2, "also brief")], "doc_id long, text string"
+    )
+    packed, stats = curate_corpus(tiny, quality_min=0.0)
+    assert sorted(r.doc_id for r in packed.select("doc_id").collect()) == [1, 2]
+
+    same = spark.createDataFrame(
+        [(i, _GOOD_EN) for i in range(5)], "doc_id long, text string"
+    )
+    packed, stats = curate_corpus(same, quality_min=0.0)
+    assert stats.after_exact_dedup == 1
+    assert [r.doc_id for r in packed.select("doc_id").collect()] == [0]
+
+
 def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
     """Shard writer: one directory per shard, every packed doc present
     exactly once with its body, pack-contiguous row order."""
