@@ -772,6 +772,116 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_BPE = TX.BPE_ISH_PATTERN.replace("'", "''")
+
+
+@register(
+    "vocab_top_pieces",
+    oracle=f"""
+    WITH pieces AS (
+      SELECT unnest(regexp_extract_all(text, '{_SQL_BPE}')) AS piece
+      FROM documents
+    ),
+    counts AS (
+      SELECT piece, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pieces GROUP BY piece
+    )
+    SELECT piece, n, CAST(rk AS INT) AS rank FROM (
+      SELECT piece, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, piece) AS rk
+      FROM counts
+    ) WHERE rk <= 50
+    """,
+    tags=("text",),
+    tier="shadow",
+)
+def vocab_top_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction, step one: corpus-wide frequency ranking of
+    BPE-style pre-token pieces — the count table a tokenizer trainer
+    merges from.  Explode → two-phase count → top-k with a
+    deterministic (count, piece) tie-break.  At 100 TB the piece-count
+    aggregation is the classic word-count shape: partial aggregation
+    collapses each partition to its piece set before the shuffle, and
+    the top-k is a single-reducer TakeOrdered over ~|vocab| rows, not
+    corpus rows."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(TX.bpe_ish_pieces(F.col("text"))).alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), "piece")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("piece", "n", "rank")
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH train_tokens AS (
+      SELECT unnest({_SQL_TOKENS}) AS tok
+      FROM documents WHERE doc_id % 10 != 0
+    ),
+    lm AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM train_tokens GROUP BY tok
+    ),
+    tot AS (
+      SELECT SUM(c) AS n, COUNT(*) AS v FROM lm
+    ),
+    test_tokens AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(ln((COALESCE(lm.c, 0) + 1) / (tot.n + tot.v)))
+                 / COUNT(*), 6) AS avg_neg_logprob
+    FROM test_tokens t
+    LEFT JOIN lm ON t.tok = lm.tok
+    CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=("text",),
+    tier="shadow",
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: fit an add-one-smoothed unigram
+    LM on the training split, score each held-out doc by average
+    negative log-probability — the classic cheap LM filter a curation
+    pipeline runs before an expensive model-based one.  The LM is
+    |vocab| rows (broadcast); scoring is one scan of the held-out
+    tokens.  Summation order is made engine-stable by averaging over
+    exact token counts and rounding at 6 dp."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    train_toks = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    )
+    lm = train_toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = lm.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    test_toks = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    )
+    neg_lp = -F.log((F.coalesce(F.col("c"), F.lit(0.0)) + 1) / (F.col("n") + F.col("v")))
+    return (
+        test_toks.join(F.broadcast(lm), "tok", "left")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(neg_lp) / F.count(F.lit(1)), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
 @register(
     "minhash_signatures",
     oracle=f"""
