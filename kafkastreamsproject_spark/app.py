@@ -16,12 +16,20 @@ Engine equivalents (a reference user's switch path):
     python -m kafkastreamsproject_spark.app produce \
         --input DIR_OR_FILE.csv --output DIR [--chunk-rows 500]
 
+    python -m kafkastreamsproject_spark.app curate \
+        --input DOCS.parquet --output SHARDS_DIR \
+        [--quality-min 0.5] [--langs en,fr] [--holdout EVAL.parquet] \
+        [--pack-budget 2048]
+
 ``consume`` runs the streaming topology over a file-stream input
 (Kafka variant available via streaming.sources.kafka_trip_stream when
 the connector jar is present) and writes to console or parquet.
 ``produce`` is the replay producer: it splits trip CSVs into
 sequentially named chunks that the consumer's file stream picks up —
 the reference's throttled replay without per-row sleeps.
+``curate`` runs the full training-data funnel (pipelines/curation.py)
+over a documents parquet — dedup → filters → decontamination →
+packing — and writes training shards, printing the per-stage funnel.
 """
 
 from __future__ import annotations
@@ -93,6 +101,34 @@ def _produce(args: argparse.Namespace) -> int:
     return 0
 
 
+def _curate(args: argparse.Namespace) -> int:
+    from kafkastreamsproject_spark.pipelines.curation import (
+        curate_corpus,
+        write_training_shards,
+    )
+
+    spark = get_spark(app_name="kafkastreamsproject-curate")
+    docs = spark.read.parquet(args.input)
+    holdout = spark.read.parquet(args.holdout) if args.holdout else None
+    langs = tuple(args.langs.split(",")) if args.langs else None
+    packed, stats = curate_corpus(
+        docs,
+        quality_min=args.quality_min,
+        langs=langs,
+        holdout=holdout,
+        containment_max=args.containment_max,
+        pack_budget=args.pack_budget,
+    )
+    write_training_shards(packed, docs, args.output)
+    print(
+        f"input={stats.input} exact_dedup={stats.after_exact_dedup} "
+        f"neardup={stats.after_neardup_dedup} quality={stats.after_quality} "
+        f"lang={stats.after_lang} decontaminated={stats.after_decontamination} "
+        f"packs={stats.packs} -> {args.output}"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="kafkastreamsproject_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -119,6 +155,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="chunk output directory")
     p.add_argument("--chunk-rows", type=int, default=500)
     p.set_defaults(fn=_produce)
+
+    k = sub.add_parser("curate", help="run the training-data curation funnel")
+    k.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    k.add_argument("--output", required=True, help="training-shard output directory")
+    k.add_argument("--quality-min", type=float, default=0.5)
+    k.add_argument("--langs", help="comma-separated lang allow-list (default: all)")
+    k.add_argument("--holdout", help="eval parquet for decontamination")
+    k.add_argument("--containment-max", type=float, default=0.5)
+    k.add_argument("--pack-budget", type=int, default=2048)
+    k.set_defaults(fn=_curate)
 
     args = parser.parse_args(argv)
     return args.fn(args)
