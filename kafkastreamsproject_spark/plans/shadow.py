@@ -902,3 +902,477 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     document size, which is what makes 100 TB near-dup feasible."""
     shingled = _shingled_corpus2(spark, sf_dir)
     return shingled.select("doc_id", *H.minhash_signature(F.col("hs")))
+
+
+# ---------------------------------------------------------------------------
+# Round 4: remaining TPC-H-expressible plan shapes over the available
+# columns (the testdata star schema has no partsupp / shipmode /
+# commit-receipt dates, so Q2/Q9/Q12/Q20/Q21 are adapted or skipped;
+# each query below names the TPC-H query whose SHAPE it pins).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 4)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "agg"),
+    tier="shadow",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: scan-only revenue forecast — three conjunctive
+    range predicates, all pushed to the parquet scan (date, discount,
+    quantity are row-group-min/max prunable), then a single global
+    aggregate.  No join, no per-group shuffle: the reduction is one
+    partial agg per scan task + a 1-row final merge.  DECIMAL products
+    keep the sum exact so the 4-dp rounding is engine-stable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_item",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
+             n.n_name AS nation, c.c_acctbal AS acctbal,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS rev_dec
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    )
+    SELECT custkey, cust_name, nation, acctbal,
+           ROUND(CAST(rev_dec AS DOUBLE), 4) AS revenue
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rev_dec DESC, custkey) AS rk
+      FROM rev
+    ) WHERE rk <= 20
+    """,
+    tags=("relational", "join", "bench"),
+    tier="shadow",
+)
+def q10_returned_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue report — selective fact
+    filter (returnflag + date range, both pushed), three-way join where
+    both dimensions broadcast, per-customer aggregation, then a global
+    top-20 by revenue.  The top-k is a TakeOrdered over |customers|
+    aggregated rows with a (revenue DESC, custkey) tie-break so the cut
+    line is deterministic; revenue accumulates in DECIMAL so ranking
+    order cannot drift between engines."""
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    rev_dec = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    ).alias("rev_dec")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .agg(rev_dec)
+    )
+    w = W.orderBy(F.col("rev_dec").desc(), "custkey")
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "custkey",
+            "cust_name",
+            "nation",
+            "acctbal",
+            F.round(F.col("rev_dec").cast("double"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(
+             100.0
+             * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                  * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                             ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    tags=("relational", "join", "agg"),
+    tier="shadow",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion-revenue share — a month of lineitem
+    (date filter pushed) broadcast-joined to the part dimension, then a
+    single conditional-ratio aggregate (CASE inside SUM over the same
+    rows, so one pass).  Both numerator and denominator accumulate in
+    DECIMAL; the ratio is taken once in double at the end."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(14,4)")
+    )
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey,
+             SUM(l_quantity) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                      AS DOUBLE), 4) AS small_qty_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pavg a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.5 * a.avg_qty
+    GROUP BY p.p_brand
+    """,
+    tags=("relational", "join", "subquery"),
+    tier="shadow",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average — lineitems whose
+    quantity is below half their part's mean quantity, rolled up per
+    brand.  The correlation decorrelates to a per-part aggregate joined
+    back to the fact on the SAME key the aggregate was grouped by, so
+    AQE can reuse the shuffle partitioning; part is broadcast.
+    Quantities are small integers stored as double: their sum is exact,
+    so avg_qty (= exact sum / exact count) and the strict < boundary
+    are bit-identical on both engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    pavg = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    small = (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(
+            pavg.select(
+                F.col("l_partkey").alias("pk_avg"), "avg_qty"
+            ),
+            F.col("l_partkey") == F.col("pk_avg"),
+        )
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    )
+    return (
+        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("small_qty_revenue"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                      AS DOUBLE), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("relational", "join"),
+    tier="shadow",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) mixed-table predicate
+    across a join.  Catalyst factors the single-table conjuncts out of
+    the disjunction — part gets `p_brand IN (...)` and lineitem gets the
+    quantity-range union pushed below the join — so the broadcast build
+    and the probe both shrink before pairing; the residual OR evaluates
+    only on surviving rows."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            arm("Brand#1", 15, 1, 11)
+            | arm("Brand#2", 25, 10, 20)
+            | arm("Brand#3", 35, 20, 30)
+        )
+        .agg(
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+           ROUND(CAST(r.total_rev AS DOUBLE), 4) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    tags=("relational", "subquery"),
+    tier="shadow",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue — an
+    aggregated view consumed twice: once for the global MAX (a 1-row
+    broadcast scalar) and once as the join input filtered to that max.
+    The view is persisted for the two consumers; revenue is DECIMAL-
+    exact so the `=` against the max cannot miss by an ulp (the reason
+    TPC-H Q15 is notoriously FP-unsafe on naive double sums)."""
+    from kafkastreamsproject_spark.operators.cache import scoped_persist
+
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    rev = scoped_persist(
+        li.groupBy("l_suppkey").agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.round(F.col("total_rev").cast("double"), 4).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 60
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    tags=("relational", "join", "agg"),
+    tier="shadow",
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the schema has no shipmode or
+    commit/receipt dates, so the grouping key is a derived lateness
+    bucket): per bucket, CASE-partitioned counts of high- vs
+    low-priority lines — the conditional-count-within-group pattern.
+    The derived key is computed pre-shuffle, so the exchange carries
+    2 buckets × priority flags, nothing else."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, "LATE"
+    ).otherwise("ONTIME")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_SQL_TOKS2 = "string_split_regex(trim(text), ' +')"
+_SQL_BIGRAMS = TX.sql_shingles(2)
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS2}) AS tok
+      FROM documents WHERE len({_SQL_TOKS2}) >= 2
+    ),
+    tc AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM toks GROUP BY doc_id, tok
+    ),
+    uni AS (
+      SELECT doc_id, SUM(c) AS n, CAST(COUNT(*) AS DOUBLE) AS n_distinct,
+             MAX(c) AS top_c, SUM(c * ln(c)) AS clnc
+      FROM tc GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKS2}) - 1 AS DOUBLE) AS n_bigrams,
+             CAST(len({_SQL_BIGRAMS}) AS DOUBLE) AS n_distinct_bigrams
+      FROM documents WHERE len({_SQL_TOKS2}) >= 2
+    )
+    SELECT u.doc_id,
+           CAST(u.n AS BIGINT) AS n_tokens,
+           ROUND(u.n_distinct / u.n, 6) AS distinct_token_ratio,
+           ROUND(u.top_c / u.n, 6) AS top_token_fraction,
+           ROUND(1 - b.n_distinct_bigrams / b.n_bigrams, 6)
+             AS dup_bigram_fraction,
+           ROUND(ln(u.n) - u.clnc / u.n, 6) AS token_entropy
+    FROM uni u JOIN big b ON u.doc_id = b.doc_id
+    """,
+    tags=("text", "quality"),
+    tier="shadow",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document — the quality
+    dimension that catches boilerplate and degenerate generations that
+    length/stopword heuristics miss: lexical diversity (distinct/total
+    tokens), most-frequent-token mass fraction, duplicate-bigram
+    fraction, and unigram entropy (via H = ln n − Σc·ln c / n, so the
+    aggregation is a plain SUM that partial-aggregates map-side).
+
+    Spark-first shape: one explode → (doc_id, token) count → per-doc
+    merge for the unigram family; the bigram pair stays inside
+    higher-order array functions on the un-exploded row (no second
+    explode); the two per-doc relations join on doc_id.  The shuffle
+    carries (doc_id, token hashes × counts) — bounded by each doc's
+    VOCABULARY, not its length — so skew from one giant repetitive doc
+    collapses map-side before the exchange.  Counts are exact doubles,
+    so every ratio is engine-stable; ln() is IEEE libm on both sides
+    (same precedent as unigram_logprob_score)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    docs2 = docs.filter(F.size(toks) >= 2)
+    tc = (
+        docs2.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    uni = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+        F.sum(F.col("c") * F.log("c")).alias("clnc"),
+    )
+    big = docs2.select(
+        "doc_id",
+        (F.size(toks) - 1).cast("double").alias("n_bigrams"),
+        F.size(TX.shingles(F.col("text"), 2)).cast("double").alias(
+            "n_distinct_bigrams"
+        ),
+    )
+    return uni.join(big, "doc_id").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(F.col("n_distinct") / F.col("n"), 6).alias(
+            "distinct_token_ratio"
+        ),
+        F.round(F.col("top_c") / F.col("n"), 6).alias("top_token_fraction"),
+        F.round(
+            F.lit(1) - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6
+        ).alias("dup_bigram_fraction"),
+        F.round(F.log("n") - F.col("clnc") / F.col("n"), 6).alias(
+            "token_entropy"
+        ),
+    )
