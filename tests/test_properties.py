@@ -114,3 +114,36 @@ def test_simhash_banding_pigeonhole_64_3(sig: int, flips: set[int]):
     assert any(
         a == b for a, b in zip(_block_vals(sig, bounds), _block_vals(other, bounds))
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats (plans/shadow.py): the engine computes unigram
+# entropy via the aggregation-friendly identity H = ln n − (Σ c·ln c)/n
+# (a plain SUM that partial-aggregates map-side) rather than the
+# textbook −Σ (c/n)·ln(c/n).  Pin the identity and the signal bounds.
+# ---------------------------------------------------------------------------
+
+
+@given(toks=st.lists(st.sampled_from(WORDS), min_size=2, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_repetition_entropy_identity_and_bounds(toks: list[str]):
+    import math
+    from collections import Counter
+
+    counts = Counter(toks)
+    n = len(toks)
+    # the engine's formulation
+    h_engine = math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+    # the textbook formulation
+    h_text = -sum((c / n) * math.log(c / n) for c in counts.values())
+    assert abs(h_engine - h_text) < 1e-9
+    # bounds: 0 (all same token) .. ln(n_distinct) (uniform)
+    assert -1e-12 <= h_engine <= math.log(len(counts)) + 1e-12
+    # companion signals live in their ranges
+    top_frac = max(counts.values()) / n
+    distinct_ratio = len(counts) / n
+    assert 1 / len(counts) - 1e-12 <= top_frac <= 1.0
+    assert 0.0 < distinct_ratio <= 1.0
+    bigrams = list(zip(toks, toks[1:]))
+    dup_bigram_frac = 1 - len(set(bigrams)) / len(bigrams)
+    assert 0.0 <= dup_bigram_frac < 1.0
