@@ -24,6 +24,7 @@ from kafkastreamsproject_spark.plans.dedup import (
     _SQL_CORPUS2,
     _SQL_HASHES,
     _SQL_MIN_TOKS,
+    _corpus2,
     _shingled_corpus2,
 )
 from kafkastreamsproject_spark.plans.registry import register
@@ -1375,4 +1376,83 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log("n") - F.col("clnc") / F.col("n"), 6).alias(
             "token_entropy"
         ),
+    )
+
+
+_CHUNK_W = 20
+# non-overlapping CHUNK_W-token windows, each hashed to its md5 — the
+# corpus-wide repeated-passage unit (DuckDB twin of the Spark exprs)
+_SQL_CHUNKS = (
+    f"list_transform(range(1, len({_SQL_TOKS2}) - {_CHUNK_W} + 2, {_CHUNK_W}), "
+    f"i -> md5(array_to_string({_SQL_TOKS2}[i:i+{_CHUNK_W - 1}], ' ')))"
+)
+
+
+@register(
+    "chunk_dedup_stats",
+    oracle=f"""
+    WITH corpus2 AS ({_SQL_CORPUS2}),
+    chunked AS (
+      SELECT doc_id, unnest({_SQL_CHUNKS}) AS chunk_hash
+      FROM corpus2 WHERE len({_SQL_TOKS2}) >= {_CHUNK_W}
+    ),
+    freq AS (
+      SELECT chunk_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM chunked GROUP BY chunk_hash
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           ROUND(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS shared_fraction
+    FROM chunked c JOIN freq f ON c.chunk_hash = f.chunk_hash
+    GROUP BY c.doc_id
+    """,
+    tags=("dedup", "text"),
+    tier="shadow",
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (passage) dedup audit — the C4/RefinedWeb
+    line-dedup step adapted to a corpus with no line structure: each
+    document splits into non-overlapping 20-token chunks, each chunk is
+    keyed by md5, and a document's `shared_fraction` is the fraction of
+    its chunks appearing in at least one OTHER document — the signal a
+    curation pipeline thresholds to strip boilerplate passages (run on
+    corpus2, where every doc has a planted full-overlap twin, so the
+    oracle sees real sharing).
+
+    Spark-first shape: chunking is higher-order array math on the
+    un-exploded row (sequence → slice → md5); the only exploded
+    relation carries (doc_id, 16-byte hash) — bodies never shuffle.
+    Chunk frequencies come from a grouped COUNT(DISTINCT doc_id), the
+    join back is hash-on-hash, and the per-doc rollup shuffles doc_ids.
+    At 100 TB every stage is bounded by chunk-hash cardinality — the
+    same scaling argument as exact dedup, one granularity finer."""
+    c2 = _corpus2(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    chunk_hashes = F.transform(
+        F.sequence(
+            F.lit(1), F.size(toks) - (_CHUNK_W - 1), F.lit(_CHUNK_W)
+        ),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _CHUNK_W))),
+    )
+    chunked = (
+        c2.filter(F.size(toks) >= _CHUNK_W)
+        .select("doc_id", F.explode(chunk_hashes).alias("chunk_hash"))
+    )
+    freq = chunked.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        chunked.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            shared.alias("n_shared"),
+            F.round(
+                shared / F.count(F.lit(1)).cast("double"), 6
+            ).alias("shared_fraction"),
+        )
     )
