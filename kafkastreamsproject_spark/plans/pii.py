@@ -1,0 +1,246 @@
+"""PII detection / scrubbing over ``documents`` (M4 extension: the
+curation step every training-data pipeline runs before packing — strip
+emails, phone numbers, and host addresses from raw text).
+
+The synthetic corpus contains no PII (zero digits or ``@`` anywhere —
+verified at registration time by tests/test_pii.py), so the queries run
+over ``pii_corpus`` = documents with deterministic doc_id-derived PII
+planted into a known subset of rows: every third doc gains an email
+(every sixth a second one), every fourth a phone number, every fifth an
+IPv4 host — so the expected counts are pure modular arithmetic and the
+DuckDB oracle rebuilds the identical corpus from the same expression.
+
+Scale stance: detection and scrubbing are single-pass row-local regex
+work — JVM-side ``regexp_extract_all`` / ``regexp_replace`` inside
+whole-stage codegen, no shuffle at all for the per-doc queries and a
+16-byte-key aggregation for the per-source rate.  At 100 TB this is the
+cheapest operator family in the engine: it reads the corpus once and
+never moves a body between executors (the scrub query emits md5
+fingerprints, not rewritten bodies).
+
+Regex notes: patterns are restricted to syntax with identical semantics
+in Java's regex engine (Spark) and RE2 (DuckDB) — character classes,
+bounded repetition, and ASCII word boundaries; no backreferences or
+lookaround.  Replacement order is fixed (email → phone → IP) on both
+sides so overlapping-match behavior can never diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.plans.registry import register
+from kafkastreamsproject_spark.sources.testdata import load_table
+
+#: Shared regexes (Java ≡ RE2 for this syntax subset).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+#: Fixed scrub order — email first (its local part contains digits that
+#: must never be half-eaten by the IP pattern), then phone, then IP.
+_SCRUBS = (
+    (EMAIL_RE, "<EMAIL>"),
+    (PHONE_RE, "<PHONE>"),
+    (IPV4_RE, "<IP>"),
+)
+
+# The planted corpus, as one expression per engine.  concat_ws skips
+# NULL operands in both Spark and DuckDB, so each CASE/when plants its
+# fragment only on its modular subset.
+_SQL_PII_CORPUS = """
+      SELECT doc_id, source, concat_ws(' ', text,
+        CASE WHEN doc_id % 3 = 0
+             THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com' END,
+        CASE WHEN doc_id % 6 = 0
+             THEN 'cc admin' || CAST(doc_id AS VARCHAR) || '@mail.net' END,
+        CASE WHEN doc_id % 4 = 0
+             THEN 'call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+        CASE WHEN doc_id % 5 = 0
+             THEN 'host 10.' || CAST(doc_id % 250 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 100 AS VARCHAR) END
+      ) AS text
+      FROM documents
+"""
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit("contact user"), sid, F.lit("@example.com")),
+    )
+    email2 = F.when(
+        did % 6 == 0, F.concat(F.lit("cc admin"), sid, F.lit("@mail.net"))
+    )
+    phone = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit("call 555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit("host 10."),
+            (did % 250).cast("string"),
+            F.lit(".0."),
+            (did % 100).cast("string"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.col("text"), email, email2, phone, ip).alias(
+            "text"
+        ),
+    )
+
+
+def _n_matches(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast(
+        "long"
+    )
+
+
+def scrub_text(text: Column) -> Column:
+    """Redact all PII classes in fixed order — the reusable scrub
+    expression (also consumed by the curation pipeline)."""
+    out = text
+    for pattern, token in _SCRUBS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def _sql_scrubbed(col: str) -> str:
+    out = col
+    for pattern, token in _SCRUBS:
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out
+
+
+@register(
+    "pii_detect_stats",
+    oracle=f"""
+    WITH pii_corpus AS ({_SQL_PII_CORPUS})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+             AS n_phone,
+           CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}'))
+                + len(regexp_extract_all(text, '{PHONE_RE}'))
+                + len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT)
+             AS n_pii
+    FROM pii_corpus
+    """,
+    tags=("text", "pii"),
+    tier="shadow",
+)
+def pii_detect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII census: how many emails / phone numbers / IPv4
+    hosts each document contains — the detection half of the scrub
+    step, kept separate so a pipeline can audit PII density before
+    deciding to redact.  Row-local regex inside codegen; zero shuffle."""
+    t = F.col("text")
+    n_email = _n_matches(t, EMAIL_RE)
+    n_phone = _n_matches(t, PHONE_RE)
+    n_ipv4 = _n_matches(t, IPV4_RE)
+    return _pii_corpus(spark, sf_dir).select(
+        "doc_id",
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ipv4.alias("n_ipv4"),
+        (n_email + n_phone + n_ipv4).alias("n_pii"),
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH pii_corpus AS ({_SQL_PII_CORPUS})
+    SELECT doc_id,
+           md5({_sql_scrubbed("text")}) AS scrubbed_fp,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}'))
+                + len(regexp_extract_all(text, '{PHONE_RE}'))
+                + len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT)
+             AS n_redactions,
+           CAST({_sql_scrubbed("text")} <> text AS INT) AS changed
+    FROM pii_corpus
+    """,
+    tags=("text", "pii"),
+    tier="shadow",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction: every PII match replaced by its class token, verified
+    by fingerprint (md5 of the scrubbed body — bodies themselves never
+    leave the scan stage, in the query OR in the 100 TB posture where
+    the scrubbed corpus is written straight back to parquet)."""
+    t = F.col("text")
+    scrubbed = scrub_text(t)
+    n = _n_matches(t, EMAIL_RE) + _n_matches(t, PHONE_RE) + _n_matches(
+        t, IPV4_RE
+    )
+    return _pii_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_fp"),
+        n.alias("n_redactions"),
+        (scrubbed != t).cast("int").alias("changed"),
+    )
+
+
+@register(
+    "pii_rate_by_source",
+    oracle=f"""
+    WITH pii_corpus AS ({_SQL_PII_CORPUS}),
+    per_doc AS (
+      SELECT source,
+             CASE WHEN len(regexp_extract_all(text, '{EMAIL_RE}'))
+                     + len(regexp_extract_all(text, '{PHONE_RE}'))
+                     + len(regexp_extract_all(text, '{IPV4_RE}')) > 0
+                  THEN 1 ELSE 0 END AS has_pii
+      FROM pii_corpus
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(has_pii) AS BIGINT) AS n_pii_docs,
+           ROUND(SUM(has_pii) / CAST(COUNT(*) AS DOUBLE), 6) AS pii_rate
+    FROM per_doc
+    GROUP BY source
+    """,
+    tags=("text", "pii"),
+    tier="shadow",
+)
+def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII audit: fraction of documents per source that
+    contain any PII — the number a curation run reports per upstream
+    feed.  The aggregation shuffles one small (source, flag) pair per
+    doc; partial aggregation collapses it map-side."""
+    t = F.col("text")
+    has_pii = (
+        (
+            _n_matches(t, EMAIL_RE)
+            + _n_matches(t, PHONE_RE)
+            + _n_matches(t, IPV4_RE)
+        )
+        > 0
+    ).cast("int")
+    per_doc = _pii_corpus(spark, sf_dir).select(
+        "source", has_pii.alias("has_pii")
+    )
+    n_pii = F.sum("has_pii")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_pii.cast("long").alias("n_pii_docs"),
+        F.round(n_pii / F.count(F.lit(1)).cast("double"), 6).alias(
+            "pii_rate"
+        ),
+    )

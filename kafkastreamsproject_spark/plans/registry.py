@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "kafkastreamsproject_spark.plans.multimodal",
     "kafkastreamsproject_spark.plans.ingest",
     "kafkastreamsproject_spark.plans.shadow",
+    "kafkastreamsproject_spark.plans.pii",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
