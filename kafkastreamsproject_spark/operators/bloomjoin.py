@@ -1,0 +1,97 @@
+"""Bloom-filtered semi-join: cut a huge probe side down with a compact
+hashed-bit-position sketch of the build side BEFORE the exact join.
+
+Spark's own runtime row-level filtering does exactly this for shuffle
+joins (``spark.sql.optimizer.runtime.bloomFilter.enabled``), but the
+``bloom_filter_agg`` / ``might_contain`` expressions it uses are not
+registered for end users (probed on Spark 4.1: UNRESOLVED_ROUTINE), so
+this operator builds the same shape from public primitives:
+
+- every build key is hashed to ``n_hashes`` bit positions in
+  ``[0, n_bits)`` via ``xxhash64(key, seed)`` — all JVM-side;
+- the "filter" is the DISTINCT position table: at most
+  ``min(n_hashes * |build|, n_bits)`` longs, i.e. its broadcast size is
+  CAPPED at 8·n_bits bytes no matter how large the build side grows —
+  unlike broadcasting the build keys themselves, which is unbounded and
+  impossible for wide string keys;
+- the probe survives iff ALL of its ``n_hashes`` positions appear in
+  the table — ``n_hashes`` broadcast left-semi equi-joins, no UDF, no
+  driver collect;
+- (optional, default) an exact confirm join removes the bloom's false
+  positives, so the operator's output is EXACTLY the semi-join — which
+  is what makes it oracle-checkable with a plain ``IN`` subquery.
+
+A Bloom filter has no false negatives (every build key set all of its
+own positions), so the pre-filter can only pass supersets; the confirm
+join only ever removes rows.  Sizing: for ~1% false-positive rate with
+``n_hashes=2`` keep ``n_bits >= 14 * |distinct build keys|``; at 100 TB
+the win is that the confirm join shuffles only the pre-filtered probe
+remnant instead of the full fact table.
+
+Reference parity note: the reference engine has no bloom operator; this
+is part of the M4/M5 scale surface (SURVEY.md §2.7) a training-data
+pipeline needs when the "small" side of a semi-join stops being
+broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_positions(key: Column, n_hashes: int, n_bits: int) -> list[Column]:
+    """The ``n_hashes`` bit positions of one key (long columns in
+    ``[0, n_bits)``), seeded by hash index."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits)).alias(f"pos{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_filter_table(
+    build: DataFrame, build_key: str, n_hashes: int, n_bits: int
+) -> DataFrame:
+    """The sketch: one ``pos`` column holding every distinct bit
+    position set by any build key.  Row count is capped at ``n_bits``."""
+    pos = bloom_positions(F.col(build_key), n_hashes, n_bits)
+    stacked = build.select(
+        F.explode(F.array(*pos)).alias("pos")
+    )
+    return stacked.distinct()
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    *,
+    n_hashes: int = 2,
+    n_bits: int = 1 << 20,
+    exact_confirm: bool = True,
+) -> DataFrame:
+    """``probe`` rows whose key appears in ``build`` (left semi join),
+    evaluated as bloom pre-filter + (optional) exact confirm.
+
+    With ``exact_confirm=True`` the result is exactly
+    ``probe LEFT SEMI JOIN build``; with ``False`` it is a superset
+    containing bloom false positives (useful when a downstream exact
+    join exists anyway and only the shuffle reduction is wanted).
+    """
+    sketch = F.broadcast(bloom_filter_table(build, build_key, n_hashes, n_bits))
+    survivors = probe
+    for i in range(n_hashes):
+        pos_i = F.pmod(
+            F.xxhash64(F.col(probe_key), F.lit(i)), F.lit(n_bits)
+        )
+        survivors = survivors.join(
+            sketch, pos_i == sketch["pos"], "left_semi"
+        )
+    if exact_confirm:
+        survivors = survivors.join(
+            build.select(build_key).distinct(),
+            survivors[probe_key] == F.col(build_key),
+            "left_semi",
+        )
+    return survivors
