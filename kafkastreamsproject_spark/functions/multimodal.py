@@ -55,6 +55,10 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        # raw integer byte-histogram counts (feature before normalization):
+        # exact-arithmetic output that a SQL oracle can reproduce, unlike
+        # the float32-normalized `feature`
+        T.StructField("hist", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -79,18 +83,21 @@ def decode_media_batch(mode: str = "fake"):
                     "not present in this environment; use mode='fake'"
                 )
             feats = []
+            hists = []
             nbytes = []
             for payload in pdf["payload"]:
                 buf = np.frombuffer(payload, dtype=np.uint8)
                 hist = np.bincount(buf % FEATURE_DIM, minlength=FEATURE_DIM)
                 total = max(len(buf), 1)
                 feats.append((hist / total).astype(np.float32))
+                hists.append(hist.astype(np.int64))
                 nbytes.append(len(buf))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": nbytes,
                     "feature": feats,
+                    "hist": hists,
                 }
             )
 

@@ -75,32 +75,39 @@ def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_features",
-    oracle=None,  # Python-side decoder stub — no SQL twin; schema/batch
-    # behavior pinned in tests/test_multimodal.py
+    oracle="""
+    SELECT
+      doc_id AS media_id,
+      CAST(strlen(text) AS BIGINT) AS n_bytes,
+      array_to_string(
+        list_transform(range(0, 16),
+          b -> len(list_filter(string_split(text, ''), ch -> ord(ch) % 16 = b))),
+        ',') AS hist_csv,
+      CAST(16 AS INT) AS feature_dim
+    FROM documents
+    """,
     tags=("multimodal",),
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (mapInPandas) over media
     payloads using the deterministic fake decoder — the full multimodal
-    plumbing (binary column → Python batch → fixed-dim float array).
+    plumbing (binary column → Python batch → fixed-dim feature).
 
-    The raw ``array<float>`` feature stays internal: the driver
-    canonicalizes even non-oracled queries' Spark output, and pandas
-    cannot hash list cells (round 2's one red row).  Emit the vector
-    comma-joined at 6 dp — same canonicalizable shape as
-    daily_event_ids' array_join."""
+    Oracle-checkability (VERDICT r4 next-round #5): the decoder's
+    float32-normalized vector has no exact SQL twin (binary FP division
+    order), so the registered contract emits the decoder's RAW integer
+    byte-histogram (``hist``) — exact arithmetic DuckDB reproduces with
+    per-char ``ord() % 16`` counts (the fixture corpus is pure ASCII at
+    every scale factor, so char == byte; verified via octet_length ==
+    strlen).  The float path stays pinned by feature_dim here (size of
+    the normalized vector) and by tests/test_multimodal.py round-trip.
+    Arrays are emitted comma-joined — the driver canonicalizer cannot
+    hash list cells (round 2's red row)."""
     docs = load_table(spark, "documents", sf_dir)
     feats = extract_features(documents_as_media(docs), mode="fake")
-    serialized = F.array_join(
-        F.transform(
-            "feature",
-            lambda x: F.round(x.cast("double"), 6).cast("string"),
-        ),
-        ",",
-    )
     return feats.select(
         "media_id",
         "n_bytes",
-        serialized.alias("feature_csv"),
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias("hist_csv"),
         F.size("feature").alias("feature_dim"),
     )

@@ -36,10 +36,16 @@ _LSH_T = 0.20
     GROUP BY label
     """,
     tags=("similarity",),
+    tier="shadow",
 )
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table audit: per label, vector count, dimensionality
-    bounds, mean L2 norm (≈1.0 — the corpus is unit-normalized)."""
+    bounds, mean L2 norm (≈1.0 — the corpus is unit-normalized).
+
+    Shadow tier since r5: the registry is capped at DRIVER_QUERY_CAP and
+    this simple-agg audit ceded its driver slot to bloom_semi_lineitem
+    (a whole operator class with no other driver row); the local compare
+    gate still checks it at both scale factors."""
     emb = fan_out(load_table(spark, "embeddings", sf_dir))
     e = F.col("embedding")
     return emb.groupBy("label").agg(

@@ -22,36 +22,54 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one testdata table lazily. ``name`` ∈ TESTDATA_TABLES.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects by default (Spark keeps µs precision).  We
-    read nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and
-    convert with integer division — ns epoch values exceed 2^53 so a
-    double-precision divide would corrupt them; ``div`` stays integral.
-    Oracle SQL must correspondingly CAST ns timestamps to µs TIMESTAMP.
+    ``events.ts`` has shifted format across fixture generations:
+    TIMESTAMP(NANOS) originally, parquet ``timestamp[us]`` without a
+    zone (Spark TIMESTAMP_NTZ) since round 4.  The engine's contract is
+    that downstream plans always see a plain zoned ``timestamp`` under
+    the UTC session zone, so every ``unix_millis``/``unix_micros``/
+    window expression works regardless of which fixture vintage is on
+    disk.  Three absorption layers, cheapest first:
+
+    1. ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` — schema
+       inference maps unzoned µs parquet timestamps straight to
+       TIMESTAMP (identical epoch values under the UTC session zone);
+    2. ``nanosAsLong`` + integral ``div 1000`` — the old TIMESTAMP(NANOS)
+       fixtures (ns epoch exceeds 2^53, so the divide must stay integer);
+    3. a defensive NTZ→TIMESTAMP cast in case a future Spark ignores (1).
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    # nanosAsLong is read at ANALYSIS time (schema inference), so setting
-    # it only around the read() call below is sufficient — but it has no
-    # per-reader option form, so save/restore rather than leak session
-    # mutation out of a query builder.  The timezone, by contrast, is
-    # consumed at EXECUTION time by timestamp expressions; restoring it
-    # here would re-expose event-time results to the caller's JVM-default
-    # zone.  It is therefore pinned once per session (idempotent; the
-    # driver's oracle recipe assumes UTC) rather than toggled per read.
+    # Both read-path confs are consumed at ANALYSIS time (schema
+    # inference), so setting them only around the read() call below is
+    # sufficient — but neither has a per-reader option form, so
+    # save/restore rather than leak session mutation out of a query
+    # builder.  The timezone, by contrast, is consumed at EXECUTION time
+    # by timestamp expressions; restoring it here would re-expose
+    # event-time results to the caller's JVM-default zone.  It is
+    # therefore pinned once per session (idempotent; the driver's oracle
+    # recipe assumes UTC) rather than toggled per read.
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(nanos_key, None)
-    spark.conf.set(nanos_key, "true")
+    _READ_CONFS = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in _READ_CONFS}
+    for k, v in _READ_CONFS.items():
+        spark.conf.set(k, v)
     try:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     finally:
-        if prev is None:
-            spark.conf.unset(nanos_key)
-        else:
-            spark.conf.set(nanos_key, prev)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    if name == "events":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":  # legacy TIMESTAMP(NANOS) fixtures
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dtype == "timestamp_ntz":  # belt-and-braces; layer (1) handles this
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

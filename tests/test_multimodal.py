@@ -50,29 +50,32 @@ def test_real_decode_raises_not_implemented(spark, media):
 
 
 def test_registered_media_features_is_scalar_and_faithful(spark, sf_dir):
-    """The registered query serializes the float vector (the driver
+    """The registered query serializes the integer histogram (the driver
     canonicalizer cannot hash list cells — round 2's one red row); the
-    csv form must round-trip to the raw extract_features output."""
+    csv form must round-trip to the raw extract_features output, and the
+    normalized float vector must equal hist / n_bytes."""
     from kafkastreamsproject_spark.plans.registry import all_queries
 
     df = all_queries()["media_features"].spark(spark, sf_dir)
     assert [f.name for f in df.schema.fields] == [
-        "media_id", "n_bytes", "feature_csv", "feature_dim",
+        "media_id", "n_bytes", "hist_csv", "feature_dim",
     ]
     assert all("array" not in f.dataType.simpleString() for f in df.schema.fields)
     rows = {r.media_id: r for r in df.limit(50).collect()}
     media = documents_as_media(load_table(spark, "documents", sf_dir))
     raw = {
-        r.media_id: r.feature
+        r.media_id: r
         for r in extract_features(media, "fake").collect()
         if r.media_id in rows
     }
     for mid, row in rows.items():
         assert row.feature_dim == FEATURE_DIM
-        parsed = [float(x) for x in row.feature_csv.split(",")]
+        parsed = [int(x) for x in row.hist_csv.split(",")]
         assert len(parsed) == FEATURE_DIM
-        for got, want in zip(parsed, raw[mid]):
-            assert abs(got - want) < 1e-6
+        assert parsed == list(raw[mid].hist)
+        assert sum(parsed) == row.n_bytes
+        for got, want in zip(parsed, raw[mid].feature):
+            assert abs(got / max(row.n_bytes, 1) - want) < 1e-6
 
 
 def test_n_bytes_matches_utf8_length(spark, media):

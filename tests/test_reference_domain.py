@@ -123,26 +123,27 @@ def test_windowed_counts_and_anomaly(trips, stations):
 
 
 def test_approx_distinct_bounded_error(spark, sf_dir):
-    """approx_count_distinct has no exact oracle (HLL is engine-specific,
-    CORRECTNESS row stays no_oracle by design) — so pin its error
-    envelope against the exact twin instead: |approx − exact| ≤ 3·rsd·exact
-    (rsd=0.02 in the query), floored at 2 for tiny groups."""
+    """The registered query's contract: per event type, the exact
+    distinct count (DuckDB-checkable) plus a Spark-computed within_5pct
+    flag over the HLL estimate (rsd=0.02).  Pin both sides: exact_users
+    equals the exact twin, and the 5% envelope holds (so the driver row
+    hashes TRUE deterministically)."""
     from kafkastreamsproject_spark.plans.registry import all_queries
     from kafkastreamsproject_spark.plans.relational import distinct_counts
 
     specs = all_queries()
-    approx = {
-        r.event_type: r.approx_users
+    got = {
+        r.event_type: r
         for r in specs["approx_distinct_users"].spark(spark, sf_dir).collect()
     }
     exact = {
         r.event_type: r.n_users
         for r in distinct_counts(spark, sf_dir).collect()
     }
-    assert set(approx) == set(exact)
-    rsd = 0.02
+    assert set(got) == set(exact)
     for k, v in exact.items():
-        assert abs(approx[k] - v) <= max(2, 3 * rsd * v), (k, approx[k], v)
+        assert got[k].exact_users == v, (k, got[k].exact_users, v)
+        assert got[k].within_5pct is True, (k, got[k])
 
 
 def test_enrich_join_null_mode(spark, trips, stations):
