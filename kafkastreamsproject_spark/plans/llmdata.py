@@ -1,0 +1,244 @@
+"""LLM-training-data curation operators beyond the dedup/quality core:
+benchmark-contamination detection, corpus-frequency token rarity, and
+native session-window sessionization.
+
+All three are shadow-tier (the driver registry is capped at
+DRIVER_QUERY_CAP) but carry full DuckDB oracles, so the local compare
+gate (tests/test_shadow_queries.py) checks them exactly the way the
+driver checks primary queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.functions import hashing as H
+from kafkastreamsproject_spark.functions import text as TX
+from kafkastreamsproject_spark.plans.registry import register
+from kafkastreamsproject_spark.sources.testdata import fan_out, load_table
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: fraction of each training doc's n-grams that
+# appear in a held-out evaluation set.  The standard pre-training hygiene
+# check (eval-set leakage detection); here the "benchmark" is a
+# deterministic 5% slice of the corpus (doc_id % 20 == 0) since the
+# fixtures ship no separate eval table.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_W = 5
+_EVAL_MOD = 20  # doc_id % 20 == 0 → eval slice (5%)
+
+_SQL_SHINGLE_HASHES = H.sql_hash_list(TX.sql_shingles(_SHINGLE_W))
+_SQL_MIN_TOKS = f"len(string_split_regex(trim(text), ' +')) >= {_SHINGLE_W}"
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs
+      FROM documents WHERE {_SQL_MIN_TOKS}
+    ),
+    eval_set AS (
+      SELECT DISTINCT unnest(hs) AS h FROM base WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    train AS (SELECT doc_id, hs FROM base WHERE doc_id % {_EVAL_MOD} != 0),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM train),
+    hits AS (
+      SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+      FROM ex JOIN eval_set USING (h) GROUP BY ex.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.hs) AS INT) AS n_shingles,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           ROUND(COALESCE(h.n_contaminated, 0) / CAST(len(t.hs) AS DOUBLE), 6)
+             AS contamination_rate
+    FROM train t LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("llmdata", "contamination", "dedup"),
+    tier="shadow",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: per training document, how many of
+    its distinct 5-gram shingle hashes appear anywhere in the eval slice.
+
+    Scale shape: the eval n-gram set is the DISTINCT hash table of the
+    benchmark suite — a few million 8-byte longs even for a large eval
+    battery — so it BROADCASTS and the per-doc counting is a map-side
+    hash probe of the exploded training shingles: no shuffle of training
+    text, one partial-agg shuffle of (doc_id, count) longs.  If the eval
+    set ever outgrew broadcast, the same plan degrades gracefully to a
+    shuffle semi-join keyed on the 8-byte hash (or a bloom pre-filter,
+    operators/bloomjoin.py).  Shingles are hashed to 32 bits before any
+    join (MMDS trick shared with plans/dedup.py) so neither side ever
+    carries shingle STRINGS past the scan."""
+    docs = fan_out(load_table(spark, "documents", sf_dir)).filter(
+        F.size(TX.tokens(F.col("text"))) >= _SHINGLE_W
+    )
+    base = docs.select(
+        "doc_id",
+        F.array_distinct(H.hash_list(TX.shingles(F.col("text"), _SHINGLE_W))).alias(
+            "hs"
+        ),
+    )
+    eval_set = (
+        base.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    train = base.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    hits = (
+        train.select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(eval_set), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        train.select("doc_id", F.size("hs").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency token rarity: the exact-arithmetic core of unigram-LM
+# quality scoring (OOV/hapax rates flag gibberish, OCR noise, and
+# boilerplate without any transcendental math the oracle could disagree
+# on — ln() differs in the last ulp across libms, integer counts don't).
+# ---------------------------------------------------------------------------
+
+_RARE_MAX_COUNT = 5  # corpus frequency < 5 → "rare" token
+
+_SQL_TOKENS = "string_split_regex(trim(text), ' +')"
+
+
+@register(
+    "token_rarity_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN f.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN f.c < {_RARE_MAX_COUNT} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           ROUND(SUM(CASE WHEN f.c < {_RARE_MAX_COUNT} THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS rare_rate
+    FROM tok t JOIN freq f USING (tok)
+    GROUP BY t.doc_id
+    """,
+    tags=("llmdata", "text", "quality"),
+    tier="shadow",
+)
+def token_rarity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token rarity against the corpus unigram table: total
+    tokens, hapax legomena (corpus count == 1), rare tokens (corpus
+    count < 5), and the rare-token rate.
+
+    Scale shape: the unigram table is groupBy(token) over the exploded
+    corpus — partial aggregation means each partition ships one row per
+    DISTINCT token it saw, not one per occurrence.  The frequency
+    lookup is a join keyed on the token itself; at web scale the vocab
+    is heavy-tailed but the table is still ~vocab-sized (≪ corpus), and
+    Spark picks broadcast vs shuffle-hash by its statistics; the final
+    per-doc rollup shuffles only (doc_id, three counters).  Token
+    STRINGS cross the wire once (the freq join) — the docs' text never
+    does."""
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    rare = F.when(F.col("c") < _RARE_MAX_COUNT, 1).otherwise(0)
+    hapax = F.when(F.col("c") == 1, 1).otherwise(0)
+    return (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(hapax).alias("n_hapax"),
+            F.sum(rare).alias("n_rare"),
+            F.round(
+                F.sum(rare) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("rare_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows: Spark's session_window operator (dynamic-gap
+# sessionization inside the aggregation itself) — a different physical
+# plan from the lag/cumsum islands formulation the primary
+# `sessionization` query pins (plans/relational.py).
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+
+@register(
+    "session_window_stats",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL {_SESSION_GAP_MIN} MINUTE AS TIMESTAMP)
+             AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("llmdata", "session", "reference"),
+    tier="shadow",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the NATIVE ``session_window`` aggregation:
+    per (user, session) — session start, end (last event + the 30-min
+    gap, Spark's half-open session-window semantics: an event at exactly
+    last+gap starts a NEW session, hence the oracle's ``>=`` island
+    break), and event count.
+
+    Scale shape: session_window aggregates after ONE shuffle on
+    user_id; merging overlapping windows happens inside the aggregation
+    operator (sorted within partition), so there is no self-join and no
+    window-function second pass — the reason this beats the islands
+    formulation at 100 TB, where lag+cumsum needs two full sorts.  The
+    same expression is streaming-legal (groupBy(session_window(...))
+    with a watermark), which the islands form is not."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

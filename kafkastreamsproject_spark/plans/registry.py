@@ -44,6 +44,7 @@ _QUERY_MODULES = [
     "kafkastreamsproject_spark.plans.ingest",
     "kafkastreamsproject_spark.plans.shadow",
     "kafkastreamsproject_spark.plans.pii",
+    "kafkastreamsproject_spark.plans.llmdata",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

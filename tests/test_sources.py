@@ -53,3 +53,46 @@ def test_failfast_on_malformed(spark, tmp_path):
     )
     with pytest.raises(Exception):
         read_trips_csv(spark, str(p)).collect()
+
+
+# ---------------------------------------------------------------------------
+# JSONL source/sink (sources/jsonl.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    """documents → gzip JSONL shards → read back: byte-identical rows,
+    schema preserved, no inference involved."""
+    from kafkastreamsproject_spark.sources.jsonl import (
+        DOCUMENT_JSONL,
+        read_jsonl,
+        write_jsonl,
+    )
+    from kafkastreamsproject_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        *[f.name for f in DOCUMENT_JSONL.fields]
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, compression="gzip", partitions=4)
+    back = read_jsonl(spark, out, DOCUMENT_JSONL)
+    assert back.schema == DOCUMENT_JSONL
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
+    assert docs.exceptAll(back).count() == 0
+
+
+def test_jsonl_failfast_on_malformed(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from kafkastreamsproject_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n{"doc_id": "notanint", "text": 3]\n')
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(p), schema).collect()
+    # lenient mode drops the malformed line instead
+    assert read_jsonl(spark, str(p), schema, mode="DROPMALFORMED").count() == 1
