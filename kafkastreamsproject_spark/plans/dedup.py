@@ -474,3 +474,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@register(
+    "dedup_savings_stats",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(u, comp) AS (
+      SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY u
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removed
+    FROM sizes GROUP BY cluster_size
+    """,
+    tags=("dedup", "clustering", "diagnostic"),
+    tier="shadow",
+)
+def dedup_savings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield accounting: the cluster-size histogram of the
+    near-dup components and the documents a keep-one-per-cluster policy
+    removes at each size — the number a curation run reports ("N% of
+    the crawl was near-duplicate").  Two tiny aggregations on top of
+    the component labels; all heavy lifting (LSH banding, confirm join,
+    label propagation) is the dedup_clusters pipeline unchanged, so the
+    cost at 100 TB is the clustering itself plus two |clusters|-sized
+    shuffles of longs."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).alias("docs_removed"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.functions import hashing as H
 from kafkastreamsproject_spark.functions import text as TX
+from kafkastreamsproject_spark.operators.cache import scoped_persist
 from kafkastreamsproject_spark.plans.registry import register
 from kafkastreamsproject_spark.sources.testdata import fan_out, load_table
 
@@ -76,11 +77,18 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, "documents", sf_dir)).filter(
         F.size(TX.tokens(F.col("text"))) >= _SHINGLE_W
     )
-    base = docs.select(
-        "doc_id",
-        F.array_distinct(H.hash_list(TX.shingles(F.col("text"), _SHINGLE_W))).alias(
-            "hs"
-        ),
+    # The md5-shingle pipeline feeds three consumers (eval set, exploded
+    # probe, per-doc stats) — persist the (doc_id, hash-array) relation
+    # once or the dominant CPU stage runs 3×.  ~8 bytes/shingle: memory-
+    # resident at any corpus size worth sharding (same call as minhash,
+    # plans/dedup.py).
+    base = scoped_persist(
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                H.hash_list(TX.shingles(F.col("text"), _SHINGLE_W))
+            ).alias("hs"),
+        )
     )
     eval_set = (
         base.filter(F.col("doc_id") % _EVAL_MOD == 0)
@@ -242,3 +250,151 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling: per-source keep-rates (the "data mixture" step of a
+# pre-training pipeline — upsample curated sources, downsample crawl).
+# Deterministic per-row via the portable md5 id-hash (same device as
+# deterministic_sample, plans/reference.py), so the sampled corpus is
+# reproducible across engines, runs, and partitionings.
+# ---------------------------------------------------------------------------
+
+#: per-mille keep-rate per source bucket (source index mod 4) — integer
+#: rates so the threshold compare is exact on both engines.
+_MIXTURE_RATES_M = {0: 1000, 1: 500, 2: 250, 3: 100}
+
+
+def _mixture_weights() -> list[tuple[str, int]]:
+    return [(f"src{i}", _MIXTURE_RATES_M[i % 4]) for i in range(20)]
+
+
+@register(
+    "mixture_sample",
+    oracle=f"""
+    WITH w(source, rate_m) AS (VALUES {", ".join(f"('{s}', {m})" for s, m in [(f"src{i}", _MIXTURE_RATES_M[i % 4]) for i in range(20)])})
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN w USING (source)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+          < w.rate_m
+    """,
+    tags=("llmdata", "sampling"),
+    tier="shadow",
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: each source keeps a configured
+    per-mille fraction of its documents (hash-Bernoulli on the portable
+    id hash).  The weights relation is a handful of rows — broadcast
+    joined, so the plan is scan → map-side probe → filter: zero
+    shuffles, and the filter is a pure function of (doc_id, source), so
+    re-running on a re-partitioned 100 TB corpus selects the SAME rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    weights = spark.createDataFrame(_mixture_weights(), "source string, rate_m int")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .filter(h % 1000 < F.col("rate_m"))
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming contamination gate: the same eval-overlap check applied at
+# INGEST time — documents arrive as a file stream, the benchmark
+# n-gram set is a static broadcast side, contaminated docs surface
+# incrementally.  The gate a pipeline runs BEFORE a crawl shard ever
+# lands in the training corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_contamination_gate",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs
+      FROM documents WHERE {_SQL_MIN_TOKS}
+    ),
+    eval_set AS (
+      SELECT DISTINCT unnest(hs) AS h FROM base WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    ex AS (
+      SELECT doc_id, unnest(hs) AS h FROM base WHERE doc_id % {_EVAL_MOD} != 0
+    )
+    SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+    FROM ex JOIN eval_set USING (h) GROUP BY ex.doc_id
+    """,
+    tags=("llmdata", "contamination", "streaming"),
+    tier="shadow",
+)
+def streaming_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination counting executed by Structured Streaming: parquet
+    file-stream of documents → stateless stream-static broadcast join
+    against the (batch-computed) eval n-gram hash set → update-mode
+    grouped count per doc_id → memory sink, availableNow trigger.  The
+    emitted final state must equal the batch formulation restricted to
+    contaminated docs — which the DuckDB oracle checks.
+
+    Scale shape: the only stateful operator is the per-doc count whose
+    key space is |contaminated docs| (tiny); the join side is static
+    and broadcast once per epoch, so state stores never see shingle
+    hashes — the property that keeps this runnable forever on an
+    unbounded crawl feed."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    # static side: the eval slice's distinct shingle hashes (batch)
+    docs = load_table(spark, "documents", sf_dir)
+    eval_set = (
+        docs.filter(
+            (F.col("doc_id") % _EVAL_MOD == 0)
+            & (F.size(TX.tokens(F.col("text"))) >= _SHINGLE_W)
+        )
+        .select(
+            F.explode(H.hash_list(TX.shingles(F.col("text"), _SHINGLE_W))).alias("h")
+        )
+        .distinct()
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(
+            (F.col("doc_id") % _EVAL_MOD != 0)
+            & (F.size(TX.tokens(F.col("text"))) >= _SHINGLE_W)
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(H.hash_list(TX.shingles(F.col("text"), _SHINGLE_W)))
+            ).alias("h"),
+        )
+        .join(F.broadcast(eval_set), "h")  # stream-static: stateless
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    name = f"stream_contam_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_contam_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

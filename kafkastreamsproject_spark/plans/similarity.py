@@ -368,3 +368,56 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "true_label", "assigned_label", F.round("d2", 6).alias("dist2"))
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS max_abs
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           array_to_string(
+             list_transform(xd,
+               x -> CAST(CAST(ROUND(x * 127 / max_abs) AS BIGINT) AS VARCHAR)),
+             ',') AS q_csv,
+           ROUND(max_abs, 6) AS max_abs_r,
+           CAST(len(xd) AS INT) AS n_dim
+    FROM m
+    """,
+    tags=("similarity", "quantization"),
+    tier="shadow",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization — the storage/serving format
+    that cuts an embedding corpus 4× (float32 → int8 + one scale per
+    vector).  Per vector: scale by 127/max|x| and round; emit the code
+    vector (comma-joined — the driver canonicalizer cannot hash arrays)
+    plus the dequantization scale.
+
+    Exactness contract: components cast to DOUBLE before any math, the
+    multiply/divide are IEEE-identical on both engines, and both Spark
+    round() and DuckDB ROUND() round half away from zero — so the
+    int codes hash-match exactly (no FP-tolerance smudge).  Row-local
+    array math: zero shuffles, whole-stage codegen, 4-byte-per-dim
+    output instead of text."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    q_csv = F.array_join(
+        F.transform(
+            xd, lambda x: F.round(x * 127 / max_abs).cast("long").cast("string")
+        ),
+        ",",
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        q_csv.alias("q_csv"),
+        F.round(max_abs, 6).alias("max_abs_r"),
+        F.size(xd).alias("n_dim"),
+    )
