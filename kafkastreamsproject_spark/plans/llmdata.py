@@ -155,7 +155,11 @@ _SQL_TOKENS = "string_split_regex(trim(text), ' +')"
 def token_rarity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token rarity against the corpus unigram table: total
     tokens, hapax legomena (corpus count == 1), rare tokens (corpus
-    count < 5), and the rare-token rate.
+    count < 5), and the rare-token rate.  Complements
+    ``unigram_logprob_score`` (plans/shadow.py) — that query is the
+    smoothed-LM surprisal score on a train/test split; this one is the
+    exact integer rarity census over the whole corpus, usable as a
+    filter predicate without any FP tolerance.
 
     Scale shape: the unigram table is groupBy(token) over the exploded
     corpus — partial aggregation means each partition ships one row per
@@ -282,12 +286,16 @@ def _mixture_weights() -> list[tuple[str, int]]:
     tier="shadow",
 )
 def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic mixture sampling: each source keeps a configured
+    """Deterministic mixture sampling: each source keeps a CONFIGURED
     per-mille fraction of its documents (hash-Bernoulli on the portable
-    id hash).  The weights relation is a handful of rows — broadcast
-    joined, so the plan is scan → map-side probe → filter: zero
-    shuffles, and the filter is a pure function of (doc_id, source), so
-    re-running on a re-partitioned 100 TB corpus selects the SAME rows."""
+    id hash) — the curated-weights counterpart of ``mixture_resample``
+    (plans/shadow.py), which computes its rates from observed source
+    shares to rebalance toward uniform; real pipelines need both (a
+    human-chosen mixture and an automatic rebalance).  The weights
+    relation is a handful of rows — broadcast joined, so the plan is
+    scan → map-side probe → filter: zero shuffles, and the filter is a
+    pure function of (doc_id, source), so re-running on a
+    re-partitioned 100 TB corpus selects the SAME rows."""
     docs = load_table(spark, "documents", sf_dir)
     weights = spark.createDataFrame(_mixture_weights(), "source string, rate_m int")
     h = F.conv(
