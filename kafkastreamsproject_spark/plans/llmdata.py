@@ -1,8 +1,9 @@
 """LLM-training-data curation operators beyond the dedup/quality core:
-benchmark-contamination detection, corpus-frequency token rarity, and
-native session-window sessionization.
+benchmark-contamination detection (batch + streaming ingest gate),
+corpus-frequency token rarity, native session-window sessionization,
+configured-weight mixture sampling, and embedding×text near-dup fusion.
 
-All three are shadow-tier (the driver registry is capped at
+All are shadow-tier (the driver registry is capped at
 DRIVER_QUERY_CAP) but carry full DuckDB oracles, so the local compare
 gate (tests/test_shadow_queries.py) checks them exactly the way the
 driver checks primary queries.
@@ -205,7 +206,7 @@ _SESSION_GAP_MIN = 30
     WITH o AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
-                    OR ts - LAG(ts) OVER w >= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    OR ts - LAG(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -229,9 +230,11 @@ _SESSION_GAP_MIN = 30
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via the NATIVE ``session_window`` aggregation:
     per (user, session) — session start, end (last event + the 30-min
-    gap, Spark's half-open session-window semantics: an event at exactly
-    last+gap starts a NEW session, hence the oracle's ``>=`` island
-    break), and event count.
+    gap), and event count.  Merge semantics, pinned empirically by
+    tests/test_llmdata.py: TOUCHING windows merge — an event at exactly
+    last+gap joins the session (so the oracle's island break is a
+    STRICT ``>`` on the gap; the lag-based primary `sessionization`
+    query uses the same strict comparison).
 
     Scale shape: session_window aggregates after ONE shuffle on
     user_id; merging overlapping windows happens inside the aggregation
@@ -406,3 +409,112 @@ def streaming_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid near-dup fusion: embedding-LSH candidate generation CONFIRMED
+# by textual shingle-Jaccard — the two signals modern dedup pipelines
+# cross-check (semantic near-dups the text hash misses; templated text
+# the embedding space smears).  Composes two verified operators.
+# ---------------------------------------------------------------------------
+
+_FUSION_TEXT_T = 0.5  # shingle-Jaccard confirmation threshold
+
+
+@register(
+    "hybrid_neardup_fusion",
+    oracle=None,  # assembled below after imports resolve (see _fusion_oracle)
+    tags=("llmdata", "dedup", "similarity"),
+    tier="shadow",
+)
+def hybrid_neardup_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from the bucketed embedding-LSH path
+    (ann_lsh_neardup, cosine ≥ its threshold on the rounded score),
+    each annotated with the exact shingle-hash Jaccard of the two
+    DOCUMENTS (vec_id ≡ doc_id in the fixtures) and a text_confirmed
+    verdict at Jaccard ≥ 0.5.
+
+    Scale shape: pair generation stays bucketed (work ∝ Σ bucket², the
+    LSH scale path); the textual confirmation joins the candidate list
+    (small) against the 32-bit shingle-hash arrays — two hash-equi
+    joins shuffling only (doc_id, hash-array) for docs that appear in
+    candidates, never raw text.  A pipeline keeps pairs where either
+    signal fires strongly; emitting both lets the threshold be tuned
+    downstream without recomputation."""
+    from kafkastreamsproject_spark.plans.similarity import ann_lsh_neardup
+
+    pairs = ann_lsh_neardup(spark, sf_dir).select("id_a", "id_b", "score")
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.size(TX.tokens(F.col("text"))) >= _SHINGLE_W
+    )
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(H.hash_list(TX.shingles(F.col("text"), _SHINGLE_W))).alias(
+            "hs"
+        ),
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("h_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("h_b"))
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    jac = inter / (F.size("h_a") + F.size("h_b") - inter).cast("double")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("score").alias("cosine"),
+            F.round(jac, 6).alias("jaccard"),
+            (F.round(jac, 6) >= _FUSION_TEXT_T).alias("text_confirmed"),
+        )
+    )
+
+
+def _fusion_oracle() -> str:
+    from kafkastreamsproject_spark.functions import vectors as V
+    from kafkastreamsproject_spark.plans.similarity import _LSH_T
+
+    jac = (
+        "len(list_intersect(sa.hs, sb.hs)) / CAST(len(sa.hs) + len(sb.hs) "
+        "- len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)"
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {V.sql_lsh_bucket_adaptive('embedding', V.sql_adaptive_n_planes())} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT id_a, id_b, score FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({V.sql_cosine('a.embedding', 'b.embedding')}, 6) AS score
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ) WHERE score >= {_LSH_T}
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs
+      FROM documents WHERE {_SQL_MIN_TOKS}
+    )
+    SELECT p.id_a, p.id_b, p.score AS cosine,
+           ROUND({jac}, 6) AS jaccard,
+           (ROUND({jac}, 6) >= {_FUSION_TEXT_T}) AS text_confirmed
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+    """
+
+
+# late-bind the oracle (avoids a circular import of plans.similarity at
+# module load: registry imports llmdata, llmdata's builder imports
+# similarity lazily inside the function)
+from kafkastreamsproject_spark.plans import registry as _registry  # noqa: E402
+
+_spec = _registry._SHADOW["hybrid_neardup_fusion"]
+_registry._SHADOW["hybrid_neardup_fusion"] = _registry.QuerySpec(
+    name=_spec.name,
+    spark=_spec.spark,
+    oracle=_fusion_oracle(),
+    doc=_spec.doc,
+    tags=_spec.tags,
+    tier=_spec.tier,
+)

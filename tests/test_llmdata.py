@@ -1,0 +1,84 @@
+"""Unit pins for plans/llmdata.py beyond the oracle compare: the
+session-window gap-boundary semantics the oracle SQL assumes, and the
+determinism contract of mixture sampling."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 3, 1, 8, minute)
+
+
+def test_session_window_gap_boundary_merges(spark):
+    """Spark session-window merge semantics, pinned empirically: an
+    event at EXACTLY last+gap JOINS the session (touching windows
+    merge); only a strictly larger gap starts a new one.  The DuckDB
+    oracle for session_window_stats therefore breaks islands on a
+    STRICT `>` — if Spark ever changed to exclusive ends, this pin
+    fails before the oracle compare gets a chance to."""
+    rows = [
+        (1, _ts(0)),   # session A
+        (1, _ts(29)),  # A (gap 29 < 30)
+        (1, _ts(59)),  # STILL A: gap from 08:29 is exactly 30 min (touching)
+        (2, _ts(0)),   # other user: own session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("s"), F.col("sw.end").alias("e"),
+                "n_events")
+        .orderBy("user_id", "s")
+        .collect()
+    )
+    assert [(r.user_id, r.n_events) for r in out] == [(1, 3), (2, 1)]
+    # window end extends gap past the LAST event of the merged session
+    assert out[0].s == _ts(0) and out[0].e == dt.datetime(2024, 3, 1, 9, 29)
+    # one minute past the boundary DOES split
+    df2 = spark.createDataFrame(
+        [(1, _ts(0)), (1, dt.datetime(2024, 3, 1, 8, 31))],
+        "user_id long, ts timestamp",
+    )
+    n = (
+        df2.groupBy(F.session_window("ts", "30 minutes"))
+        .count()
+        .count()
+    )
+    assert n == 2
+
+
+def test_mixture_sample_is_partitioning_invariant(spark, sf_dir):
+    """The mixture filter is a pure function of (doc_id, source): the
+    selected row set must not change under repartitioning — the property
+    that makes the sample reproducible on a re-sharded 100 TB corpus."""
+    from kafkastreamsproject_spark.plans.registry import shadow_queries
+
+    spec = shadow_queries()["mixture_sample"]
+    a = {r.doc_id for r in spec.spark(spark, sf_dir).collect()}
+    b = {
+        r.doc_id
+        for r in spec.spark(spark, sf_dir).repartition(13).collect()
+    }
+    assert a == b and a
+
+
+def test_contamination_eval_docs_fully_contaminate_themselves(spark, sf_dir):
+    """Sanity of the overlap direction: a TRAINING doc that also exists
+    verbatim in the eval slice would score rate 1.0; eval docs never
+    appear in the output (they are the reference set, not the audited
+    set)."""
+    from kafkastreamsproject_spark.plans.llmdata import (
+        _EVAL_MOD,
+        contamination_ngram_overlap,
+    )
+
+    out = contamination_ngram_overlap(spark, sf_dir)
+    assert out.filter(F.col("doc_id") % _EVAL_MOD == 0).count() == 0
+    bad = out.filter(
+        (F.col("contamination_rate") < 0) | (F.col("contamination_rate") > 1)
+    ).count()
+    assert bad == 0
