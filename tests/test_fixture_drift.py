@@ -59,3 +59,54 @@ def test_bench_query_list_builds_against_live_fixtures(spark):
     for name in bench.BENCH_QUERIES:
         df = specs[name].spark(spark, sf_dir)
         assert df.schema is not None, name
+
+
+# The engine-facing schema of every fixture table AFTER load_table's
+# normalization (timestamps zoned, nothing else touched).  A renamed or
+# retyped column in a regenerated fixture fails here with a readable
+# diff instead of as a cryptic AnalysisException inside some query.
+EXPECTED_DTYPES = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"), ("c_name", "string"), ("c_nationkey", "int"),
+        ("c_acctbal", "double"), ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"), ("s_name", "string"), ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"), ("p_name", "string"), ("p_brand", "string"),
+        ("p_type", "string"), ("p_size", "int"), ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"), ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"), ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"), ("l_partkey", "bigint"), ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"), ("l_quantity", "double"),
+        ("l_extendedprice", "double"), ("l_discount", "double"), ("l_tax", "double"),
+        ("l_returnflag", "string"), ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp"),
+    ],
+    "events": [
+        ("event_id", "bigint"), ("ts", "timestamp"), ("user_id", "bigint"),
+        ("event_type", "string"), ("value", "double"), ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+        ("source", "string"), ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"), ("embedding", "array<float>"), ("label", "int"),
+    ],
+}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("name", sorted(EXPECTED_DTYPES))
+def test_table_schema_pinned(spark, sf_dir, name):
+    assert load_table(spark, name, sf_dir).dtypes == EXPECTED_DTYPES[name]
