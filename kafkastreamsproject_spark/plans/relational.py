@@ -807,3 +807,75 @@ def bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"), 4
         ).alias("sum_qty"),
     )
+
+
+@register(
+    "fk_orphan_audit",
+    oracle="""
+    SELECT 'orders.o_custkey' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                 (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey',
+           CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey',
+           CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey',
+           CAST((SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+                 (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    """,
+    tags=("relational", "quality", "join"),
+    tier="shadow",
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every FK edge of
+    the star schema in one report — the ingest-time data-quality gate a
+    warehouse runs before publishing a snapshot.
+
+    Each edge is a LEFT ANTI join counting probe rows whose key has no
+    match: the anti join prunes the build side to its key column, so at
+    100 TB each edge costs one shuffle of (key) pairs — and the small
+    dimension edges (nation) broadcast.  The per-edge results are
+    1-row aggregates unioned driver-free."""
+    specs = [
+        ("orders.o_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for edge, probe_t, probe_k, build_t, build_k in specs:
+        probe = load_table(spark, probe_t, sf_dir)
+        build = load_table(spark, build_t, sf_dir).select(build_k)
+        orphans = probe.join(
+            build, probe[probe_k] == build[build_k], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = probe.agg(F.count(F.lit(1)).alias("n_rows"))
+        parts.append(
+            orphans.crossJoin(total).select(
+                F.lit(edge).alias("fk_edge"), "n_orphans", "n_rows"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

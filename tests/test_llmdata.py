@@ -82,3 +82,25 @@ def test_contamination_eval_docs_fully_contaminate_themselves(spark, sf_dir):
         (F.col("contamination_rate") < 0) | (F.col("contamination_rate") > 1)
     ).count()
     assert bad == 0
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    """Dequantization error bound: |x − q·max_abs/127| ≤ max_abs/254
+    (half a quantization step) for every component — the contract that
+    makes the int8 corpus usable for retrieval."""
+    from kafkastreamsproject_spark.plans.registry import shadow_queries
+    from kafkastreamsproject_spark.sources.testdata import load_table
+
+    q = shadow_queries()["embedding_quantize_int8"].spark(spark, sf_dir)
+    emb = {r.vec_id: r.embedding for r in
+           load_table(spark, "embeddings", sf_dir).collect()}
+    for r in q.limit(100).collect():
+        codes = [int(c) for c in r.q_csv.split(",")]
+        x = emb[r.vec_id]
+        assert len(codes) == len(x) == r.n_dim
+        assert max(abs(c) for c in codes) <= 127
+        # recover max_abs exactly enough from the rounded emission
+        max_abs = max(abs(float(v)) for v in x)
+        step = max_abs / 127.0
+        for c, v in zip(codes, x):
+            assert abs(float(v) - c * step) <= step / 2 + 1e-9, (r.vec_id, c, v)
