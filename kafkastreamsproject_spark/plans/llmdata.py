@@ -62,8 +62,12 @@ _SQL_MIN_TOKS = f"len(string_split_regex(trim(text), ' +')) >= {_SHINGLE_W}"
     tier="shadow",
 )
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval contamination audit: per training document, how many of
-    its distinct 5-gram shingle hashes appear anywhere in the eval slice.
+    """Train/eval contamination audit: per TRAINING document, how many of
+    its distinct 5-gram shingle hashes appear anywhere in the eval slice
+    — the direction that decides which training docs to DROP.  The
+    existing ``contamination_check`` (plans/shadow.py) scores the other
+    direction (per held-out doc, containment in the train split — the
+    measurement step); a decontamination pipeline runs both.
 
     Scale shape: the eval n-gram set is the DISTINCT hash table of the
     benchmark suite — a few million 8-byte longs even for a large eval

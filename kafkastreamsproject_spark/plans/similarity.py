@@ -395,9 +395,13 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization — the storage/serving format
     that cuts an embedding corpus 4× (float32 → int8 + one scale per
-    vector).  Per vector: scale by 127/max|x| and round; emit the code
-    vector (comma-joined — the driver canonicalizer cannot hash arrays)
-    plus the dequantization scale.
+    vector).  Per vector: scale by 127/max|x| and round; emit the CODE
+    VECTOR itself (comma-joined — the driver canonicalizer cannot hash
+    arrays) plus the dequantization scale.  Companion of
+    ``embedding_quantize_audit`` (plans/shadow.py), which emits the
+    scale + reconstruction-RMSE decision metrics; this query is the
+    materialization step those metrics green-light, and
+    tests/test_llmdata.py pins its half-step dequantization bound.
 
     Exactness contract: components cast to DOUBLE before any math, the
     multiply/divide are IEEE-identical on both engines, and both Spark
