@@ -89,8 +89,12 @@ def bloom_semi_join(
             sketch, pos_i == sketch["pos"], "left_semi"
         )
     if exact_confirm:
+        # No .distinct() on the build side: a left-semi join emits a
+        # probe row on ≥1 match regardless of build multiplicity, and
+        # the join's own hash build dedups keys — an explicit distinct
+        # would add a full shuffle + two aggregates for nothing.
         survivors = survivors.join(
-            build.select(build_key).distinct(),
+            build.select(build_key),
             survivors[probe_key] == F.col(build_key),
             "left_semi",
         )
