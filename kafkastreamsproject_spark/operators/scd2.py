@@ -57,7 +57,11 @@ def scd2_apply_changes(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    ch_keys = ch.select(F.col(key).alias("__ck")).distinct()
+    # no .distinct(): the row_number filter above already guarantees one
+    # row per key, and the anti/semi joins below are insensitive to
+    # build-side multiplicity anyway — a distinct here is a pure extra
+    # shuffle
+    ch_keys = ch.select(F.col(key).alias("__ck"))
 
     current = snapshot.filter(F.col("is_current"))
     history = snapshot.filter(~F.col("is_current"))
