@@ -401,17 +401,28 @@ def streaming_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+    # complete mode: the memory sink always holds exactly the final
+    # aggregate state, regardless of how the file source batches the
+    # input (update mode would append per-batch partials if the fixture
+    # ever split into multiple files — ADVICE r5).  State is bounded by
+    # |contaminated docs|, so complete output is cheap here.
     name = f"stream_contam_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_contam_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_contam_")
+    try:
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -425,9 +436,46 @@ def streaming_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUSION_TEXT_T = 0.5  # shingle-Jaccard confirmation threshold
 
 
+def _fusion_oracle() -> str:
+    # Lazy (registry resolves at first all/shadow_queries() call): the
+    # similarity module can't be imported at THIS module's load time
+    # without a circular-import cycle.
+    from kafkastreamsproject_spark.functions import vectors as V
+    from kafkastreamsproject_spark.plans.similarity import _LSH_T
+
+    jac = (
+        "len(list_intersect(sa.hs, sb.hs)) / CAST(len(sa.hs) + len(sb.hs) "
+        "- len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)"
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {V.sql_lsh_bucket_adaptive('embedding', V.sql_adaptive_n_planes())} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT id_a, id_b, score FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({V.sql_cosine('a.embedding', 'b.embedding')}, 6) AS score
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ) WHERE score >= {_LSH_T}
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs
+      FROM documents WHERE {_SQL_MIN_TOKS}
+    )
+    SELECT p.id_a, p.id_b, p.score AS cosine,
+           ROUND({jac}, 6) AS jaccard,
+           (ROUND({jac}, 6) >= {_FUSION_TEXT_T}) AS text_confirmed
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+    """
+
+
 @register(
     "hybrid_neardup_fusion",
-    oracle=None,  # assembled below after imports resolve (see _fusion_oracle)
+    oracle_fn=_fusion_oracle,
     tags=("llmdata", "dedup", "similarity"),
     tier="shadow",
 )
@@ -474,51 +522,3 @@ def hybrid_neardup_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fusion_oracle() -> str:
-    from kafkastreamsproject_spark.functions import vectors as V
-    from kafkastreamsproject_spark.plans.similarity import _LSH_T
-
-    jac = (
-        "len(list_intersect(sa.hs, sb.hs)) / CAST(len(sa.hs) + len(sb.hs) "
-        "- len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)"
-    )
-    return f"""
-    WITH sig AS (
-      SELECT vec_id, embedding,
-             {V.sql_lsh_bucket_adaptive('embedding', V.sql_adaptive_n_planes())} AS bucket
-      FROM embeddings
-    ),
-    pairs AS (
-      SELECT id_a, id_b, score FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND({V.sql_cosine('a.embedding', 'b.embedding')}, 6) AS score
-        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      ) WHERE score >= {_LSH_T}
-    ),
-    sh AS (
-      SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs
-      FROM documents WHERE {_SQL_MIN_TOKS}
-    )
-    SELECT p.id_a, p.id_b, p.score AS cosine,
-           ROUND({jac}, 6) AS jaccard,
-           (ROUND({jac}, 6) >= {_FUSION_TEXT_T}) AS text_confirmed
-    FROM pairs p
-    JOIN sh sa ON sa.doc_id = p.id_a
-    JOIN sh sb ON sb.doc_id = p.id_b
-    """
-
-
-# late-bind the oracle (avoids a circular import of plans.similarity at
-# module load: registry imports llmdata, llmdata's builder imports
-# similarity lazily inside the function)
-from kafkastreamsproject_spark.plans import registry as _registry  # noqa: E402
-
-_spec = _registry._SHADOW["hybrid_neardup_fusion"]
-_registry._SHADOW["hybrid_neardup_fusion"] = _registry.QuerySpec(
-    name=_spec.name,
-    spark=_spec.spark,
-    oracle=_fusion_oracle(),
-    doc=_spec.doc,
-    tags=_spec.tags,
-    tier=_spec.tier,
-)

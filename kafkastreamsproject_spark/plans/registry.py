@@ -21,7 +21,7 @@ from __future__ import annotations
 import functools
 import importlib
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,7 +53,13 @@ _SHADOW: dict[str, "QuerySpec"] = {}
 
 @dataclass(frozen=True)
 class QuerySpec:
-    """One named query: Spark builder + optional DuckDB oracle SQL."""
+    """One named query: Spark builder + optional DuckDB oracle SQL.
+
+    ``oracle_fn`` is the lazy form: a zero-arg callable returning the
+    oracle SQL, resolved (once, memoized into ``oracle``) the first time
+    the registry maps are requested.  For oracles that need imports the
+    defining module can't perform at load time (circular-import cycles).
+    """
 
     name: str
     spark: Callable[[SparkSession, str], DataFrame]
@@ -61,6 +67,7 @@ class QuerySpec:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     tier: str = "primary"
+    oracle_fn: Callable[[], str] | None = None
 
 
 def register(
@@ -68,6 +75,7 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     tier: str = "primary",
+    oracle_fn: Callable[[], str] | None = None,
 ) -> Callable:
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a query.
 
@@ -82,6 +90,8 @@ def register(
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
         if name in _REGISTRY or name in _SHADOW:
             raise ValueError(f"duplicate query name: {name}")
+        if oracle is not None and oracle_fn is not None:
+            raise ValueError(f"{name}: pass oracle or oracle_fn, not both")
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,6 +108,7 @@ def register(
             doc=(fn.__doc__ or "").strip(),
             tags=tags,
             tier=tier,
+            oracle_fn=oracle_fn,
         )
         (_REGISTRY if tier == "primary" else _SHADOW)[name] = spec
         return fn
@@ -105,11 +116,20 @@ def register(
     return deco
 
 
+def _resolve_lazy_oracles(table: dict[str, QuerySpec]) -> None:
+    """Materialize any oracle_fn into its SQL string, memoized in place
+    so each lazy oracle builds exactly once per process."""
+    for name, spec in table.items():
+        if spec.oracle is None and spec.oracle_fn is not None:
+            table[name] = replace(spec, oracle=spec.oracle_fn(), oracle_fn=None)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Import all query modules and return the driver-facing registry
     (primary tier only — at most DRIVER_QUERY_CAP entries)."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
+    _resolve_lazy_oracles(_REGISTRY)
     return dict(_REGISTRY)
 
 
@@ -118,4 +138,5 @@ def shadow_queries() -> dict[str, QuerySpec]:
     locally, never submitted to the external gate."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
+    _resolve_lazy_oracles(_SHADOW)
     return dict(_SHADOW)

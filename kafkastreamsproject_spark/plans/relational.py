@@ -266,7 +266,7 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS within_5pct
+           TRUE AS within_3rsd
     FROM events
     GROUP BY event_type
     """,
@@ -279,9 +279,11 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL sketch values are engine-specific, so the raw estimate cannot be
     oracle-hashed.  The deterministic contract checked instead: the
     exact distinct count (which DuckDB reproduces) plus a Spark-computed
-    ``within_5pct`` flag asserting the HLL estimate (rsd=0.02) lands
-    within 5% of exact — the HLL path stays fully exercised and the
-    driver row is a hard three-way check (VERDICT r4 next-round #4)."""
+    ``within_3rsd`` flag asserting the HLL estimate (rsd=0.02) lands
+    within 3·rsd = 6% of exact — ~3 sigma, so the flag is effectively
+    deterministic across fixture regenerations (ADVICE r5 widened this
+    from a 2.5-sigma 5% envelope that a new user_id distribution could
+    probabilistically flip)."""
     ev = load_table(spark, "events", sf_dir)
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
@@ -291,8 +293,8 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.countDistinct("user_id")
             )
             / F.countDistinct("user_id")
-            <= F.lit(0.05)
-        ).alias("within_5pct"),
+            <= F.lit(0.06)
+        ).alias("within_3rsd"),
     )
 
 

@@ -52,6 +52,8 @@ def test_bench_query_list_builds_against_live_fixtures(spark):
     import bench
     from kafkastreamsproject_spark.plans.registry import all_queries
 
+    if not SF_DIRS:
+        pytest.skip("no /root/testdata fixture directories on this machine")
     specs = all_queries()
     sf_dir = SF_DIRS[0]
     missing = [n for n in bench.BENCH_QUERIES if n not in specs]
@@ -110,3 +112,22 @@ EXPECTED_DTYPES = {
 @pytest.mark.parametrize("name", sorted(EXPECTED_DTYPES))
 def test_table_schema_pinned(spark, sf_dir, name):
     assert load_table(spark, name, sf_dir).dtypes == EXPECTED_DTYPES[name]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_documents_text_is_ascii(spark, sf_dir):
+    """Charset pin (ADVICE r5): the media_features oracle equates bytes
+    with characters (strlen for n_bytes, ord(ch)%16 per byte), which is
+    only valid while documents.text is pure ASCII.  The schema pins above
+    can't catch a charset drift — this does, before any oracle compare:
+    octet_length == char length for every document."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_multibyte = docs.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert n_multibyte == 0, (
+        f"{n_multibyte} non-ASCII documents in {sf_dir} — media_features "
+        "oracle byte/char equivalence no longer holds"
+    )

@@ -124,10 +124,10 @@ def test_windowed_counts_and_anomaly(trips, stations):
 
 def test_approx_distinct_bounded_error(spark, sf_dir):
     """The registered query's contract: per event type, the exact
-    distinct count (DuckDB-checkable) plus a Spark-computed within_5pct
+    distinct count (DuckDB-checkable) plus a Spark-computed within_3rsd
     flag over the HLL estimate (rsd=0.02).  Pin both sides: exact_users
-    equals the exact twin, and the 5% envelope holds (so the driver row
-    hashes TRUE deterministically)."""
+    equals the exact twin, and the 3·rsd = 6% envelope holds (so the
+    driver row hashes TRUE deterministically)."""
     from kafkastreamsproject_spark.plans.registry import all_queries
     from kafkastreamsproject_spark.plans.relational import distinct_counts
 
@@ -143,7 +143,7 @@ def test_approx_distinct_bounded_error(spark, sf_dir):
     assert set(got) == set(exact)
     for k, v in exact.items():
         assert got[k].exact_users == v, (k, got[k].exact_users, v)
-        assert got[k].within_5pct is True, (k, got[k])
+        assert got[k].within_3rsd is True, (k, got[k])
 
 
 def test_enrich_join_null_mode(spark, trips, stations):
