@@ -69,15 +69,17 @@ def main() -> None:
     # through the second execution; run 3 is reliably steady-state).
     runs = 3
     timings: dict[str, float] = {}
+    means: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
-        best = float("inf")
+        samples: list[float] = []
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
                 specs[name].spark(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(min(samples), 4)
+            means[name] = round(sum(samples) / len(samples), 4)
         except Exception as e:  # record and keep benchmarking the rest
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
@@ -86,7 +88,13 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        # "queries" stays the per-query MIN of the 3 runs (steady-state
+        # engine cost); "queries_mean" adds the arithmetic mean so
+        # cross-round comparisons can separate host noise (min stable,
+        # mean inflated) from a real plan regression (both shift) —
+        # VERDICT r5 #5: this bench host has ~2x round-to-round variance.
         "queries": timings,
+        "queries_mean": means,
         "sf": sf,
         "runs_per_query": runs,
     }
