@@ -436,19 +436,23 @@ def streaming_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUSION_TEXT_T = 0.5  # shingle-Jaccard confirmation threshold
 
 
-def _fusion_oracle() -> str:
-    # Lazy (registry resolves at first all/shadow_queries() call): the
-    # similarity module can't be imported at THIS module's load time
-    # without a circular-import cycle.
+#: exact Jaccard over the two shingle-hash sets, aliased sa/sb
+_FUSION_JAC_SQL = (
+    "len(list_intersect(sa.hs, sb.hs)) / CAST(len(sa.hs) + len(sb.hs) "
+    "- len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)"
+)
+
+
+def _fusion_ctes() -> str:
+    """Shared CTE block (sig → pairs → sh) for the fusion-family
+    oracles.  Built lazily (registry's oracle_fn) because the similarity
+    module can't be imported at THIS module's load time without a
+    circular-import cycle."""
     from kafkastreamsproject_spark.functions import vectors as V
     from kafkastreamsproject_spark.plans.similarity import _LSH_T
 
-    jac = (
-        "len(list_intersect(sa.hs, sb.hs)) / CAST(len(sa.hs) + len(sb.hs) "
-        "- len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)"
-    )
     return f"""
-    WITH sig AS (
+    sig AS (
       SELECT vec_id, embedding,
              {V.sql_lsh_bucket_adaptive('embedding', V.sql_adaptive_n_planes())} AS bucket
       FROM embeddings
@@ -463,10 +467,15 @@ def _fusion_oracle() -> str:
     sh AS (
       SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs
       FROM documents WHERE {_SQL_MIN_TOKS}
-    )
+    )"""
+
+
+def _fusion_oracle() -> str:
+    return f"""
+    WITH {_fusion_ctes()}
     SELECT p.id_a, p.id_b, p.score AS cosine,
-           ROUND({jac}, 6) AS jaccard,
-           (ROUND({jac}, 6) >= {_FUSION_TEXT_T}) AS text_confirmed
+           ROUND({_FUSION_JAC_SQL}, 6) AS jaccard,
+           (ROUND({_FUSION_JAC_SQL}, 6) >= {_FUSION_TEXT_T}) AS text_confirmed
     FROM pairs p
     JOIN sh sa ON sa.doc_id = p.id_a
     JOIN sh sb ON sb.doc_id = p.id_b
@@ -522,3 +531,100 @@ def hybrid_neardup_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup end-to-end (SemDeDup-style keep-one): the step a real
+# curation run actually executes — two-signal confirmed near-dup pairs
+# → connected components → keep the min-id survivor per cluster, with
+# per-row removal accounting.  Composes hybrid_neardup_fusion (above)
+# with functions/clustering.py; the hash-based twin is dedup_clusters
+# (plans/dedup.py), which clusters MinHash pairs only.
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_fusion_ctes()},
+    conf AS (
+      SELECT p.id_a, p.id_b
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+      WHERE ROUND({_FUSION_JAC_SQL}, 6) >= {_FUSION_TEXT_T}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM conf
+      UNION
+      SELECT id_b AS u, id_a AS v FROM conf
+    ),
+    walk(u, comp) AS (
+      SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY u
+    ),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    sz AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+    )
+    SELECT l.doc_id,
+           CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           (l.doc_id = l.cluster_id) AS kept
+    FROM lab l JOIN sz s USING (cluster_id)
+    """
+
+
+@register(
+    "semantic_dedup_keep",
+    oracle_fn=_semantic_dedup_oracle,
+    tags=("llmdata", "dedup", "clustering"),
+    tier="shadow",
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep-one over the TWO-SIGNAL near-dup graph: pairs
+    where the embedding-LSH candidate was confirmed by textual
+    shingle-Jaccard (hybrid_neardup_fusion, text_confirmed) become
+    edges, connected components label every implicated document with
+    its cluster's min doc_id, and every document in the corpus gets a
+    verdict row: (doc_id, cluster_id, cluster_size, kept) — kept iff
+    the doc IS its cluster's canonical survivor (singletons keep
+    themselves).  SUM(cluster_size - 1) grouped by kept gives the
+    removal accounting a curation report publishes.
+
+    Scale shape: pair generation stays LSH-bucketed and the confirm
+    join ships only shingle-hash arrays for implicated docs (the fusion
+    query's shape, unchanged); connected components is O(diameter)
+    iterations of join+min-label over an edge list that is ~|near-dup
+    pairs| — tiny relative to the corpus; the final labeling is one
+    left join of (doc_id → cluster_id) longs against the corpus ids
+    plus a |clusters|-sized count shuffle.  Text never shuffles."""
+    from kafkastreamsproject_spark.functions.clustering import connected_components
+
+    conf = (
+        hybrid_neardup_fusion(spark, sf_dir)
+        .filter(F.col("text_confirmed"))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(conf).select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    lab = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return lab.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
+    )

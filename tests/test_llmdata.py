@@ -104,3 +104,34 @@ def test_int8_quantization_error_bound(spark, sf_dir):
         step = max_abs / 127.0
         for c, v in zip(codes, x):
             assert abs(float(v) - c * step) <= step / 2 + 1e-9, (r.vec_id, c, v)
+
+
+def test_semantic_dedup_keep_one_per_cluster(spark, sf_dir):
+    """Keep-one invariants the oracle compare can't state directly:
+    exactly one kept doc per cluster, the kept doc IS the cluster's min
+    id, every corpus doc gets exactly one verdict row, and the removal
+    accounting reconciles (non-kept rows == sum of (cluster_size-1))."""
+    from kafkastreamsproject_spark.plans.llmdata import semantic_dedup_keep
+    from kafkastreamsproject_spark.sources.testdata import load_table
+
+    out = semantic_dedup_keep(spark, sf_dir).collect()
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert len(out) == n_docs
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    removed = 0
+    for cid, rows in by_cluster.items():
+        kept = [r for r in rows if r.kept]
+        assert len(kept) == 1 and kept[0].doc_id == cid == min(r.doc_id for r in rows)
+        assert all(r.cluster_size == len(rows) for r in rows)
+        removed += len(rows) - 1
+    assert removed == sum(1 for r in out if not r.kept)
+    # when the fusion graph has confirmed pairs, some doc must be dropped
+    # (at sf0.001 the corpus can legitimately have zero confirmed pairs)
+    from kafkastreamsproject_spark.plans.llmdata import hybrid_neardup_fusion
+
+    n_conf = (
+        hybrid_neardup_fusion(spark, sf_dir).filter(F.col("text_confirmed")).count()
+    )
+    assert (n_conf > 0) == any(not r.kept for r in out)
