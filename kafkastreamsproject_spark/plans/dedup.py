@@ -411,13 +411,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Pair-generation CTEs shared by minhash_lsh_pairs and dedup_clusters.
-_SQL_MINHASH_CTES = f"""
-    corpus2 AS ({_SQL_CORPUS2}),
+def sql_minhash_ctes(corpus_sql: str) -> str:
+    """The shingle→minhash→band→confirm CTE pipeline (sigs → bands →
+    cands → pairs) over an arbitrary (doc_id, text) corpus SQL —
+    shared by the minhash-family oracles and any oracle that needs the
+    confirmed-pair relation over a custom corpus split (e.g. the
+    cross-snapshot incremental probe, plans/ingest.py)."""
+    return f"""
+    corpus0 AS ({corpus_sql}),
     sigs AS (
       SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
         {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(H.N_PERMS))}
-      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+      FROM corpus0 WHERE {_SQL_MIN_TOKS}
     ),
     bands AS (
       {" UNION ALL ".join(
@@ -441,6 +446,10 @@ _SQL_MINHASH_CTES = f"""
             >= {_MINHASH_JACCARD_T}
     )
 """
+
+
+# Pair-generation CTEs shared by minhash_lsh_pairs and dedup_clusters.
+_SQL_MINHASH_CTES = sql_minhash_ctes(_SQL_CORPUS2)
 
 
 @register(

@@ -21,10 +21,18 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafkastreamsproject_spark.plans.dedup import _SHIFT, _SQL_MINHASH_CTES
+from kafkastreamsproject_spark.plans.dedup import (
+    _SHIFT,
+    _SQL_MINHASH_CTES,
+    sql_minhash_ctes,
+)
 from kafkastreamsproject_spark.plans.registry import register
 from kafkastreamsproject_spark.sources.testdata import fan_out, load_table
-from kafkastreamsproject_spark.streaming.neardup import ingest_batch
+from kafkastreamsproject_spark.streaming.neardup import (
+    dedup_shard_against_store,
+    ingest_batch,
+    materialize_banded_store,
+)
 
 
 @register(
@@ -89,3 +97,104 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc1.select("doc_id", F.lit(1).alias("batch")).unionByName(
         acc2.select("doc_id", F.lit(2).alias("batch"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot incremental batch dedup (VERDICT r5 #2): the snapshot
+# is the even-id half of the corpus, persisted as a signature store +
+# bucketed band table; the "new shard" is the odd-id half plus shifted
+# twins of every 10th even doc (guaranteed cross-snapshot dups at any
+# scale factor).  The oracle re-derives every verdict from the
+# confirmed-pair relation over the full union — proving the
+# incremental probe equals full-corpus minhash_lsh_pairs semantics.
+# ---------------------------------------------------------------------------
+
+_SQL_INC_UNION = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_SHIFT} AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+"""
+
+_SQL_IS_SNAP = f"(doc_id < {_SHIFT} AND doc_id % 2 = 0)"
+
+
+@register(
+    "incremental_shard_dedup",
+    oracle=f"""
+    WITH {sql_minhash_ctes(_SQL_INC_UNION)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    snap AS (SELECT doc_id FROM corpus0 WHERE {_SQL_IS_SNAP}),
+    shard AS (SELECT doc_id FROM corpus0 WHERE NOT {_SQL_IS_SNAP}),
+    acc_snap AS (
+      -- snapshot was seeded as ONE batch: a snapshot doc is rejected
+      -- iff a LOWER-id snapshot doc confirms against it (pair-based,
+      -- not chain-canonical -- ingest_batch's documented fold)
+      SELECT s.doc_id FROM snap s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e
+        WHERE e.a = s.doc_id AND e.b < s.doc_id
+          AND e.b IN (SELECT doc_id FROM snap)
+      )
+    ),
+    m AS (
+      SELECT e.a AS doc_id, e.b AS matched
+      FROM edges e
+      JOIN shard d ON d.doc_id = e.a
+      WHERE e.b IN (SELECT doc_id FROM acc_snap)
+         OR (e.b < e.a AND e.b IN (SELECT doc_id FROM shard))
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_matches, MIN(matched) AS first_match_id
+      FROM m GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           (a.doc_id IS NULL) AS accepted,
+           CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches,
+           CAST(a.first_match_id AS BIGINT) AS first_match_id
+    FROM shard d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("dedup", "minhash", "incremental"),
+    tier="shadow",
+)
+def incremental_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW shard against a PERSISTED corpus snapshot without
+    recomputing the corpus: seed the signature store with the even-id
+    half of the corpus (one ``ingest_batch`` fold — snapshot-internal
+    dups resolve canonical-first), materialize its LSH bands as a
+    BUCKETED table, then verdict the shard (odd ids + shifted twins of
+    every 10th even doc) via :func:`dedup_shard_against_store` through
+    the bucketed probe path.
+
+    Scale shape: this is THE at-scale dedup loop — the store-side band
+    table is bucketed on the candidate join key, so the probe equi-join
+    scans store buckets in place (zero store-side Exchange; asserted in
+    tests/test_neardup_ingest.py) and only the incoming shard shuffles;
+    Jaccard confirmation then ships signature rows for implicated docs
+    only.  Store cost is O(|unique corpus|) once, probe cost is
+    O(|shard| + collisions) per shard — never O(|corpus| x |shard|).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
+    snapshot = docs.filter(F.col("doc_id") % 2 == 0)
+    shard = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + _SHIFT).alias("doc_id"), "text"
+        )
+    )
+    store = tempfile.mkdtemp(prefix="inc_shard_store_")
+    table = f"inc_banded_{uuid.uuid4().hex[:8]}"
+    try:
+        ingest_batch(snapshot, store)
+        materialize_banded_store(spark, store, table, n_buckets=8)
+        return dedup_shard_against_store(shard, store, banded_table=table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)

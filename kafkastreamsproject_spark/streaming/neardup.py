@@ -129,6 +129,17 @@ def _confirmed_pairs(
         # ingest_batch (anti-join vs existing store ids).
         cond = cond & (F.col("matched_doc_id") != F.col("new_doc_id"))
     cands = nb.join(ab, cond).select("new_doc_id", "matched_doc_id").distinct()
+    return jaccard_confirm(cands, new_sigs, against_sigs)
+
+
+def jaccard_confirm(
+    cands: DataFrame, new_sigs: DataFrame, against_sigs: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard confirmation of banded candidate pairs: keep
+    (new_doc_id, matched_doc_id) where the hashed-shingle-set Jaccard
+    clears JACCARD_T.  Shared by the per-batch probe and the bucketed
+    banded-table probe — the candidate list is small after banding, so
+    both joins ship only (doc_id, hash-array) rows for implicated docs."""
     sa = new_sigs.select(F.col("doc_id").alias("new_doc_id"), F.col("hset").alias("h_a"))
     sb = against_sigs.select(
         F.col("doc_id").alias("matched_doc_id"), F.col("hset").alias("h_b")
@@ -290,6 +301,67 @@ def probe_banded_store(
         & (F.col("matched_doc_id") != F.col("new_doc_id"))
     )
     return nb.join(store_bands, cond).select("new_doc_id", "matched_doc_id").distinct()
+
+
+def dedup_shard_against_store(
+    shard: DataFrame,
+    store_path: str,
+    banded_table: str | None = None,
+) -> DataFrame:
+    """Cross-snapshot incremental BATCH dedup: probe a new shard of
+    documents (doc_id, text) against a persisted corpus snapshot's
+    signature store WITHOUT recomputing the corpus — the most common
+    production dedup shape (daily crawl shard vs frozen corpus).
+
+    Verdict per shard document: ``(doc_id, accepted, n_matches,
+    first_match_id)`` — accepted iff no confirmed near-dup against
+    either the store or a LOWER-id shard doc (canonical-first
+    admission, identical to :func:`ingest_batch`'s fold semantics);
+    n_matches counts confirmed matches and first_match_id is the
+    smallest, NULL when accepted.  Docs under SHINGLE_W tokens carry no
+    signature and are trivially accepted.
+
+    ``banded_table`` selects the at-scale probe shape: candidates come
+    from :func:`probe_banded_store`'s bucketed equi-join (store-side
+    scan in place, ZERO store Exchange) and only the Jaccard
+    confirmation touches the signature store — the path a 100 TB
+    corpus uses after :func:`materialize_banded_store`.  Without it the
+    store is re-banded per call (fine for small snapshots/tests).
+
+    Read-only: unlike :func:`ingest_batch` this does NOT admit the
+    accepted shard docs into the store — verdict computation and store
+    mutation are separate steps so a pipeline can veto, sample, or
+    re-shard before committing (call ingest_batch to commit)."""
+    spark = shard.sparkSession
+    sigs = doc_signatures(shard).persist()
+    store = _read_store(spark, f"{store_path}/signatures")
+    if banded_table is not None:
+        cands = probe_banded_store(sigs, spark, banded_table)
+        vs_store = jaccard_confirm(cands, sigs, store)
+    else:
+        vs_store = _confirmed_pairs(sigs, store, within_batch=False)
+    vs_batch = _confirmed_pairs(sigs, sigs, within_batch=True)
+    matches = vs_store.unionByName(vs_batch)
+    agg = (
+        matches.groupBy(F.col("new_doc_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("matched_doc_id").alias("first_match_id"),
+        )
+    )
+    verdicts = (
+        shard.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_matches").isNull().alias("accepted"),
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+            "first_match_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    sigs.unpersist()
+    return verdicts
 
 
 def _fs_and_path(spark: SparkSession, path: str):

@@ -238,3 +238,40 @@ def test_streaming_verdicts_agree_with_batch_family(spark, sf_dir, tmp_path):
         for r in minhash_lsh_pairs(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_dedup_shard_against_store_verdicts_and_probe_parity(spark, tmp_path):
+    """Batch shard-vs-snapshot probe: near-dup of a store doc rejected
+    with the store id, fresh doc accepted, within-shard twin rejected
+    canonical-first, sub-shingle-width doc trivially accepted; the
+    bucketed banded-table path returns IDENTICAL verdicts; and the
+    probe is read-only (store admission stays a separate step)."""
+    from kafkastreamsproject_spark.streaming.neardup import (
+        dedup_shard_against_store,
+        materialize_banded_store,
+    )
+
+    store = str(tmp_path / "shard_store")
+    ingest_batch(_docs(spark, [(1, _A), (2, _B)]), store)
+    shard = _docs(spark, [(3, _C), (4, _D), (5, _E), (6, "tiny")])
+
+    direct = dedup_shard_against_store(shard, store)
+    rows = {r.doc_id: r for r in direct.collect()}
+    assert rows[3].accepted is False and rows[3].first_match_id == 1
+    assert rows[4].accepted is True and rows[4].n_matches == 0
+    assert rows[5].accepted is False and rows[5].first_match_id == 4
+    assert rows[6].accepted is True and rows[6].first_match_id is None
+
+    materialize_banded_store(spark, store, "shard_banded_test", n_buckets=4)
+    try:
+        banded = dedup_shard_against_store(
+            shard, store, banded_table="shard_banded_test"
+        )
+        assert sorted(map(tuple, banded.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS shard_banded_test")
+
+    stored = spark.read.parquet(f"{store}/signatures")
+    assert sorted(r.doc_id for r in stored.select("doc_id").collect()) == [1, 2]
