@@ -12,14 +12,22 @@ docs):
 3. quality filter      composite heuristic ≥ threshold    (functions/text.py)
 4. language filter     keep an allow-list of n-gram       (functions/text.py)
                        lang-ID predictions
-5. decontamination     drop docs whose shingle containment (same semi-join as
-                       vs a held-out set exceeds a cap      plans/shadow.py)
-6. sequence packing    token-budget FFD shards            (operators/packing.py)
+5. decontamination     drop docs whose shingle containment (train→eval direction:
+                       vs a held-out set exceeds a cap      the same rate
+                       — the contamination-drop step        plans/llmdata.py's
+                                                            contamination_ngram_overlap
+                                                            scores, as a filter)
+6. mixture sampling    per-source configured keep-rates    (same deterministic
+                       (hash-Bernoulli, reproducible)       device as plans/
+                                                            llmdata.py's
+                                                            mixture_sample)
+7. sequence packing    token-budget FFD shards            (operators/packing.py)
 
 Scale shape: stages 1–2 shuffle hashes/ids only (never text bodies),
-3–5 are scans with row-local predicates plus one hash semi-join, and 6
-shuffles ~16 B/doc metadata.  Nothing collects to the driver; the
-output is a DataFrame a writer partitions straight to parquet.
+3–5 are scans with row-local predicates plus one hash semi-join, 6 is
+a broadcast-join + zero-shuffle filter, and 7 shuffles ~16 B/doc
+metadata.  Nothing collects to the driver; the output is a DataFrame a
+writer partitions straight to parquet.
 """
 
 from __future__ import annotations
@@ -49,6 +57,7 @@ class CurationStats:
     after_quality: int
     after_lang: int
     after_decontamination: int
+    after_mixture: int
     packs: int
 
 
@@ -59,6 +68,7 @@ def curate_corpus(
     langs: tuple[str, ...] | None = None,
     holdout: DataFrame | None = None,
     containment_max: float = 0.5,
+    mixture_rates_m: dict[str, int] | None = None,
     pack_budget: int = 2048,
 ) -> tuple[DataFrame, CurationStats]:
     """Run the full curation funnel over ``docs`` (doc_id, text, ...).
@@ -69,7 +79,17 @@ def curate_corpus(
 
     ``holdout`` (doc_id, text) enables stage 5: any doc whose distinct
     shingle-hash containment against the holdout's hash universe exceeds
-    ``containment_max`` is dropped as contaminated.
+    ``containment_max`` is dropped as contaminated (the train→eval
+    contamination rate of plans/llmdata.py's contamination_ngram_overlap,
+    applied as a drop policy).
+
+    ``mixture_rates_m`` enables stage 6 (requires a ``source`` column):
+    per-source PER-MILLE keep rates — the configured data mixture.  The
+    keep decision is the portable md5 hash-Bernoulli of
+    plans/llmdata.py's ``mixture_sample`` — a pure function of
+    (doc_id, source), so the sampled corpus is identical across runs,
+    engines, and repartitionings.  Sources absent from the dict are
+    DROPPED (an explicit mixture enumerates its sources).
 
     The stage counts force one action per stage — acceptable for a
     batch curation run (each stage's output feeds the next anyway); for
@@ -132,7 +152,23 @@ def curate_corpus(
         clean = scoped_persist(quality)
         n_clean = clean.count()
 
-        # 6. token counts → budgeted packs (metadata-only shuffle)
+        # 6. configured mixture: per-source deterministic keep-rates
+        if mixture_rates_m is not None:
+            spark = clean.sparkSession
+            weights = spark.createDataFrame(
+                list(mixture_rates_m.items()), "source string, rate_m int"
+            )
+            h = F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            clean = (
+                clean.join(F.broadcast(weights), "source")
+                .filter(h % 1000 < F.col("rate_m"))
+                .drop("rate_m")
+            )
+        n_mixture = clean.count() if mixture_rates_m is not None else n_clean
+
+        # 7. token counts → budgeted packs (metadata-only shuffle)
         with_tokens = clean.select(
             "doc_id", TX.n_bpe_tokens(F.col("text")).alias("n_tokens")
         )
@@ -148,6 +184,7 @@ def curate_corpus(
         after_quality=n_quality,
         after_lang=n_lang,
         after_decontamination=n_clean,
+        after_mixture=n_mixture,
         packs=n_packs,
     )
 

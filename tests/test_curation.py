@@ -125,3 +125,46 @@ def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
     shard_dirs = [p.name for p in (tmp_path / "shards").iterdir()
                   if p.name.startswith("shard_id=")]
     assert len(shard_dirs) == packed.select("shard_id").distinct().count()
+
+
+def _mix_keep(doc_id: int, rate_m: int) -> bool:
+    """Python replica of the portable md5 hash-Bernoulli the mixture
+    stage (and plans/llmdata.py's mixture_sample) computes."""
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 1000 < rate_m
+
+
+def test_curation_mixture_stage_planted_offenders(spark):
+    """Mixture stage: rate-0 source fully dropped, rate-1000 source
+    fully kept, mid-rate source keeps exactly the docs the portable
+    hash predicts, an UNLISTED source is dropped, and the selection is
+    invariant under repartitioning (reproducible mixture)."""
+    srcs = ["keep_all", "drop_all", "half", "unlisted"]
+    rows = [
+        (i, " ".join(f"u{i}w{j}" for j in range(8)), srcs[i % 4])
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rates = {"keep_all": 1000, "drop_all": 0, "half": 500}
+
+    packed, stats = curate_corpus(
+        docs, quality_min=0.0, mixture_rates_m=rates, pack_budget=64
+    )
+    want = sorted(
+        i
+        for i, _, src in rows
+        if src == "keep_all" or (src == "half" and _mix_keep(i, 500))
+    )
+    survivors = sorted(r.doc_id for r in packed.select("doc_id").collect())
+    assert survivors == want, (survivors, want)
+    assert stats.after_decontamination == 40  # mixture ran AFTER cleaning
+    assert stats.after_mixture == len(want)
+    # the mid-rate source actually discriminates (fixture sanity)
+    halves = [i for i, _, src in rows if src == "half"]
+    assert 0 < sum(_mix_keep(i, 500) for i in halves) < len(halves)
+
+    packed2, _ = curate_corpus(
+        docs.repartition(7), quality_min=0.0, mixture_rates_m=rates, pack_budget=64
+    )
+    assert sorted(r.doc_id for r in packed2.select("doc_id").collect()) == want
