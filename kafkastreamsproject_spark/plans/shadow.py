@@ -1456,3 +1456,177 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_fraction"),
         )
     )
+
+
+_CHUNK_STRIDE = 10  # stride < width → windows overlap by W - S tokens
+
+# overlapping CHUNK_W-token windows every CHUNK_STRIDE tokens
+_SQL_STRIDE_CHUNKS = (
+    f"list_transform(range(1, len({_SQL_TOKS2}) - {_CHUNK_W} + 2, {_CHUNK_STRIDE}), "
+    f"i -> md5(array_to_string({_SQL_TOKS2}[i:i+{_CHUNK_W - 1}], ' ')))"
+)
+
+
+@register(
+    "stride_chunk_dedup_stats",
+    oracle=f"""
+    WITH corpus2 AS ({_SQL_CORPUS2}),
+    chunked AS (
+      SELECT doc_id, unnest({_SQL_STRIDE_CHUNKS}) AS chunk_hash
+      FROM corpus2 WHERE len({_SQL_TOKS2}) >= {_CHUNK_W}
+    ),
+    freq AS (
+      SELECT chunk_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM chunked GROUP BY chunk_hash
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           ROUND(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS shared_fraction
+    FROM chunked c JOIN freq f ON c.chunk_hash = f.chunk_hash
+    GROUP BY c.doc_id
+    """,
+    tags=("dedup", "text"),
+    tier="shadow",
+)
+def stride_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage dedup — ``chunk_dedup_stats`` with
+    OVERLAPPING windows (width 20, stride 10): windows start every
+    ``_CHUNK_STRIDE`` tokens instead of every ``_CHUNK_W``, doubling
+    the sampled alignments, so boilerplate that straddles a disjoint
+    chunk boundary is caught whenever the two occurrences' offsets are
+    CONGRUENT mod the stride (always for exact twins and templated
+    prefixes — the dominant case).  Shrinking the stride toward 1
+    approaches exhaustive substring dedup (cf. the suffix-array device
+    in "Deduplicating Training Data Makes Language Models Better") at
+    linearly growing explode cost; for repeats at ARBITRARY relative
+    alignment the grid-free companion is ``cdc_chunk_dedup_stats``
+    below, whose window selection depends on content, not position.
+
+    Scale shape: identical to the disjoint variant — windowing is
+    higher-order array math on the un-exploded row, and the only
+    exploded/shuffled payload is (doc_id, 16-byte hash).  The explode
+    carries W/S = 2× the rows of disjoint chunking; every downstream
+    stage is still bounded by chunk-hash cardinality, so the knob
+    trades detection granularity against explode volume linearly."""
+    c2 = _corpus2(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    window_hashes = F.transform(
+        F.sequence(
+            F.lit(1), F.size(toks) - (_CHUNK_W - 1), F.lit(_CHUNK_STRIDE)
+        ),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _CHUNK_W))),
+    )
+    chunked = (
+        c2.filter(F.size(toks) >= _CHUNK_W)
+        .select("doc_id", F.explode(window_hashes).alias("chunk_hash"))
+    )
+    freq = chunked.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        chunked.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            shared.alias("n_shared"),
+            F.round(
+                shared / F.count(F.lit(1)).cast("double"), 6
+            ).alias("shared_fraction"),
+        )
+    )
+
+
+_CDC_P = 4  # mod-p hash selection: ~1/P of all windows survive
+
+# EVERY-offset windows, then content-defined selection: keep a window
+# iff its own hash ≡ 0 (mod P).  Selection depends only on window
+# CONTENT, so two occurrences of a passage select the same windows
+# regardless of their relative alignment.
+_SQL_CDC_CHUNKS = (
+    f"list_transform(range(1, len({_SQL_TOKS2}) - {_CHUNK_W} + 2, 1), "
+    f"i -> md5(array_to_string({_SQL_TOKS2}[i:i+{_CHUNK_W - 1}], ' ')))"
+)
+_SQL_CDC_SELECT = f"('0x' || substr(chunk_hash, 1, 8))::BIGINT % {_CDC_P} = 0"
+
+
+@register(
+    "cdc_chunk_dedup_stats",
+    oracle=f"""
+    WITH corpus2 AS ({_SQL_CORPUS2}),
+    win AS (
+      SELECT doc_id, unnest({_SQL_CDC_CHUNKS}) AS chunk_hash
+      FROM corpus2 WHERE len({_SQL_TOKS2}) >= {_CHUNK_W}
+    ),
+    sel AS (
+      SELECT doc_id, chunk_hash FROM win WHERE {_SQL_CDC_SELECT}
+    ),
+    freq AS (
+      SELECT chunk_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM sel GROUP BY chunk_hash
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           ROUND(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS shared_fraction
+    FROM sel s JOIN freq f ON s.chunk_hash = f.chunk_hash
+    GROUP BY s.doc_id
+    """,
+    tags=("dedup", "text"),
+    tier="shadow",
+)
+def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined passage dedup — the alignment-ROBUST member of
+    the chunk family (mod-p winnowing selection): hash EVERY 20-token
+    window, then keep only windows whose own hash ≡ 0 (mod 4).  Because
+    selection is a function of window content, two occurrences of the
+    same passage select identical windows wherever they sit in their
+    documents — the property the fixed grids (disjoint and strided
+    variants above) lack, and the reason production passage dedup uses
+    content-defined chunking; a repeated passage of L tokens yields an
+    expected (L - W + 1)/P shared selected windows at any alignment.
+
+    Scale shape: the explode is per-token (W/1 windows per doc — the
+    exhaustive limit), but the mod-p predicate filters IN THE SAME
+    whole-stage-codegen pass as the explode, so only ~1/P of the
+    16-byte hashes reach any exchange; downstream (distinct-doc
+    frequency, hash join back, per-doc rollup) is byte-identical to
+    the other chunk queries.  P trades recall granularity against
+    shuffle volume linearly; the md5-based selector is engine-portable
+    (same '0x'||hex device as mixture sampling), keeping the oracle
+    exact."""
+    c2 = _corpus2(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    window_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (_CHUNK_W - 1), F.lit(1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _CHUNK_W))),
+    )
+    sel = (
+        c2.filter(F.size(toks) >= _CHUNK_W)
+        .select("doc_id", F.explode(window_hashes).alias("chunk_hash"))
+        .filter(
+            F.conv(F.substring("chunk_hash", 1, 8), 16, 10).cast("long")
+            % _CDC_P
+            == 0
+        )
+    )
+    freq = sel.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        sel.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            shared.alias("n_shared"),
+            F.round(
+                shared / F.count(F.lit(1)).cast("double"), 6
+            ).alias("shared_fraction"),
+        )
+    )

@@ -425,3 +425,37 @@ def test_blocked_self_pairs_bounds_task_width(spark):
     # every pair appears exactly once
     assert pairs.count() == 200 * 199 // 2
     assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_cdc_selection_is_alignment_robust_where_grid_is_not(spark):
+    """The chunk-dedup family's alignment contract, pinned on planted
+    docs: a 30-token passage at offset 0 in doc1 and offset 5 in doc2
+    (5 is not congruent to 0 mod the stride of 10) shares ZERO windows
+    under the fixed strided grid, but the content-defined mod-p
+    selection (cdc_chunk_dedup_stats' device) still finds shared
+    windows — selection follows content, not position."""
+    from kafkastreamsproject_spark.functions import text as TX
+
+    passage = [f"p{i}" for i in range(30)]
+    doc1 = " ".join(passage + [f"x{i}" for i in range(10)])
+    doc2 = " ".join([f"y{i}" for i in range(5)] + passage + [f"z{i}" for i in range(5)])
+    df = spark.createDataFrame([(1, doc1), (2, doc2)], "doc_id long, text string")
+    toks = TX.tokens(F.col("text"))
+
+    def hashes(step):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 19, F.lit(step)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 20))),
+        )
+
+    strided = df.select("doc_id", F.explode(hashes(10)).alias("h"))
+    a = {r.h for r in strided.filter("doc_id = 1").collect()}
+    b = {r.h for r in strided.filter("doc_id = 2").collect()}
+    assert not (a & b), "grid should be blind to the misaligned passage"
+
+    cdc = df.select("doc_id", F.explode(hashes(1)).alias("h")).filter(
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % 4 == 0
+    )
+    ea = {r.h for r in cdc.filter("doc_id = 1").collect()}
+    eb = {r.h for r in cdc.filter("doc_id = 2").collect()}
+    assert ea & eb, "content-defined selection must catch it at any alignment"
