@@ -425,3 +425,153 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(max_abs, 6).alias("max_abs_r"),
         F.size(xd).alias("n_dim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's algorithm) for IVF centroid TRAINING —
+# the step label_centroids/ivf_assign above take as given.  Run on
+# int8-quantized codes with re-quantized integer centroids so every
+# distance, argmin, and centroid update is EXACT integer (or
+# IEEE-portable round) arithmetic: float k-means cannot be
+# oracle-hashed (summation-order noise flips argmins at cluster
+# boundaries); this variant can, and int8-centroid k-means is itself a
+# real serving configuration.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8  # centroids; init = code vectors of vec_id 0.._KM_K-1
+
+#: global-scale int8 codes: unit-normalized components, so x*127 spans
+#: the int8 range; round(double) is IEEE-identical on both engines.
+_SQL_KM_Q = (
+    "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 127) AS BIGINT))"
+)
+
+
+def _sql_km_dist2(q: str, c: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({q}) + 1), "
+        f"i -> ({q}[i] - {c}[i]) * ({q}[i] - {c}[i]))) AS BIGINT)"
+    )
+
+
+@register(
+    "kmeans_int8_lloyd",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KM_K}),
+    d1 AS (
+      SELECT q.vec_id, c0.cid, {_sql_km_dist2('q.qv', 'c0.cv')} AS dist2,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_sql_km_dist2('q.qv', 'c0.cv')}, c0.cid)
+               AS rn
+      FROM q CROSS JOIN c0
+    ),
+    a1 AS (SELECT vec_id, cid AS cid1, dist2 AS dist2_1 FROM d1 WHERE rn = 1),
+    mem AS (
+      SELECT a1.cid1 AS cid, unnest(q.qv) AS v,
+             unnest(range(1, len(q.qv) + 1)) AS pos
+      FROM a1 JOIN q ON q.vec_id = a1.vec_id
+    ),
+    c1_long AS (
+      SELECT cid, pos,
+             CAST(ROUND(SUM(v) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+      FROM mem GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c1_long GROUP BY cid),
+    d2 AS (
+      SELECT q.vec_id, c1.cid, {_sql_km_dist2('q.qv', 'c1.cv')} AS dist2,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_sql_km_dist2('q.qv', 'c1.cv')}, c1.cid)
+               AS rn
+      FROM q CROSS JOIN c1
+    ),
+    a2 AS (SELECT vec_id, cid AS cid2, dist2 AS dist2_2 FROM d2 WHERE rn = 1)
+    SELECT a1.vec_id, a1.cid1, a1.dist2_1, a2.cid2, a2.dist2_2,
+           (a1.cid1 != a2.cid2) AS moved
+    FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+    """,
+    tags=("similarity", "clustering", "quantization"),
+    tier="shadow",
+)
+def kmeans_int8_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full Lloyd iterations of k-means over int8 embedding codes:
+    deterministic init (centroids = code vectors of the K lowest
+    vec_ids), exact integer squared-L2 assignment with (dist2, cid)
+    tie-break, integer sufficient-statistic update (per-dimension SUM +
+    COUNT), centroid RE-QUANTIZATION (round(sum/n) — IEEE double divide
+    + round, portable), second assignment against the updated
+    centroids.  Emits per vector both iterations' labels and distances
+    plus a `moved` flag — the convergence signal a training loop
+    monitors.  Empty clusters retire (standard Lloyd behavior); both
+    engines drop them identically.
+
+    Scale shape: the assignment is the sanctioned bounded-broadcast
+    BNLJ of the ANN family (K centroid rows against the scanning
+    corpus — the corpus never shuffles for distance work); the argmin
+    shuffles (vec_id, K candidate rows) of longs, and the update step
+    shuffles the posexploded members AFTER map-side partial aggregation
+    collapses them to (cid, dim) partial sums per partition — K*dim
+    rows per partition, independent of corpus size.  Lineage between
+    iterations is two tiny centroid relations; a production loop
+    localCheckpoints them per round (same policy as
+    functions/clustering.py) and stops on moved == 0."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    q = scoped_persist(
+        emb.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
+            ).alias("qv"),
+        )
+    )
+
+    def dist2(qcol, ccol):
+        return F.aggregate(
+            F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(centroids):
+        d = q.join(F.broadcast(centroids), how="cross").select(
+            "vec_id", "cid", dist2(F.col("qv"), F.col("cv")).alias("dist2")
+        )
+        w = W.partitionBy("vec_id").orderBy("dist2", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    c0 = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    a1 = assign(c0).select(
+        "vec_id", F.col("cid").alias("cid1"), F.col("dist2").alias("dist2_1")
+    )
+    mem = a1.join(q, "vec_id").select(
+        F.col("cid1").alias("cid"), F.posexplode("qv").alias("pos0", "v")
+    )
+    c1_long = mem.groupBy("cid", "pos0").agg(
+        F.round(F.sum("v") / F.count(F.lit(1)).cast("double"))
+        .cast("long")
+        .alias("c")
+    )
+    c1 = c1_long.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    a2 = assign(c1).select(
+        "vec_id", F.col("cid").alias("cid2"), F.col("dist2").alias("dist2_2")
+    )
+    return a1.join(a2, "vec_id").select(
+        "vec_id",
+        "cid1",
+        "dist2_1",
+        "cid2",
+        "dist2_2",
+        (F.col("cid1") != F.col("cid2")).alias("moved"),
+    )

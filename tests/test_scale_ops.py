@@ -459,3 +459,22 @@ def test_cdc_selection_is_alignment_robust_where_grid_is_not(spark):
     ea = {r.h for r in cdc.filter("doc_id = 1").collect()}
     eb = {r.h for r in cdc.filter("doc_id = 2").collect()}
     assert ea & eb, "content-defined selection must catch it at any alignment"
+
+
+def test_kmeans_lloyd_semantics(spark, sf_dir):
+    """Lloyd-step invariants beyond the oracle compare: every vector is
+    labeled once, init vectors self-assign at distance 0 in iteration 1,
+    cluster ids stay within the K init ids, and the update step did not
+    worsen total within-cluster cost on the fixture (true Lloyd
+    monotonicity up to the documented centroid re-quantization, which
+    perturbs each dimension by at most half a code unit)."""
+    from kafkastreamsproject_spark.plans.similarity import _KM_K, kmeans_int8_lloyd
+
+    out = kmeans_int8_lloyd(spark, sf_dir).collect()
+    n_vecs = len({r.vec_id for r in out})
+    assert len(out) == n_vecs
+    for r in out:
+        if r.vec_id < _KM_K:
+            assert r.cid1 == r.vec_id and r.dist2_1 == 0
+        assert 0 <= r.cid1 < _KM_K and 0 <= r.cid2 < _KM_K
+    assert sum(r.dist2_2 for r in out) <= sum(r.dist2_1 for r in out)
