@@ -210,3 +210,84 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+@dataclass(frozen=True)
+class ShardCurationStats:
+    """Funnel counts for one incremental shard run."""
+
+    shard_input: int
+    after_store_dedup: int
+    corpus: CurationStats
+    admitted: int
+
+
+def curate_shard(
+    shard: DataFrame,
+    store_path: str,
+    *,
+    banded_table: str | None = None,
+    commit: bool = True,
+    **curate_kwargs,
+) -> tuple[DataFrame, ShardCurationStats]:
+    """The INCREMENTAL curation loop: curate one new shard against a
+    persisted corpus snapshot — the shape a production pipeline runs
+    per crawl drop, where :func:`curate_corpus` is the one-shot batch
+    form.
+
+    Stages: (0) near-dup probe of the shard against the signature
+    store (``dedup_shard_against_store`` — canonical-first within the
+    shard, read-only vs the store; ``banded_table`` selects the
+    bucketed at-scale probe); (1–7) the full :func:`curate_corpus`
+    funnel over the store-fresh survivors (its internal dedup stages
+    are then no-op re-checks — correctness first; a tuned deployment
+    skips the second signature pass); (8) with ``commit=True``, the
+    FINAL survivors' signatures are admitted to the store (idempotent
+    anti-join append, same guard as ``ingest_batch``), so the next
+    shard dedups against them.  Only curated canonical docs ever enter
+    the store — a quality-rejected doc's future twins are judged on
+    their own merits, not shadowed by a rejected canonical.
+
+    Caveat (documented, matches the store's contract): docs under the
+    shingle width carry no signature, so exact twins of SHORT store
+    docs are only caught within one shard's exact-dedup stage."""
+    from pyspark.sql import functions as FF
+
+    from kafkastreamsproject_spark.streaming.neardup import (
+        dedup_shard_against_store,
+    )
+
+    n_input = shard.count()
+    verdicts = dedup_shard_against_store(
+        shard, store_path, banded_table=banded_table
+    )
+    fresh = shard.join(
+        verdicts.filter(FF.col("accepted")).select("doc_id"), "doc_id", "left_semi"
+    )
+    packed, corpus_stats = curate_corpus(fresh, **curate_kwargs)
+
+    n_admitted = 0
+    if commit:
+        from kafkastreamsproject_spark.operators.fs import hadoop_has_files
+        from kafkastreamsproject_spark.streaming.neardup import (
+            _SIG_SCHEMA,
+            doc_signatures,
+        )
+
+        spark = shard.sparkSession
+        sig_path = f"{store_path}/signatures"
+        survivors = shard.join(packed.select("doc_id"), "doc_id", "left_semi")
+        sigs = doc_signatures(survivors)
+        if hadoop_has_files(spark, sig_path):
+            existing = spark.read.schema(_SIG_SCHEMA).parquet(sig_path)
+            sigs = sigs.join(existing.select("doc_id"), "doc_id", "left_anti")
+        admitted = sigs.localCheckpoint(eager=True)
+        n_admitted = admitted.count()
+        admitted.write.mode("append").parquet(sig_path)
+
+    return packed, ShardCurationStats(
+        shard_input=n_input,
+        after_store_dedup=corpus_stats.input,
+        corpus=corpus_stats,
+        admitted=n_admitted,
+    )

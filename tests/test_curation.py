@@ -168,3 +168,51 @@ def test_curation_mixture_stage_planted_offenders(spark):
         docs.repartition(7), quality_min=0.0, mixture_rates_m=rates, pack_budget=64
     )
     assert sorted(r.doc_id for r in packed2.select("doc_id").collect()) == want
+
+
+_FRESH_EN = "meanwhile the committee reviewed a thorough proposal covering the harbor expansion budget"
+
+
+def test_curate_shard_incremental_loop(spark, tmp_path):
+    """Three-shard incremental curation: survivors of each shard are
+    admitted to the store and reject later twins; docs dropped by a
+    FILTER are never admitted, so their later twins pass the store
+    probe and are judged on their own merits (no shadowing by rejected
+    canonicals); commit=False leaves the store untouched."""
+    from kafkastreamsproject_spark.pipelines.curation import curate_shard
+
+    store = str(tmp_path / "inc_curation_store")
+
+    s1 = spark.createDataFrame(
+        [(1, _GOOD_EN), (2, _GOOD_EN2), (5, _LOW_QUALITY)],
+        "doc_id long, text string",
+    )
+    packed1, st1 = curate_shard(s1, store, quality_min=0.5)
+    assert sorted(r.doc_id for r in packed1.select("doc_id").collect()) == [1, 2]
+    assert st1.shard_input == 3 and st1.after_store_dedup == 3  # empty store
+    assert st1.admitted == 2  # the low-quality doc was NOT admitted
+
+    # shard 2: 11 near-dups admitted doc 1 (probe rejects); 12 is an
+    # exact copy of the quality-REJECTED doc 5 (probe passes — 5 is not
+    # in the store — then quality drops it again); 13 is fresh.
+    s2 = spark.createDataFrame(
+        [(11, _NEAR_DUP), (12, _LOW_QUALITY), (13, _FRESH_EN)],
+        "doc_id long, text string",
+    )
+    packed2, st2 = curate_shard(s2, store, quality_min=0.5)
+    assert [r.doc_id for r in packed2.select("doc_id").collect()] == [13]
+    assert st2.shard_input == 3
+    assert st2.after_store_dedup == 2  # only 11 fell to the store probe
+    assert st2.corpus.after_quality == 1  # 12 fell to quality, not dedup
+    assert st2.admitted == 1
+
+    # shard 3: a twin of shard 2's survivor is now store-rejected;
+    # commit=False must not grow the store
+    s3 = spark.createDataFrame([(21, _FRESH_EN)], "doc_id long, text string")
+    packed3, st3 = curate_shard(s3, store, quality_min=0.5, commit=False)
+    assert packed3.count() == 0 and st3.after_store_dedup == 0
+    stored = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{store}/signatures").select("doc_id").collect()
+    )
+    assert stored == [1, 2, 13]
