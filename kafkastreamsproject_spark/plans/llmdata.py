@@ -203,10 +203,10 @@ def token_rarity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_GAP_MIN = 30
 
-
-@register(
-    "session_window_stats",
-    oracle=f"""
+#: lag/cumsum islands formulation with the STRICT `>` break that
+#: matches Spark's touching-windows-merge semantics — shared by the
+#: batch query and its streaming twin below.
+_SQL_SESSION_ORACLE = f"""
     WITH o AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
@@ -227,7 +227,12 @@ _SESSION_GAP_MIN = 30
              AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM s GROUP BY user_id, sid
-    """,
+    """
+
+
+@register(
+    "session_window_stats",
+    oracle=_SQL_SESSION_ORACLE,
     tags=("llmdata", "session", "reference"),
     tier="shadow",
 )
@@ -628,3 +633,84 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
     )
+
+
+@register(
+    "streaming_session_windows",
+    oracle=_SQL_SESSION_ORACLE,
+    tags=("llmdata", "session", "streaming"),
+    tier="shadow",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native session_window aggregation executed by Structured
+    Streaming — the MERGING-state operator (sessions extend and fuse as
+    events arrive) that plain windowed aggs don't exercise: parquet
+    file-stream of events → groupBy(user_id, session_window) → memory
+    sink, availableNow.  Complete output mode, so the sink holds
+    exactly the final merged sessions regardless of how the source
+    batches files, and the emitted state must equal the batch
+    ``session_window_stats`` — the shared islands oracle checks both.
+
+    Scale shape: one shuffle on user_id into the session state store;
+    state is bounded by OPEN sessions (a watermark retires closed ones
+    in a production continuous run — complete mode here is the
+    verification harness, not the deployment shape, same stance as
+    streaming_daily_agg).  The session merge happens inside the
+    streaming aggregation operator: no second pass, no self-join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    # UTC session zone while the stream runs (same absorb-and-restore as
+    # streaming_daily_agg: fixtures store unzoned timestamp[us]).
+    saved = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    agg = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sess_")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if saved is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", saved)
+    return spark.table(name)

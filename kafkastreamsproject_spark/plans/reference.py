@@ -420,19 +420,31 @@ def streaming_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "update_time",
         )
     )
+    # Complete output mode: the memory sink then holds exactly the
+    # final aggregate state however the file source batches its input —
+    # update mode would append per-batch partials if the fixture ever
+    # split into multiple files (the hazard ADVICE r5 flagged on the
+    # contamination gate; same shape here).  The reference's
+    # update-per-punctuate EMISSION semantics (T2/T3) stay covered by
+    # streaming/punctuate.py and its tests; this query checks final
+    # state, which complete mode states honestly.
     name = f"stream_daily_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     try:
         q = (
-            agg.writeStream.outputMode("update")
+            agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.processAllAvailable()
         q.stop()
     finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
         # The memory sink holds materialized rows, so restoring session
         # state here cannot change the already-computed result.
         for k, v in saved.items():
