@@ -881,3 +881,67 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "approx_quantiles_envelope",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+           TRUE AS approx_within_eps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "approx"),
+    tier="shadow",
+)
+def approx_quantiles_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna summaries) — the one-pass
+    fixed-memory percentile for 100 TB profiling — verified by its OWN
+    contract: the returned value's exact RANK must sit within eps*N of
+    the target rank (eps = 1/accuracy).  Sketch internals are
+    engine-specific, so (same device as approx_distinct_users' HLL row)
+    the oracle-hashed columns are the exact quantiles DuckDB reproduces
+    plus a Spark-computed envelope flag; the flag's slack is the
+    guarantee's worst case, so summary-merge-order jitter cannot flip
+    it.  The rank check is relational: broadcast the per-group approx
+    values back over the fact table and count rows on each side.
+
+    Scale shape: two passes over the pruned (flag, quantity) columns —
+    one grouped agg (partial+final; the exact percentile is the only
+    memory-heavy member and exists for the oracle, not the scale path),
+    one broadcast-join + count pass.  A production profile runs ONLY
+    the sketch: one pass, KB of state per group, mergeable across
+    partitions."""
+    acc = 1000
+    li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_quantity")
+    aggd = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5D)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.95D)"), 6).alias("p95_qty"),
+        F.percentile_approx("l_quantity", 0.5, acc).alias("am"),
+        F.percentile_approx("l_quantity", 0.95, acc).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = li.join(F.broadcast(aggd), "l_returnflag")
+    lo = lambda t: F.sum((F.col("l_quantity") < F.col(t)).cast("long"))
+    hi = lambda t: F.sum((F.col("l_quantity") <= F.col(t)).cast("long"))
+    flags = j.groupBy("l_returnflag").agg(
+        F.first("median_qty").alias("median_qty"),
+        F.first("p95_qty").alias("p95_qty"),
+        F.first("n").alias("n"),
+        lo("am").alias("lo_m"),
+        hi("am").alias("hi_m"),
+        lo("ap").alias("lo_p"),
+        hi("ap").alias("hi_p"),
+    )
+    slack = F.col("n") / acc + 1
+    ok = (
+        (F.col("lo_m") <= 0.5 * F.col("n") + slack)
+        & (F.col("hi_m") >= 0.5 * F.col("n") - slack)
+        & (F.col("lo_p") <= 0.95 * F.col("n") + slack)
+        & (F.col("hi_p") >= 0.95 * F.col("n") - slack)
+    )
+    return flags.select(
+        "l_returnflag", "median_qty", "p95_qty", ok.alias("approx_within_eps")
+    )
