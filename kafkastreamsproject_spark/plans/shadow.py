@@ -15,7 +15,7 @@ per-language corpus profile.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.functions import hashing as H
@@ -1628,5 +1628,116 @@ def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 shared / F.count(F.lit(1)).cast("double"), 6
             ).alias("shared_fraction"),
+        )
+    )
+
+
+@register(
+    "key_skew_audit",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS k, MAX(c) AS mx FROM f)
+    SELECT f.user_id,
+           f.c AS n_rows,
+           ROUND(f.c / CAST(t.n AS DOUBLE), 6) AS share,
+           ROUND(f.c * t.k / CAST(t.n AS DOUBLE), 6) AS x_mean,
+           CAST(rn AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rn FROM f) f
+    CROSS JOIN tot t
+    WHERE rn <= 10
+    """,
+    tags=("relational", "diagnostic", "skew"),
+    tier="shadow",
+)
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the measurement that decides whether a
+    shuffle key needs `operators/skew.py`'s salting or AQE skew-join
+    splitting: the 10 heaviest keys of the events stream's natural
+    shuffle key (user_id), each with its row count, share of the table,
+    and multiple-of-the-mean-key.  At 100 TB a key whose x_mean is
+    ~partition-count causes stragglers; this query is the cheap
+    pre-flight (one partial+final count agg, a 1-row global broadcast,
+    a top-10 window over |keys| rows — no fact-table shuffle beyond the
+    count)."""
+    ev = load_table(spark, "events", sf_dir)
+    f = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    tot = f.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k"), F.max("c").alias("mx")
+    )
+    w = W.orderBy(F.col("c").desc(), "user_id")
+    return (
+        f.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .join(F.broadcast(tot))
+        .select(
+            "user_id",
+            F.col("c").alias("n_rows"),
+            F.round(F.col("c") / F.col("n").cast("double"), 6).alias("share"),
+            F.round(
+                F.col("c") * F.col("k") / F.col("n").cast("double"), 6
+            ).alias("x_mean"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "watermark_lag_audit",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS high_water
+      FROM events
+    ),
+    lag AS (
+      SELECT event_type,
+             date_diff('second', ts, high_water) AS lag_s
+      FROM o
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN lag_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late_1h,
+           CAST(SUM(CASE WHEN lag_s > 86400 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late_1d,
+           CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+    FROM lag GROUP BY event_type
+    """,
+    tags=("streaming", "diagnostic", "reference"),
+    tier="shadow",
+)
+def watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data audit: for each event, its lag behind the per-user
+    HIGH-WATER event time at its arrival position (event_id is the
+    fixtures' arrival order), rolled up per event type — how many rows
+    a 1-hour / 1-day watermark would DROP.  This is the measurement
+    behind the engine's documented T7 divergence (the reference
+    re-initializes evicted days from zero on late data — a corruption
+    bug; the engine drops beyond-delay rows by watermark): run this
+    BEFORE picking `withWatermark`'s delay so the drop rate is a
+    chosen number, not a surprise.
+
+    Scale shape: one window pass partitioned on user_id (the stream's
+    key — same shuffle the stateful pipeline already does), then a
+    |event_type|-cardinality rollup; nothing global, no second sort."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lag_s = F.col("high_water").cast("long") - F.col("ts").cast("long")
+    return (
+        ev.select("event_type", "ts", F.max("ts").over(w).alias("high_water"))
+        .select("event_type", lag_s.alias("lag_s"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("lag_s") > 3600).cast("long")).alias("n_late_1h"),
+            F.sum((F.col("lag_s") > 86400).cast("long")).alias("n_late_1d"),
+            F.max("lag_s").alias("max_lag_s"),
         )
     )
