@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from kafkastreamsproject_spark.functions import hashing as H
 from kafkastreamsproject_spark.functions import text as TX
 from kafkastreamsproject_spark.plans.dedup import (
+    _SHIFT,
     _SQL_CORPUS2,
     _SQL_HASHES,
     _SQL_MIN_TOKS,
@@ -1740,4 +1741,117 @@ def watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("lag_s") > 86400).cast("long")).alias("n_late_1d"),
             F.max("lag_s").alias("max_lag_s"),
         )
+    )
+
+
+# union for the scrub demo: every EVEN doc gets a shifted twin, so its
+# chunks become corpus-shared (scrubbed to the sub-chunk tail) while
+# odd docs keep their text — removal and retention both exercised.
+_SQL_SCRUB_CORPUS = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_SHIFT} AS doc_id, text FROM documents
+      WHERE doc_id % 2 = 0
+"""
+
+
+@register(
+    "chunk_scrub_text",
+    oracle=f"""
+    WITH corpus0 AS ({_SQL_SCRUB_CORPUS}),
+    base AS (
+      SELECT doc_id, {_SQL_TOKS2} AS toks, {_SQL_CHUNKS} AS chs
+      FROM corpus0 WHERE len({_SQL_TOKS2}) >= {_CHUNK_W}
+    ),
+    ex AS (
+      SELECT doc_id, unnest(chs) AS chunk_hash,
+             unnest(range(0, len(chs))) AS ord
+      FROM base
+    ),
+    freq AS (
+      SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+      FROM ex GROUP BY chunk_hash
+    ),
+    shared AS (
+      SELECT e.doc_id, list(e.ord) AS bad
+      FROM ex e JOIN freq f ON e.chunk_hash = f.chunk_hash
+      WHERE f.n_docs > 1 GROUP BY e.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS INT) AS n_tokens_before,
+           CAST(len(list_filter(b.toks,
+                 (t, i) -> NOT list_contains(COALESCE(s.bad, []),
+                                             CAST(floor((i - 1) / {_CHUNK_W}) AS BIGINT))))
+             AS INT) AS n_tokens_after,
+           COALESCE(array_to_string(
+             list_filter(b.toks,
+                 (t, i) -> NOT list_contains(COALESCE(s.bad, []),
+                                             CAST(floor((i - 1) / {_CHUNK_W}) AS BIGINT))),
+             ' '), '') AS scrubbed_text
+    FROM base b LEFT JOIN shared s ON b.doc_id = s.doc_id
+    """,
+    tags=("dedup", "text"),
+    tier="shadow",
+)
+def chunk_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-dedup REMOVAL — the step the chunk audits above inform:
+    drop every 20-token chunk that appears in more than one document
+    and emit the scrubbed text (the Lee-et-al.-style "remove the
+    repeated span, keep the document" policy, vs the keep-one-doc
+    policies of the minhash family).  Run over documents plus shifted
+    twins of the even half, so removal (even docs collapse to their
+    sub-chunk tail) and retention (odd docs) are both exercised and
+    oracle-checked.
+
+    Spark-first shape: chunk hashing and the final token filter are
+    higher-order array ops on the un-exploded row; the only shuffled
+    relations are (doc_id, 16-byte hash, ordinal) for frequency
+    counting and the per-doc shared-ordinal lists (a few ints per
+    implicated doc) joined back.  The TEXT never shuffles: the scrub
+    itself re-reads tokens in place.  At 100 TB this is the chunk-stats
+    cost plus one broadcast-size-bounded join of ordinal lists."""
+    from kafkastreamsproject_spark.operators.cache import scoped_persist
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    c0 = docs.unionByName(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + _SHIFT).alias("doc_id"), "text"
+        )
+    )
+    toks = TX.tokens(F.col("text"))
+    chunk_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (_CHUNK_W - 1), F.lit(_CHUNK_W)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _CHUNK_W))),
+    )
+    base = scoped_persist(
+        c0.filter(F.size(toks) >= _CHUNK_W).select(
+            "doc_id", toks.alias("toks"), chunk_hashes.alias("chs")
+        )
+    )
+    ex = base.select(
+        "doc_id", F.posexplode("chs").alias("ord", "chunk_hash")
+    )
+    freq = ex.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    shared = (
+        ex.join(freq, "chunk_hash")
+        .filter(F.col("n_docs") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_list("ord").alias("bad"))
+    )
+    joined = base.join(shared, "doc_id", "left").withColumn(
+        "bad", F.coalesce("bad", F.array().cast("array<int>"))
+    )
+    # Spark's filter-lambda index is 0-based (DuckDB's is 1-based, hence
+    # the oracle's (i - 1)).
+    keep = lambda t, i: ~F.array_contains(
+        F.col("bad"), F.floor(i / _CHUNK_W).cast("int")
+    )
+    scrubbed = F.filter("toks", keep)
+    return joined.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens_before"),
+        F.size(scrubbed).alias("n_tokens_after"),
+        F.array_join(scrubbed, " ").alias("scrubbed_text"),
     )
