@@ -11,7 +11,7 @@ driver checks primary queries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.functions import hashing as H
@@ -714,3 +714,74 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.session.timeZone", saved)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: the final dataset-prep step after
+# curation — hash-assigned so membership is a pure function of doc_id
+# (stable under repartitioning, reshuffling, and engine choice), with a
+# per-source stratification report to verify the split didn't skew any
+# source.
+# ---------------------------------------------------------------------------
+
+_SPLIT_TRAIN_PCT = 80
+_SPLIT_VAL_PCT = 10  # test = remainder
+
+
+@register(
+    "dataset_split_report",
+    oracle=f"""
+    WITH a AS (
+      SELECT source,
+             CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+                    % 100 < {_SPLIT_TRAIN_PCT} THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+                    % 100 < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY source)
+                                 AS DOUBLE), 6) AS share
+    FROM a GROUP BY source, split
+    """,
+    tags=("llmdata", "sampling"),
+    tier="shadow",
+)
+def dataset_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic train/val/test assignment (80/10/10 on an
+    md5 bucket of doc_id) with the per-source stratification report —
+    counts and within-source shares per split.  The hash window is
+    hex[9:16] (disjoint from the hex[1:8] window the mixture/sampling
+    queries use), so split membership is INDEPENDENT of mixture
+    selection: a doc's keep-decision and its split don't correlate.
+
+    Scale shape: assignment is a row-local expression (zero shuffle —
+    at 100 TB the split column is computed inline by any consumer, or
+    written as a partition column); the report is one partial+final
+    agg on (source, split) plus a window over the |sources|x3 result
+    rows.  Membership is reproducible anywhere: the same doc lands in
+    the same split on any engine that computes md5."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+    ).cast("long")
+    split = (
+        F.when(h % 100 < _SPLIT_TRAIN_PCT, "train")
+        .when(h % 100 < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    a = docs.select("source", split.alias("split"))
+    counts = a.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = W.partitionBy("source")
+    return counts.select(
+        "source",
+        "split",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("share"),
+    )
