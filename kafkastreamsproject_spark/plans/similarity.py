@@ -575,3 +575,77 @@ def kmeans_int8_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist2_2",
         (F.col("cid1") != F.col("cid2")).alias("moved"),
     )
+
+
+@register(
+    "embedding_covariance_int8",
+    oracle=f"""
+    WITH q AS (
+      SELECT {_SQL_KM_Q} AS qv FROM embeddings
+    ),
+    tri AS (
+      SELECT unnest(flatten(list_transform(range(1, len(qv) + 1),
+          i -> list_transform(range(i, len(qv) + 1),
+            j -> {{'i': i, 'j': j, 'xixj': qv[i] * qv[j],
+                   'xi': qv[i], 'xj': qv[j]}})))) AS p
+      FROM q
+    )
+    SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+           CAST(SUM(p.xixj) AS BIGINT) AS sum_xixj,
+           CAST(SUM(p.xi) AS BIGINT) AS sum_xi,
+           CAST(SUM(p.xj) AS BIGINT) AS sum_xj,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY p.i, p.j
+    """,
+    tags=("similarity", "quantization", "stats"),
+    tier="shadow",
+)
+def embedding_covariance_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance SUFFICIENT STATISTICS of the int8 embedding codes —
+    the input to PCA/whitening/OPQ rotation training: for every
+    dimension pair i ≤ j, the exact integer Σx_i·x_j, Σx_i, Σx_j, and
+    n (cov = Σxy/n − Σx·Σy/n² downstream, in whatever precision the
+    eigendecomposition wants).  Emitting the integer moments instead of
+    the float covariance keeps the oracle exact — the same stance as
+    kmeans_int8_lloyd.
+
+    Scale shape: the upper-triangle pair explode is dim(dim+1)/2 =
+    2,080 rows per vector, generated by row-local array math and
+    COLLAPSED BY MAP-SIDE PARTIAL AGGREGATION to ≤2,080 rows per
+    partition before the single shuffle — the classic distributed
+    Gram-matrix pattern (shuffle volume is O(dim² × partitions),
+    independent of corpus size).  At dim ≫ 512 the explode dominates
+    scan cost and a Pandas-UDF BLAS outer-product accumulator becomes
+    the better device; at embedding dims up to a few hundred the
+    relational form wins on simplicity and whole-stage codegen."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
+    )
+    dims = F.sequence(F.lit(1), F.size("qv"))
+    tri = F.flatten(
+        F.transform(
+            dims,
+            lambda i: F.transform(
+                F.sequence(i, F.size("qv")),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.element_at("qv", i) * F.element_at("qv", j)).alias("xixj"),
+                    F.element_at("qv", i).alias("xi"),
+                    F.element_at("qv", j).alias("xj"),
+                ),
+            ),
+        )
+    )
+    return (
+        emb.select(qv.alias("qv"))
+        .select(F.explode(tri).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(
+            F.sum("p.xixj").alias("sum_xixj"),
+            F.sum("p.xi").alias("sum_xi"),
+            F.sum("p.xj").alias("sum_xj"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
