@@ -649,3 +649,109 @@ def embedding_covariance_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_PQ_M = 4  # subspaces
+_PQ_K = 16  # codebook entries per subspace; init = first K vectors
+
+
+@register(
+    "pq_encode_int8",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id,
+             unnest(range(0, {_PQ_M})) AS s,
+             unnest(list_transform(range(0, {_PQ_M}), s ->
+               qv[(s * CAST(ceil(len(qv) / {_PQ_M}.0) AS BIGINT) + 1):
+                  least((s + 1) * CAST(ceil(len(qv) / {_PQ_M}.0) AS BIGINT),
+                        len(qv))])) AS sv
+      FROM q
+    ),
+    cb AS (
+      SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {_PQ_K}
+    ),
+    d AS (
+      SELECT sub.vec_id, sub.s, cb.cid,
+             CAST(list_sum(list_transform(range(1, len(sub.sv) + 1),
+                 i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
+               AS BIGINT) AS dist2,
+             ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY CAST(list_sum(list_transform(range(1, len(sub.sv) + 1),
+                     i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
+                   AS BIGINT), cb.cid) AS rn
+      FROM sub JOIN cb ON sub.s = cb.s
+    )
+    SELECT vec_id,
+           string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS code_csv,
+           CAST(SUM(dist2) AS BIGINT) AS dist2_total
+    FROM d WHERE rn = 1 GROUP BY vec_id
+    """,
+    tags=("similarity", "quantization"),
+    tier="shadow",
+)
+def pq_encode_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ENCODE over the int8 codes: the embedding
+    splits into 4 subspaces, each subvector is assigned its nearest of
+    16 per-subspace codebook entries (deterministic codebook: the first
+    16 vectors' subvectors — codebook TRAINING is kmeans_int8_lloyd's
+    device, applied per subspace), and each vector compresses to 4 code
+    bytes plus the exact total quantization error.  PQ is the standard
+    memory format for billion-vector ANN (a 64-dim float32 vector
+    becomes 4 bytes); integer arithmetic end-to-end keeps every argmin
+    and error oracle-exact, the same stance as kmeans_int8_lloyd.
+
+    Scale shape: the subspace explode is 4 rows per vector of ~16 longs
+    each; the codebook (4x16 rows) broadcasts, so assignment is a
+    map-side bounded join + per-(vec, subspace) argmin window whose
+    shuffle carries 4x16 candidate rows per vector of longs; the final
+    rollup is one shuffle of (vec_id, code, dist2).  At production
+    scale the window collapses into the join's partial aggregation
+    (min_by) and the corpus embedding payload never moves."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
+    )
+    sub_len = F.ceil(F.size("qv") / _PQ_M).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.slice(
+                "qv",
+                s * sub_len + 1,
+                F.least(sub_len, F.size("qv") - s * sub_len).cast("int"),
+            ).alias("sv"),
+        ),
+    )
+    sub = (
+        emb.select("vec_id", qv.alias("qv"))
+        .select("vec_id", F.explode(subs).alias("p"))
+        .select("vec_id", "p.s", "p.sv")
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("s").alias("s_cb"), F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = sub.join(F.broadcast(cb), F.col("s") == F.col("s_cb")).select(
+        "vec_id", "s", "cid", dist2.alias("dist2")
+    )
+    w = W.partitionBy("vec_id", "s").orderBy("dist2", "cid")
+    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "cid"))),
+                lambda p: p["cid"].cast("string"),
+            ),
+            ",",
+        ).alias("code_csv"),
+        F.sum("dist2").alias("dist2_total"),
+    )
