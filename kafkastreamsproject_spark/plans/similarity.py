@@ -755,3 +755,171 @@ def pq_encode_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("code_csv"),
         F.sum("dist2").alias("dist2_total"),
     )
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id,
+             unnest(range(0, {_PQ_M})) AS s,
+             unnest(list_transform(range(0, {_PQ_M}), s ->
+               qv[(s * CAST(ceil(len(qv) / {_PQ_M}.0) AS BIGINT) + 1):
+                  least((s + 1) * CAST(ceil(len(qv) / {_PQ_M}.0) AS BIGINT),
+                        len(qv))])) AS sv
+      FROM q
+    ),
+    cb AS (
+      SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {_PQ_K}
+    ),
+    d AS (
+      SELECT sub.vec_id, sub.s, cb.cid,
+             CAST(list_sum(list_transform(range(1, len(sub.sv) + 1),
+                 i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
+               AS BIGINT) AS dist2,
+             ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY CAST(list_sum(list_transform(range(1, len(sub.sv) + 1),
+                     i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
+                   AS BIGINT), cb.cid) AS rn
+      FROM sub JOIN cb ON sub.s = cb.s
+    ),
+    codes AS (SELECT vec_id, s, cid FROM d WHERE rn = 1),
+    qsub AS (SELECT vec_id AS query_id, s, sv AS qsv FROM sub
+             WHERE vec_id < {_N_QUERIES}),
+    adc_parts AS (
+      SELECT qs.query_id, c.vec_id,
+             CAST(list_sum(list_transform(range(1, len(qs.qsv) + 1),
+                 i -> (qs.qsv[i] - cb.cv[i]) * (qs.qsv[i] - cb.cv[i])))
+               AS BIGINT) AS part
+      FROM codes c
+      JOIN cb ON cb.s = c.s AND cb.cid = c.cid
+      JOIN qsub qs ON qs.s = c.s
+      WHERE c.vec_id != qs.query_id
+    ),
+    adc AS (
+      SELECT query_id, vec_id, CAST(SUM(part) AS BIGINT) AS adc_dist2
+      FROM adc_parts GROUP BY query_id, vec_id
+    ),
+    truth AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                 i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))
+               AS BIGINT) AS true_dist2
+      FROM q a JOIN q b ON a.vec_id < {_N_QUERIES} AND b.vec_id != a.vec_id
+    )
+    SELECT query_id, vec_id, adc_dist2, true_dist2, CAST(rn AS INT) AS rnk
+    FROM (
+      SELECT adc.query_id, adc.vec_id, adc.adc_dist2, t.true_dist2,
+             ROW_NUMBER() OVER (PARTITION BY adc.query_id
+                                ORDER BY adc.adc_dist2, adc.vec_id) AS rn
+      FROM adc JOIN truth t
+        ON t.query_id = adc.query_id AND t.vec_id = adc.vec_id
+    ) WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "quantization"),
+    tier="shadow",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ SEARCH via asymmetric distance computation: each query keeps
+    its full-precision int8 subvectors, every corpus vector is
+    represented only by its 4 PQ codes, and the approximate distance is
+    the sum over subspaces of d(query_subvector, codebook[code]) — the
+    standard ADC estimator (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search").  Emits each query's top-5 by ADC with
+    the TRUE int8 distance alongside, so ranking quality is inspectable
+    row-by-row; integer arithmetic end-to-end keeps both distances and
+    the ranking oracle-exact.
+
+    Scale shape: the per-query subspace lookup table (4x16 exact
+    distances) is the broadcast side; the corpus contributes only its
+    codes (4 small ints/vector — the point of PQ: the scan reads ~4
+    bytes per vector instead of 256), and the rollup + top-k shuffles
+    (query, vec, long) triples.  At billion scale this is exactly the
+    IVF-PQ inner loop, minus the IVF cell pruning that ivf_assign
+    already demonstrates."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
+    )
+    base = scoped_persist(emb.select("vec_id", qv.alias("qv")))
+    sub_len = F.ceil(F.size("qv") / _PQ_M).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.slice(
+                "qv",
+                s * sub_len + 1,
+                F.least(sub_len, F.size("qv") - s * sub_len).cast("int"),
+            ).alias("sv"),
+        ),
+    )
+    sub = base.select("vec_id", F.explode(subs).alias("p")).select(
+        "vec_id", "p.s", "p.sv"
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("s").alias("s_cb"), F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = sub.join(F.broadcast(cb), F.col("s") == F.col("s_cb")).select(
+        "vec_id", "s", "cid", dist2.alias("dist2")
+    )
+    w = W.partitionBy("vec_id", "s").orderBy("dist2", "cid")
+    codes = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cid")
+    )
+    qsub = sub.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("s").alias("s_q"),
+        F.col("sv").alias("qsv"),
+    )
+    part = F.aggregate(
+        F.zip_with("qsv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cb2 = cb.select(
+        F.col("s_cb").alias("s_cb2"),
+        F.col("cid").alias("cid_cb"),
+        "cv",
+    )
+    adc = (
+        codes.join(
+            F.broadcast(cb2),
+            (F.col("s") == F.col("s_cb2")) & (F.col("cid") == F.col("cid_cb")),
+        )
+        .join(F.broadcast(qsub), F.col("s") == F.col("s_q"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", part.alias("part"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part").alias("adc_dist2"))
+    )
+    qa = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    tdist = F.aggregate(
+        F.zip_with("qa", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    truth = (
+        base.join(F.broadcast(qa), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", tdist.alias("true_dist2"))
+    )
+    wq = W.partitionBy("query_id").orderBy("adc_dist2", "vec_id")
+    return (
+        adc.join(truth, ["query_id", "vec_id"])
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "adc_dist2", "true_dist2", "rnk")
+    )
