@@ -33,6 +33,9 @@ QUERIES = [
     "cdc_chunk_dedup_stats",
     "kmeans_int8_lloyd",
     "chunk_scrub_text",
+    "embedding_covariance_int8",
+    "pq_encode_int8",
+    "pq_adc_topk",
 ]
 
 
