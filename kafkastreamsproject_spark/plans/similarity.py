@@ -655,10 +655,13 @@ _PQ_M = 4  # subspaces
 _PQ_K = 16  # codebook entries per subspace; init = first K vectors
 
 
-@register(
-    "pq_encode_int8",
-    oracle=f"""
-    WITH q AS (
+def _sql_pq_ctes() -> str:
+    """Shared CTE prefix for the PQ oracles: int8 code vectors (q),
+    exploded subvectors (sub), the deterministic codebook (cb), the
+    per-(vec, subspace) assignment candidates (d), and the winning
+    codes (codes)."""
+    return f"""
+    q AS (
       SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings
     ),
     sub AS (
@@ -683,7 +686,65 @@ _PQ_K = 16  # codebook entries per subspace; init = first K vectors
                      i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
                    AS BIGINT), cb.cid) AS rn
       FROM sub JOIN cb ON sub.s = cb.s
+    ),
+    codes AS (SELECT vec_id, s, cid FROM d WHERE rn = 1)"""
+
+
+def _int_dist2(a, b):
+    """Exact integer squared-L2 between two long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+
+
+def _pq_subspaces(spark: SparkSession, sf_dir: str):
+    """(base, sub, cb): persisted int8 code vectors, their exploded
+    subvectors (vec_id, s, sv), and the deterministic codebook
+    (s_cb, cid, cv) — shared by the PQ encode and ADC queries."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
+    )
+    base = scoped_persist(emb.select("vec_id", qv.alias("qv")))
+    sub_len = F.ceil(F.size("qv") / _PQ_M).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.slice(
+                "qv",
+                s * sub_len + 1,
+                F.least(sub_len, F.size("qv") - s * sub_len).cast("int"),
+            ).alias("sv"),
+        ),
+    )
+    sub = base.select("vec_id", F.explode(subs).alias("p")).select(
+        "vec_id", "p.s", "p.sv"
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("s").alias("s_cb"), F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+    return base, sub, cb
+
+
+def _pq_codes(sub, cb):
+    """Winning (vec_id, s, cid) assignment per subspace: broadcast
+    codebook join + exact-integer argmin window."""
+    d = sub.join(F.broadcast(cb), F.col("s") == F.col("s_cb")).select(
+        "vec_id", "s", "cid",
+        _int_dist2(F.col("sv"), F.col("cv")).alias("dist2"),
+    )
+    w = W.partitionBy("vec_id", "s").orderBy("dist2", "cid")
+    return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+
+@register(
+    "pq_encode_int8",
+    oracle=f"""
+    WITH {_sql_pq_ctes()}
     SELECT vec_id,
            string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS code_csv,
            CAST(SUM(dist2) AS BIGINT) AS dist2_total
@@ -710,41 +771,8 @@ def pq_encode_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is one shuffle of (vec_id, code, dist2).  At production
     scale the window collapses into the join's partial aggregation
     (min_by) and the corpus embedding payload never moves."""
-    emb = fan_out(load_table(spark, "embeddings", sf_dir))
-    qv = F.transform(
-        "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
-    )
-    sub_len = F.ceil(F.size("qv") / _PQ_M).cast("int")
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-        lambda s: F.struct(
-            s.cast("int").alias("s"),
-            F.slice(
-                "qv",
-                s * sub_len + 1,
-                F.least(sub_len, F.size("qv") - s * sub_len).cast("int"),
-            ).alias("sv"),
-        ),
-    )
-    sub = (
-        emb.select("vec_id", qv.alias("qv"))
-        .select("vec_id", F.explode(subs).alias("p"))
-        .select("vec_id", "p.s", "p.sv")
-    )
-    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("s").alias("s_cb"), F.col("vec_id").alias("cid"),
-        F.col("sv").alias("cv"),
-    )
-    dist2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    d = sub.join(F.broadcast(cb), F.col("s") == F.col("s_cb")).select(
-        "vec_id", "s", "cid", dist2.alias("dist2")
-    )
-    w = W.partitionBy("vec_id", "s").orderBy("dist2", "cid")
-    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    _, sub, cb = _pq_subspaces(spark, sf_dir)
+    best = _pq_codes(sub, cb)
     return best.groupBy("vec_id").agg(
         F.array_join(
             F.transform(
@@ -760,33 +788,7 @@ def pq_encode_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pq_adc_topk",
     oracle=f"""
-    WITH q AS (
-      SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings
-    ),
-    sub AS (
-      SELECT vec_id,
-             unnest(range(0, {_PQ_M})) AS s,
-             unnest(list_transform(range(0, {_PQ_M}), s ->
-               qv[(s * CAST(ceil(len(qv) / {_PQ_M}.0) AS BIGINT) + 1):
-                  least((s + 1) * CAST(ceil(len(qv) / {_PQ_M}.0) AS BIGINT),
-                        len(qv))])) AS sv
-      FROM q
-    ),
-    cb AS (
-      SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {_PQ_K}
-    ),
-    d AS (
-      SELECT sub.vec_id, sub.s, cb.cid,
-             CAST(list_sum(list_transform(range(1, len(sub.sv) + 1),
-                 i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
-               AS BIGINT) AS dist2,
-             ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
-                 ORDER BY CAST(list_sum(list_transform(range(1, len(sub.sv) + 1),
-                     i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
-                   AS BIGINT), cb.cid) AS rn
-      FROM sub JOIN cb ON sub.s = cb.s
-    ),
-    codes AS (SELECT vec_id, s, cid FROM d WHERE rn = 1),
+    WITH {_sql_pq_ctes()},
     qsub AS (SELECT vec_id AS query_id, s, sv AS qsv FROM sub
              WHERE vec_id < {_N_QUERIES}),
     adc_parts AS (
@@ -840,54 +842,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, vec, long) triples.  At billion scale this is exactly the
     IVF-PQ inner loop, minus the IVF cell pruning that ivf_assign
     already demonstrates."""
-    emb = fan_out(load_table(spark, "embeddings", sf_dir))
-    qv = F.transform(
-        "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
-    )
-    base = scoped_persist(emb.select("vec_id", qv.alias("qv")))
-    sub_len = F.ceil(F.size("qv") / _PQ_M).cast("int")
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-        lambda s: F.struct(
-            s.cast("int").alias("s"),
-            F.slice(
-                "qv",
-                s * sub_len + 1,
-                F.least(sub_len, F.size("qv") - s * sub_len).cast("int"),
-            ).alias("sv"),
-        ),
-    )
-    sub = base.select("vec_id", F.explode(subs).alias("p")).select(
-        "vec_id", "p.s", "p.sv"
-    )
-    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("s").alias("s_cb"), F.col("vec_id").alias("cid"),
-        F.col("sv").alias("cv"),
-    )
-    dist2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    d = sub.join(F.broadcast(cb), F.col("s") == F.col("s_cb")).select(
-        "vec_id", "s", "cid", dist2.alias("dist2")
-    )
-    w = W.partitionBy("vec_id", "s").orderBy("dist2", "cid")
-    codes = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "cid")
-    )
+    base, sub, cb = _pq_subspaces(spark, sf_dir)
+    codes = _pq_codes(sub, cb).select("vec_id", "s", "cid")
     qsub = sub.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("s").alias("s_q"),
         F.col("sv").alias("qsv"),
     )
-    part = F.aggregate(
-        F.zip_with("qsv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    part = _int_dist2(F.col("qsv"), F.col("cv"))
     cb2 = cb.select(
         F.col("s_cb").alias("s_cb2"),
         F.col("cid").alias("cid_cb"),
@@ -907,11 +869,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qa = base.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
     )
-    tdist = F.aggregate(
-        F.zip_with("qa", "qv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    tdist = _int_dist2(F.col("qa"), F.col("qv"))
     truth = (
         base.join(F.broadcast(qa), F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", tdist.alias("true_dist2"))
