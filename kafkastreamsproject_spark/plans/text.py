@@ -212,3 +212,86 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "tfidf", "rnk")
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH p AS (
+      SELECT lang AS label, {_sql_lang_id()} AS predicted FROM documents
+    )
+    SELECT label, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY label)
+                                 AS DOUBLE), 6) AS label_share
+    FROM p GROUP BY label, predicted
+    """,
+    tags=("text", "diagnostic"),
+    tier="shadow",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: per (labeled lang, predicted lang)
+    cell, the document count and its share of the label's row — the
+    evaluation a pipeline runs before trusting the lang filter's
+    allow-list (diagonal shares are per-language recall; off-diagonal
+    mass shows which languages the marker heuristic confuses).  Builds
+    on lang_id_predict's verified scorer.
+
+    Scale shape: prediction is a row-local expression over the scan;
+    the rollup shuffles only (label, predicted) pairs — the matrix is
+    |langs|² cells regardless of corpus size, and the share window
+    runs over those cells, not rows."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    p = docs.select(
+        F.col("lang").alias("label"), TX.lang_id(F.col("text")).alias("predicted")
+    )
+    counts = p.groupBy("label", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = W.partitionBy("label")
+    return counts.select(
+        "label",
+        "predicted",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("label_share"),
+    )
+
+
+@register(
+    "text_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS raw_fp,
+           regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text,
+           md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS norm_fp,
+           (md5(text) != md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')))
+             AS changed
+    FROM documents
+    """,
+    tags=("text",),
+    tier="shadow",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the transform every dedup hash
+    should run BEHIND (lowercase, trim, collapse whitespace runs), with
+    before/after fingerprints so downstream exact-dedup audits can
+    quantify how much duplication normalization exposes (raw_fp
+    distinct-count vs norm_fp distinct-count).  Row-local, zero
+    shuffle, whole-stage codegen; the same expression is reusable as a
+    pre-hash stage in the funnel.  Kept ASCII-only by design — the
+    fixture charset pin (tests/test_fixture_drift.py) guards the
+    simple lower(); a unicode corpus swaps in ICU casefolding behind
+    the same fingerprint contract."""
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("raw_fp"),
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_fp"),
+        (F.md5("text") != F.md5(norm)).alias("changed"),
+    )
