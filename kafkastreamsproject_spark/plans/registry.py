@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "kafkastreamsproject_spark.plans.shadow",
     "kafkastreamsproject_spark.plans.pii",
     "kafkastreamsproject_spark.plans.llmdata",
+    "kafkastreamsproject_spark.plans.tpch",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
