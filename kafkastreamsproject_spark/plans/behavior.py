@@ -1,0 +1,211 @@
+"""Event-behavior analytics over ``events``: ordered funnels, retention
+cohorts, and robust (median/MAD) outlier detection.
+
+These are the user-behavior counterparts to the reference's
+station-telemetry aggregations (SURVEY.md §2 A1-A7): the same
+keyed-aggregation machinery, but with ORDER-dependent semantics
+(funnel steps must happen in sequence) and second-pass robust
+statistics — the shapes a product-analytics workload runs at 100 TB.
+
+All outputs are integer counts or 6-dp-rounded doubles computed from
+identical expressions on both engines, so the oracle compare is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.plans.registry import register
+from kafkastreamsproject_spark.sources.testdata import load_table
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step_order, 'view' AS step,
+             CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'click', CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+    )
+    """,
+    tags=("behavior", "agg"),
+    tier="shadow",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase): how many
+    users reach each step, where a step only counts if it happens
+    STRICTLY AFTER the user's first completion of the previous step.
+
+    The sequential-min recurrence decorrelates into three per-user
+    aggregations; all three shuffle on user_id, so under AQE the second
+    and third reuse the first exchange's partitioning.  Per-step state
+    is one timestamp per user — at 100 TB the intermediate is
+    |users| rows, never |events|.  An N-step funnel with large N would
+    move to one repartition + per-user sorted scan
+    (``applyInPandas``); at 3 steps the declarative form wins because
+    every join stays a co-partitioned hash join.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+
+    def step(order: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(order).alias("step_order"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        step(1, "view", t1)
+        .unionByName(step(2, "click", t2))
+        .unionByName(step(3, "purchase", t3))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_start
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(CAST(f.cohort_start AS DATE) AS VARCHAR) AS cohort_week,
+           CAST(floor(date_diff('day', f.cohort_start, e.ts) / 7) AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("behavior", "agg"),
+    tier="shadow",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-seen week
+    (cohort), counted distinct in each subsequent week offset.
+
+    Two shuffles — first-seen per user, then (cohort, offset) distinct
+    count — both keyed on bounded domains (|users|, |weeks|²).  The
+    events→first_seen join keys on user_id, the same key as the
+    first aggregation, so the fact table shuffles once.  Week
+    arithmetic is integer (calendar-day difference / 7), so no FP
+    tolerance is involved anywhere.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_start")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            F.col("cohort_start").cast("date").cast("string").alias(
+                "cohort_week"
+            ),
+            F.floor(
+                F.datediff(F.col("ts"), F.col("cohort_start")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "robust_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(MIN(d.med), 6) AS med,
+           ROUND(MIN(a.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("behavior", "robust-stats"),
+    tier="shadow",
+)
+def robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: median / MAD (median absolute
+    deviation) instead of mean / stddev, flagging values beyond 3 MADs.
+    Complements ``anomaly_detect`` (which follows the reference's
+    mean-based D% rule) with the estimator a long-tailed 100 TB metric
+    stream actually needs — one extreme value cannot drag the threshold.
+
+    Exact medians via two aggregation passes over the fact (Spark's
+    ``median`` = exact interpolated percentile, matching DuckDB's);
+    the per-type medians are tiny and broadcast back for the deviation
+    and outlier passes, so the fact table never shuffles — three scans,
+    zero exchanges of event rows.  Both engines interpolate the even-n
+    median identically on identical doubles, so the compare is exact.
+    """
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "kafkastreamsproject_spark.plans.pii",
     "kafkastreamsproject_spark.plans.llmdata",
     "kafkastreamsproject_spark.plans.tpch",
+    "kafkastreamsproject_spark.plans.behavior",
 ]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}

@@ -295,3 +295,127 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_fp"),
         (F.md5("text") != F.md5(norm)).alias("changed"),
     )
+
+
+_BM25_TERMS = ("vector", "hash", "stream")
+_BM25_K1 = "1.2"
+# scoring expression shared verbatim by both engines (order-pinned):
+#   idf_t = ln((N - df_t + 0.5) / (df_t + 0.5) + 1.0)            [BM25+1 idf]
+#   s_t   = idf_t * (tf_t * 2.2) / (tf_t + 1.2*(0.25 + 0.75*dl/avgdl))
+# with k1 = 1.2, b = 0.75 folded into the literals 2.2 / 0.25 / 0.75.
+
+
+def _bm25_sql() -> str:
+    toks = "string_split_regex(trim(text), ' +')"
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter({toks}, t -> t = '{w}')) AS DOUBLE) AS tf{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln((s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)"
+        f" * (b.tf{i} * 2.2)"
+        f" / (b.tf{i} + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_any = " + ".join(f"b.tf{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({toks}) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             SUM(dl) / COUNT(*) AS avgdl,
+             {df_cols}
+      FROM base
+    )
+    SELECT b.doc_id, ROUND({score}, 6) AS bm25
+    FROM base b, stats s
+    WHERE {tf_any} > 0
+    """
+
+
+@register(
+    "bm25_retrieval",
+    oracle_fn=_bm25_sql,
+    tags=("text", "retrieval"),
+    tier="shadow",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75) for a fixed three-term
+    query — the ranking function behind corpus search and the lexical
+    half of hybrid (BM25 + embedding) retrieval.
+
+    One codegen'd scan computes per-document term frequencies and
+    length; the corpus statistics (N, avgdl, per-term document
+    frequencies) reduce to ONE row, broadcast back — the sanctioned
+    1-row BroadcastNestedLoopJoin, never a shuffle of documents.  At
+    100 TB the same plan holds: stats are a second map-reduce over the
+    tf columns (bytes per executor), and scoring stays row-local.  The
+    per-term score sum is written in a pinned left-to-right order with
+    identical literals on both engines, so the 6-dp round is
+    cross-engine deterministic.  Returns every matching document's
+    score; top-k is a deterministic ORDER BY bm25 DESC, doc_id away.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens(F.col("text"))
+    base_cols = [
+        F.col("doc_id"),
+        F.size(toks).cast("double").alias("dl"),
+    ]
+    def _eq(word: str):
+        # one-arg lambda: a two-arg lambda would be read by F.filter as
+        # the (element, index) form and bind `word` to the index column
+        return lambda t: t == word
+
+    for i, w in enumerate(_BM25_TERMS):
+        base_cols.append(
+            F.size(F.filter(toks, _eq(w))).cast("double").alias(f"tf{i}")
+        )
+    base = docs.select(*base_cols)
+    stat_cols = [
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    ]
+    for i in range(len(_BM25_TERMS)):
+        stat_cols.append(
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+        )
+    stats = base.agg(*stat_cols)
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        s_i = (
+            idf
+            * (F.col(f"tf{i}") * F.lit(2.2))
+            / (
+                F.col(f"tf{i}")
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = s_i if score is None else score + s_i
+    tf_any = None
+    for i in range(len(_BM25_TERMS)):
+        tf_any = (
+            F.col(f"tf{i}")
+            if tf_any is None
+            else tf_any + F.col(f"tf{i}")
+        )
+    return (
+        base.join(F.broadcast(stats))
+        .filter(tf_any > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+    )
