@@ -209,3 +209,64 @@ def robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "winsorized_value_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(MIN(b.p05), 6) AS p05,
+           ROUND(MIN(b.p95), 6) AS p95,
+           ROUND(AVG(CASE WHEN e.value < b.p05 THEN b.p05
+                          WHEN e.value > b.p95 THEN b.p95
+                          ELSE e.value END), 6) AS winsorized_mean,
+           CAST(SUM(CASE WHEN e.value < b.p05 OR e.value > b.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN bounds b ON b.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("behavior", "robust-stats"),
+    tier="shadow",
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type mean: exact p05/p95 (linear-interpolated
+    percentile — Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share the (n-1)·q definition), values clipped to those bounds,
+    then averaged — the standard long-tail-resistant metric summary.
+
+    Same broadcast-back shape as ``robust_anomaly_mad``: the per-type
+    bounds are a 5-row table broadcast into the clip pass, so the fact
+    never shuffles.  The clipped mean is a double sum whose FP
+    accumulation noise (~1e-11 relative) sits far below the 6-dp round;
+    the clip counts are exact integers.
+    """
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    clipped = F.when(F.col("value") < F.col("p05"), F.col("p05")).when(
+        F.col("value") > F.col("p95"), F.col("p95")
+    ).otherwise(F.col("value"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("p05"), 6).alias("p05"),
+            F.round(F.min("p95"), 6).alias("p95"),
+            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p05"))
+                    | (F.col("value") > F.col("p95")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clipped"),
+        )
+    )

@@ -1855,3 +1855,55 @@ def chunk_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(scrubbed).alias("n_tokens_after"),
         F.array_join(scrubbed, " ").alias("scrubbed_text"),
     )
+
+
+@register(
+    "orders_profile",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+      CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+      CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS null_priority,
+      ROUND(MIN(o_totalprice), 2) AS min_price,
+      ROUND(MAX(o_totalprice), 2) AS max_price,
+      CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS min_date,
+      CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS max_date,
+      ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+        AS sum_price
+    FROM orders
+    """,
+    tags=("profiling", "agg"),
+    tier="shadow",
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile of ``orders`` — the stats block a
+    data-quality gate or cost-based optimizer collects on every load:
+    row count, key cardinalities, null counts, min/max ranges, exact
+    DECIMAL column total.
+
+    One scan, one partial+final aggregate; the two DISTINCT aggregates
+    expand to at most two extra exchanges of (value) pairs bounded by
+    column cardinality, and everything else is a one-row reduction.  At
+    100 TB this is the profile you run per-partition and merge — every
+    statistic here is decomposable (min/max/sum/count), and the distinct
+    counts switch to HLL sketches (see ``approx_distinct_users``) when
+    exactness stops being worth the shuffle."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_custkey").alias("n_custkeys"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+        ).alias("null_priority"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.min("o_orderdate").cast("date").cast("string").alias("min_date"),
+        F.max("o_orderdate").cast("date").cast("string").alias("max_date"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"),
+            2,
+        ).alias("sum_price"),
+    )

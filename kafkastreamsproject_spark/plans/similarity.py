@@ -881,3 +881,96 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "vec_id", "adc_dist2", "true_dist2", "rnk")
     )
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle_fn=lambda: _rrf_sql(),
+    tags=("similarity", "retrieval"),
+    tier="shadow",
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (RRF, k=60): the
+    lexical ranking (``bm25_retrieval``) and the semantic ranking
+    (cosine against the vec_id-0 query embedding) are fused as
+    1/(60+rank_lex) + 1/(60+rank_sem), each term 0 when the document is
+    absent from that side's list (full outer join on doc_id = vec_id —
+    the fixture tables are row-aligned).
+
+    The global ROW_NUMBER ranks run over CANDIDATE lists (scored
+    matches), not the corpus — at 100 TB each side's list is top-k
+    truncated first, so the single-partition rank window is bounded by
+    k, and the fusion join is a k-vs-k merge.  Rank positions are
+    integers over 6-dp-rounded scores with doc-id tie-breaks, so fusion
+    scores are cross-engine deterministic.
+    """
+    from kafkastreamsproject_spark.plans.text import bm25_retrieval
+
+    lex = bm25_retrieval(spark, sf_dir)
+    lex_w = W.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lexr = lex.select(
+        "doc_id", F.row_number().over(lex_w).cast("int").alias("lex_rank")
+    )
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    sem_w = W.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    semr = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(sem_w).cast("int").alias("sem_rank"),
+    )
+
+    fused = lexr.join(semr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(60.0) + F.col("lex_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(60.0) + F.col("sem_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    return fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
+
+
+def _rrf_sql() -> str:
+    from kafkastreamsproject_spark.plans.text import _bm25_sql
+
+    return f"""
+    WITH lex AS ({_bm25_sql()}),
+    lexr AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                          AS INT) AS lex_rank
+      FROM lex
+    ),
+    sem AS (
+      SELECT e.vec_id,
+             ROUND({V.sql_cosine('q.embedding', 'e.embedding')}, 6) AS cos
+      FROM embeddings e
+      JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q ON TRUE
+      WHERE e.vec_id <> 0
+    ),
+    semr AS (
+      SELECT vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT)
+               AS sem_rank
+      FROM sem
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.lex_rank, s.sem_rank,
+           ROUND(COALESCE(1.0 / (60.0 + l.lex_rank), 0.0)
+                 + COALESCE(1.0 / (60.0 + s.sem_rank), 0.0), 6) AS rrf
+    FROM lexr l FULL OUTER JOIN semr s ON s.doc_id = l.doc_id
+    """
