@@ -270,3 +270,147 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_clipped"),
         )
     )
+
+
+@register(
+    "session_incident_overlap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 1800000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    inc AS (
+      SELECT CAST(ts AS DATE) AS day, MIN(ts) AS i_start, MAX(ts) AS i_end
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT s.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(epoch_ms(CAST(LEAST(s.s_end, i.i_end) AS TIMESTAMP))
+                    - epoch_ms(CAST(GREATEST(s.s_start, i.i_start)
+                                    AS TIMESTAMP))) AS BIGINT) AS overlap_ms
+    FROM sess s JOIN inc i
+      ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    GROUP BY s.user_id
+    """,
+    tags=("behavior", "interval-join"),
+    tier="shadow",
+)
+def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user activity sessions (30-min-gap
+    islands) × daily error-incident windows, with per-user overlap
+    counts and total overlapped milliseconds.
+
+    The Spark side runs ``operators/intervaljoin.py:overlap_join`` —
+    intervals exploded into daily buckets, equi-joined on the bucket
+    id, each pair emitted exactly once in the bucket of the later
+    start, then exactly re-checked.  The DuckDB oracle is the plain
+    non-equi join, proving the bucketed plan is result-identical while
+    replacing the O(n·m) nested loop with a shuffle whose cost is
+    per-bucket-local.  Overlap durations are integer microsecond
+    arithmetic (epoch millis at the edges) — no FP anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    from kafkastreamsproject_spark.operators.intervaljoin import overlap_join
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    numbered = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("i_start"), F.max("ts").alias("i_end"))
+    )
+    pairs = overlap_join(
+        sess.select("user_id", "s_start", "s_end"),
+        inc.select("i_start", "i_end"),
+        "s_start",
+        "s_end",
+        "i_start",
+        "i_end",
+        bucket_seconds=86_400,
+    )
+    overlap_ms = F.unix_millis(
+        F.least(F.col("s_end"), F.col("i_end"))
+    ) - F.unix_millis(F.greatest(F.col("s_start"), F.col("i_start")))
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum(overlap_ms).alias("overlap_ms"),
+    )
+
+
+@register(
+    "order_date_gaps",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+             CAST(MAX(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ),
+    cal AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS d
+      FROM bounds
+    ),
+    seen AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+    SELECT CAST(c.d AS VARCHAR) AS gap_date
+    FROM cal c ANTI JOIN seen s ON s.d = c.d
+    """,
+    tags=("behavior", "calendar"),
+    tier="shadow",
+)
+def order_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + gap detection: every date inside the
+    observed order-date range with NO orders — the missing-data audit
+    behind any time-series rollup (a gap is invisible to a plain
+    groupBy, which only sees days that exist).
+
+    The calendar is generated from the 1-row min/max bounds
+    (``sequence`` + explode — rows = range days, never a driver loop),
+    then anti-joined against the distinct observed days; both sides are
+    day-cardinality, so at 100 TB this costs one distinct over the
+    pruned date column plus a broadcast anti join of two tiny day
+    tables."""
+    orders = load_table(spark, "orders", sf_dir)
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    seen = orders.select(F.to_date("o_orderdate").alias("d")).distinct()
+    return cal.join(seen, "d", "left_anti").select(
+        F.col("d").cast("string").alias("gap_date")
+    )

@@ -785,3 +785,137 @@ def dataset_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch sharding: deterministic assignment of documents to data-parallel
+# ranks, with the balance audit a training launcher checks before a run.
+# ---------------------------------------------------------------------------
+
+_N_RANKS = 8
+
+
+@register(
+    "shard_assignment_plan",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT
+                  % {_N_RANKS} AS INT) AS rank,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    per_rank AS (
+      SELECT rank, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(n_tokens) AS total_tokens
+      FROM assigned GROUP BY rank
+    ),
+    tot AS (SELECT CAST(SUM(total_tokens) AS DOUBLE) AS all_tokens
+            FROM per_rank)
+    SELECT p.rank, p.n_docs, p.total_tokens,
+           ROUND(p.total_tokens / (t.all_tokens / {_N_RANKS}), 6)
+             AS balance_ratio
+    FROM per_rank p, tot t
+    """,
+    tags=("llm-data", "sharding"),
+    tier="shadow",
+)
+def shard_assignment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-parallel sharding: each document lands on
+    rank = portable_hash(doc_id) mod R (R = 8), independent of
+    partition layout, engine, or run — the property that makes a
+    training run resumable and its data order auditable.  Emits the
+    per-rank doc/token totals and the balance ratio (1.0 = perfectly
+    even) a launcher checks before committing GPU-hours.
+
+    One (rank) shuffle of (doc_id, n_tokens) pairs — text never moves;
+    the rank table is R rows, the grand total a 1-row broadcast.  Uses
+    a DIFFERENT md5 window (chars 17-24) than the train/val/test split
+    (9-16) and the sample gates (1-8), so the three assignments stay
+    statistically independent."""
+    docs = load_table(spark, "documents", sf_dir)
+    rank = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8), 16, 10
+        ).cast("long")
+        % _N_RANKS
+    ).cast("int")
+    assigned = docs.select(
+        "doc_id",
+        rank.alias("rank"),
+        TX.n_tokens(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    per_rank = assigned.groupBy("rank").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    tot = per_rank.agg(
+        F.sum("total_tokens").cast("double").alias("all_tokens")
+    )
+    return per_rank.join(F.broadcast(tot)).select(
+        "rank",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens") / (F.col("all_tokens") / F.lit(_N_RANKS)),
+            6,
+        ).alias("balance_ratio"),
+    )
+
+
+@register(
+    "quality_filter_top_p",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             ROUND(len(list_distinct(string_split_regex(trim(text), ' +')))
+                   / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE),
+                   6) AS ttr
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, ttr,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY ttr DESC, doc_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      FROM scored
+    )
+    SELECT doc_id, source, ttr
+    FROM ranked WHERE rn <= CAST(ceil(0.8 * n_src) AS BIGINT)
+    """,
+    tags=("llm-data", "quality"),
+    tier="shadow",
+)
+def quality_filter_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-p quality gate: keep the best 80% of each source
+    by type-token ratio — the RELATIVE quality filter curation runs use
+    when an absolute threshold would gut some sources and pass others
+    whole (quota by source, quality-ordered within it).
+
+    One shuffle on source for the rank window; the quality signal is
+    row-local and 6-dp-rounded BEFORE ranking, with a doc_id tie-break,
+    so the kept set is cross-engine deterministic.  At 100 TB the exact
+    window becomes a two-pass approximate-quantile cutoff per source
+    (``approx_quantiles_envelope`` is the verified device); the exact
+    formulation here is the oracle-checkable contract."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens(F.col("text"))
+    ttr = F.round(
+        F.size(F.array_distinct(toks))
+        / F.size(toks).cast("double"),
+        6,
+    )
+    scored = docs.select("doc_id", "source", ttr.alias("ttr"))
+    w = W.partitionBy("source").orderBy(F.col("ttr").desc(), F.col("doc_id"))
+    wc = W.partitionBy("source")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "ttr",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_src"),
+    )
+    return ranked.filter(
+        F.col("rn") <= F.ceil(F.lit(0.8) * F.col("n_src")).cast("long")
+    ).select("doc_id", "source", "ttr")

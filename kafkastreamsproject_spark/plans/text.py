@@ -419,3 +419,42 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(tf_any > 0)
         .select("doc_id", F.round(score, 6).alias("bm25"))
     )
+
+
+@register(
+    "token_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks, tot
+    GROUP BY token, tot.n
+    HAVING COUNT(*) > 0.03 * tot.n
+    """,
+    tags=("text", "sketch"),
+    tier="shadow",
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (tokens above 3% frequency) via the
+    Misra-Gries candidate-prune + exact-confirm operator
+    (operators/heavyhitters.py).
+
+    The sketch phase is one Arrow-batched pass per partition emitting
+    at most ceil(1/phi)=34 candidates each — at 100 TB the shuffle
+    carries O(partitions/phi) values instead of one pair per distinct
+    token, and the confirm join counts exactly, so the result equals
+    the plain groupBy-HAVING oracle bit-for-bit.  The only Python in
+    the plan is the per-partition summarizer (mapInPandas); the
+    explode, confirm join, count, and threshold all stay JVM-side.
+    """
+    from kafkastreamsproject_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return heavy_hitters_exact(toks, "token", phi=0.03)

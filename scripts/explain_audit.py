@@ -63,6 +63,14 @@ SANCTIONED_BNLJ = {
     "unigram_logprob_score",
     # per-FK-edge 1-row aggregate pairs (orphans × total) broadcast
     "fk_orphan_audit",
+    # 1-row corpus stats (N, avgdl, per-term df) broadcast into the
+    # per-document scoring scan — same shape as unigram_logprob_score
+    "bm25_retrieval",
+    # inherits bm25_retrieval's stats broadcast plus the 1-row query
+    # embedding broadcast on the semantic side
+    "hybrid_retrieval_rrf",
+    # 1-row region-total threshold broadcast into the per-part HAVING
+    "q11_important_stock",
 }
 
 _OPS = (
