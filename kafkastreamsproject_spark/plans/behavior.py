@@ -414,3 +414,108 @@ def order_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal.join(seen, "d", "left_anti").select(
         F.col("d").cast("string").alias("gap_date")
     )
+
+
+@register(
+    "streaming_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step_order, 'view' AS step,
+             CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'click', CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+    )
+    """,
+    tags=("behavior", "streaming"),
+    tier="shadow",
+)
+def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel as a STREAM: per-user sequential-step state kept by
+    ``streaming/funnel.py`` (applyInPandasWithState, 3 timestamps per
+    user), replayed over the events fixture and reduced to the same
+    three step-count rows as the batch ``funnel_conversion`` — whose
+    oracle this query shares, so the stateful path is hash-checked
+    against the declarative one.
+
+    The update-mode memory sink may hold one row per (user, batch);
+    ``reached_step`` is monotone per user, so ``max`` over the sink
+    recovers the final state under ANY batching — the duplicate-robust
+    reduction the r5 contamination-gate advice asked for, by
+    construction.  State is 24 bytes/user; no shuffle carries more
+    than (user_id, step) pairs.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from kafkastreamsproject_spark.streaming.funnel import funnel_stream
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    per_user = funnel_stream(stream)
+    name = f"stream_funnel_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_funnel_")
+    try:
+        q = (
+            per_user.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    final = spark.table(name).groupBy("user_id").agg(
+        F.max("reached_step").alias("reached")
+    )
+
+    def step(order: int, label: str) -> DataFrame:
+        return final.filter(F.col("reached") >= order).agg(
+            F.lit(order).alias("step_order"),
+            F.lit(label).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        step(1, "view")
+        .unionByName(step(2, "click"))
+        .unionByName(step(3, "purchase"))
+    )

@@ -71,6 +71,8 @@ SANCTIONED_BNLJ = {
     "hybrid_retrieval_rrf",
     # 1-row region-total threshold broadcast into the per-part HAVING
     "q11_important_stock",
+    # 1-row grand-total tokens broadcast into the R-row rank table
+    "shard_assignment_plan",
 }
 
 _OPS = (
