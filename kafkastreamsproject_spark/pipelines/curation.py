@@ -10,6 +10,9 @@ docs):
 2. near-dup dedup      MinHash-LSH pairs → connected      (functions/hashing.py,
                        components → keep cluster min       functions/clustering.py)
 3. quality filter      composite heuristic ≥ threshold    (functions/text.py)
+3b. top-p quality gate  optional per-source keep-best-p     (plans/llmdata.py's
+                        fraction by rounded score            quality_filter_top_p
+                                                             device)
 4. language filter     keep an allow-list of n-gram       (functions/text.py)
                        lang-ID predictions
 5. decontamination     drop docs whose shingle containment (train→eval direction:
@@ -55,6 +58,7 @@ class CurationStats:
     after_exact_dedup: int
     after_neardup_dedup: int
     after_quality: int
+    after_quality_top_p: int
     after_lang: int
     after_decontamination: int
     after_mixture: int
@@ -65,6 +69,7 @@ def curate_corpus(
     docs: DataFrame,
     *,
     quality_min: float = 0.5,
+    quality_top_p: float | None = None,
     langs: tuple[str, ...] | None = None,
     holdout: DataFrame | None = None,
     containment_max: float = 0.5,
@@ -127,6 +132,31 @@ def curate_corpus(
         # 3–4. row-local filters (one scan each over the cached survivors)
         quality = neardup.filter(TX.quality_score(F.col("text")) >= quality_min)
         n_quality = quality.count()
+
+        # 3b. optional RELATIVE quality gate: keep the best top_p
+        # fraction of each source by rounded quality score (the
+        # plans/llmdata.py:quality_filter_top_p device) — used when an
+        # absolute threshold would gut some sources and pass others
+        # whole.  Requires a `source` column.
+        if quality_top_p is not None:
+            if not 0.0 < quality_top_p <= 1.0:
+                raise ValueError(
+                    f"quality_top_p must be in (0, 1], got {quality_top_p}"
+                )
+            score = F.round(TX.quality_score(F.col("text")), 6)
+            wq = W.partitionBy("source").orderBy(score.desc(), F.col("doc_id"))
+            wc = W.partitionBy("source")
+            quality = (
+                quality.withColumn("_rq", F.row_number().over(wq))
+                .withColumn("_ns", F.count(F.lit(1)).over(wc))
+                .filter(
+                    F.col("_rq")
+                    <= F.ceil(F.lit(quality_top_p) * F.col("_ns")).cast("long")
+                )
+                .drop("_rq", "_ns")
+            )
+        n_top_p = quality.count() if quality_top_p is not None else n_quality
+
         if langs is not None:
             quality = quality.filter(TX.lang_id(F.col("text")).isin(*langs))
         n_lang = quality.count()
@@ -182,6 +212,7 @@ def curate_corpus(
         after_exact_dedup=n_exact,
         after_neardup_dedup=n_neardup,
         after_quality=n_quality,
+        after_quality_top_p=n_top_p,
         after_lang=n_lang,
         after_decontamination=n_clean,
         after_mixture=n_mixture,

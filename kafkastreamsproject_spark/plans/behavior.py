@@ -519,3 +519,145 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(step(2, "click"))
         .unionByName(step(3, "purchase"))
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (
+      SELECT cur, SUM(n) AS row_n FROM pairs GROUP BY cur
+    )
+    SELECT p.cur, p.nxt, p.n,
+           ROUND(p.n / CAST(t.row_n AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN tot t ON t.cur = p.cur
+    """,
+    tags=("behavior", "sequence"),
+    tier="shadow",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (current, next) event-type pair, the transition
+    count and row-normalized probability — the sequence-model summary
+    behind next-action prediction and bot detection.
+
+    One shuffle on user_id for the LEAD window; the pair counts then
+    reduce to a |types|² table (25 rows here) whose row totals join
+    broadcast.  Successor extraction is deterministic ((ts, event_id)
+    ordering), counts are exact integers, and only the final
+    probability is a rounded double.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = ordered.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy(F.col("cur").alias("t_cur")).agg(
+        F.sum("n").alias("row_n")
+    )
+    return (
+        pairs.join(F.broadcast(tot), pairs.cur == F.col("t_cur"))
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            F.round(F.col("n") / F.col("row_n").cast("double"), 6).alias(
+                "prob"
+            ),
+        )
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id
+    ),
+    conv AS (
+      SELECT t1.user_id,
+             (epoch_ms(CAST(t3.ts3 AS TIMESTAMP))
+              - epoch_ms(CAST(t1.ts1 AS TIMESTAMP))) / 60000.0
+               AS minutes_to_convert
+      FROM t1 JOIN t3 ON t3.user_id = t1.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(MIN(minutes_to_convert), 6) AS min_minutes,
+           ROUND(median(minutes_to_convert), 6) AS median_minutes,
+           ROUND(MAX(minutes_to_convert), 6) AS max_minutes
+    FROM conv
+    """,
+    tags=("behavior", "agg"),
+    tier="shadow",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: minutes from a user's first
+    view to their (ordered) first purchase, summarized as count / min /
+    exact median / max — the companion metric to the funnel's step
+    counts.
+
+    Reuses the funnel's sequential-min derivation (same three per-user
+    aggregations, all co-keyed on user_id); the converted-user table is
+    |users|-bounded, so the exact median is cheap.  Latency is integer
+    epoch-millisecond arithmetic divided by the literal 60000.0 —
+    identical doubles on both engines before the 6-dp round.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    conv = t1.join(t3, "user_id").select(
+        (
+            (F.unix_millis("ts3") - F.unix_millis("ts1")) / F.lit(60000.0)
+        ).alias("minutes_to_convert")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.min("minutes_to_convert"), 6).alias("min_minutes"),
+        F.round(F.median("minutes_to_convert"), 6).alias("median_minutes"),
+        F.round(F.max("minutes_to_convert"), 6).alias("max_minutes"),
+    )

@@ -216,3 +216,47 @@ def test_curate_shard_incremental_loop(spark, tmp_path):
         for r in spark.read.parquet(f"{store}/signatures").select("doc_id").collect()
     )
     assert stored == [1, 2, 13]
+
+
+def test_curation_top_p_quality_gate(spark):
+    """quality_top_p keeps exactly ceil(p * n_source) docs per source,
+    choosing the highest-quality ones."""
+    import pyspark.sql.functions as F
+
+    from kafkastreamsproject_spark.pipelines.curation import curate_corpus
+
+    # two sources x 10 docs, quality strictly ordered by repetition
+    # (more distinct tokens = higher TTR = higher quality score).
+    # Every doc draws from its OWN vocabulary (no cross-doc overlap, so
+    # dedup stages are no-ops) with uniform token lengths per source
+    # (so the per-source ranking depends on TTR alone).
+    rows = []
+    for src_i, src in enumerate(("web", "books")):
+        for d in range(10):
+            # doc d repeats a (12 - d)-word vocabulary over 24 tokens:
+            # larger d -> fewer distinct tokens -> lower quality
+            words = [f"{src}{d:02d}x{i % (12 - d):02d}" for i in range(24)]
+            rows.append((src_i * 100 + d, " ".join(words), src))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    packed, stats = curate_corpus(
+        docs, quality_min=0.0, quality_top_p=0.3, pack_budget=4096
+    )
+    assert stats.after_quality == 20
+    # ceil(0.3 * 10) = 3 per source
+    assert stats.after_quality_top_p == 6
+    kept = {r.doc_id for r in packed.select("doc_id").collect()}
+    # the 3 most-diverse docs per source are d = 0, 1, 2
+    assert kept == {0, 1, 2, 100, 101, 102}
+
+
+def test_curation_top_p_rejects_bad_fraction(spark):
+    import pytest as _pytest
+
+    from kafkastreamsproject_spark.pipelines.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "web")], "doc_id long, text string, source string"
+    )
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, quality_top_p=1.5)
