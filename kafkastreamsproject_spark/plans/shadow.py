@@ -1907,3 +1907,57 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("sum_price"),
     )
+
+
+@register(
+    "salted_join_revenue",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                      AS DOUBLE), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+    tags=("join", "scale"),
+    tier="shadow",
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join, driver-visibly verified: urgent-order revenue
+    computed through ``operators/skew.py:salted_join`` (8-way salt on
+    the fact side, build side replicated per salt), aggregated, and
+    hash-compared against the PLAIN SQL join — proving the salting
+    layer is invisible in results and only reshapes the shuffle.
+
+    The production use is a skewed SortMergeJoin whose hot keys
+    overwhelm single tasks (AQE's skew split handles post-shuffle skew;
+    salting handles it at shuffle-write time and composes with
+    bucketing).  Here the build side is broadcastable, so the query
+    exists purely as the operator's continuously-checked correctness
+    contract — same philosophy as ``bloom_semi_lineitem`` and
+    ``token_heavy_hitters``: every invisible performance device gets an
+    oracle row."""
+    from kafkastreamsproject_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return (
+        salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=8)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+        )
+    )
