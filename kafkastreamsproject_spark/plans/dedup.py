@@ -531,3 +531,104 @@ def dedup_savings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum(F.col("cluster_size") - 1).alias("docs_removed"),
     )
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def _sql_pagerank() -> str:
+    ctes = [
+        f"""WITH {_SQL_MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY u),
+    pr0 AS (SELECT u, 1.0 / nn.n AS pr FROM nodes, nn)"""
+    ]
+    for k in range(_PR_ITERS):
+        ctes.append(
+            f"""pr{k + 1} AS (
+      SELECT e.v AS u,
+             (1.0 - {_PR_DAMP}) / MIN(nn.n)
+               + {_PR_DAMP} * SUM(p.pr / d.deg) AS pr
+      FROM edges e
+      JOIN pr{k} p ON p.u = e.u
+      JOIN deg d ON d.u = e.u, nn
+      GROUP BY e.v
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT u AS doc_id, ROUND(pr, 6) AS pagerank FROM pr{_PR_ITERS}
+    """
+
+
+@register(
+    "pagerank_neardup",
+    oracle_fn=_sql_pagerank,
+    tags=("dedup", "graph"),
+    tier="shadow",
+)
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 synchronous iterations) over the
+    confirmed near-dup graph — the centrality signal that picks the
+    most-connected exemplar of a duplicate cluster (SemDeDup keeps
+    min-id; a rank-weighted policy keeps the best-linked), and the
+    third member of the iterative-graph family next to connected
+    components and min-label propagation.
+
+    The edge list is ``minhash_lsh_pairs`` symmetrized; each iteration
+    is one join (ranks are |nodes| rows, co-keyed with degrees) + one
+    aggregation on the destination — the classic Pregel step expressed
+    relationally, shuffling only (node, rank) pairs.  At 100 TB the
+    loop adds lineage-checkpointing every few iterations exactly like
+    functions/clustering.py.  Every node in the symmetric graph has
+    degree >= 1 (no dangling mass), the iteration count is fixed, and
+    the DuckDB oracle UNROLLS the same three steps, so the 6-dp-rounded
+    ranks are cross-engine deterministic (per-node sums are short and
+    ~1e-17 below the rounding grain).
+    """
+    from kafkastreamsproject_spark.operators.cache import (
+        cache_scope,
+        scoped_persist,
+    )
+
+    raw = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    edges = raw.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        raw.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    with cache_scope():
+        edges = scoped_persist(edges)
+        n_nodes = edges.select("u").distinct().count()
+        deg = edges.groupBy("u").agg(
+            F.count(F.lit(1)).cast("double").alias("deg")
+        )
+        ranks = edges.select("u").distinct().withColumn(
+            "pr", F.lit(1.0) / F.lit(float(n_nodes))
+        )
+        for _ in range(_PR_ITERS):
+            ranks = (
+                edges.join(ranks, "u")
+                .join(deg, "u")
+                .groupBy(F.col("v").alias("u"))
+                .agg(
+                    (
+                        F.lit((1.0 - _PR_DAMP) / float(n_nodes))
+                        + F.lit(_PR_DAMP)
+                        * F.sum(F.col("pr") / F.col("deg"))
+                    ).alias("pr")
+                )
+            )
+        out = ranks.select(
+            F.col("u").alias("doc_id"), F.round("pr", 6).alias("pagerank")
+        )
+        # materialize inside the scope: `out` reads the persisted edges
+        out = out.localCheckpoint(eager=True)
+    return out
