@@ -661,3 +661,117 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("minutes_to_convert"), 6).alias("median_minutes"),
         F.round(F.max("minutes_to_convert"), 6).alias("max_minutes"),
     )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    WITH rng AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY event_type
+    ),
+    bucketed AS (
+      SELECT e.event_type,
+             CAST(LEAST(9, CAST(floor(
+               (e.value - r.lo) / ((r.hi - r.lo) / 10.0)) AS BIGINT))
+               AS INT) AS bucket,
+             r.lo, r.hi
+      FROM events e JOIN rng r ON r.event_type = e.event_type
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(lo) + bucket * ((MIN(hi) - MIN(lo)) / 10.0), 6)
+             AS bucket_lo
+    FROM bucketed
+    GROUP BY event_type, bucket
+    """,
+    tags=("behavior", "profiling"),
+    tier="shadow",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 buckets) of the value column per event
+    type, over each type's own [min, max] range — the distribution
+    sketch a profiler or query optimizer collects.
+
+    Two scans: the 5-row per-type range table broadcasts back into the
+    bucketing pass, so the fact never shuffles raw values — the
+    exchange carries (type, bucket) pairs only, 50 groups.  The bucket
+    expression is written identically on both engines ((v-lo)/(width)
+    with the max value clamped into the top bucket), so bucket
+    assignment is IEEE-deterministic and the counts exact.
+    """
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    bucket = F.least(
+        F.lit(9).cast("bigint"),
+        F.floor((F.col("value") - F.col("lo")) / width),
+    ).cast("int")
+    return (
+        ev.join(F.broadcast(rng), "event_type")
+        .select("event_type", bucket.alias("bucket"), "lo", "hi")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.min("lo")
+                + F.col("bucket") * ((F.min("hi") - F.min("lo")) / F.lit(10.0)),
+                6,
+            ).alias("bucket_lo"),
+        )
+    )
+
+
+@register(
+    "time_weighted_value",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(SUM(value * (next_us - t_us))
+                 / CAST(SUM(next_us - t_us) AS DOUBLE), 6) AS twa_value
+    FROM stepped
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("behavior", "timeseries"),
+    tier="shadow",
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled signal: each
+    observation holds until the user's next event (step interpolation),
+    so the mean weights every value by its holding duration — the
+    correct summary for sensor/metric streams where a plain AVG
+    over-counts bursts.
+
+    One shuffle on user_id serves both the LEAD window and the
+    aggregation.  Durations are exact integer microseconds; the
+    weighted sum's FP accumulation error (~1e-14 relative) sits ten
+    orders below the 6-dp round of the final ratio.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    stepped = ev.select(
+        "user_id",
+        "value",
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dur = F.col("next_us") - F.col("t_us")
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(F.col("value") * dur) / F.sum(dur).cast("double"), 6
+        ).alias("twa_value"),
+    )

@@ -1961,3 +1961,70 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
         )
     )
+
+
+@register(
+    "price_quantity_regression",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(3,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(3,0))
+                      * CAST(l_quantity AS DECIMAL(3,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(3,0))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS intercept,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS pearson_r
+    FROM sums
+    """,
+    tags=("relational", "stats"),
+    tier="shadow",
+)
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (extendedprice ~ quantity)
+    and Pearson correlation from SUFFICIENT STATISTICS: one exact
+    DECIMAL aggregation pass collects (n, Σx, Σy, Σx², Σy², Σxy), and
+    slope/intercept/r derive in the final projection — the
+    decomposable, merge-friendly formulation a 100 TB profile run
+    needs (per-partition stats merge by addition; no second pass, no
+    centering).
+
+    Every sum is exact (quantity integral ≤ 50, price 2-dp), cast to
+    double only once, and every derived expression is written in the
+    same order on both engines — so the 6-dp round is deterministic
+    despite the classic FP fragility of the textbook formula."""
+    li = load_table(spark, "lineitem", sf_dir)
+    x = F.col("l_quantity").cast("decimal(3,0)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "l_returnflag",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("pearson_r"),
+    )
