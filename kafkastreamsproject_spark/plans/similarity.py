@@ -974,3 +974,66 @@ def _rrf_sql() -> str:
                  + COALESCE(1.0 / (60.0 + s.sem_rank), 0.0), 6) AS rrf
     FROM lexr l FULL OUTER JOIN semr s ON s.doc_id = l.doc_id
     """
+
+
+@register(
+    "embedding_standardize_audit",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT d, AVG(v) AS mu,
+             sqrt(AVG(v * v) - AVG(v) * AVG(v)) AS sd
+      FROM dims GROUP BY d
+    )
+    SELECT x.vec_id,
+           CAST(COUNT(*) AS INT) AS dim,
+           ROUND(sqrt(SUM(((x.v - s.mu) / s.sd)
+                          * ((x.v - s.mu) / s.sd))), 6) AS z_norm
+    FROM dims x JOIN stats s ON s.d = x.d
+    GROUP BY x.vec_id
+    """,
+    tags=("similarity", "stats"),
+    tier="shadow",
+)
+def embedding_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (z-scoring) of the embedding
+    corpus — the diagonal-whitening preprocessing before PCA/OPQ or
+    distance-metric learning — audited as each vector's standardized
+    L2 norm (≈ sqrt(dim) for well-behaved corpora; gross deviations
+    flag a degenerate dimension).
+
+    The per-dimension moment table (dim rows: mean + population std,
+    pinned as sqrt(E[v²] − E[v]²) on both engines) reduces via one
+    map-side-combined shuffle of O(dim × partitions) partials, then
+    broadcasts back into the row-local z-pass — the corpus is scanned
+    twice and never shuffled.  All arithmetic is double from the first
+    cast; the summation-order FP noise (~1e-13 relative) sits far
+    below the 6-dp round."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "v_raw")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.col("v_raw").cast("double").alias("v"),
+    )
+    stats = dims.groupBy("d").agg(
+        F.avg("v").alias("mu"),
+        F.sqrt(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")).alias(
+            "sd"
+        ),
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    return (
+        dims.join(F.broadcast(stats), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("dim"),
+            F.round(F.sqrt(F.sum(z * z)), 6).alias("z_norm"),
+        )
+    )
