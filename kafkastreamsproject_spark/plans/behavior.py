@@ -775,3 +775,50 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value") * dur) / F.sum(dur).cast("double"), 6
         ).alias("twa_value"),
     )
+
+
+@register(
+    "daily_type_pivot",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS view_n,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click_n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase_n,
+           ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 6)
+             AS purchase_avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("behavior", "pivot"),
+    tier="shadow",
+)
+def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide daily activity report via PIVOT with mixed aggregates
+    (counts per pivoted event type + a per-type average) — the
+    long-to-wide reshape every reporting layer runs.
+
+    Spark's ``pivot`` with an EXPLICIT value list compiles to a single
+    PivotFirst aggregation — one shuffle, no per-value scans; the
+    explicit list is the scale contract (an unlisted pivot triggers a
+    driver-side distinct collect — never do that at 100 TB).  The
+    oracle is the equivalent conditional aggregation, proving the
+    reshape changes the layout, not the numbers."""
+    ev = load_table(spark, "events", sf_dir)
+    wide = (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    return wide.select(
+        "day",
+        F.coalesce(F.col("view_n"), F.lit(0)).alias("view_n"),
+        F.coalesce(F.col("click_n"), F.lit(0)).alias("click_n"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).alias("purchase_n"),
+        F.col("purchase_avg_value"),
+    )

@@ -2028,3 +2028,111 @@ def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     )
+
+
+@register(
+    "spend_percentile_rank",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    )
+    SELECT custkey, segment,
+           ROUND(total_spend, 2) AS total_spend,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY segment ORDER BY total_spend, custkey), 6)
+             AS pct_rank,
+           ROUND(CUME_DIST() OVER (
+             PARTITION BY segment ORDER BY total_spend, custkey), 6)
+             AS cume
+    FROM spend
+    """,
+    tags=("relational", "window"),
+    tier="shadow",
+)
+def spend_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within a segment: PERCENT_RANK and CUME_DIST
+    over per-customer spend — the window-function pair (rank-based,
+    distribution-based) not exercised anywhere else in the registry.
+
+    Spend is an exact DECIMAL sum cast once; the window orders by
+    (spend, custkey) so ties are deterministic and both rank functions
+    produce identical fractions cross-engine.  One shuffle for the
+    customer aggregation, one for the segment window — both on bounded
+    keys."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+    )
+    w = W.partitionBy("segment").orderBy("total_spend", "custkey")
+    return spend.select(
+        "custkey",
+        "segment",
+        F.round("total_spend", 2).alias("total_spend"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "dataset_fingerprint",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(CAST(
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT
+             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("profiling", "dedup"),
+    tier="shadow",
+)
+def dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent dataset content fingerprint: per source, the
+    exact DECIMAL sum of a 60-bit hash of every (doc_id, text) row —
+    equal corpora produce equal fingerprints under ANY row order,
+    partitioning, or engine, so two snapshots diff with a |sources|-row
+    compare instead of a row-level join.  The cheap integrity check a
+    reproducible-data pipeline records in its manifest next to row
+    counts.
+
+    Commutative-monoid design: per-partition partial sums merge by
+    addition (one tiny shuffle), and DECIMAL(38,0) keeps the sum exact
+    to ~1e19 rows of 60-bit terms — beyond that, fold each term modulo
+    a 61-bit prime first (same device, documented here rather than
+    needed at this scale)."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(h.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("content_fp"),
+    )
