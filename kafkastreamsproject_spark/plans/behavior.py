@@ -822,3 +822,68 @@ def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("purchase_n"), F.lit(0)).alias("purchase_n"),
         F.col("purchase_avg_value"),
     )
+
+
+@register(
+    "hopping_window_counts",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type,
+             unnest([
+               time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+               time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+                 - INTERVAL 30 MINUTE
+             ]) AS ws
+      FROM events
+    )
+    SELECT CAST(ws AS VARCHAR) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM starts
+    GROUP BY 1, 2
+    """,
+    tags=("behavior", "window-agg"),
+    tier="shadow",
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) windows — 1-hour windows every 30 minutes, so
+    each event contributes to exactly two overlapping windows: the
+    smoothing aggregation dashboards use where tumbling windows jitter.
+    The only window species (after tumbling, session, and native
+    session-stream) not yet pinned in the registry.
+
+    Spark's ``window(ts, '1 hour', '30 minutes')`` plans as a 2-row
+    Expand before the aggregation — replication factor =
+    length/slide, fixed and explicit, then one shuffle of (window,
+    type) keys.  The oracle derives the same two window starts per
+    event arithmetically (30-minute time_bucket and its predecessor).
+    Session timezone is pinned to UTC for the duration so the NTZ
+    fixture timestamps land on identical wall-clock window boundaries
+    in both engines."""
+    saved = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = load_table(spark, "events", sf_dir)
+        out = (
+            ev.groupBy(
+                F.window("ts", "1 hour", "30 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+            )
+        )
+        # materialize while the UTC conf is in force — the conf is
+        # restored before the caller consumes the frame
+        out = out.localCheckpoint(eager=True)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", saved)
+    return out
