@@ -632,3 +632,80 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize inside the scope: `out` reads the persisted edges
         out = out.localCheckpoint(eager=True)
     return out
+
+
+def _sql_pagerank_keep() -> str:
+    pr_body = _sql_pagerank()
+    # reuse the unrolled-PR CTE stack, swapping its final SELECT for
+    # the component join + per-cluster argmax
+    pr_ctes = pr_body[: pr_body.rindex("SELECT")]
+    return f"""{pr_ctes.replace("WITH ", "WITH RECURSIVE ", 1)},
+    walk(u, comp) AS (
+      SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+      FROM walk GROUP BY u
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, ROUND(p.pr, 6) AS pagerank
+      FROM comp c JOIN pr{_PR_ITERS} p ON p.u = c.doc_id
+    )
+    SELECT cluster_id,
+           CAST(doc_id AS BIGINT) AS keep_doc,
+           pagerank AS keep_pagerank,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM (
+      SELECT r.*,
+             ROW_NUMBER() OVER (
+               PARTITION BY r.cluster_id
+               ORDER BY r.pagerank DESC, r.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY r.cluster_id) AS cluster_size
+      FROM ranked r
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "pagerank_keep_exemplar",
+    oracle_fn=_sql_pagerank_keep,
+    tags=("dedup", "graph", "clustering"),
+    tier="shadow",
+)
+def pagerank_keep_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-weighted keep policy: for every near-dup cluster, keep the
+    member with the highest PageRank (most-connected exemplar) instead
+    of the arbitrary min-id — the centrality-based survivor selection
+    SemDeDup-style pipelines use when duplicates differ in quality.
+    Composes two independently-verified queries (``dedup_clusters``
+    components × ``pagerank_neardup`` centrality) and is itself
+    oracle-checked end-to-end, so the composition contract (same node
+    universe, join-compatible ids) is continuously enforced.
+
+    The argmax runs on the 6-dp-ROUNDED rank with a doc-id tie-break,
+    so survivor choice is cross-engine deterministic even where raw
+    FP ranks differ in the last ulp.  Cost at 100 TB is the two
+    constituent pipelines; the final join + per-cluster window touch
+    |nodes| rows."""
+    from pyspark.sql import Window as W
+
+    comp = dedup_clusters(spark, sf_dir)
+    pr = pagerank_neardup(spark, sf_dir)
+    ranked = comp.join(pr, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("pagerank").desc(), F.col("doc_id")
+    )
+    wc = W.partitionBy("cluster_id")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc"),
+            F.col("pagerank").alias("keep_pagerank"),
+            "cluster_size",
+        )
+    )
