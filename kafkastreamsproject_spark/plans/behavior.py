@@ -887,3 +887,54 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.session.timeZone", saved)
     return out
+
+
+@register(
+    "ewma_recent_value",
+    oracle="""
+    WITH recent AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) - 1
+               AS k
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           ROUND(SUM(value * (1.0 / CAST(1 << k AS DOUBLE)))
+                 / SUM(1.0 / CAST(1 << k AS DOUBLE)), 6) AS ewma_value
+    FROM recent WHERE k < 20
+    GROUP BY user_id
+    """,
+    tags=("behavior", "timeseries"),
+    tier="shadow",
+)
+def ewma_recent_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's recent
+    signal (α = 0.5 over the last 20 events, normalized) — the
+    recency-biased summary a live scoring feature uses where a plain
+    mean lags.
+
+    The recursive EWMA definition unrolls to a weighted sum with
+    weights (1-α)^k; α = 0.5 makes every weight an exact power of two
+    (computed as 1/(1<<k) in INTEGER arithmetic, then one exact double
+    division), so both engines see bit-identical weights and products —
+    no transcendental pow() whose libm rounding could differ.  One
+    shuffle on user_id serves the recency window and the aggregation.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = ev.select(
+        "user_id", "value", (F.row_number().over(w) - 1).alias("k")
+    ).filter(F.col("k") < 20)
+    weight = F.lit(1.0) / F.expr("CAST(shiftleft(1L, k) AS DOUBLE)")
+    return recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.round(
+            F.sum(F.col("value") * weight) / F.sum(weight), 6
+        ).alias("ewma_value"),
+    )

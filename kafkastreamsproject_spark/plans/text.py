@@ -458,3 +458,62 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(TX.tokens(F.col("text"))).alias("token")
     )
     return heavy_hitters_exact(toks, "token", phi=0.03)
+
+
+@register(
+    "lang_source_chisq",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    margins AS (
+      SELECT o.lang, o.source, o.o,
+             SUM(o.o) OVER (PARTITION BY o.lang) AS row_tot,
+             SUM(o.o) OVER (PARTITION BY o.source) AS col_tot,
+             SUM(o.o) OVER () AS n
+      FROM obs o
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((o - row_tot * col_tot / n)
+                     * (o - row_tot * col_tot / n)
+                     / (row_tot * col_tot / n)), 6) AS chi_square
+    FROM margins
+    """,
+    tags=("text", "stats"),
+    tier="shadow",
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the lang × source
+    contingency table — the drift/bias test a corpus monitor runs
+    ("did the language mix shift between crawls?").
+
+    The observed table is |langs|×|sources| cells of exact integer
+    counts; margins come from window sums over that tiny table (no
+    second scan of documents), and the statistic's expression —
+    (o − rc/n)²/(rc/n) — is written identically on both engines over
+    identical doubles derived from exact counts.  Only the cell
+    aggregation touches the corpus: one shuffle of (lang, source)
+    pairs."""
+    docs = load_table(spark, "documents", sf_dir)
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    from pyspark.sql import Window as W
+
+    row_tot = F.sum("o").over(W.partitionBy("lang"))
+    col_tot = F.sum("o").over(W.partitionBy("source"))
+    n = F.sum("o").over(W.partitionBy())
+    e = row_tot * col_tot / n
+    cells = obs.select("lang", "source", "o", e.alias("e"))
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.sum(
+                (F.col("o") - F.col("e"))
+                * (F.col("o") - F.col("e"))
+                / F.col("e")
+            ),
+            6,
+        ).alias("chi_square"),
+    )
