@@ -2136,3 +2136,119 @@ def dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("content_fp"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH metrics AS (
+      SELECT o.o_custkey AS custkey,
+             date_diff('day', CAST(MAX(o.o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS monetary
+      FROM orders o GROUP BY o.o_custkey
+    )
+    SELECT custkey, recency_days, frequency,
+           ROUND(monetary, 2) AS monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, custkey) AS INT) AS r,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS INT) AS f,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, custkey) AS INT) AS m
+    FROM metrics
+    """,
+    tags=("relational", "window", "behavior"),
+    tier="shadow",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency (days since last order, vs the
+    corpus max date), frequency, monetary (exact DECIMAL) — with
+    quartile scores via NTILE(4), the standard customer-value grid.
+    Quartile 1 = best on every axis (most recent / most frequent /
+    highest spend).
+
+    Every NTILE orders by (metric, custkey) so bucket boundaries are
+    deterministic under ties; the global max date is a 1-row broadcast.
+    At 100 TB the exact NTILE (global sort) becomes approx-quantile
+    cutoffs per axis (the verified GK device) — the exact form is the
+    oracle-checkable contract."""
+    orders = load_table(spark, "orders", sf_dir)
+    maxd = orders.agg(F.max(F.to_date("o_orderdate")).alias("corpus_max"))
+    metrics = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .join(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff("corpus_max", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = W.orderBy("recency_days", "custkey")
+    wf = W.orderBy(F.col("frequency").desc(), "custkey")
+    wm = W.orderBy(F.col("monetary").desc(), "custkey")
+    return metrics.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        F.ntile(4).over(wr).cast("int").alias("r"),
+        F.ntile(4).over(wf).cast("int").alias("f"),
+        F.ntile(4).over(wm).cast("int").alias("m"),
+    )
+
+
+@register(
+    "order_dow_seasonality",
+    oracle="""
+    WITH tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders
+    )
+    SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS iso_dow,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(COUNT(*) / tot.n, 6) AS share,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders, tot
+    GROUP BY 1, tot.n
+    """,
+    tags=("relational", "datetime"),
+    tier="shadow",
+)
+def order_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: order counts, traffic share,
+    and exact-DECIMAL revenue per ISO weekday (1 = Monday — the only
+    cross-engine-portable day numbering; the default DAYOFWEEK differs
+    between engines' week-start conventions).
+
+    Seven-row result from one partial+final aggregate; the total is a
+    1-row broadcast for the share.  The standard input to capacity
+    planning and to weekday-stratified sampling."""
+    orders = load_table(spark, "orders", sf_dir)
+    tot = orders.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        orders.join(F.broadcast(tot))
+        .groupBy(
+            F.expr("EXTRACT(DAYOFWEEK_ISO FROM o_orderdate)")
+            .cast("int")
+            .alias("iso_dow")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.count(F.lit(1)) / F.first("n_total"), 6).alias("share"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )

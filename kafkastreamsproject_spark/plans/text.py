@@ -517,3 +517,99 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi_square"),
     )
+
+
+_PMI_MIN_COUNT = 20
+
+
+@register(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+    ),
+    uni AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY w),
+    nu AS (SELECT SUM(c) AS n FROM uni),
+    bi AS (
+      SELECT unnest(list_transform(
+               range(1, len({_SQL_TOKENS})),
+               i -> {{'a': {_SQL_TOKENS}[i], 'b': {_SQL_TOKENS}[i + 1]}}))
+               AS p
+      FROM documents
+    ),
+    bic AS (
+      SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS DOUBLE) AS c_ab
+      FROM bi GROUP BY p.a, p.b
+    ),
+    nb AS (SELECT SUM(c_ab) AS n FROM bic)
+    SELECT bc.a, bc.b, CAST(bc.c_ab AS BIGINT) AS pair_count,
+           ROUND(ln((bc.c_ab / nb.n)
+                    / ((ua.c / nu.n) * (ub.c / nu.n))), 6) AS pmi
+    FROM bic bc
+    JOIN uni ua ON ua.w = bc.a
+    JOIN uni ub ON ub.w = bc.b, nu, nb
+    WHERE bc.c_ab >= {_PMI_MIN_COUNT}
+    """,
+    tags=("text", "stats"),
+    tier="shadow",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation detector ("New York"-finder) behind phrase-aware
+    tokenization and stop-phrase mining.  PMI = ln(p(ab) / (p(a)p(b)))
+    from exact corpus counts, reported for pairs seen >= 20 times.
+
+    Bigrams are generated WITH multiplicity (unlike the dedup
+    shingles) by a row-local transform; the unigram and bigram count
+    tables are vocabulary-bounded, so the two PMI lookup joins
+    broadcast and the corpus shuffles only (token) / (pair) count
+    pairs.  The PMI expression is division/ln over identical doubles
+    derived from exact counts, written in the same order on both
+    engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens(F.col("text"))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    nu = uni.agg(F.sum("c").alias("n_uni"))
+    bigrams = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("a"),
+                    F.element_at(toks, i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bic = bigrams.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("c_ab")
+    )
+    nb = bic.agg(F.sum("c_ab").alias("n_bi"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    return (
+        bic.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .join(F.broadcast(nu))
+        .join(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_bi"))
+                    / (
+                        (F.col("c_a") / F.col("n_uni"))
+                        * (F.col("c_b") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
