@@ -938,3 +938,92 @@ def ewma_recent_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value") * weight) / F.sum(weight), 6
         ).alias("ewma_value"),
     )
+
+
+@register(
+    "peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 1800000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT s_start AS t, 1 AS delta FROM sess
+      UNION ALL
+      SELECT s_end AS t, -1 AS delta FROM sess
+    ),
+    swept AS (
+      SELECT SUM(delta) OVER (
+               ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS live
+      FROM deltas
+    )
+    SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrent
+    FROM swept
+    """,
+    tags=("behavior", "interval"),
+    tier="shadow",
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions via the SWEEP-LINE device: every
+    session contributes a +1 at its start and a -1 at its end, and the
+    maximum of the running sum over the time-ordered deltas is the
+    capacity-planning number ("how many users were ever on at once").
+    Ends sort before starts at equal timestamps (ORDER BY t, delta), so
+    back-to-back sessions don't double-count — closed-interval
+    semantics pinned identically on both engines.
+
+    The global running sum is a single-partition window over 2×
+    |sessions| delta rows (tiny here); at 100 TB the sweep
+    partitions by day with per-day boundary carry-in — the deltas
+    themselves stay |sessions|-bounded regardless of event volume."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    numbered = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    deltas = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    sweep = W.orderBy("t", "delta").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    swept = deltas.select(F.sum("delta").over(sweep).alias("live"))
+    n_sessions = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        swept.agg(F.max("live").alias("peak_concurrent"))
+        .join(F.broadcast(n_sessions))
+        .select("n_sessions", "peak_concurrent")
+    )

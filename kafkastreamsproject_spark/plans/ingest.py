@@ -198,3 +198,73 @@ def incremental_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(store, ignore_errors=True)
+
+
+@register(
+    "jsonl_roundtrip_fingerprint",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(CAST(
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT
+             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("io", "integrity"),
+    tier="shadow",
+)
+def jsonl_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange losslessness, driver-visibly verified: the
+    documents table is written through ``sources/jsonl.py`` and read
+    back with its explicit schema, and the ORDER-INDEPENDENT content
+    fingerprint of the round-tripped rows must equal the fingerprint
+    of the original parquet (the ``dataset_fingerprint`` oracle
+    verbatim) — any encoding loss, row drop, or column mangling in the
+    interchange path flips the DECIMAL sum.
+
+    Shard layout and row order are deliberately NOT preserved (JSONL
+    re-shards at write parallelism); the commutative fingerprint is
+    exactly the device that makes the equality meaningful anyway."""
+    import shutil
+    import tempfile
+
+    from kafkastreamsproject_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    scratch = tempfile.mkdtemp(prefix="jsonl_rt_")
+    out_dir = f"{scratch}/docs"  # write target must not pre-exist
+    try:
+        write_jsonl(docs, out_dir)
+        back = read_jsonl(spark, out_dir, schema=docs.schema)
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("text"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        fp = back.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(h.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("content_fp"),
+        )
+        # materialize before the temp dir is removed
+        return fp.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
