@@ -73,6 +73,14 @@ SANCTIONED_BNLJ = {
     "q11_important_stock",
     # 1-row grand-total tokens broadcast into the R-row rank table
     "shard_assignment_plan",
+    # 1-row corpus-max-date broadcast into the per-customer metrics
+    "customer_rfm_segments",
+    # 1-row order-count total broadcast for the share denominator
+    "order_dow_seasonality",
+    # 1-row session-count aggregate broadcast next to the 1-row peak
+    "peak_concurrency",
+    # 1-row unigram/bigram grand totals broadcast into the PMI scan
+    "pmi_collocations",
 }
 
 _OPS = (
