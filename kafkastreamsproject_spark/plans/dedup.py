@@ -709,3 +709,90 @@ def pagerank_keep_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@register(
+    "neardup_triangle_stats",
+    oracle=f"""
+    WITH {_SQL_MINHASH_CTES},
+    tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.id_a = e1.id_b
+      JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT id_a AS doc_id FROM pairs
+        UNION ALL SELECT id_b FROM pairs
+      ) GROUP BY doc_id
+    ),
+    pert AS (
+      SELECT doc_id, COUNT(*) AS n_tri FROM (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                      THEN COALESCE(p.n_tri, 0)
+                           / (d.degree * (d.degree - 1) / 2.0)
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    FROM deg d LEFT JOIN pert p USING (doc_id)
+    """,
+    tags=("dedup", "graph"),
+    tier="shadow",
+)
+def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the confirmed near-dup graph: per document,
+    its degree, the triangles through it, and the local clustering
+    coefficient n_tri / C(degree, 2).  High-coefficient components are
+    true duplicate CLIQUES (template families — safe to keep-one);
+    low-coefficient stars are chain collisions where transitive
+    keep-one over-deletes — the diagnostic that decides whether
+    connected components is the right clustering for a corpus.
+
+    The triangle join is the classic compact-forward enumeration: edges
+    are stored once in id_a < id_b orientation, so each triangle
+    a<b<c is found exactly once via (a,b)⋈(b,c)⋈(a,c) — two equi-joins
+    on node ids over the POST-CONFIRM pair set (already ~|dups|, not
+    |corpus|²).  All arithmetic integer; the coefficient is a ratio of
+    two integers.  At production scale the joins hash-partition on the
+    shared node key, and degree-ordering the edge orientation (highest-
+    degree node last) bounds the per-key wedge fan-out — with
+    Jaccard-confirmed edges the graph is already near-clique-partitioned,
+    so wedge counts stay ~cluster-sized."""
+    pairs = scoped_persist(
+        minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    )
+    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    pert = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0).cast("long"))
+    coeff = F.when(
+        F.col("degree") >= 2,
+        n_tri / (F.col("degree") * (F.col("degree") - 1) / F.lit(2.0)),
+    ).otherwise(F.lit(0.0))
+    return deg.join(pert, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        n_tri.alias("n_triangles"),
+        F.round(coeff, 6).alias("clustering_coeff"),
+    )

@@ -919,3 +919,82 @@ def quality_filter_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("rn") <= F.ceil(F.lit(0.8) * F.col("n_src")).cast("long")
     ).select("doc_id", "source", "ttr")
+
+
+# ---------------------------------------------------------------------------
+# Dyadic-surprisal quality scoring: the unigram-LM perplexity filter
+# (CCNet / Wenzek et al.'s KenLM gate) re-expressed in exact integer
+# arithmetic.  -log2 p(tok) = log2(N) - log2(c) is approximated by
+# bits(N) - bits(c) where bits(x) = floor(log2 x) + 1 = the binary-digit
+# count — an INTEGER both engines compute identically (Spark
+# length(bin(c)), DuckDB length(format('{:b}', c))), so no libm log
+# whose last-ulp differences could flip the value hash.  Ranking quality
+# is preserved: bits() is monotone in c, so high-surprisal docs under
+# the dyadic score are high-perplexity docs under the real LM score.
+# ---------------------------------------------------------------------------
+
+
+def _bits(col: F.Column) -> F.Column:
+    """floor(log2 x) + 1 for a positive integral column, exactly."""
+    return F.length(F.bin(col)).cast("long")
+
+
+@register(
+    "doc_surprisal_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(format('{{:b}}', tot.n_total))
+                    - length(format('{{:b}}', f.c))) AS BIGINT)
+             AS sum_surprisal,
+           ROUND(SUM(length(format('{{:b}}', tot.n_total))
+                     - length(format('{{:b}}', f.c)))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_surprisal
+    FROM tok t JOIN freq f USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=("llmdata", "text", "quality"),
+    tier="shadow",
+)
+def doc_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean dyadic surprisal — the exact-arithmetic stand-in
+    for unigram-LM perplexity scoring.  Each token instance contributes
+    bits(N) - bits(c) (N = corpus token instances, c = the token's
+    corpus frequency): rare tokens cost many bits, common tokens few, so
+    a document full of rare/garbled tokens scores high exactly as it
+    would under -mean log2 p.  The bits() coarsening keeps every value
+    an integer (and the mean a ratio of two integers), so the oracle
+    compare is bit-exact where a real ln()-based perplexity would sit on
+    libm's last ulp.
+
+    Scale shape: one token-explode shuffle to build the vocab frequency
+    table, one probe join back on tok (vocab-sized build side — at
+    100 TB the freq table is ~|vocab| rows, broadcastable for natural-
+    language vocabularies), a sanctioned one-row broadcast for N, and a
+    final (doc_id) rollup.  Identical topology to token_rarity_quality,
+    which shares the freq table if both run in one pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    sur = _bits(F.col("n_total")) - _bits(F.col("c"))
+    return (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", sur.alias("sur"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("sur").alias("sum_surprisal"),
+            F.round(
+                F.sum("sur") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_surprisal"),
+        )
+    )

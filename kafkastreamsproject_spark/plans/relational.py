@@ -945,3 +945,75 @@ def approx_quantiles_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.select(
         "l_returnflag", "median_qty", "p95_qty", ok.alias("approx_within_eps")
     )
+
+
+_SKY_BUCKET_W = 4096.0  # price units per prefix-scan bucket
+
+
+@register(
+    "skyline_price_quantity",
+    oracle="""
+    WITH pts AS (
+      SELECT l_extendedprice AS price, l_quantity AS quantity,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pp AS (SELECT price, MAX(quantity) AS qmax FROM pts GROUP BY price),
+    sc AS (
+      SELECT price, qmax,
+             MAX(qmax) OVER (ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_max
+      FROM pp
+    )
+    SELECT sc.price, sc.qmax AS quantity, CAST(p.n_rows AS BIGINT) AS n_rows
+    FROM sc JOIN pts p ON p.price = sc.price AND p.quantity = sc.qmax
+    WHERE sc.prev_max IS NULL OR sc.qmax > sc.prev_max
+    """,
+    tags=("relational", "skyline", "window"),
+    tier="shadow",
+)
+def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of lineitem: the points no other
+    row dominates, where s dominates r iff s is no more expensive AND
+    no smaller in quantity, strictly better in at least one — the
+    best-price-for-quantity frontier a buyer query wants.
+
+    In 2-D the skyline reduces to an exclusive running max: sort by
+    price ascending, keep a (price, qmax) point iff its quantity
+    strictly exceeds the max quantity over all cheaper prices (same-
+    price lower-quantity rows lose to their own price's max; equal
+    duplicate points survive together via the n_rows rollup).  The
+    oracle states that single-window form; the Spark plan computes the
+    SAME running max with the two-level bucketed prefix scan
+    (operators/prefixscan.py) so no task ever sorts more than one
+    price-range bucket — the empty-PARTITION-BY window a naive port
+    would use is the 100 TB scale cliff this engine avoids.
+    """
+    from kafkastreamsproject_spark.operators.prefixscan import (
+        bucketed_prefix_max,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    pts = (
+        li.groupBy(
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").alias("quantity"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    pp = pts.groupBy("price").agg(F.max("quantity").alias("qmax"))
+    scanned = bucketed_prefix_max(
+        pp, order_col="price", value_col="qmax", bucket_width=_SKY_BUCKET_W
+    )
+    frontier = scanned.filter(
+        F.col("prev_max").isNull() | (F.col("qmax") > F.col("prev_max"))
+    ).select(F.col("price").alias("f_price"), F.col("qmax").alias("f_qmax"))
+    return (
+        frontier.join(
+            pts,
+            (F.col("price") == F.col("f_price"))
+            & (F.col("quantity") == F.col("f_qmax")),
+        )
+        .select("price", "quantity", "n_rows")
+    )

@@ -1037,3 +1037,131 @@ def embedding_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.sum(z * z)), 6).alias("z_norm"),
         )
     )
+
+
+_IVF_C = 8  # coarse cells (deterministic init: the first C vectors)
+_IVF_NPROBE = 2  # cells probed per query
+
+
+@register(
+    "ivf_pq_search",
+    oracle=f"""
+    WITH {_sql_pq_ctes()},
+    coarse AS (SELECT vec_id AS ccid, qv AS cv2 FROM q WHERE vec_id < {_IVF_C}),
+    ad AS (
+      SELECT q.vec_id, c.ccid,
+             CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c.cv2[i]) * (q.qv[i] - c.cv2[i])))
+               AS BIGINT) AS dist2
+      FROM q CROSS JOIN coarse c
+    ),
+    ranked AS (
+      SELECT vec_id, ccid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, ccid) AS rn
+      FROM ad
+    ),
+    cells AS (SELECT vec_id, ccid AS cell FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, ccid AS cell FROM ranked
+      WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, cl.vec_id, cl.cell
+      FROM probes p JOIN cells cl ON cl.cell = p.cell
+      WHERE cl.vec_id != p.query_id
+    ),
+    qsub AS (SELECT vec_id AS query_id, s, sv AS qsv FROM sub
+             WHERE vec_id < {_N_QUERIES}),
+    adc_parts AS (
+      SELECT ca.query_id, ca.vec_id, ca.cell,
+             CAST(list_sum(list_transform(range(1, len(qs.qsv) + 1),
+                 i -> (qs.qsv[i] - cb.cv[i]) * (qs.qsv[i] - cb.cv[i])))
+               AS BIGINT) AS part
+      FROM cand ca
+      JOIN codes co ON co.vec_id = ca.vec_id
+      JOIN cb ON cb.s = co.s AND cb.cid = co.cid
+      JOIN qsub qs ON qs.query_id = ca.query_id AND qs.s = co.s
+    ),
+    adc AS (
+      SELECT query_id, vec_id, cell,
+             CAST(SUM(part) AS BIGINT) AS adc_dist2
+      FROM adc_parts GROUP BY 1, 2, 3
+    )
+    SELECT query_id, vec_id, cell, adc_dist2, CAST(rn AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist2, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "quantization", "ann"),
+    tier="shadow",
+)
+def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the billion-vector ANN composition: a coarse
+    inverted file prunes the corpus to the query's nprobe=2 nearest
+    cells, then PQ asymmetric distance ranks ONLY those candidates.
+    Coarse centroids are the first 8 int8 vectors (deterministic init —
+    training them is kmeans_int8_lloyd's device), cell assignment is
+    exact-integer L2 argmin with cid tie-break, and the ADC inner loop
+    is pq_adc_topk's unchanged.  Production IVF-PQ encodes residuals
+    (vector minus its cell centroid) before quantizing; that's integer
+    subtraction here and changes no plan shape, so the non-residual
+    form keeps the shared codebook CTEs while demonstrating the real
+    pruning topology.
+
+    Scale shape: the 8-row coarse codebook broadcasts (the one BNLJ —
+    bounded side, sanctioned); assignment is map-side with a per-vector
+    argmin window that collapses to min_by partial agg at scale; the
+    candidate join hash-partitions on cell (the inverted-file read:
+    ~nprobe/C of the corpus per query instead of all of it — compare
+    pq_adc_topk, which scans every code); the ADC lookup table and
+    query subvectors broadcast.  Everything shuffled after pruning is
+    (query, vec, long) triples."""
+    base, sub, cb = _pq_subspaces(spark, sf_dir)
+    codes = _pq_codes(sub, cb).select("vec_id", "s", "cid")
+    coarse = base.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("ccid"), F.col("qv").alias("cv2")
+    )
+    ad = base.crossJoin(F.broadcast(coarse)).select(
+        "vec_id", "ccid", _int_dist2(F.col("qv"), F.col("cv2")).alias("dist2")
+    )
+    wv = W.partitionBy("vec_id").orderBy("dist2", "ccid")
+    ranked = ad.withColumn("rn", F.row_number().over(wv))
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("ccid").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("ccid").alias("cell"))
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cell")
+    )
+    qsub = sub.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qsv")
+    )
+    cb3 = cb.select(
+        F.col("s_cb").alias("s"), F.col("cid").alias("cid"), "cv"
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(cb3), ["s", "cid"])
+        .join(F.broadcast(qsub), ["query_id", "s"])
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            _int_dist2(F.col("qsv"), F.col("cv")).alias("part"),
+        )
+        .groupBy("query_id", "vec_id", "cell")
+        .agg(F.sum("part").alias("adc_dist2"))
+    )
+    wq = W.partitionBy("query_id").orderBy("adc_dist2", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "cell", "adc_dist2", "rnk")
+    )

@@ -613,3 +613,100 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+_CMS_D = 4  # sketch rows (independent hash functions)
+_CMS_W = 64  # counters per row — deliberately small so collisions occur
+             # at fixture scale and the overestimate column is non-trivial
+
+
+@register(
+    "cms_token_freq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    inst AS (
+      SELECT token, unnest(range(0, {_CMS_D})) AS r FROM toks
+    ),
+    cnts AS (
+      SELECT r,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 8))
+               ::BIGINT % {_CMS_W} AS bucket,
+             COUNT(*) AS cnt
+      FROM inst GROUP BY 1, 2
+    ),
+    freq AS (SELECT token, COUNT(*) AS exact_freq FROM toks GROUP BY token),
+    probes AS (
+      SELECT token, exact_freq, unnest(range(0, {_CMS_D})) AS r FROM freq
+    )
+    SELECT p.token,
+           CAST(MAX(p.exact_freq) AS BIGINT) AS exact_freq,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(c.cnt) - MAX(p.exact_freq) AS BIGINT) AS overestimate
+    FROM probes p
+    JOIN cnts c
+      ON c.r = p.r
+     AND c.bucket = ('0x' || substr(md5(CAST(p.r AS VARCHAR) || ':' || p.token),
+                                    1, 8))::BIGINT % {_CMS_W}
+    GROUP BY p.token
+    """,
+    tags=("text", "sketch"),
+    tier="shadow",
+)
+def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation with exact verification:
+    every token instance increments one counter per sketch row (d=4
+    rows × w=64 counters, md5-derived row-salted hashes shared
+    bit-for-bit by both engines), and a token's estimate is the MIN of
+    its d counters — Cormode-Muthukrishnan's one-sided estimator, so
+    ``overestimate`` is provably ≥ 0 for every token (property-pinned
+    in tests/test_operator_properties.py).
+
+    Same invisible-sketch contract as token_heavy_hitters and the bloom
+    join: the sketch is the production device, the exact side is the
+    verification harness that keeps the query oracle-checkable.  Scale
+    shape: counter building is ONE shuffle whose cardinality is d·w =
+    256 groups regardless of corpus size (map-side partial agg
+    collapses each task to ≤256 rows — this is why CMS beats exact
+    counting at 100 TB: the shuffle is constant-width); the finished
+    sketch broadcasts to the probe side.  The probe set here is the
+    full vocabulary (bounded in the fixtures); in production it's the
+    heavy-hitter candidates."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    rows = F.array(*[F.lit(r) for r in range(_CMS_D)])
+
+    def bucket(r, token):
+        from kafkastreamsproject_spark.functions.hashing import token_hash32
+
+        return token_hash32(
+            F.concat(r.cast("string"), F.lit(":"), token)
+        ) % _CMS_W
+
+    cnts = (
+        toks.select("token", F.explode(rows).alias("r"))
+        .select("r", bucket(F.col("r"), F.col("token")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    freq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_freq")
+    )
+    probes = freq.select(
+        "token", "exact_freq", F.explode(rows).alias("r")
+    ).select(
+        "token",
+        "exact_freq",
+        "r",
+        bucket(F.col("r"), F.col("token")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cnts), ["r", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("exact_freq").alias("exact_freq"),
+            F.min("cnt").alias("cms_est"),
+            (F.min("cnt") - F.max("exact_freq")).alias("overestimate"),
+        )
+    )

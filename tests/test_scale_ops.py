@@ -478,3 +478,43 @@ def test_kmeans_lloyd_semantics(spark, sf_dir):
             assert r.cid1 == r.vec_id and r.dist2_1 == 0
         assert 0 <= r.cid1 < _KM_K and 0 <= r.cid2 < _KM_K
     assert sum(r.dist2_2 for r in out) <= sum(r.dist2_1 for r in out)
+
+
+def test_bucketed_prefix_max_equals_global_window(spark):
+    """The two-level prefix scan must equal the single-partition window
+    formulation exactly — including null (no predecessor) and bucket
+    boundaries — for several bucket widths."""
+    from pyspark.sql import Window as W
+
+    from kafkastreamsproject_spark.operators.prefixscan import (
+        bucketed_prefix_max,
+    )
+
+    rows = [(float(k * 37 % 101), float((k * 17) % 23)) for k in range(101)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    want = {
+        r["k"]: r["want"]
+        for r in df.select("k", F.max("v").over(w).alias("want")).collect()
+    }
+    for width in (1.0, 7.0, 1000.0):
+        got = bucketed_prefix_max(df, "k", "v", width).collect()
+        assert len(got) == len(want)
+        for r in got:
+            assert r["prev_max"] == want[r["k"]], (width, r["k"])
+
+
+def test_cms_estimate_never_underestimates(spark, sf_dir):
+    """Count-min's one-sided error guarantee: for EVERY token the
+    sketch estimate is >= the exact count (and equals it when no
+    collision landed in all d counters)."""
+    from kafkastreamsproject_spark.plans.registry import shadow_queries
+
+    df = shadow_queries()["cms_token_freq"].spark(spark, sf_dir)
+    bad = df.filter(F.col("overestimate") < 0).count()
+    assert bad == 0
+    # the sketch is deliberately narrow (w=64) — at least one token
+    # must actually collide or the fixture isn't exercising the
+    # estimator at all
+    assert df.filter(F.col("overestimate") > 0).count() > 0
