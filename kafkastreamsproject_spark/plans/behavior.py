@@ -1027,3 +1027,327 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_sessions))
         .select("n_sessions", "peak_concurrent")
     )
+
+
+@register(
+    "linear_interpolate_gaps",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS vc
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                           AS DATE) AS d
+      FROM bounds
+    ),
+    joined AS (
+      SELECT g.user_id, g.d, daily.vc
+      FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id
+                                 AND daily.d = g.d
+    ),
+    filled AS (
+      SELECT user_id, d, vc,
+             last_value(vc IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pvc,
+             last_value(CASE WHEN vc IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(vc IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nvc,
+             first_value(CASE WHEN vc IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    )
+    SELECT user_id, CAST(d AS VARCHAR) AS gap_date,
+           CAST(pvc * (date_diff('day', pd, nd) - date_diff('day', pd, d))
+                + nvc * date_diff('day', pd, d) AS DOUBLE)
+           / (date_diff('day', pd, nd) * 100.0) AS interp_value
+    FROM filled WHERE vc IS NULL
+    """,
+    tags=("behavior", "timeseries"),
+    tier="shadow",
+)
+def linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each user's daily-total series
+    onto a continuous day grid (inside that user's observed range) and
+    LINEARLY INTERPOLATE the missing days between their surrounding
+    observations — the resample/upsample operator every downstream
+    model-ready feature table needs (a plain groupBy silently skips
+    missing days; order_date_gaps only DETECTS them).
+
+    Built from the forward/backward ignore-nulls window pair (Spark
+    ``last(ignorenulls)`` looking back, ``first(ignorenulls)`` looking
+    forward) — the standard distributed as-of fill, one shuffle on
+    user_id, each partition scanned twice in sorted order.
+
+    Exactness contract: daily totals are DECIMAL(12,2) sums carried as
+    integer CENTS, the interpolation numerator pvc·(m−k) + nvc·k is
+    exact integer arithmetic, and the ONLY floating-point step is one
+    final division of that integer by m·100 — bit-identical on both
+    engines with NO round() at all.  (The first formulation rounded a
+    6-dp mean and interpolated with weight 1/2 — which manufactures
+    exact x.xxxxxx5 decimal ties where Spark's BigDecimal rounding and
+    DuckDB's x·1e6 rounding disagree in the last digit; keeping every
+    intermediate integral removes the tie class instead of papering
+    over it.)  Grid rows are |users| × their span — bounded by
+    calendar days, not event volume."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+            .cast("long")
+            .alias("vc")
+        )
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+    )
+    joined = grid.join(daily, ["user_id", "d"], "left")
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("vc").isNotNull(), F.col("d"))
+    filled = joined.select(
+        "user_id",
+        "d",
+        "vc",
+        F.last("vc", ignorenulls=True).over(wb).alias("pvc"),
+        F.last(obs_d, ignorenulls=True).over(wb).alias("pd"),
+        F.first("vc", ignorenulls=True).over(wf).alias("nvc"),
+        F.first(obs_d, ignorenulls=True).over(wf).alias("nd"),
+    )
+    m = F.datediff("nd", "pd")
+    k = F.datediff("d", "pd")
+    interp = (
+        (F.col("pvc") * (m - k) + F.col("nvc") * k).cast("double")
+        / (m * 100.0)
+    )
+    return filled.filter(F.col("vc").isNull()).select(
+        "user_id",
+        F.col("d").cast("string").alias("gap_date"),
+        interp.alias("interp_value"),
+    )
+
+
+_Z_BITS = 8  # low 8 bits of each dimension interleave into a 16-bit z-value
+_Z_BLOCK_SHIFT = 8  # 256 z-values per layout block
+
+
+def _sql_zvalue(x: str, y: str) -> str:
+    """DuckDB z-value: bit-interleave the low 8 bits of x (even
+    positions) and y (odd positions)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zvalue(x: F.Column, y: F.Column) -> F.Column:
+    """Spark twin of :func:`_sql_zvalue` — pure integer bit arithmetic,
+    identical on both engines."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+@register(
+    "zorder_layout_audit",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(user_id % 256 AS BIGINT) AS x,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 256
+                  AS BIGINT) AS y
+      FROM events
+    ),
+    z AS (
+      SELECT x, y, CAST({_sql_zvalue("x", "y")} AS BIGINT) AS zv FROM pts
+    )
+    SELECT CAST(zv >> {_Z_BLOCK_SHIFT} AS BIGINT) AS block_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(x) - MIN(x) + 1 AS BIGINT) AS x_span,
+           CAST(MAX(y) - MIN(y) + 1 AS BIGINT) AS y_span
+    FROM z GROUP BY 1
+    """,
+    tags=("behavior", "layout"),
+    tier="shadow",
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit: interleave the low 8 bits
+    of (user_id, day-index) into a 16-bit z-value, group rows into
+    256-z-value layout blocks, and report each block's row count and
+    per-dimension min-max SPAN — the multi-dimensional-clustering
+    quality measure behind lakehouse OPTIMIZE-ZORDER: small spans mean
+    a point/range predicate on EITHER dimension prunes most blocks via
+    their min-max zone maps, which a single-column sort gives only for
+    its leading column.
+
+    The z-value is pure integer bit arithmetic (16 shift-mask terms,
+    whole-stage-codegen'd, bit-identical across engines); the audit is
+    one groupBy over ≤256 blocks.  At 100 TB the same z-value column
+    is what you'd ``repartitionByRange`` + sortWithinPartitions on to
+    physically write the layout — this query is the measurement half
+    that decides whether the rewrite is worth the IO."""
+    ev = load_table(spark, "events", sf_dir)
+    x = (F.col("user_id") % 256).cast("long")
+    y = (
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 256
+    ).cast("long")
+    pts = ev.select(x.alias("x"), y.alias("y"))
+    z = pts.select("x", "y", _zvalue(F.col("x"), F.col("y")).alias("zv"))
+    return (
+        z.groupBy(
+            F.shiftright("zv", _Z_BLOCK_SHIFT).cast("long").alias("block_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("x") - F.min("x") + 1).alias("x_span"),
+            (F.max("y") - F.min("y") + 1).alias("y_span"),
+        )
+    )
+
+
+@register(
+    "streaming_event_pairs",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(v.ts)) / 60000000.0 AS gap_minutes
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 60 MINUTES
+    """,
+    tags=("behavior", "streaming", "join"),
+    tier="shadow",
+)
+def streaming_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join run by Structured Streaming: pair
+    every view with the same user's purchases inside the following
+    hour, both sides read as file streams — the KStream×KStream
+    windowed-join capability class beyond the reference's stream×static
+    J1 (streaming/join.py holds the reusable trip-domain operator; this
+    query is the oracle-checked events twin).
+
+    Watermarks on BOTH sides plus the time-interval condition bound the
+    join state to (rate × watermark + horizon) per side — without them
+    a stream-stream join buffers forever; with them Spark evicts rows
+    whose match window the watermark has closed (T4's eviction
+    discipline applied to two-sided state).  INNER join results emit as
+    soon as they match (append mode; the watermark gates only state
+    cleanup, not inner-join emission), so after availableNow drains the
+    fixture the memory sink holds exactly the batch interval join the
+    oracle states.  gap_minutes is an exact integer micros difference
+    over 6e7 — one deterministic double division, no rounding."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    _CONF_KEYS = ("spark.sql.session.timeZone",)
+    saved = {k: spark.conf.get(k, None) for k in _CONF_KEYS}
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    views = (
+        stream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 day")
+    )
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 60 MINUTES"))
+    )
+    pairs = views.join(purchases, cond, "inner").select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 60_000_000.0
+        ).alias("gap_minutes"),
+    )
+    name = f"stream_pairs_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_pairs_")
+    try:
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.table(name)

@@ -796,3 +796,46 @@ def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tri.alias("n_triangles"),
         F.round(coeff, 6).alias("clustering_coeff"),
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH h AS (SELECT DISTINCT source, md5(text) AS h FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_contents
+    FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "provenance"),
+    tier="shadow",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source provenance overlap: for every source pair, how many
+    DISTINCT document contents (exact md5) appear in both — the
+    dedup-planning diagnostic that tells a curation run which crawls
+    mirror each other (and therefore which source to treat as canonical
+    before cross-source dedup, cf. dedup_rate_by_source for the
+    within-source rate).
+
+    Scale shape: one distinct over (source, 16-byte hash) — text never
+    leaves the scan — then a self-equi-join ON THE CONTENT HASH, so
+    work is proportional to Σ (docs sharing a hash)², i.e. to actual
+    duplication, never |corpus|²; the rollup output is at most
+    |sources|² rows.  A hash shared by many sources fans out
+    quadratically there — the hot-bucket triangle blocking in
+    operators/selfjoin.py is the mitigation if a content ever goes
+    corpus-viral."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = docs.select("source", F.md5("text").alias("h")).distinct()
+    a = h.select(F.col("source").alias("source_a"), "h")
+    b = h.select(F.col("source").alias("source_b"), F.col("h").alias("h_b"))
+    return (
+        a.join(
+            b,
+            (F.col("h") == F.col("h_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_contents"))
+    )

@@ -710,3 +710,91 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cnt") - F.max("exact_freq")).alias("overestimate"),
         )
     )
+
+
+@register(
+    "bigram_lm_predict",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                      i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
+        FROM tok
+      )
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+    best AS (
+      SELECT w1, w2 AS pred FROM (
+        SELECT w1, w2,
+               ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+        FROM cnt
+      ) WHERE rn = 1
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN p.w2 = b.pred THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_predicted,
+           ROUND(SUM(CASE WHEN p.w2 = b.pred THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM pairs p JOIN best b USING (w1)
+    GROUP BY p.doc_id
+    """,
+    tags=("text", "lm"),
+    tier="shadow",
+)
+def bigram_lm_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM predictability: train the argmax bigram continuation
+    table on the corpus (count every adjacent token pair; per left
+    token keep the most frequent successor, lexicographic tie-break)
+    and score each document by the fraction of its transitions the
+    model predicts.  High-accuracy docs are templated/boilerplate
+    (every transition is the corpus mode); low-accuracy docs are
+    novel or garbled — the n-gram-LM quality signal with exact integer
+    counts instead of smoothed log-probs, so the oracle compare is
+    bit-exact.
+
+    Scale shape: the bigram explode is one token-array pass per doc
+    (positions via sequence + get, no self-join); pair counting is one
+    shuffle on (w1, w2) with map-side partial agg; the continuation
+    table is |vocab| rows — broadcast to the scoring probe exactly like
+    the unigram freq table in doc_surprisal_quality; final rollup
+    shuffles (doc_id, flag) pairs."""
+    docs = load_table(spark, "documents", sf_dir)
+    ts = TX.tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(ts) - 2),
+        lambda i: F.struct(
+            F.get(ts, i).alias("w1"), F.get(ts, i + 1).alias("w2")
+        ),
+    )
+    pairs = (
+        docs.filter(F.size(ts) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    wb = W.partitionBy("w1").orderBy(F.col("c").desc(), F.col("w2"))
+    best = (
+        cnt.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("w1", F.col("w2").alias("pred"))
+    )
+    hit = (F.col("w2") == F.col("pred")).cast("long")
+    return (
+        pairs.join(F.broadcast(best), "w1")
+        .select("doc_id", hit.alias("hit"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("hit").alias("n_predicted"),
+            F.round(
+                F.sum("hit") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("accuracy"),
+        )
+    )
