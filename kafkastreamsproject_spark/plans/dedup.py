@@ -839,3 +839,130 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_contents"))
     )
+
+
+@register(
+    "cluster_radius_stats",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(u, comp) AS (
+      SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.u
+    ),
+    comp AS (SELECT u AS node, MIN(comp) AS root FROM walk GROUP BY u),
+    f1 AS (
+      SELECT DISTINCT c.root, e.v AS node
+      FROM comp c JOIN edges e ON e.u = c.node
+      WHERE c.node = c.root AND e.v != c.root
+    ),
+    f2 AS (
+      SELECT DISTINCT f1.root, e.v AS node
+      FROM f1 JOIN edges e ON e.u = f1.node
+      WHERE e.v != f1.root
+        AND NOT EXISTS (SELECT 1 FROM f1 x
+                        WHERE x.root = f1.root AND x.node = e.v)
+    ),
+    f3 AS (
+      SELECT DISTINCT f2.root, e.v AS node
+      FROM f2 JOIN edges e ON e.u = f2.node
+      WHERE e.v != f2.root
+        AND NOT EXISTS (SELECT 1 FROM f1 x
+                        WHERE x.root = f2.root AND x.node = e.v)
+        AND NOT EXISTS (SELECT 1 FROM f2 y
+                        WHERE y.root = f2.root AND y.node = e.v)
+    ),
+    dist AS (
+      SELECT root, root AS node, 0 AS d FROM (SELECT DISTINCT root FROM comp)
+      UNION ALL SELECT root, node, 1 FROM f1
+      UNION ALL SELECT root, node, 2 FROM f2
+      UNION ALL SELECT root, node, 3 FROM f3
+    ),
+    csize AS (SELECT root, COUNT(*) AS cluster_size FROM comp GROUP BY root)
+    SELECT d.root AS cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_within_3,
+           CAST(MAX(d.d) AS BIGINT) AS exemplar_ecc3,
+           CAST(s.cluster_size - COUNT(*) AS BIGINT) AS n_beyond_3
+    FROM dist d JOIN csize s ON s.root = d.root
+    GROUP BY d.root, s.cluster_size
+    """,
+    tags=("dedup", "graph"),
+    tier="shadow",
+)
+def cluster_radius_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated BFS from each near-dup cluster's exemplar (min-id
+    node): how much of the cluster sits within 3 hops, and the
+    exemplar's eccentricity inside that horizon — the
+    transitive-chain detector.  A clique cluster reaches everything in
+    1 hop; a high-eccentricity or n_beyond_3 > 0 cluster is a CHAIN of
+    pairwise-similar docs whose endpoints may share nothing, exactly
+    the case where keep-one-per-component over-deletes (the
+    cluster-level complement of neardup_triangle_stats' per-node
+    coefficient).
+
+    Three unrolled BFS rounds — frontier = neighbors of the previous
+    frontier anti-joined against everything already reached, the
+    standard distributed BFS step (each round: one equi-join on node id
+    + left-anti joins, all hash-partitioned on the node key).  Frontier
+    size is bounded by cluster sizes, which Jaccard-confirmed graphs
+    keep near-clique-sized; a k-round BFS at 100 TB is k such joins
+    with lineage checkpointing exactly like connected_components."""
+    pairs = scoped_persist(
+        minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    )
+    edges = scoped_persist(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    )
+    comp = scoped_persist(
+        dedup_clusters(spark, sf_dir).select(
+            F.col("doc_id").alias("node"), F.col("cluster_id").alias("root")
+        )
+    )
+
+    def frontier(prev: DataFrame, *reached: DataFrame) -> DataFrame:
+        nxt = (
+            prev.join(edges, prev["node"] == edges["u"])
+            .select("root", F.col("v").alias("node"))
+            .filter(F.col("node") != F.col("root"))
+            .distinct()
+        )
+        for r in reached:
+            nxt = nxt.join(r, ["root", "node"], "left_anti")
+        return nxt
+
+    f0 = comp.select("root").distinct().select(
+        "root", F.col("root").alias("node")
+    )
+    f1 = frontier(f0)
+    f2 = frontier(f1, f1)
+    f3 = frontier(f2, f1, f2)
+    dist = (
+        f0.select("root", "node", F.lit(0).alias("d"))
+        .unionAll(f1.select("root", "node", F.lit(1).alias("d")))
+        .unionAll(f2.select("root", "node", F.lit(2).alias("d")))
+        .unionAll(f3.select("root", "node", F.lit(3).alias("d")))
+    )
+    csize = comp.groupBy("root").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        dist.groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_within_3"),
+            F.max("d").cast("long").alias("exemplar_ecc3"),
+        )
+        .join(csize, "root")
+        .select(
+            F.col("root").alias("cluster_id"),
+            "cluster_size",
+            "n_within_3",
+            "exemplar_ecc3",
+            (F.col("cluster_size") - F.col("n_within_3")).alias("n_beyond_3"),
+        )
+    )

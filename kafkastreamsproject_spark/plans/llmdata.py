@@ -969,8 +969,12 @@ def doc_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     a document full of rare/garbled tokens scores high exactly as it
     would under -mean log2 p.  The bits() coarsening keeps every value
     an integer (and the mean a ratio of two integers), so the oracle
-    compare is bit-exact where a real ln()-based perplexity would sit on
-    libm's last ulp.
+    compare is bit-exact where a real ln()-based perplexity sits on
+    libm's last ulp.  Companion to ``unigram_logprob_score``
+    (plans/shadow.py) — the add-one-smoothed ln() formulation over a
+    held-out split; this query is its tie-proof full-corpus twin, and
+    the two rank documents near-identically (bits() is ln() coarsened
+    to whole bits).
 
     Scale shape: one token-explode shuffle to build the vocab frequency
     table, one probe join back on tok (vocab-sized build side — at

@@ -1017,3 +1017,77 @@ def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("price", "quantity", "n_rows")
     )
+
+
+@register(
+    "revenue_share_report",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS nrev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           ROUND(CAST(nrev AS DOUBLE), 4) AS nation_revenue,
+           ROUND(CAST(nrev AS DOUBLE)
+                 / CAST(SUM(nrev) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_of_region,
+           ROUND(CAST(nrev AS DOUBLE)
+                 / CAST(SUM(nrev) OVER () AS DOUBLE), 6) AS share_of_total
+    FROM rev
+    """,
+    tags=("relational", "olap", "window"),
+    tier="shadow",
+)
+def revenue_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report at two grouping levels: each nation's revenue as
+    a share of its region and of the world — the share-of-parent
+    pattern every OLAP rollup dashboard runs (RATIO_TO_REPORT in
+    warehouse dialects, here the portable sum-over-window form).
+
+    Revenue sums are DECIMAL-exact before the two share divisions
+    (double ratios of exact sums, rounded once).  The fact joins are
+    the q5 star — every dimension broadcast; the share windows run
+    over the |nations|-row AGGREGATE, so the empty-frame global window
+    touches 25 rows, not the fact table (the aggregate-then-window
+    order is what makes ratio-to-report scale-safe)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            ).alias("nrev")
+        )
+    )
+    wr = W.partitionBy("region")
+    wg = W.partitionBy()
+    nrev_d = F.col("nrev").cast("double")
+    return rev.select(
+        "region",
+        "nation",
+        F.round(nrev_d, 4).alias("nation_revenue"),
+        F.round(
+            nrev_d / F.sum("nrev").over(wr).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            nrev_d / F.sum("nrev").over(wg).cast("double"), 6
+        ).alias("share_of_total"),
+    )

@@ -798,3 +798,152 @@ def bigram_lm_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+def _sql_bpe_pairs(words_cte: str, pairs_cte: str) -> str:
+    """One BPE pair-count CTE pair: weighted adjacent-symbol-pair counts
+    over a words relation, plus its argmax best-pair row."""
+    return f"""
+    {pairs_cte} AS (
+      SELECT pair, SUM(f) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, length(w)),
+                      i -> substr(w, i, 2))) AS pair, f
+        FROM {words_cte} WHERE length(w) >= 2
+      ) GROUP BY pair
+    ),
+    b_{pairs_cte} AS (
+      SELECT pair, cnt FROM (
+        SELECT pair, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rn
+        FROM {pairs_cte}
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "bpe_merge_steps",
+    oracle=f"""
+    WITH w0 AS (
+      SELECT tok AS w, COUNT(*) AS f FROM (
+        SELECT unnest({_SQL_TOKENS}) AS tok FROM documents
+      ) WHERE regexp_matches(tok, '^[a-z]+$')
+      GROUP BY tok
+    ),
+    {_sql_bpe_pairs("w0", "p1")},
+    w1 AS (SELECT replace(w, (SELECT pair FROM b_p1), '0') AS w, f FROM w0),
+    {_sql_bpe_pairs("w1", "p2")},
+    w2 AS (SELECT replace(w, (SELECT pair FROM b_p2), '1') AS w, f FROM w1),
+    {_sql_bpe_pairs("w2", "p3")}
+    SELECT CAST(1 AS INT) AS step, pair AS merge_pair,
+           CAST(cnt AS BIGINT) AS cnt FROM b_p1
+    UNION ALL
+    SELECT 2, replace(pair, '0', (SELECT pair FROM b_p1)), CAST(cnt AS BIGINT)
+    FROM b_p2
+    UNION ALL
+    SELECT 3,
+           replace(replace(pair, '1',
+                           replace((SELECT pair FROM b_p2), '0',
+                                   (SELECT pair FROM b_p1))),
+                   '0', (SELECT pair FROM b_p1)),
+           CAST(cnt AS BIGINT)
+    FROM b_p3
+    """,
+    tags=("text", "tokenizer"),
+    tier="shadow",
+)
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, first three merge steps (Sennrich et
+    al.): count corpus-frequency-weighted adjacent symbol pairs, merge
+    the most frequent pair into a new symbol, recount, repeat — the
+    inner loop every subword vocabulary is built with
+    (vocab_top_pieces only COUNTS pieces; this learns merges).
+
+    Merged symbols are single placeholder characters ('0','1','2' —
+    outside the corpus alphabet; the vocab is defensively filtered to
+    ^[a-z]+$ so a fixture drift cannot collide with them), so a symbol
+    sequence stays an ordinary string and pair extraction stays
+    substr(w, i, 2) — no array-of-struct state.  Pair semantics:
+    overlapping occurrences each count ('aaa' contributes two 'aa');
+    the merge application is simultaneous left-to-right non-overlapping
+    replace — identical in both engines.  Emitted merges are expanded
+    back to base characters.  Deterministic tie-break (count DESC,
+    pair ASC).
+
+    Scale shape: the working state is the WORD-frequency table (|vocab|
+    rows), not the corpus — the one corpus-sized pass is the initial
+    word count; each iteration is then a pair explode (≤|word|
+    pairs/word) + one |alphabet+merges|²-bounded aggregation, an
+    argmax over that bounded table, and a 1-row broadcast back into
+    the vocab relation (sanctioned BNLJ).  This is exactly how
+    production BPE trainers scale: corpus → word counts once, then
+    iterate on the counts."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    w0 = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+    def pair_counts(words: DataFrame) -> DataFrame:
+        pairs = F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        )
+        return (
+            words.filter(F.length("w") >= 2)
+            .select(pairs.alias("pair"), "f")
+            .groupBy("pair")
+            .agg(F.sum("f").alias("cnt"))
+        )
+
+    def best(pairs: DataFrame) -> DataFrame:
+        # global argmax over the alphabet²-bounded pair table — the
+        # single-partition window is ≤ (26 + merges)² rows by design
+        wb = W.orderBy(F.col("cnt").desc(), F.col("pair"))
+        return (
+            pairs.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .select("pair", "cnt")
+        )
+
+    def apply_merge(words: DataFrame, b: DataFrame, ph: str) -> DataFrame:
+        m = b.select(F.col("pair").alias("m"))
+        return words.crossJoin(F.broadcast(m)).select(
+            F.replace(F.col("w"), F.col("m"), F.lit(ph)).alias("w"), "f"
+        )
+
+    b1 = best(pair_counts(w0))
+    w1 = apply_merge(w0, b1, "0")
+    b2 = best(pair_counts(w1))
+    w2 = apply_merge(w1, b2, "1")
+    b3 = best(pair_counts(w2))
+
+    m1 = b1.select(F.col("pair").alias("m1"))
+    m2 = b2.select(F.col("pair").alias("m2"))
+    r1 = b1.select(
+        F.lit(1).alias("step"),
+        F.col("pair").alias("merge_pair"),
+        "cnt",
+    )
+    r2 = b2.crossJoin(F.broadcast(m1)).select(
+        F.lit(2).alias("step"),
+        F.replace(F.col("pair"), F.lit("0"), F.col("m1")).alias("merge_pair"),
+        "cnt",
+    )
+    e2 = F.replace(F.col("m2"), F.lit("0"), F.col("m1"))
+    r3 = (
+        b3.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.lit(3).alias("step"),
+            F.replace(
+                F.replace(F.col("pair"), F.lit("1"), e2),
+                F.lit("0"),
+                F.col("m1"),
+            ).alias("merge_pair"),
+            "cnt",
+        )
+    )
+    return r1.unionByName(r2).unionByName(r3)

@@ -81,6 +81,14 @@ SANCTIONED_BNLJ = {
     "peak_concurrency",
     # 1-row unigram/bigram grand totals broadcast into the PMI scan
     "pmi_collocations",
+    # 1-row corpus-token-total broadcast into the surprisal scoring scan
+    "doc_surprisal_quality",
+    # 8-row coarse-centroid codebook broadcast against the corpus for
+    # IVF cell assignment — same bounded shape as ivf_assign
+    "ivf_pq_search",
+    # 1-row best-pair broadcasts into the vocab relation (merge apply)
+    # and the 1-row × 1-row expansion joins — all bounded by design
+    "bpe_merge_steps",
 }
 
 _OPS = (
