@@ -982,7 +982,7 @@ def doc_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     language vocabularies), a sanctioned one-row broadcast for N, and a
     final (doc_id) rollup.  Identical topology to token_rarity_quality,
     which shares the freq table if both run in one pass."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = fan_out(load_table(spark, "documents", sf_dir))
     tok = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
     )

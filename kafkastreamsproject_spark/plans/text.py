@@ -673,7 +673,9 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch broadcasts to the probe side.  The probe set here is the
     full vocabulary (bounded in the fixtures); in production it's the
     heavy-hitter candidates."""
-    docs = load_table(spark, "documents", sf_dir)
+    from kafkastreamsproject_spark.sources.testdata import fan_out
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
     toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
     rows = F.array(*[F.lit(r) for r in range(_CMS_D)])
 
@@ -763,7 +765,11 @@ def bigram_lm_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is |vocab| rows — broadcast to the scoring probe exactly like
     the unigram freq table in doc_surprisal_quality; final rollup
     shuffles (doc_id, flag) pairs."""
-    docs = load_table(spark, "documents", sf_dir)
+    from kafkastreamsproject_spark.sources.testdata import fan_out
+
+    # widen the single-row-group scan: the tokenize+explode is the
+    # CPU-heavy stage and must not serialize on one core locally
+    docs = fan_out(load_table(spark, "documents", sf_dir))
     ts = TX.tokens(F.col("text"))
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(ts) - 2),
@@ -771,7 +777,11 @@ def bigram_lm_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get(ts, i).alias("w1"), F.get(ts, i + 1).alias("w2")
         ),
     )
-    pairs = (
+    from kafkastreamsproject_spark.operators.cache import scoped_persist
+
+    # both the count aggregation and the scoring probe consume the
+    # exploded pair stream — persist it or the tokenize+explode runs 2×
+    pairs = scoped_persist(
         docs.filter(F.size(ts) >= 2)
         .select("doc_id", F.explode(bigrams).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
@@ -865,7 +875,9 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     substr(w, i, 2) — no array-of-struct state.  Pair semantics:
     overlapping occurrences each count ('aaa' contributes two 'aa');
     the merge application is simultaneous left-to-right non-overlapping
-    replace — identical in both engines.  Emitted merges are expanded
+    replace — identical in both engines, and pinned against an
+    independent Python reference trainer in
+    tests/test_operator_properties.py.  Emitted merges are expanded
     back to base characters.  Deterministic tie-break (count DESC,
     pair ASC).
 
@@ -877,7 +889,7 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab relation (sanctioned BNLJ).  This is exactly how
     production BPE trainers scale: corpus → word counts once, then
     iterate on the counts."""
-    from pyspark.sql import Window as W
+    from kafkastreamsproject_spark.functions.bpe import learn_bpe
 
     docs = load_table(spark, "documents", sf_dir)
     w0 = (
@@ -886,64 +898,4 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-
-    def pair_counts(words: DataFrame) -> DataFrame:
-        pairs = F.explode(
-            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
-        )
-        return (
-            words.filter(F.length("w") >= 2)
-            .select(pairs.alias("pair"), "f")
-            .groupBy("pair")
-            .agg(F.sum("f").alias("cnt"))
-        )
-
-    def best(pairs: DataFrame) -> DataFrame:
-        # global argmax over the alphabet²-bounded pair table — the
-        # single-partition window is ≤ (26 + merges)² rows by design
-        wb = W.orderBy(F.col("cnt").desc(), F.col("pair"))
-        return (
-            pairs.withColumn("rn", F.row_number().over(wb))
-            .filter(F.col("rn") == 1)
-            .select("pair", "cnt")
-        )
-
-    def apply_merge(words: DataFrame, b: DataFrame, ph: str) -> DataFrame:
-        m = b.select(F.col("pair").alias("m"))
-        return words.crossJoin(F.broadcast(m)).select(
-            F.replace(F.col("w"), F.col("m"), F.lit(ph)).alias("w"), "f"
-        )
-
-    b1 = best(pair_counts(w0))
-    w1 = apply_merge(w0, b1, "0")
-    b2 = best(pair_counts(w1))
-    w2 = apply_merge(w1, b2, "1")
-    b3 = best(pair_counts(w2))
-
-    m1 = b1.select(F.col("pair").alias("m1"))
-    m2 = b2.select(F.col("pair").alias("m2"))
-    r1 = b1.select(
-        F.lit(1).alias("step"),
-        F.col("pair").alias("merge_pair"),
-        "cnt",
-    )
-    r2 = b2.crossJoin(F.broadcast(m1)).select(
-        F.lit(2).alias("step"),
-        F.replace(F.col("pair"), F.lit("0"), F.col("m1")).alias("merge_pair"),
-        "cnt",
-    )
-    e2 = F.replace(F.col("m2"), F.lit("0"), F.col("m1"))
-    r3 = (
-        b3.crossJoin(F.broadcast(m1))
-        .crossJoin(F.broadcast(m2))
-        .select(
-            F.lit(3).alias("step"),
-            F.replace(
-                F.replace(F.col("pair"), F.lit("1"), e2),
-                F.lit("0"),
-                F.col("m1"),
-            ).alias("merge_pair"),
-            "cnt",
-        )
-    )
-    return r1.unionByName(r2).unionByName(r3)
+    return learn_bpe(w0, n_steps=3)

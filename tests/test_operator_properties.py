@@ -90,3 +90,80 @@ def test_bucketed_overlap_join_exact_once(left, right, width):
         for ri, (rs, re_) in enumerate(right):
             want = 1 if (ls <= re_ and rs <= le) else 0
             assert emitted[(li, ri)] == want, (li, ri)
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline: the cumulative-max formulation (the window device behind
+# skyline_price_quantity) must equal brute-force dominance filtering.
+# ---------------------------------------------------------------------------
+
+
+def _skyline_bruteforce(pts):
+    """Non-dominated (price, qty) points: s dominates r iff s.price <=
+    r.price and s.qty >= r.qty with at least one strict."""
+    uniq = set(pts)
+    out = set()
+    for p, q in uniq:
+        dominated = any(
+            (p2 <= p and q2 >= q and (p2 < p or q2 > q)) for p2, q2 in uniq
+        )
+        if not dominated:
+            out.add((p, q))
+    return out
+
+
+def _skyline_cummax(pts):
+    """Mirror of the query: per price keep max qty, sort by price, keep
+    points whose qty strictly exceeds the running max of all cheaper
+    prices."""
+    best: dict = {}
+    for p, q in pts:
+        best[p] = max(best.get(p, q), q)
+    out = set()
+    running = None
+    for p in sorted(best):
+        q = best[p]
+        if running is None or q > running:
+            out.add((p, q))
+        running = q if running is None else max(running, q)
+    return out
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_skyline_cummax_equals_bruteforce(pts):
+    assert _skyline_cummax(pts) == _skyline_bruteforce(pts)
+
+
+# ---------------------------------------------------------------------------
+# Z-order interleave (zorder_layout_audit): the 16 shift-mask terms are
+# a bijection [0,256)² → [0,65536), and decoding recovers the inputs.
+# ---------------------------------------------------------------------------
+
+
+def _zvalue_py(x, y):
+    z = 0
+    for i in range(8):
+        z += ((x >> i) & 1) << (2 * i)
+        z += ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue_is_bijective_and_decodable():
+    seen = set()
+    for x in range(0, 256, 7):
+        for y in range(0, 256, 5):
+            z = _zvalue_py(x, y)
+            assert z not in seen
+            seen.add(z)
+            dx = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+            dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+            assert (dx, dy) == (x, y)
+    assert _zvalue_py(255, 255) == 65535
+    assert _zvalue_py(0, 0) == 0

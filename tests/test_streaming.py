@@ -526,3 +526,87 @@ def test_rollup_store_sink_matches_batch_and_is_restart_safe(
     # restart from the same checkpoint: no new input → no epoch refolds
     drain()
     assert read_store() == got
+
+
+def test_stream_stream_event_pairs_across_batches(spark, tmp_path):
+    """The events stream-stream interval join (shadow query
+    streaming_event_pairs' shape) must emit the COMPLETE pair set when
+    the two sides arrive in different micro-batches — the left rows are
+    buffered in join state and matched by a later batch's right rows
+    (the multi-file hazard class ADVICE r5 flagged on update-mode
+    sinks, pinned here for two-sided join state)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    batch_a = [  # views only
+        (1, mins(0), 1, "view"),
+        (2, mins(10), 1, "view"),
+        (3, mins(0), 2, "view"),
+    ]
+    batch_b = [  # purchases arrive in a LATER file
+        (4, mins(30), 1, "purchase"),
+        (5, mins(150), 1, "purchase"),  # beyond 60m of both views
+    ]
+    data_dir = tmp_path / "evpairs"
+    data_dir.mkdir()
+    for i, rows in enumerate([batch_a, batch_b]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(data_dir / f"chunk{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir / "chunk*"))
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 day")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 60 MINUTES"))
+    )
+    pairs = views.join(purchases, cond, "inner").select("view_id", "purchase_id")
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evpairs_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evpairs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM evpairs_out").collect()
+    )
+    assert got == [(1, 4), (2, 4)]

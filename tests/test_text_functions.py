@@ -65,3 +65,57 @@ def test_bpe_ish_duckdb_matches_python(s: str):
     (n,) = con.execute(f"SELECT {TX.sql_n_bpe_tokens()} FROM documents").fetchone()
     con.close()
     assert n == _py_count(s)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (functions/bpe.py): the distributed trainer must
+# match an independent pure-Python reference implementing the same
+# documented semantics (overlapping pair counts, count-DESC/pair-ASC
+# tie-break, left-to-right non-overlapping merge application).
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(words: dict, n_steps: int):
+    phs = "0123456789"
+    expansions: dict = {}
+    cur = dict(words)
+    out = []
+    for k in range(n_steps):
+        cnt: dict = {}
+        for w, f in cur.items():
+            for i in range(len(w) - 1):
+                pair = w[i : i + 2]
+                cnt[pair] = cnt.get(pair, 0) + f
+        if not cnt:
+            break
+        pair, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        expanded = pair
+        for ph, e in expansions.items():
+            expanded = expanded.replace(ph, e)
+        out.append((k + 1, expanded, c))
+        expansions[phs[k]] = expanded
+        cur = {w.replace(pair, phs[k]): f for w, f in cur.items()}
+    return out
+
+
+def test_learn_bpe_matches_python_reference(spark):
+    from kafkastreamsproject_spark.functions.bpe import learn_bpe
+
+    corpora = [
+        # classic: shared suffixes dominate
+        {"low": 5, "lower": 2, "lowest": 6, "newer": 3, "wider": 1},
+        # overlap semantics: 'aaaa' counts 'aa' three times per copy
+        {"aaaa": 3, "ab": 1, "ba": 1},
+        # total tie: every pair count 1 → lexicographic winner chain
+        {"abcd": 1},
+        # merged symbol participates in later pairs
+        {"banana": 4, "bandana": 2, "nab": 5},
+    ]
+    for words in corpora:
+        df = spark.createDataFrame(list(words.items()), ["w", "f"])
+        got = sorted(
+            (r["step"], r["merge_pair"], r["cnt"])
+            for r in learn_bpe(df, n_steps=3).collect()
+        )
+        want = sorted(_ref_bpe(words, 3))
+        assert got == want, (words, got, want)
