@@ -15,6 +15,11 @@ docs):
                                                              device)
 4. language filter     keep an allow-list of n-gram       (functions/text.py)
                        lang-ID predictions
+4b. surprisal gate      optional perplexity-proxy cap:      (plans/llmdata.py's
+                        drop docs whose mean dyadic          doc_surprisal_quality
+                        surprisal vs the survivor corpus     device — exact
+                        exceeds a threshold (garbled /       integer bits(N)−bits(c))
+                        OCR-noise text scores high)
 5. decontamination     drop docs whose shingle containment (train→eval direction:
                        vs a held-out set exceeds a cap      the same rate
                        — the contamination-drop step        plans/llmdata.py's
@@ -60,6 +65,7 @@ class CurationStats:
     after_quality: int
     after_quality_top_p: int
     after_lang: int
+    after_surprisal: int
     after_decontamination: int
     after_mixture: int
     packs: int
@@ -71,6 +77,7 @@ def curate_corpus(
     quality_min: float = 0.5,
     quality_top_p: float | None = None,
     langs: tuple[str, ...] | None = None,
+    surprisal_max: float | None = None,
     holdout: DataFrame | None = None,
     containment_max: float = 0.5,
     mixture_rates_m: dict[str, int] | None = None,
@@ -161,6 +168,36 @@ def curate_corpus(
             quality = quality.filter(TX.lang_id(F.col("text")).isin(*langs))
         n_lang = quality.count()
 
+        # 4b. optional surprisal gate: drop docs whose mean dyadic
+        # surprisal against the SURVIVOR corpus' unigram table exceeds
+        # the cap — the exact-integer perplexity proxy
+        # (plans/llmdata.py:doc_surprisal_quality).  Garbled / OCR-noise
+        # text is all rare tokens and scores high; the freq table is
+        # |vocab| rows and N is a sanctioned 1-row broadcast.
+        if surprisal_max is not None:
+            bits = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+            tok = quality.select(
+                "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+            )
+            freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+            total = freq.agg(F.sum("c").alias("n_total"))
+            sur = (
+                tok.join(freq, "tok")
+                .crossJoin(F.broadcast(total))
+                .select(
+                    "doc_id",
+                    (bits(F.col("n_total")) - bits(F.col("c"))).alias("s"),
+                )
+            )
+            high = (
+                sur.groupBy("doc_id")
+                .agg((F.sum("s") / F.count(F.lit(1))).alias("ms"))
+                .filter(F.col("ms") > surprisal_max)
+                .select("doc_id")
+            )
+            quality = quality.join(high, "doc_id", "left_anti")
+        n_surprisal = quality.count() if surprisal_max is not None else n_lang
+
         # 5. decontamination vs the holdout's shingle-hash universe
         if holdout is not None:
             hold_hashes = (
@@ -214,6 +251,7 @@ def curate_corpus(
         after_quality=n_quality,
         after_quality_top_p=n_top_p,
         after_lang=n_lang,
+        after_surprisal=n_surprisal,
         after_decontamination=n_clean,
         after_mixture=n_mixture,
         packs=n_packs,

@@ -1165,3 +1165,115 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "vec_id", "cell", "adc_dist2", "rnk")
     )
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({V.sql_cosine('q.embedding', 'e.embedding')}, 6)
+                            DESC, e.vec_id) AS rn
+        FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+      ) WHERE rn <= {_TOP_K}
+    ),
+    sig AS (
+      SELECT vec_id,
+             {V.sql_lsh_bucket_adaptive('embedding', V.sql_adaptive_n_planes())}
+               AS bucket
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT sq.vec_id AS query_id, s.vec_id AS neighbor_id
+      FROM sig sq JOIN sig s ON s.bucket = sq.bucket
+                            AND s.vec_id != sq.vec_id
+      WHERE sq.vec_id < {_N_QUERIES}
+    ),
+    csize AS (
+      SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY 1
+    )
+    SELECT e.query_id,
+           CAST(COALESCE(MAX(cs.n_candidates), 0) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / {_TOP_K}.0, 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN cand c ON c.query_id = e.query_id
+                    AND c.neighbor_id = e.neighbor_id
+    LEFT JOIN csize cs ON cs.query_id = e.query_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "diagnostic"),
+    tier="shadow",
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH bucket path against the exact cosine top-5,
+    per query — the measurement that decides whether the adaptive plane
+    count is tuned right for a corpus (recall too low → fewer planes /
+    multi-probe; candidates too many → more planes).  An ANN engine
+    without a recall readout can't be operated; this is the readout,
+    driver-checkable because every piece (exact ranking, bucket
+    assignment, hit counting) is deterministic.
+
+    Scale shape: the exact side is the sanctioned broadcast baseline
+    (10-query set against the corpus, one scan); the candidate side is
+    an equi-join on bucket restricted to the query rows — at 100 TB you
+    compute the exact side ON A SAMPLE of queries only, which is
+    exactly what this query's bounded query-set contract states.  The
+    final joins key on (query_id, neighbor_id) pairs — top-k-sized."""
+    emb0 = load_table(spark, "embeddings", sf_dir)
+    p = V.adaptive_n_planes(emb0.count())
+    emb = fan_out(emb0)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    sig = scoped_persist(
+        emb.select(
+            "vec_id", V.lsh_bucket(F.col("embedding"), p).alias("bucket")
+        )
+    )
+    sq = sig.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cand = (
+        sq.join(sig, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    csize = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    hit = F.when(F.col("is_cand").isNotNull(), 1).otherwise(0)
+    return (
+        exact.join(cand.withColumn("is_cand", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .join(csize, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(F.max("n_candidates"), F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.sum(hit).alias("n_hits"),
+            F.round(F.sum(hit) / F.lit(float(_TOP_K)), 6).alias("recall_at_5"),
+        )
+    )

@@ -89,6 +89,9 @@ SANCTIONED_BNLJ = {
     # 1-row best-pair broadcasts into the vocab relation (merge apply)
     # and the 1-row × 1-row expansion joins — all bounded by design
     "bpe_merge_steps",
+    # 10-query broadcast against the corpus for the exact-baseline side
+    # of the recall measurement — same shape as ann_topk_cosine
+    "ann_lsh_recall",
 }
 
 _OPS = (

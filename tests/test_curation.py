@@ -260,3 +260,37 @@ def test_curation_top_p_rejects_bad_fraction(spark):
     )
     with _pytest.raises(ValueError):
         curate_corpus(docs, quality_top_p=1.5)
+
+
+def test_surprisal_gate_drops_garbled_doc(spark):
+    """Stage 4b: a document of corpus-unique gibberish tokens has mean
+    dyadic surprisal near bits(N) (every token is a hapax) and is
+    dropped by the cap; normal docs built from common tokens stay."""
+    # eight docs over a SHARED 16-word vocabulary, each walking it with
+    # a distinct stride (coprime to 16) so unigram counts are high and
+    # common while no two docs share any 5-gram — distinct under both
+    # exact and MinHash dedup, low-surprisal under the unigram LM
+    vocab = (
+        "the fast key order sort table scan merge join stream "
+        "batch spark window hash part dup"
+    ).split()
+    strides = [1, 3, 5, 7, 9, 11, 13, 15]
+    rows = [
+        (i + 1, " ".join(vocab[(i * 3 + j * s) % 16] for j in range(48)))
+        for i, s in enumerate(strides)
+    ]
+    garbled = (9, "qzx wvv jkk bbq zzt xxo ppw qqa lrm nnv ooc ddk")
+    docs = spark.createDataFrame(rows + [garbled], "doc_id long, text string")
+
+    # without the gate the garbled doc survives (quality floor off)
+    _, stats0 = curate_corpus(docs, quality_min=0.0, pack_budget=512)
+    assert stats0.after_surprisal == stats0.after_lang == 9
+
+    packed, stats = curate_corpus(
+        docs, quality_min=0.0, surprisal_max=6.0, pack_budget=512
+    )
+    survivors = sorted(r.doc_id for r in packed.select("doc_id").collect())
+    assert 9 not in survivors, (survivors, stats)
+    assert stats.after_lang == 9
+    assert stats.after_surprisal == 8
+    assert len(survivors) == 8
