@@ -1351,3 +1351,97 @@ def streaming_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.table(name)
+
+
+@register(
+    "streaming_hopping_counts",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type,
+             unnest([
+               time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+               time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+                 - INTERVAL 30 MINUTE
+             ]) AS ws
+      FROM events
+    )
+    SELECT CAST(ws AS VARCHAR) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM starts
+    GROUP BY 1, 2
+    """,
+    tags=("behavior", "window-agg", "streaming"),
+    tier="shadow",
+)
+def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hopping_window_counts run by the STREAMING runtime: the same
+    1h/30min overlapping windows as a watermarked streaming aggregation
+    over the events file stream, complete-mode memory sink — the final
+    state must equal the batch hopping aggregation, which the identical
+    oracle checks.  Completes the streaming window-species matrix:
+    tumbling (streaming_daily_agg), session (streaming_session_windows),
+    hopping (this).
+
+    Streaming-specific shape: the 2-row Expand runs BEFORE the stateful
+    aggregation, so state is keyed on (window, type) — bounded by
+    watermark retention × slide rate, and each event updates exactly
+    two state rows per the length/slide replication factor."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    saved = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"stream_hop_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_hop_")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if saved is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", saved)
+    return spark.table(name)

@@ -244,3 +244,49 @@ def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pii_rate"
         ),
     )
+
+
+_K_ANON = 5
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    SELECT c_mktsegment AS segment,
+           CAST(c_nationkey AS INT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) >= {_K_ANON} AS is_k_anonymous
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    tags=("pii", "privacy"),
+    tier="shadow",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (market segment, nation): every equivalence class' size and whether
+    it meets k=5 — the re-identification-risk check a privacy review
+    runs before releasing or training on user-derived tables (a class
+    below k means those rows are re-identifiable by the quasi-identifier
+    combination alone; the remediation is generalization or
+    suppression of exactly the flagged classes).  Companion to the PII
+    detect/scrub queries: those find DIRECT identifiers in text, this
+    measures INDIRECT identifiability of the structured table.
+
+    One partial+final hash aggregation over the pruned two-column scan;
+    the audit output is |segments|×|nations| rows — tiny at any corpus
+    scale, and the flag is pure integer comparison (no FP)."""
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        cust.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "segment",
+            "nationkey",
+            "group_size",
+            (F.col("group_size") >= _K_ANON).alias("is_k_anonymous"),
+        )
+    )

@@ -1277,3 +1277,367 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit) / F.lit(float(_TOP_K)), 6).alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "ann_multiprobe_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({V.sql_cosine('q.embedding', 'e.embedding')}, 6)
+                            DESC, e.vec_id) AS rn
+        FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+      ) WHERE rn <= {_TOP_K}
+    ),
+    sig AS (
+      SELECT vec_id,
+             {V.sql_lsh_bucket_adaptive('embedding', V.sql_adaptive_n_planes())}
+               AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS query_id,
+             unnest(list_append(
+               list_transform(range(0, {V.sql_adaptive_n_planes()}),
+                              i -> xor(bucket, 1 << i)),
+               bucket)) AS pb
+      FROM sig WHERE vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.query_id, s.vec_id AS neighbor_id
+      FROM probes p JOIN sig s ON s.bucket = p.pb
+      WHERE s.vec_id != p.query_id
+    ),
+    csize AS (
+      SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY 1
+    )
+    SELECT e.query_id,
+           CAST(COALESCE(MAX(cs.n_candidates), 0) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / {_TOP_K}.0, 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN cand c ON c.query_id = e.query_id
+                    AND c.neighbor_id = e.neighbor_id
+    LEFT JOIN csize cs ON cs.query_id = e.query_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "diagnostic"),
+    tier="shadow",
+)
+def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH recall@5: each query probes its own bucket PLUS
+    the p Hamming-distance-1 buckets (one sign bit flipped) — Lv et
+    al.'s multi-probe trick, which buys recall with extra probes
+    instead of extra hash tables.  Read next to ann_lsh_recall (single
+    probe): recall must be ≥ and candidates ~(p+1)× — the measured
+    trade-off that picks the operating point.
+
+    Scale shape identical to ann_lsh_recall except the query side
+    explodes to p+1 probe rows per query before the bucket equi-join —
+    the corpus side and its signature pass are UNCHANGED (multi-probe's
+    whole point: one index, more lookups).  Probe buckets of one query
+    are pairwise distinct (distinct single-bit flips), so no candidate
+    dedup pass is needed."""
+    emb0 = load_table(spark, "embeddings", sf_dir)
+    p = V.adaptive_n_planes(emb0.count())
+    emb = fan_out(emb0)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    sig = scoped_persist(
+        emb.select(
+            "vec_id", V.lsh_bucket(F.col("embedding"), p).alias("bucket")
+        )
+    )
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(p)],
+    )
+    sq = sig.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.explode(probe_arr).alias("pb")
+    )
+    cand = (
+        sq.join(sig, sig["bucket"] == sq["pb"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    csize = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    hit = F.when(F.col("is_cand").isNotNull(), 1).otherwise(0)
+    return (
+        exact.join(
+            cand.withColumn("is_cand", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(csize, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(F.max("n_candidates"), F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.sum(hit).alias("n_hits"),
+            F.round(F.sum(hit) / F.lit(float(_TOP_K)), 6).alias("recall_at_5"),
+        )
+    )
+
+
+def _sql_res_slice(col: str) -> str:
+    """DuckDB subspace-slice expression over a long-array column: the
+    same ceil(len/M) split the raw-PQ CTEs use, parametrized so the
+    residual pipeline can slice ``rv``/``rqv``."""
+    step = f"CAST(ceil(len({col}) / {_PQ_M}.0) AS BIGINT)"
+    return (
+        f"unnest(list_transform(range(0, {_PQ_M}), s -> "
+        f"{col}[(s * {step} + 1):least((s + 1) * {step}, len({col}))]))"
+    )
+
+
+def _sql_res_dist2(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+@register(
+    "ivf_pq_residual_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings),
+    coarse AS (SELECT vec_id AS ccid, qv AS cv2 FROM q WHERE vec_id < {_IVF_C}),
+    ad AS (
+      SELECT q.vec_id, c.ccid, {_sql_res_dist2("q.qv", "c.cv2")} AS dist2
+      FROM q CROSS JOIN coarse c
+    ),
+    ranked AS (
+      SELECT vec_id, ccid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, ccid) AS rn
+      FROM ad
+    ),
+    cells AS (SELECT vec_id, ccid AS cell FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, ccid AS cell FROM ranked
+      WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}
+    ),
+    resid AS (
+      SELECT q.vec_id, c.cell,
+             list_transform(range(1, len(q.qv) + 1),
+                            i -> q.qv[i] - co.cv2[i]) AS rv
+      FROM q JOIN cells c ON c.vec_id = q.vec_id
+      JOIN coarse co ON co.ccid = c.cell
+    ),
+    rsub AS (
+      SELECT vec_id, cell,
+             unnest(range(0, {_PQ_M})) AS s,
+             {_sql_res_slice("rv")} AS sv
+      FROM resid
+    ),
+    rcb AS (SELECT s, vec_id AS cid, sv AS cv FROM rsub
+            WHERE vec_id < {_PQ_K}),
+    rd AS (
+      SELECT rsub.vec_id, rsub.s, rcb.cid,
+             {_sql_res_dist2("rsub.sv", "rcb.cv")} AS dist2,
+             ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
+                 ORDER BY {_sql_res_dist2("rsub.sv", "rcb.cv")}, rcb.cid)
+               AS rn
+      FROM rsub JOIN rcb ON rcb.s = rsub.s
+    ),
+    rcodes AS (SELECT vec_id, s, cid FROM rd WHERE rn = 1),
+    qres AS (
+      SELECT p.query_id, p.cell,
+             list_transform(range(1, len(q.qv) + 1),
+                            i -> q.qv[i] - co.cv2[i]) AS rqv
+      FROM probes p JOIN q ON q.vec_id = p.query_id
+      JOIN coarse co ON co.ccid = p.cell
+    ),
+    qsub AS (
+      SELECT query_id, cell,
+             unnest(range(0, {_PQ_M})) AS s,
+             {_sql_res_slice("rqv")} AS qsv
+      FROM qres
+    ),
+    cand AS (
+      SELECT p.query_id, cl.vec_id, cl.cell
+      FROM probes p JOIN cells cl ON cl.cell = p.cell
+      WHERE cl.vec_id != p.query_id
+    ),
+    adc_parts AS (
+      SELECT ca.query_id, ca.vec_id, ca.cell,
+             {_sql_res_dist2("qs.qsv", "rcb.cv")} AS part
+      FROM cand ca
+      JOIN rcodes rc ON rc.vec_id = ca.vec_id
+      JOIN rcb ON rcb.s = rc.s AND rcb.cid = rc.cid
+      JOIN qsub qs ON qs.query_id = ca.query_id
+                  AND qs.cell = ca.cell AND qs.s = rc.s
+    ),
+    adc AS (
+      SELECT query_id, vec_id, cell,
+             CAST(SUM(part) AS BIGINT) AS adc_dist2
+      FROM adc_parts GROUP BY 1, 2, 3
+    )
+    SELECT query_id, vec_id, cell, adc_dist2, CAST(rn AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist2, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "quantization", "ann"),
+    tier="shadow",
+)
+def ivf_pq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAITHFUL IVF-PQ (Jegou et al.): product quantization over the
+    RESIDUAL vector minus its cell centroid — the production encoding
+    (residuals have ~cell-radius magnitude, so the shared codebook
+    spends its 16 entries on local structure instead of absolute
+    position; ivf_pq_search is the simpler shared-codebook variant).
+    The asymmetric query side is residualized PER PROBED CELL: a query
+    probing 2 cells computes 2 residuals against those centroids, and
+    each candidate is scored with the lookup table of ITS cell — the
+    exact bookkeeping real IVF-PQ implementations carry.
+
+    All arithmetic stays integer (int8 codes → integer residuals →
+    integer squared distances), so cell assignment, codebook argmin,
+    and ADC ranking are oracle-exact end-to-end.
+
+    Scale shape: identical to ivf_pq_search — 8-row coarse codebook
+    broadcast (sanctioned BNLJ), cell-pruned candidate join, 4×16
+    residual codebook + per-(query, cell) lookup tables broadcast;
+    after pruning only (query, vec, long) triples shuffle.  The
+    residual subtraction is a map-side zip_with, free at any scale."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    qvx = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
+    )
+    base = scoped_persist(emb.select("vec_id", qvx.alias("qv")))
+    coarse = base.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("ccid"), F.col("qv").alias("cv2")
+    )
+    ad = base.crossJoin(F.broadcast(coarse)).select(
+        "vec_id", "ccid", _int_dist2(F.col("qv"), F.col("cv2")).alias("dist2")
+    )
+    wv = W.partitionBy("vec_id").orderBy("dist2", "ccid")
+    ranked = ad.withColumn("rn", F.row_number().over(wv))
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("ccid").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("ccid").alias("cell"))
+
+    cell_centroids = coarse.select(
+        F.col("ccid").alias("cell"), F.col("cv2").alias("ccv")
+    )
+    rv = F.zip_with("qv", "ccv", lambda a, b: a - b)
+    resid = scoped_persist(
+        base.join(cells, "vec_id")
+        .join(F.broadcast(cell_centroids), "cell")
+        .select("vec_id", "cell", rv.alias("rv"))
+    )
+    sub_len = F.ceil(F.size("rv") / _PQ_M).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.slice(
+                "rv",
+                s * sub_len + 1,
+                F.least(sub_len, F.size("rv") - s * sub_len).cast("int"),
+            ).alias("sv"),
+        ),
+    )
+    rsub = resid.select("vec_id", "cell", F.explode(subs).alias("p")).select(
+        "vec_id", "cell", "p.s", "p.sv"
+    )
+    rcb = rsub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("s").alias("s_cb"),
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+    rd = rsub.join(F.broadcast(rcb), F.col("s") == F.col("s_cb")).select(
+        "vec_id", "s", "cid",
+        _int_dist2(F.col("sv"), F.col("cv")).alias("dist2"),
+    )
+    wc = W.partitionBy("vec_id", "s").orderBy("dist2", "cid")
+    rcodes = (
+        rd.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cid")
+    )
+
+    rqv = F.zip_with("qv", "ccv", lambda a, b: a - b)
+    qres = (
+        probes.join(
+            base.select(F.col("vec_id").alias("query_id"), "qv"), "query_id"
+        )
+        .join(F.broadcast(cell_centroids), "cell")
+        .select("query_id", "cell", rqv.alias("rqv"))
+    )
+    qsubs = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.slice(
+                "rqv",
+                s * F.ceil(F.size("rqv") / _PQ_M).cast("int") + 1,
+                F.least(
+                    F.ceil(F.size("rqv") / _PQ_M).cast("int"),
+                    F.size("rqv")
+                    - s * F.ceil(F.size("rqv") / _PQ_M).cast("int"),
+                ).cast("int"),
+            ).alias("qsv"),
+        ),
+    )
+    qsub = qres.select(
+        "query_id", "cell", F.explode(qsubs).alias("p")
+    ).select("query_id", "cell", "p.s", "p.qsv")
+
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cell")
+    )
+    rcb2 = rcb.select(
+        F.col("s_cb").alias("s"), F.col("cid").alias("cid"), "cv"
+    )
+    adc = (
+        cand.join(rcodes, "vec_id")
+        .join(F.broadcast(rcb2), ["s", "cid"])
+        .join(F.broadcast(qsub), ["query_id", "cell", "s"])
+        .select(
+            "query_id", "vec_id", "cell",
+            _int_dist2(F.col("qsv"), F.col("cv")).alias("part"),
+        )
+        .groupBy("query_id", "vec_id", "cell")
+        .agg(F.sum("part").alias("adc_dist2"))
+    )
+    wq = W.partitionBy("query_id").orderBy("adc_dist2", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "cell", "adc_dist2", "rnk")
+    )

@@ -92,6 +92,10 @@ SANCTIONED_BNLJ = {
     # 10-query broadcast against the corpus for the exact-baseline side
     # of the recall measurement — same shape as ann_topk_cosine
     "ann_lsh_recall",
+    "ann_multiprobe_recall",
+    # 8-row coarse codebook broadcast for residual cell assignment —
+    # same bounded shape as ivf_pq_search
+    "ivf_pq_residual_search",
 }
 
 _OPS = (

@@ -518,3 +518,26 @@ def test_cms_estimate_never_underestimates(spark, sf_dir):
     # must actually collide or the fixture isn't exercising the
     # estimator at all
     assert df.filter(F.col("overestimate") > 0).count() > 0
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a strict superset of the single-probe
+    bucket, so per query BOTH n_candidates and n_hits must be >= the
+    single-probe run (the measured trade-off ann_multiprobe_recall's
+    docstring states)."""
+    from kafkastreamsproject_spark.plans.registry import shadow_queries
+
+    S = shadow_queries()
+    single = {
+        r["query_id"]: (r["n_candidates"], r["n_hits"])
+        for r in S["ann_lsh_recall"].spark(spark, sf_dir).collect()
+    }
+    multi = {
+        r["query_id"]: (r["n_candidates"], r["n_hits"])
+        for r in S["ann_multiprobe_recall"].spark(spark, sf_dir).collect()
+    }
+    assert set(single) == set(multi)
+    for qid, (nc1, nh1) in single.items():
+        nc2, nh2 = multi[qid]
+        assert nc2 >= nc1, qid
+        assert nh2 >= nh1, qid
