@@ -268,3 +268,78 @@ def jsonl_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fp.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+    new_snap AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' amended'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 != 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5(text || ' fork')
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM old o FULL OUTER JOIN new_snap n ON n.doc_id = o.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
+    """,
+    tags=("ingest", "versioning"),
+    tier="shadow",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot content diff: per document, whether it was
+    added, removed, or changed between two corpus versions — the
+    data-versioning primitive behind incremental reprocessing (only
+    'added'/'changed' rows re-enter the curation funnel) and audit
+    trails.  The second snapshot is derived deterministically from the
+    fixture (every 7th doc removed, every 11th amended, every 13th
+    forked into a new id) so both engines diff identical inputs.
+
+    Scale shape: each side reduces to (doc_id, 16-byte md5) AT THE
+    SCAN — text never joins; the diff is one full-outer hash join on
+    doc_id emitting only non-identical rows, so the output is sized by
+    the CHANGE VOLUME, not the corpus.  Complements
+    ``dataset_fingerprint`` (one commutative hash per source — detects
+    THAT something changed) by locating WHICH rows changed."""
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.select("doc_id", F.md5("text").alias("h"))
+    amended = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" amended"))
+    ).otherwise(F.col("text"))
+    new_snap = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id", F.md5(amended).alias("h"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.md5(F.concat(F.col("text"), F.lit(" fork"))).alias("h"),
+            )
+        )
+    )
+    o = old.select(
+        F.col("doc_id").alias("o_id"), F.col("h").alias("o_h")
+    )
+    n = new_snap.select(
+        F.col("doc_id").alias("n_id"), F.col("h").alias("n_h")
+    )
+    joined = o.join(n, o["o_id"] == n["n_id"], "full_outer")
+    change = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return joined.filter(
+        F.col("o_id").isNull()
+        | F.col("n_id").isNull()
+        | (F.col("o_h") != F.col("n_h"))
+    ).select(
+        F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
+        change.alias("change"),
+    )

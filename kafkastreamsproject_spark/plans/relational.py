@@ -1091,3 +1091,78 @@ def revenue_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             nrev_d / F.sum("nrev").over(wg).cast("double"), 6
         ).alias("share_of_total"),
     )
+
+
+@register(
+    "orders_expectations",
+    oracle="""
+    SELECT 'not_null_o_orderkey' AS check_name, 'not_null' AS kind,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey', 'unique',
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'range_o_totalprice', 'range',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL
+                           OR o_totalprice < 0 OR o_totalprice > 600000
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_totalprice IS NULL
+                      OR o_totalprice < 0 OR o_totalprice > 600000
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_o_orderstatus', 'accepted_values',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                           OR o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_orderstatus IS NULL
+                      OR o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'fk_o_custkey', 'fk',
+           CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM (
+      SELECT o.o_custkey FROM orders o
+      ANTI JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_custkey IS NOT NULL
+    )
+    """,
+    tags=("relational", "quality", "expectations"),
+    tier="shadow",
+)
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality battery over ``orders`` — the
+    dbt-test / Great-Expectations operator shape
+    (operators/expectations.py): not-null and unique on the key, a
+    value range on the price, an accepted-value set on the status, and
+    referential integrity to ``customer``, each emitted as one
+    (check, kind, violations, passed) row.
+
+    All four row-local checks compile into ONE aggregate pass over the
+    fact (conditional sums + a distinct count in the same agg) and a
+    constant-size stack() reshape; the FK edge adds one broadcast
+    left-anti join.  Declaring more row-local checks adds agg COLUMNS,
+    not table passes — the property that makes an expectations suite
+    affordable to run on every 100 TB ingest batch.  (fk_orphan_audit
+    is the exhaustive multi-edge FK audit; this is the per-table gate a
+    pipeline runs inline.)"""
+    from kafkastreamsproject_spark.operators import expectations as X
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return X.run_expectations(
+        orders,
+        [
+            X.not_null("o_orderkey"),
+            X.unique("o_orderkey"),
+            X.in_range("o_totalprice", 0, 600_000),
+            X.accepted("o_orderstatus", ("O", "F", "P")),
+            X.fk("o_custkey", cust, "c_custkey"),
+        ],
+    )

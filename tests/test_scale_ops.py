@@ -541,3 +541,44 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         nc2, nh2 = multi[qid]
         assert nc2 >= nc1, qid
         assert nh2 >= nh1, qid
+
+
+def test_expectations_count_planted_violations(spark):
+    """Each check kind counts exactly its planted offenders, and the
+    whole row-local battery compiles into ONE aggregate pass."""
+    from kafkastreamsproject_spark.operators import expectations as X
+
+    rows = [
+        (1, 10.0, "A"),
+        (1, 20.0, "B"),      # duplicate id → unique violation
+        (None, 30.0, "A"),   # null id → not_null violation
+        (3, -5.0, "A"),      # below range
+        (4, 50.0, "Z"),      # unaccepted value
+        (9, 60.0, "B"),      # id 9 absent from dim → fk violation
+    ]
+    df = spark.createDataFrame(rows, "id int, price double, status string")
+    dim = spark.createDataFrame([(1,), (3,), (4,)], "k int")
+    got = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in X.run_expectations(
+            df,
+            [
+                X.not_null("id"),
+                X.unique("id"),
+                X.in_range("price", 0, 100),
+                X.accepted("status", ("A", "B")),
+                X.fk("id", dim, "k"),
+            ],
+        ).collect()
+    }
+    assert got["not_null_id"] == (1, False)
+    assert got["unique_id"] == (1, False)        # 5 non-null ids, 4 distinct
+    assert got["range_price"] == (1, False)
+    assert got["accepted_status"] == (1, False)
+    assert got["fk_id"] == (1, False)            # id 9 orphaned
+
+    clean = spark.createDataFrame([(1, 1.0, "A")], "id int, price double, status string")
+    all_pass = X.run_expectations(
+        clean, [X.not_null("id"), X.in_range("price", 0, 2)]
+    ).collect()
+    assert all(r["passed"] for r in all_pass)

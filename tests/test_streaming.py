@@ -610,3 +610,95 @@ def test_stream_stream_event_pairs_across_batches(spark, tmp_path):
         for r in spark.sql("SELECT * FROM evpairs_out").collect()
     )
     assert got == [(1, 4), (2, 4)]
+
+
+def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an unmatched view emits with a
+    null purchase only once the watermark closes its join window —
+    two-sided state with outer-row eviction semantics (the capability
+    class beyond the inner join pinned above).  Watermark pushers on
+    BOTH sides (min-policy: the lagging side gates the global
+    watermark) and a third micro-batch give the closed window a batch
+    in which to flush."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    chunk0 = [
+        (1, t0, 1, "view"),                              # will match
+        (2, t0, 2, "view"),                              # never matches
+    ]
+    chunk1 = [
+        (4, t0 + dt.timedelta(minutes=30), 1, "purchase"),
+        # watermark pushers on both sides (3 days ahead)
+        (5, t0 + dt.timedelta(days=3), 97, "view"),
+        (6, t0 + dt.timedelta(days=3), 99, "purchase"),
+    ]
+    chunk2 = [  # forces the post-watermark batch that flushes outer rows
+        (7, t0 + dt.timedelta(days=3, minutes=1), 96, "view"),
+    ]
+    data_dir = tmp_path / "evlo"
+    data_dir.mkdir()
+    for i, rows in enumerate([chunk0, chunk1, chunk2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(data_dir / f"chunk{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir / "chunk*"))
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 60 MINUTES"))
+    )
+    pairs = views.join(purchases, cond, "left_outer").select(
+        "view_id", "purchase_id"
+    )
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evlo_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evlo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.view_id: r.purchase_id
+        for r in spark.sql("SELECT * FROM evlo_out").collect()
+    }
+    assert got.get(1) == 4           # matched pair
+    assert 2 in got and got[2] is None  # unmatched view flushed as null
+    # open-window views (the pushers) are withheld, not emitted
+    assert 5 not in got and 7 not in got
