@@ -1445,3 +1445,95 @@ def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.session.timeZone", saved)
     return spark.table(name)
+
+
+_PSI_BINS = 10
+
+
+@register(
+    "value_psi_drift",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    rng AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM vals
+    ),
+    binned AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR((value - rng.lo)
+                              / ((rng.hi - rng.lo) / {_PSI_BINS})) AS BIGINT),
+                   {_PSI_BINS - 1}) AS bin
+      FROM vals CROSS JOIN rng
+    ),
+    counts AS (
+      SELECT bin,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_ref,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM counts
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(c_ref AS BIGINT) AS n_ref,
+           CAST(c_cur AS BIGINT) AS n_cur,
+           ROUND(((c_cur + 1) / CAST(tot.n_cur + {_PSI_BINS} AS DOUBLE)
+                  - (c_ref + 1) / CAST(tot.n_ref + {_PSI_BINS} AS DOUBLE))
+                 * ln(((c_cur + 1) / CAST(tot.n_cur + {_PSI_BINS} AS DOUBLE))
+                      / ((c_ref + 1) / CAST(tot.n_ref + {_PSI_BINS} AS DOUBLE))),
+                 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+    tags=("behavior", "drift", "mlops"),
+    tier="shadow",
+)
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the 'view' (reference) and
+    'purchase' (current) value distributions: 10 equal-width bins over
+    the combined range, per-bin Laplace-smoothed PSI terms — the
+    standard ML-ops drift monitor (total PSI = Σ terms; > 0.2 is the
+    conventional retrain trigger).  Smoothing (+1 per bin) keeps every
+    term finite and deterministic however the fixture regenerates.
+
+    One scan bins both populations (bin bounds are a 1-row broadcast),
+    one ≤10-group aggregation counts them, and the PSI arithmetic runs
+    on the 10-row result with a second 1-row totals broadcast — at
+    100 TB the cost is the single fact scan; everything after is
+    constant-size.  ln() on identical count-ratio doubles matches
+    across engines (the tfidf_top_terms precedent), rounded at 6 dp."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("event_type", "value")
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _PSI_BINS
+    bin_col = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+        F.lit(_PSI_BINS - 1),
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(rng))
+        .select(bin_col.alias("bin"), "event_type")
+        .groupBy("bin")
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("long")).alias("c_ref"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "c_cur"
+            ),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    p = (F.col("c_cur") + 1) / (F.col("n_cur") + _PSI_BINS).cast("double")
+    q = (F.col("c_ref") + 1) / (F.col("n_ref") + _PSI_BINS).cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("c_ref").alias("n_ref"),
+            F.col("c_cur").alias("n_cur"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )

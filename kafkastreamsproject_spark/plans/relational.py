@@ -1166,3 +1166,54 @@ def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.fk("o_custkey", cust, "c_custkey"),
         ],
     )
+
+
+@register(
+    "skyline3d_lineitem",
+    oracle="""
+    WITH pts AS (
+      SELECT l_extendedprice AS price, l_quantity AS quantity,
+             l_discount AS discount, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1, 2, 3
+    )
+    SELECT p.price, p.quantity, p.discount, p.n_rows
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts s
+      WHERE s.price <= p.price AND s.quantity >= p.quantity
+        AND s.discount >= p.discount
+        AND (s.price < p.price OR s.quantity > p.quantity
+             OR s.discount > p.discount)
+    )
+    """,
+    tags=("relational", "skyline"),
+    tier="shadow",
+)
+def skyline3d_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline of lineitem (minimize price, maximize quantity AND
+    discount): the multi-criteria shortlist query.  In 3+ dims no sort
+    order linearizes dominance, so the 2-D running-max device
+    (skyline_price_quantity) no longer applies — this runs the
+    two-phase distributed algorithm (operators/skyline.py): hashed
+    blocks compute local skylines with a vectorized Arrow-batched
+    dominance matrix, then the small candidate union is confirmed by a
+    relational broadcast anti-join.  The result is the exact skyline,
+    independent of block count (property-pinned in
+    tests/test_operator_properties.py via the pure-Python reference).
+
+    Scale shape: one groupBy collapses duplicates to distinct points;
+    phase 1 is embarrassingly parallel with per-task work
+    (|points|/n_blocks)²; phase 2 touches only the local-skyline union,
+    which stays tiny unless the dims are anti-correlated (the known
+    skyline worst case — then n_blocks scales the phase-1 work and the
+    confirm side remains the output-sized set)."""
+    from kafkastreamsproject_spark.operators.skyline import skyline
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_discount").alias("discount"),
+    )
+    return skyline(
+        li, {"price": "min", "quantity": "max", "discount": "max"}
+    )

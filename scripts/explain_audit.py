@@ -96,6 +96,11 @@ SANCTIONED_BNLJ = {
     # 8-row coarse codebook broadcast for residual cell assignment —
     # same bounded shape as ivf_pq_search
     "ivf_pq_residual_search",
+    # phase-2 dominance confirm: broadcast non-equi anti-join over the
+    # local-skyline candidate UNION (output-sized, not corpus-sized)
+    "skyline3d_lineitem",
+    # 1-row range and totals broadcasts into the 10-row bin table
+    "value_psi_drift",
 }
 
 _OPS = (

@@ -582,3 +582,35 @@ def test_expectations_count_planted_violations(spark):
         clean, [X.not_null("id"), X.in_range("price", 0, 2)]
     ).collect()
     assert all(r["passed"] for r in all_pass)
+
+
+def test_skyline_operator_exact_and_blockcount_invariant(spark):
+    """The two-phase distributed skyline equals the brute-force
+    reference and is invariant to the block count (partitioning must
+    not change the answer)."""
+    import random
+
+    from kafkastreamsproject_spark.operators.skyline import (
+        brute_force_skyline,
+        skyline,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            float(rng.randint(0, 30)),
+            float(rng.randint(0, 30)),
+            float(rng.randint(0, 5)),
+        )
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "p double, q double, d double")
+    want = brute_force_skyline(rows, ["min", "max", "max"])
+    for n_blocks in (1, 4, 32):
+        got = {
+            (r["p"], r["q"], r["d"])
+            for r in skyline(
+                df, {"p": "min", "q": "max", "d": "max"}, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == want, n_blocks
