@@ -1537,3 +1537,67 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
         )
     )
+
+
+@register(
+    "event_trigram_patterns",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS a,
+             LEAD(event_type, 1) OVER w AS b,
+             LEAD(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT a || '>' || b || '>' || c AS trigram, COUNT(*) AS n
+      FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT trigram, CAST(n AS BIGINT) AS n_occurrences,
+           CAST(rn AS INT) AS rnk
+    FROM (
+      SELECT trigram, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, trigram) AS rn
+      FROM tri
+    ) WHERE rn <= 10
+    """,
+    tags=("behavior", "sequence"),
+    tier="shadow",
+)
+def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 sequential behavior trigrams: per user, every run of
+    three consecutive events (ordered by time with an event_id
+    tie-break) becomes an a>b>c pattern; corpus-wide counts rank the
+    dominant flows — the sequence-mining readout product analytics
+    derives funnels FROM (event_transition_matrix is the first-order
+    view; this is the order-3 extension).
+
+    One shuffle on user_id for the per-user ordered scan (the two
+    LEADs share one window sort), one patterns aggregation bounded by
+    |event_types|³ groups, and a 10-row ranked result — at 100 TB the
+    sort is per-user within partitions, never global, and the pattern
+    table is constant-sized."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    tri = (
+        seq.filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .select(
+            F.concat_ws(">", "a", "b", "c").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    wr = W.orderBy(F.col("n_occurrences").desc(), F.col("trigram"))
+    return (
+        tri.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+        .select("trigram", "n_occurrences", "rnk")
+    )
