@@ -1182,8 +1182,8 @@ def _zvalue(x: F.Column, y: F.Column) -> F.Column:
     oracle=f"""
     WITH pts AS (
       SELECT CAST(user_id % 256 AS BIGINT) AS x,
-             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 256
-                  AS BIGINT) AS y
+             CAST(((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    % 256) + 256) % 256 AS BIGINT) AS y
       FROM events
     ),
     z AS (
@@ -1216,8 +1216,19 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     that decides whether the rewrite is worth the IO."""
     ev = load_table(spark, "events", sf_dir)
     x = (F.col("user_id") % 256).cast("long")
+    # double-mod keeps the day index non-negative even if the fixture
+    # ever regenerates with pre-epoch dates (both engines' % follows the
+    # dividend's sign, so a single mod could go negative identically —
+    # still hash-equal, but a nonsense layout; pin the intended one)
     y = (
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 256
+        (
+            (
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+                % 256
+            )
+            + 256
+        )
+        % 256
     ).cast("long")
     pts = ev.select(x.alias("x"), y.alias("y"))
     z = pts.select("x", "y", _zvalue(F.col("x"), F.col("y")).alias("zv"))
@@ -1507,7 +1518,9 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("view", "purchase")
     ).select("event_type", "value")
     rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    width = (F.col("hi") - F.col("lo")) / _PSI_BINS
+    # greatest() guards the degenerate all-equal-values fixture: a
+    # zero width would floor(inf) and overflow the BIGINT cast
+    width = F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-9)) / _PSI_BINS
     bin_col = F.least(
         F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
         F.lit(_PSI_BINS - 1),

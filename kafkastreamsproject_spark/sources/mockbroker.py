@@ -1,0 +1,141 @@
+"""Kafka-shaped Python streaming data source — a local "mock broker".
+
+The real Kafka connector (S6/S9) needs a broker and the
+spark-sql-kafka jar, neither of which exists in this sandbox
+(streaming/sources.py gates it).  This module implements the SAME
+source contract as a Spark 4 **Python Data Source**
+(``pyspark.sql.datasource``): a directory of JSONL segment files per
+partition plays the broker log, and the reader tracks a
+``{partition: offset}`` cursor exactly like the Kafka source —
+initialOffset → read(start) → commit, with restart-resume driven by
+the query's checkpointed offsets.
+
+Record schema mirrors Kafka's: (partition INT, offset BIGINT,
+key STRING, value STRING, timestamp TIMESTAMP) — so the downstream
+topology (`mock_trip_stream`) is byte-for-byte the S6 pipeline:
+``from_json(value, TRIP)`` then ``select("trip.*")``, identical to
+``kafka_trip_stream``.  When the environment gains a real broker the
+only change is the format string.
+
+Log layout: ``<path>/p<partition>-<seq>.jsonl`` — each line one JSON
+record ``{"key": ..., "value": ...}``; files are append-only segments,
+ordered per partition by the zero-padded ``seq``.  Offsets count
+RECORDS per partition (files are scanned and lines skipped up to the
+cursor — the simple reader's whole-log scan is fine for a test double;
+a production source would index segment start offsets).
+
+Scale/semantics notes: exactly-once delivery comes from Spark's offset
+log — read(start) is re-executed deterministically for a given start
+(sorted file walk, stable line order), and readBetweenOffsets replays
+a committed range after restart.  Each partition advances
+independently, exactly like Kafka topic-partitions.  The simple-reader
+API does not advertise Trigger.AvailableNow, so Spark falls back to
+single-batch execution — fine for a test double whose read() returns
+the whole backlog; restart-resume via the checkpoint is exercised in
+tests/test_mockbroker.py.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+from kafkastreamsproject_spark.schemas import TRIP
+
+MOCK_BROKER_SCHEMA = (
+    "partition INT, offset BIGINT, key STRING, value STRING, "
+    "timestamp TIMESTAMP"
+)
+
+
+def _scan(path: str) -> dict[int, list[tuple]]:
+    """Full per-partition record lists (ts, key, value), in log order."""
+    import datetime as dt
+
+    logs: dict[int, list[tuple]] = {}
+    for f in sorted(Path(path).glob("p*-*.jsonl")):
+        part = int(f.name.split("-")[0][1:])
+        for line in f.read_text().splitlines():
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            ts = dt.datetime.fromtimestamp(rec.get("ts_epoch", 0.0))
+            logs.setdefault(part, []).append(
+                (ts, rec.get("key"), rec["value"])
+            )
+    return logs
+
+
+class MockBrokerStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self._path = options["path"]
+
+    def initialOffset(self) -> dict:
+        # earliest — the reference's cleanUp()-then-start behavior (T6)
+        return {str(p): 0 for p in _scan(self._path)} or {"0": 0}
+
+    def read(self, start: dict):
+        logs = _scan(self._path)
+        end = {str(p): len(rows) for p, rows in logs.items()}
+        for p in start:
+            end.setdefault(p, start[p])
+        rows = self._between(logs, start, end)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._between(_scan(self._path), start, end))
+
+    @staticmethod
+    def _between(logs: dict, start: dict, end: dict) -> list[tuple]:
+        out = []
+        for p, rows in sorted(logs.items()):
+            lo = int(start.get(str(p), 0))
+            hi = int(end.get(str(p), len(rows)))
+            for off in range(lo, min(hi, len(rows))):
+                ts, key, value = rows[off]
+                out.append((p, off, key, value, ts))
+        return out
+
+    def commit(self, end: dict) -> None:
+        # the broker log is append-only; nothing to acknowledge
+        pass
+
+
+class MockBrokerDataSource(DataSource):
+    """``spark.readStream.format("mockbroker").option("path", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mockbroker"
+
+    def schema(self) -> str:
+        return MOCK_BROKER_SCHEMA
+
+    def simpleStreamReader(self, schema) -> MockBrokerStreamReader:
+        return MockBrokerStreamReader(self.options)
+
+
+def register_mock_broker(spark: SparkSession) -> None:
+    spark.dataSource.register(MockBrokerDataSource)
+
+
+def append_segment(path: str, partition: int, seq: int, records: list) -> None:
+    """Producer side: append one segment file of {key, value} records."""
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    lines = [json.dumps(r) for r in records]
+    (p / f"p{partition}-{seq:06d}.jsonl").write_text("\n".join(lines) + "\n")
+
+
+def mock_trip_stream(spark: SparkSession, path: str) -> DataFrame:
+    """S6 topology over the mock broker: identical boundary parse to
+    ``kafka_trip_stream`` — one from_json(value, TRIP) then trip.*."""
+    register_mock_broker(spark)
+    raw = spark.readStream.format("mockbroker").option("path", path).load()
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), TRIP).alias("trip")
+    ).select("trip.*")

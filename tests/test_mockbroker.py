@@ -1,0 +1,153 @@
+"""Mock-broker Python data source (sources/mockbroker.py): the S6
+Kafka topology driven end-to-end locally through Spark 4's Python Data
+Source API — partition/offset semantics, the identical boundary parse,
+and checkpointed restart-resume."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.sources.mockbroker import (
+    append_segment,
+    mock_trip_stream,
+    register_mock_broker,
+)
+
+
+def _trip(i: int, type_: int, station: int, hour: int) -> dict:
+    doc = {
+        "id": i,
+        "type": type_,
+        "dateTime": f"2024-03-01T{hour:02d}:00:00.000Z",
+        "stationId": station,
+        "duration": 300.0,
+        "userType": "Subscriber",
+        "gender": "Male",
+        "week": 9,
+        "temperature": 10.5,
+        "events": "clear",
+    }
+    return {"key": str(station), "value": json.dumps(doc)}
+
+
+def _drain(df, name, ckpt):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_mock_broker_offsets_and_partitions(spark, tmp_path):
+    """Raw source rows carry Kafka-shaped (partition, offset, key,
+    value); offsets count per partition independently."""
+    log = str(tmp_path / "log")
+    append_segment(log, 0, 0, [_trip(1, 1, 168, 8), _trip(2, 0, 168, 9)])
+    append_segment(log, 1, 0, [_trip(3, 1, 42, 8)])
+    register_mock_broker(spark)
+    raw = spark.readStream.format("mockbroker").option("path", log).load()
+    _drain(raw, "mb_raw", str(tmp_path / "ck0"))
+    rows = sorted(
+        (r.partition, r.offset, r.key)
+        for r in spark.sql("SELECT * FROM mb_raw").collect()
+    )
+    assert rows == [(0, 0, "168"), (0, 1, "168"), (1, 0, "42")]
+
+
+def test_mock_trip_stream_parses_s6_contract(spark, tmp_path):
+    """The downstream topology is byte-identical to kafka_trip_stream:
+    from_json(value, TRIP) yields fully-typed trips."""
+    log = str(tmp_path / "log")
+    append_segment(log, 0, 0, [_trip(1, 1, 168, 8), _trip(2, 0, 42, 9)])
+    trips = mock_trip_stream(spark, log)
+    _drain(trips, "mb_trips", str(tmp_path / "ck1"))
+    got = {r.id: r for r in spark.sql("SELECT * FROM mb_trips").collect()}
+    assert set(got) == {1, 2}
+    assert got[1].stationId == 168 and got[1].type == 1
+    assert got[1].dateTime == dt.datetime(2024, 3, 1, 8, 0, 0)
+    assert got[2].userType == "Subscriber"
+
+
+def test_mock_broker_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: a second run with the same
+    checkpoint consumes ONLY the records appended after the first run
+    — the offset cursor lives in the checkpoint, like Kafka's."""
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ck2")
+    out = str(tmp_path / "out")
+    append_segment(log, 0, 0, [_trip(1, 1, 168, 8)])
+    register_mock_broker(spark)
+
+    def run():
+        raw = (
+            spark.readStream.format("mockbroker").option("path", log).load()
+        )
+        q = (
+            raw.select("partition", "offset", "key")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    assert spark.read.parquet(out).count() == 1
+    append_segment(log, 0, 1, [_trip(2, 0, 168, 9), _trip(3, 1, 42, 10)])
+    run()
+    rows = sorted(
+        (r.partition, r.offset) for r in spark.read.parquet(out).collect()
+    )
+    # the file sink accumulates across restarts: offset 0 appears once
+    # (never re-consumed), and the appended records arrive exactly once
+    assert rows == [(0, 0), (0, 1), (0, 2)]
+
+
+def test_mock_broker_daily_agg_matches_batch(spark, tmp_path):
+    """The reference topology (A1 daily aggregation) over the mock
+    broker equals the same aggregation computed batch-side."""
+    log = str(tmp_path / "log")
+    recs = [
+        _trip(1, 1, 168, 8),
+        _trip(2, 1, 168, 9),
+        _trip(3, 0, 168, 10),
+        _trip(4, 1, 42, 8),
+    ]
+    append_segment(log, 0, 0, recs[:2])
+    append_segment(log, 1, 0, recs[2:])
+    trips = mock_trip_stream(spark, log)
+    agg = trips.groupBy(
+        "stationId", F.to_date("dateTime").alias("day")
+    ).agg(
+        F.sum((F.col("type") == 1).cast("long")).alias("started"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mb_agg")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.stationId, str(r.day)): (r.started, r.n)
+        for r in spark.sql("SELECT * FROM mb_agg").collect()
+    }
+    assert got == {
+        (168, "2024-03-01"): (2, 3),
+        (42, "2024-03-01"): (1, 1),
+    }
