@@ -914,6 +914,10 @@ def cluster_radius_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     size is bounded by cluster sizes, which Jaccard-confirmed graphs
     keep near-clique-sized; a k-round BFS at 100 TB is k such joins
     with lineage checkpointing exactly like connected_components."""
+    from kafkastreamsproject_spark.functions.clustering import (
+        connected_components,
+    )
+
     pairs = scoped_persist(
         minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
     )
@@ -921,9 +925,12 @@ def cluster_radius_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
     )
+    # components over the SAME persisted pair set — calling
+    # dedup_clusters() here would rebuild the shingle→minhash→confirm
+    # pipeline a second time (measured ~2× the query's wall at sf0.1)
     comp = scoped_persist(
-        dedup_clusters(spark, sf_dir).select(
-            F.col("doc_id").alias("node"), F.col("cluster_id").alias("root")
+        connected_components(pairs).select(
+            F.col("node"), F.col("component").alias("root")
         )
     )
 

@@ -139,3 +139,61 @@ def mock_trip_stream(spark: SparkSession, path: str) -> DataFrame:
     return raw.select(
         F.from_json(F.col("value").cast("string"), TRIP).alias("trip")
     ).select("trip.*")
+
+
+def to_mock_topic_sink(
+    df: DataFrame,
+    topic_path: str,
+    checkpoint: str,
+    key_col: str | None = None,
+    n_partitions: int = 2,
+    output_mode: str = "update",
+):
+    """Producer side of the mock broker — the S4/S9 sink contract
+    without a real Kafka: JSON-serialize each row exactly like
+    ``streaming/pipeline.py:to_kafka_sink`` (one to_json(struct(*))
+    value per record), hash the key onto a topic-partition, and append
+    one segment file per (micro-batch, partition) into the topic's log
+    directory — which `mock_trip_stream`/the raw reader can then
+    consume, closing the produce→consume loop locally.
+
+    Epoch-idempotent: segment files are named by (epoch, partition), so
+    a replayed micro-batch overwrites its own segments instead of
+    duplicating records — the same foreachBatch idempotence discipline
+    as the rollup store sink.  Keys hash with the portable md5 device,
+    so partition assignment is deterministic across engines and runs.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    cols = [c for c in df.columns]
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        key = (
+            F.col(key_col).cast("string")
+            if key_col is not None
+            else F.lit("")
+        )
+        part = (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+            % n_partitions
+        ).cast("int")
+        payload = batch_df.select(
+            part.alias("p"),
+            key.alias("key"),
+            F.to_json(F.struct(*cols)).alias("value"),
+        )
+        rows = payload.collect()  # sink boundary: segments are driver-written
+        by_part: dict[int, list] = {}
+        for r in rows:
+            by_part.setdefault(int(r["p"]), []).append(
+                {"key": r["key"], "value": r["value"]}
+            )
+        for p, recs in sorted(by_part.items()):
+            append_segment(topic_path, p, int(epoch_id), recs)
+
+    return (
+        df.writeStream.outputMode(output_mode)
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

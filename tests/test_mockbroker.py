@@ -151,3 +151,61 @@ def test_mock_broker_daily_agg_matches_batch(spark, tmp_path):
         (168, "2024-03-01"): (2, 3),
         (42, "2024-03-01"): (1, 1),
     }
+
+
+def test_mock_topic_roundtrip_produce_consume(spark, tmp_path):
+    """Full S4/S9 loop without a broker: trips stream in from the input
+    log, the topology JSON-serializes to the mock etl-topic via
+    to_mock_topic_sink, and a second consumer reads the topic back —
+    payloads parse to the original rows and same-key records land in
+    the same topic-partition."""
+    from pyspark.sql import types as T
+
+    from kafkastreamsproject_spark.sources.mockbroker import (
+        to_mock_topic_sink,
+    )
+
+    in_log = str(tmp_path / "input-topic")
+    etl_log = str(tmp_path / "etl-topic")
+    append_segment(
+        in_log,
+        0,
+        0,
+        [_trip(1, 1, 168, 8), _trip(2, 0, 168, 9), _trip(3, 1, 42, 10)],
+    )
+    trips = mock_trip_stream(spark, in_log).select(
+        "id", "type", "stationId"
+    )
+    q = to_mock_topic_sink(
+        trips,
+        etl_log,
+        str(tmp_path / "ck_prod"),
+        key_col="stationId",
+        n_partitions=2,
+        output_mode="append",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    raw = spark.readStream.format("mockbroker").option("path", etl_log).load()
+    _drain(raw, "mb_etl", str(tmp_path / "ck_cons"))
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("type", T.IntegerType()),
+            T.StructField("stationId", T.IntegerType()),
+        ]
+    )
+    consumed = spark.sql("SELECT * FROM mb_etl").select(
+        "partition",
+        "key",
+        F.from_json("value", out_schema).alias("r"),
+    )
+    rows = {
+        r["r"]["id"]: (r["partition"], r["key"], r["r"]["stationId"])
+        for r in consumed.collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1][1] == "168" and rows[1][2] == 168
+    # same key -> same partition (Kafka's key-hash contract)
+    assert rows[1][0] == rows[2][0]
