@@ -209,3 +209,98 @@ def test_mock_topic_roundtrip_produce_consume(spark, tmp_path):
     assert rows[1][1] == "168" and rows[1][2] == 168
     # same key -> same partition (Kafka's key-hash contract)
     assert rows[1][0] == rows[2][0]
+
+
+def test_full_anomaly_topology_over_mock_broker(spark, tmp_path):
+    """The reference's SECOND topology end-to-end on the mock broker:
+    trips consumed from input-topic, windowed anomaly detection (A6+A7)
+    with watermark-closed append windows, anomalies produced to
+    anomalies-topic, and the topic consumed back — both reference
+    topologies now run source→sink locally."""
+    from pyspark.sql import types as T
+
+    from kafkastreamsproject_spark.schemas import STATION
+    from kafkastreamsproject_spark.sources.mockbroker import (
+        to_mock_topic_sink,
+    )
+    from kafkastreamsproject_spark.streaming.pipeline import (
+        windowed_anomaly_stream,
+    )
+
+    stations = spark.createDataFrame(
+        [
+            (168, "Michigan Ave", 24, 20, "In Service", 41.88, -87.62, "P"),
+            (42, "Wabash Ave", 10, 10, "In Service", 41.89, -87.63, "P"),
+        ],
+        STATION,
+    )
+    in_log = str(tmp_path / "input-topic")
+    an_log = str(tmp_path / "anomalies-topic")
+    # day 1: Wabash 10:00 window gets 2 starts, 0 ends, 10 docks →
+    # ratio 0.2 ≥ 5% threshold
+    day1 = [_trip(3, 1, 42, 10), _trip(4, 1, 42, 10), _trip(1, 1, 168, 8)]
+    append_segment(in_log, 0, 0, day1)
+
+    trips = mock_trip_stream(spark, in_log)
+    anomalies = windowed_anomaly_stream(
+        trips,
+        stations,
+        period_minutes=60,
+        threshold_pct=5.0,
+        watermark="30 minutes",
+    ).select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "stationName",
+        "rentedOverReturned",
+        "returnedOverRented",
+        "nToDocksRatio",
+    )
+    q = to_mock_topic_sink(
+        anomalies,
+        an_log,
+        str(tmp_path / "ck_anom"),
+        key_col="stationName",
+        output_mode="append",
+    )
+    q.processAllAvailable()
+    # day-2 data advances the watermark past day 1; the closed windows
+    # emit in a subsequent micro-batch of the still-running query
+    append_segment(in_log, 0, 1, [_trip(5, 1, 168, 8)])
+    # bump dateTime to day 2 by rewriting the record
+    import json as _json
+
+    rec = _trip(6, 0, 42, 9)
+    doc = _json.loads(rec["value"])
+    doc["dateTime"] = "2024-03-02T09:00:00.000Z"
+    doc["id"] = 6
+    append_segment(in_log, 0, 2, [{"key": "42", "value": _json.dumps(doc)}])
+    q.processAllAvailable()
+    # one more empty-ish batch so append-mode emission lands in the log
+    doc["dateTime"] = "2024-03-03T09:00:00.000Z"
+    doc["id"] = 7
+    append_segment(in_log, 0, 3, [{"key": "42", "value": _json.dumps(doc)}])
+    q.processAllAvailable()
+    q.stop()
+
+    raw = spark.readStream.format("mockbroker").option("path", an_log).load()
+    _drain(raw, "mb_anom", str(tmp_path / "ck_anom_cons"))
+    schema = T.StructType(
+        [
+            T.StructField("ws", T.StringType()),
+            T.StructField("stationName", T.StringType()),
+            T.StructField("rentedOverReturned", T.LongType()),
+            T.StructField("returnedOverRented", T.LongType()),
+            T.StructField("nToDocksRatio", T.DoubleType()),
+        ]
+    )
+    got = {
+        (r["a"]["stationName"], r["a"]["ws"]): r["a"]
+        for r in spark.sql("SELECT * FROM mb_anom")
+        .select(F.from_json("value", schema).alias("a"))
+        .collect()
+    }
+    key = ("Wabash Ave", "2024-03-01 10:00:00")
+    assert key in got, sorted(got)
+    assert got[key]["rentedOverReturned"] == 2
+    assert got[key]["returnedOverRented"] == 0
+    assert abs(got[key]["nToDocksRatio"] - 0.2) < 1e-9
