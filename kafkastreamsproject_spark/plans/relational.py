@@ -1217,3 +1217,71 @@ def skyline3d_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline(
         li, {"price": "min", "quantity": "max", "discount": "max"}
     )
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle="""
+    WITH cust_rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rk
+      FROM cust_rev
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS DOUBLE) AS s0,
+             CAST(SUM(rk * rev) AS DOUBLE) AS s1
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           ROUND(s0, 4) AS total_revenue,
+           ROUND(2.0 * s1 / (n * s0) - (n + 1.0) / n, 6) AS gini
+    FROM sums
+    """,
+    tags=("relational", "statistics"),
+    tier="shadow",
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration /
+    inequality readout (0 = uniform, →1 = one customer is the whole
+    book).  The same statistic measures SOURCE concentration in a
+    training-data mixture: a high-Gini corpus is dominated by few
+    sources and the mixture weights need rebalancing.  Computed by the
+    rank identity G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over ascending
+    revenues with a custkey tie-break, so both engines rank ties
+    identically; revenue sums are DECIMAL-exact and rank·revenue stays
+    DECIMAL before the one double division.
+
+    Scale shape: one shuffle aggregates per-customer revenue; the rank
+    is a global sort over |customers| rows — at fixture scale a single
+    window, at 100 TB the bucketed prefix-scan decomposition
+    (operators/prefixscan.py: range-partition on revenue, local ranks
+    + |buckets|-row offset scan) computes the identical Σ i·xᵢ without
+    a one-task sort.  Output is a single row."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust_rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
+    )
+    wr = W.orderBy("rev", "o_custkey")
+    ranked = cust_rev.select(
+        "rev", F.row_number().over(wr).alias("rk")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("double").alias("s0"),
+        F.sum(F.col("rk") * F.col("rev")).cast("double").alias("s1"),
+    )
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        F.round("s0", 4).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("s1") / (F.col("n") * F.col("s0"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
