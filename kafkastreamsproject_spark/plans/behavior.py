@@ -990,11 +990,17 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     back-to-back sessions don't double-count — closed-interval
     semantics pinned identically on both engines.
 
-    The global running sum is a single-partition window over 2×
-    |sessions| delta rows (tiny here); at 100 TB the sweep
-    partitions by day with per-day boundary carry-in — the deltas
-    themselves stay |sessions|-bounded regardless of event volume."""
+    The sweep partitions by DAY with cross-day boundary carry-in
+    (operators/prefixscan.py:bucketed_running_sum): per-day running
+    sums scan in parallel, the only single-task step is the exclusive
+    prefix-sum over the |days|-row totals table — calendar-bounded, so
+    the shape survives any corpus growth (the delta relation itself is
+    2×|sessions|, already event-volume-free)."""
     from pyspark.sql import Window as W
+
+    from kafkastreamsproject_spark.operators.prefixscan import (
+        bucketed_running_sum,
+    )
 
     ev = load_table(spark, "events", sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1017,10 +1023,13 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
     )
-    sweep = W.orderBy("t", "delta").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    swept = bucketed_running_sum(
+        deltas.withColumn("__day", F.to_date("t")),
+        "__day",
+        [F.col("t"), F.col("delta")],
+        "delta",
+        out_col="live",
     )
-    swept = deltas.select(F.sum("delta").over(sweep).alias("live"))
     n_sessions = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
     return (
         swept.agg(F.max("live").alias("peak_concurrent"))

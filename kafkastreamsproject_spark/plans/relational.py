@@ -1258,19 +1258,21 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL before the one double division.
 
     Scale shape: one shuffle aggregates per-customer revenue; the rank
-    is a global sort over |customers| rows — at fixture scale a single
-    window, at 100 TB the bucketed prefix-scan decomposition
-    (operators/prefixscan.py: range-partition on revenue, local ranks
-    + |buckets|-row offset scan) computes the identical Σ i·xᵢ without
-    a one-task sort.  Output is a single row."""
+    comes from the bucketed prefix-scan decomposition
+    (operators/prefixscan.py:bucketed_rank — range-partition on
+    revenue, local ranks in parallel, |buckets|-row offset scan), which
+    computes the identical Σ i·xᵢ with no one-task sort anywhere: the
+    only single-partition step touches 64 bucket-count rows however
+    many customers exist.  Output is a single row."""
+    from kafkastreamsproject_spark.operators.prefixscan import bucketed_rank
+
     orders = load_table(spark, "orders", sf_dir)
     cust_rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
     )
-    wr = W.orderBy("rev", "o_custkey")
-    ranked = cust_rev.select(
-        "rev", F.row_number().over(wr).alias("rk")
-    )
+    ranked = bucketed_rank(
+        cust_rev, "rev", "o_custkey", ascending=True, out_col="rk"
+    ).select("rev", "rk")
     sums = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev").cast("double").alias("s0"),

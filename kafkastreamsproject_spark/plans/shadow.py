@@ -804,9 +804,11 @@ def vocab_top_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (count, piece) tie-break.  At 100 TB the piece-count
     aggregation is the classic word-count shape: partial aggregation
     collapses each partition to its piece set before the shuffle, and
-    the top-k is a single-reducer TakeOrdered over ~|vocab| rows, not
-    corpus rows."""
-    from pyspark.sql import Window as W
+    the top-k routes through operators/topk.py so the plan is
+    TakeOrderedAndProject over the |vocab|-row count table — per-
+    partition 50-row heaps, no single-task sort even as the vocabulary
+    grows; the rank column is re-derived over the 50 survivors."""
+    from kafkastreamsproject_spark.operators.topk import top_k
 
     docs = load_table(spark, "documents", sf_dir)
     counts = (
@@ -814,12 +816,9 @@ def vocab_top_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("piece")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = W.orderBy(F.col("n").desc(), "piece")
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("piece", "n", "rank")
-    )
+    return top_k(
+        counts, [F.col("n").desc(), F.col("piece")], 50, rank_col="rank"
+    ).select("piece", "n", "rank")
 
 
 @register(
@@ -987,11 +986,13 @@ def q10_returned_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue report — selective fact
     filter (returnflag + date range, both pushed), three-way join where
     both dimensions broadcast, per-customer aggregation, then a global
-    top-20 by revenue.  The top-k is a TakeOrdered over |customers|
-    aggregated rows with a (revenue DESC, custkey) tie-break so the cut
-    line is deterministic; revenue accumulates in DECIMAL so ranking
-    order cannot drift between engines."""
-    from pyspark.sql import Window as W
+    top-20 by revenue.  The top-k routes through operators/topk.py so
+    it PLANS as TakeOrderedAndProject (per-partition heaps merged at
+    the driver, O(k) single-task work) rather than the window idiom's
+    one-task full sort over |customers|; the (revenue DESC, custkey)
+    tie-break keeps the cut line deterministic and revenue accumulates
+    in DECIMAL so ranking order cannot drift between engines."""
+    from kafkastreamsproject_spark.operators.topk import top_k
 
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir).filter(
@@ -1018,10 +1019,8 @@ def q10_returned_item(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(rev_dec)
     )
-    w = W.orderBy(F.col("rev_dec").desc(), "custkey")
     return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        top_k(rev, [F.col("rev_dec").desc(), F.col("custkey")], 20)
         .select(
             "custkey",
             "cust_name",
@@ -1660,17 +1659,18 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and multiple-of-the-mean-key.  At 100 TB a key whose x_mean is
     ~partition-count causes stragglers; this query is the cheap
     pre-flight (one partial+final count agg, a 1-row global broadcast,
-    a top-10 window over |keys| rows — no fact-table shuffle beyond the
-    count)."""
+    and a top-10 that plans as TakeOrderedAndProject over the |keys|
+    count table via operators/topk.py — no fact-table shuffle beyond
+    the count and no single-task sort)."""
+    from kafkastreamsproject_spark.operators.topk import top_k
+
     ev = load_table(spark, "events", sf_dir)
     f = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
     tot = f.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("k"), F.max("c").alias("mx")
     )
-    w = W.orderBy(F.col("c").desc(), "user_id")
     return (
-        f.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        top_k(f, [F.col("c").desc(), F.col("user_id")], 10, rank_col="rnk")
         .join(F.broadcast(tot))
         .select(
             "user_id",
@@ -2170,9 +2170,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every NTILE orders by (metric, custkey) so bucket boundaries are
     deterministic under ties; the global max date is a 1-row broadcast.
-    At 100 TB the exact NTILE (global sort) becomes approx-quantile
-    cutoffs per axis (the verified GK device) — the exact form is the
-    oracle-checkable contract."""
+    No axis plans a global sort: each quartile score is recovered
+    row-locally (operators/prefixscan.py:ntile_from_rank) from a
+    bucketed prefix-scan rank — per-axis range buckets rank in
+    parallel and only |buckets| count rows ever sit in one task — so
+    the EXACT NTILE contract (first n mod 4 buckets one row larger)
+    holds at any |customers| without the single-task-sort cliff the
+    naive window formulation hides."""
+    from kafkastreamsproject_spark.operators.prefixscan import (
+        bucketed_rank,
+        ntile_from_rank,
+    )
+
     orders = load_table(spark, "orders", sf_dir)
     maxd = orders.agg(F.max(F.to_date("o_orderdate")).alias("corpus_max"))
     metrics = (
@@ -2192,17 +2201,25 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    wr = W.orderBy("recency_days", "custkey")
-    wf = W.orderBy(F.col("frequency").desc(), "custkey")
-    wm = W.orderBy(F.col("monetary").desc(), "custkey")
-    return metrics.select(
+    n_cust = metrics.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = bucketed_rank(
+        metrics, "recency_days", "custkey", ascending=True, out_col="__rk_r"
+    )
+    ranked = bucketed_rank(
+        ranked, "frequency", "custkey", ascending=False, out_col="__rk_f"
+    )
+    ranked = bucketed_rank(
+        ranked, "monetary", "custkey", ascending=False, out_col="__rk_m"
+    )
+    n = F.col("__n")
+    return ranked.join(F.broadcast(n_cust)).select(
         "custkey",
         "recency_days",
         "frequency",
         F.round("monetary", 2).alias("monetary"),
-        F.ntile(4).over(wr).cast("int").alias("r"),
-        F.ntile(4).over(wf).cast("int").alias("f"),
-        F.ntile(4).over(wm).cast("int").alias("m"),
+        ntile_from_rank(F.col("__rk_r"), n, 4).cast("int").alias("r"),
+        ntile_from_rank(F.col("__rk_f"), n, 4).cast("int").alias("f"),
+        ntile_from_rank(F.col("__rk_m"), n, 4).cast("int").alias("m"),
     )
 
 

@@ -883,6 +883,11 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-side candidate-list cut for RRF fusion — every rank window in
+#: the plan is bounded by this, never by the corpus
+_RRF_K = 100
+
+
 @register(
     "hybrid_retrieval_rrf",
     oracle_fn=lambda: _rrf_sql(),
@@ -897,20 +902,27 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent from that side's list (full outer join on doc_id = vec_id —
     the fixture tables are row-aligned).
 
-    The global ROW_NUMBER ranks run over CANDIDATE lists (scored
-    matches), not the corpus — at 100 TB each side's list is top-k
-    truncated first, so the single-partition rank window is bounded by
-    k, and the fusion join is a k-vs-k merge.  Rank positions are
-    integers over 6-dp-rounded scores with doc-id tie-breaks, so fusion
-    scores are cross-engine deterministic.
+    Each side's candidate list is TOP-K TRUNCATED (k=100) BEFORE any
+    rank is assigned, via operators/topk.py: the cut plans as
+    TakeOrderedAndProject over that side's scored relation, and the
+    rank window then runs over ≤k rows — so the one single-partition
+    window in the plan is O(k) regardless of corpus size, and the
+    fusion join is a k-vs-k merge.  (Ranks of the surviving rows equal
+    their global ranks because the truncation uses the identical
+    (score DESC, id) order.)  Rank positions are integers over
+    6-dp-rounded scores with doc-id tie-breaks, so fusion scores are
+    cross-engine deterministic.
     """
+    from kafkastreamsproject_spark.operators.topk import top_k
     from kafkastreamsproject_spark.plans.text import bm25_retrieval
 
     lex = bm25_retrieval(spark, sf_dir)
-    lex_w = W.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    lexr = lex.select(
-        "doc_id", F.row_number().over(lex_w).cast("int").alias("lex_rank")
-    )
+    lexr = top_k(
+        lex,
+        [F.col("bm25").desc(), F.col("doc_id")],
+        _RRF_K,
+        rank_col="lex_rank",
+    ).select("doc_id", "lex_rank")
 
     emb = fan_out(load_table(spark, "embeddings", sf_dir))
     qv = emb.filter(F.col("vec_id") == 0).select(
@@ -926,11 +938,12 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    sem_w = W.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    semr = sem.select(
-        F.col("vec_id").alias("doc_id"),
-        F.row_number().over(sem_w).cast("int").alias("sem_rank"),
-    )
+    semr = top_k(
+        sem,
+        [F.col("cos").desc(), F.col("vec_id")],
+        _RRF_K,
+        rank_col="sem_rank",
+    ).select(F.col("vec_id").alias("doc_id"), "sem_rank")
 
     fused = lexr.join(semr, "doc_id", "full_outer")
     rrf = F.round(
@@ -950,10 +963,14 @@ def _rrf_sql() -> str:
 
     return f"""
     WITH lex AS ({_bm25_sql()}),
+    lexcut AS (
+      SELECT doc_id, bm25 FROM lex
+      ORDER BY bm25 DESC, doc_id LIMIT {_RRF_K}
+    ),
     lexr AS (
       SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
                           AS INT) AS lex_rank
-      FROM lex
+      FROM lexcut
     ),
     sem AS (
       SELECT e.vec_id,
@@ -962,11 +979,15 @@ def _rrf_sql() -> str:
       JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q ON TRUE
       WHERE e.vec_id <> 0
     ),
+    semcut AS (
+      SELECT vec_id, cos FROM sem
+      ORDER BY cos DESC, vec_id LIMIT {_RRF_K}
+    ),
     semr AS (
       SELECT vec_id AS doc_id,
              CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT)
                AS sem_rank
-      FROM sem
+      FROM semcut
     )
     SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
            l.lex_rank, s.sem_rank,

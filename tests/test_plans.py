@@ -122,6 +122,39 @@ def test_building_queries_leaves_session_conf_unchanged(spark, sf_dir):
         assert after == before, f"{name} mutated session conf: {after} != {before}"
 
 
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_no_unpartitioned_window_over_growing_input(spark, sf_dir, name):
+    """Plan-hygiene gate (r7 verdict): an empty-PARTITION-BY Window
+    moves its whole input into one task, so it is only acceptable when
+    the input is provably bounded — by a Limit below it (the
+    operators/topk.py shape), by a cross-bucket aggregate from the
+    operators/prefixscan.py devices, or by an allowlisted
+    dimension/calendar-bounded aggregate with a written justification.
+    Any NEW query that global-windows a corpus-growing relation fails
+    here until it is re-planned onto those devices."""
+    from kafkastreamsproject_spark.testing.planaudit import (
+        ALLOWED_UNBOUNDED_GLOBAL_WINDOW,
+        global_window_findings,
+    )
+
+    if name == "streaming_daily_agg":
+        pytest.skip("building it starts a real stream; memory-sink plan")
+    findings = global_window_findings(_SPECS[name].spark(spark, sf_dir))
+    unbounded = [f for f in findings if f == "unbounded"]
+    if name in ALLOWED_UNBOUNDED_GLOBAL_WINDOW:
+        assert unbounded, (
+            f"{name} no longer plans an unbounded global window — remove "
+            "its stale ALLOWED_UNBOUNDED_GLOBAL_WINDOW entry"
+        )
+    else:
+        assert not unbounded, (
+            f"{name} plans {len(unbounded)} unpartitioned Window(s) over "
+            "an unbounded input — a single task would sort the whole "
+            "relation at scale; re-plan via operators/topk.py or "
+            "operators/prefixscan.py, or justify an allowlist entry"
+        )
+
+
 def test_all_queries_emit_only_scalar_columns(spark, sf_dir):
     """The driver's correctness canonicalizer pandas-sorts and hashes
     EVERY registered query's Spark result — including no-oracle ones

@@ -505,6 +505,119 @@ def test_bucketed_prefix_max_equals_global_window(spark):
             assert r["prev_max"] == want[r["k"]], (width, r["k"])
 
 
+def test_bucketed_rank_equals_global_row_number(spark):
+    """bucketed_rank must reproduce ROW_NUMBER() OVER (ORDER BY v
+    [DESC], tiebreak) exactly — ties, duplicate values, both
+    directions, and bucket counts that under- and over-partition."""
+    from pyspark.sql import Window as W
+
+    from kafkastreamsproject_spark.operators.prefixscan import bucketed_rank
+
+    rows = [(float((k * 37) % 11), k) for k in range(97)]  # heavy ties
+    df = spark.createDataFrame(rows, ["v", "id"])
+    for ascending in (True, False):
+        order = (
+            [F.col("v").asc(), F.col("id").asc()]
+            if ascending
+            else [F.col("v").desc(), F.col("id").asc()]
+        )
+        want = {
+            r["id"]: r["rk"]
+            for r in df.select(
+                "id", F.row_number().over(W.orderBy(*order)).alias("rk")
+            ).collect()
+        }
+        for nb in (1, 5, 64, 1000):
+            got = bucketed_rank(
+                df, "v", "id", ascending=ascending, n_buckets=nb
+            ).collect()
+            assert len(got) == len(want)
+            for r in got:
+                assert r["rk"] == want[r["id"]], (ascending, nb, r["id"])
+
+
+def test_ntile_from_rank_equals_sql_ntile(spark):
+    """ntile_from_rank(rk, n, t) must equal NTILE(t) for every row
+    count (including n < t) and several tile counts."""
+    from pyspark.sql import Window as W
+
+    from kafkastreamsproject_spark.operators.prefixscan import ntile_from_rank
+
+    for n in (1, 2, 3, 4, 5, 10, 11, 97):
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["id"])
+        for t in (2, 4, 7):
+            w = W.orderBy("id")
+            got = df.select(
+                "id",
+                F.ntile(t).over(w).alias("want"),
+                ntile_from_rank(
+                    F.row_number().over(w), F.lit(n), t
+                ).cast("int").alias("got"),
+            ).collect()
+            for r in got:
+                assert r["got"] == r["want"], (n, t, r["id"])
+
+
+def test_bucketed_running_sum_equals_global_window(spark):
+    """The day-partitioned sweep with carry-in must equal the
+    single-partition running sum exactly, including negative deltas
+    and multi-row order keys."""
+    from pyspark.sql import Window as W
+
+    from kafkastreamsproject_spark.operators.prefixscan import (
+        bucketed_running_sum,
+    )
+
+    rows = [
+        (k % 7, float(k * 13 % 29), 1 if k % 3 else -1, k)
+        for k in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["day", "t", "delta", "id"])
+
+    w = W.orderBy("day", "t", "delta", "id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    want = {
+        r["id"]: r["want"]
+        for r in df.select("id", F.sum("delta").over(w).alias("want")).collect()
+    }
+    got = bucketed_running_sum(
+        df, "day", [F.col("t"), F.col("delta"), F.col("id")], "delta",
+        out_col="run",
+    ).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert r["run"] == want[r["id"]], r["id"]
+
+
+def test_top_k_matches_window_idiom_and_plans_take_ordered(spark):
+    """top_k must equal the row_number-window top-k on values AND rank,
+    while planning as TakeOrderedAndProject (no global sort task)."""
+    from pyspark.sql import Window as W
+
+    from kafkastreamsproject_spark.operators.topk import top_k
+
+    rows = [(float((k * 37) % 13), k) for k in range(200)]
+    df = spark.createDataFrame(rows, ["v", "id"]).repartition(8)
+    order = [F.col("v").desc(), F.col("id").asc()]
+
+    w = W.orderBy(*order)
+    want = sorted(
+        (r["id"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .collect()
+    )
+    out = top_k(df, order, 25, rank_col="rk")
+    got = sorted((r["id"], r["rk"]) for r in out.collect())
+    assert got == want
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.orderBy(*order).limit(25).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
+
+
 def test_cms_estimate_never_underestimates(spark, sf_dir):
     """Count-min's one-sided error guarantee: for EVERY token the
     sketch estimate is >= the exact count (and equals it when no

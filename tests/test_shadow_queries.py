@@ -37,11 +37,33 @@ def test_shadow_query_plans_no_cartesian(spark, sf_dir, name):
     """Shadow queries obey the same plan hygiene as primary ones: no
     CartesianProduct anywhere (q22's one-row scalar broadcast plans as
     BroadcastNestedLoopJoin with a bounded side — the sanctioned
-    shape)."""
+    shape), and no unpartitioned Window over an unbounded input (the
+    r7-verdict single-task-sort gate; see
+    testing/planaudit.py for the bounded shapes and the justified
+    allowlist)."""
     import contextlib
     import io
 
+    from kafkastreamsproject_spark.testing.planaudit import (
+        ALLOWED_UNBOUNDED_GLOBAL_WINDOW,
+        global_window_findings,
+    )
+
+    df = _SHADOW[name].spark(spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        _SHADOW[name].spark(spark, sf_dir).explain("formatted")
+        df.explain("formatted")
     assert "CartesianProduct" not in buf.getvalue(), name
+
+    unbounded = [f for f in global_window_findings(df) if f == "unbounded"]
+    if name in ALLOWED_UNBOUNDED_GLOBAL_WINDOW:
+        assert unbounded, (
+            f"{name} no longer plans an unbounded global window — remove "
+            "its stale ALLOWED_UNBOUNDED_GLOBAL_WINDOW entry"
+        )
+    else:
+        assert not unbounded, (
+            f"{name} plans {len(unbounded)} unpartitioned Window(s) over "
+            "an unbounded input — re-plan via operators/topk.py or "
+            "operators/prefixscan.py, or justify an allowlist entry"
+        )
