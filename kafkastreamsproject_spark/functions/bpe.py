@@ -9,29 +9,54 @@ step is
    i in 1..len-1 (overlapping occurrences each count: 'aaa' → two
    'aa'), SUM(f) per pair — an |alphabet+merges|²-bounded aggregation;
 2. argmax pair with a deterministic (count DESC, pair ASC) tie-break —
-   a single-partition window over that bounded table;
+   a TakeOrdered(1) over that bounded table, collected to the driver
+   (ONE row per step, the same sanctioned bounded collect as the
+   MLlib-style iterative algorithms and operators/incremental.py);
 3. merge application: simultaneous left-to-right non-overlapping
    ``replace`` of the pair with a single PLACEHOLDER character, so a
    symbol sequence stays a plain string and step 1 stays
    ``substr(w, i, 2)`` forever (no array-of-struct symbol state).
 
-Placeholders are the digit characters '0'..'9' (max 10 steps); callers
-must feed words that cannot contain them (the registry query filters
-to ^[a-z]+$, and :func:`learn_bpe` re-filters defensively).  Every
-rule is engine-portable integer/string arithmetic, so the DuckDB
-oracle (plans/text.py) matches bit-for-bit, and the semantics are
-pinned against an independent Python reference trainer in
-tests/test_operator_properties.py.
+Placeholders are single characters from U+0100 upward (Latin
+Extended-A onward): 768 of them, so the trainer runs the hundreds of
+merge steps a real subword vocabulary needs — the previous design's
+digit placeholders capped it at 10.  Both engines (and the Python
+reference trainer) compare strings in UTF-8 binary order, which equals
+codepoint order, so the pair-ASC tie-break is engine-portable even
+with the non-ASCII placeholders; callers must feed words that cannot
+contain them (the registry query filters to ``^[a-z]+$``, and
+:func:`learn_bpe` re-filters defensively with the same anchor).
+
+The word relation's lineage is truncated with an eager
+``localCheckpoint`` every few steps, so a 100-step run keeps constant
+plan depth instead of stacking 100 replaces into one Catalyst tree.
+Semantics are pinned against an independent Python reference trainer
+in tests/test_text_functions.py (including past 10 steps), and the
+registry query ``bpe_merge_steps`` (plans/text.py) cross-checks a
+12-step run against a generated DuckDB oracle.
 """
 
 from __future__ import annotations
 
-import string
-
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_PLACEHOLDERS = string.digits
+#: first placeholder codepoint — above ASCII, below surrogates, each a
+#: single character in both engines' character-based string functions
+_PLACEHOLDER_BASE = 0x0100
+
+#: hard step cap: contiguous single-char placeholders U+0100..U+03FF
+MAX_STEPS = 0x0400 - _PLACEHOLDER_BASE
+
+#: truncate the word relation's lineage this often
+_CHECKPOINT_EVERY = 8
+
+
+def placeholder(k: int) -> str:
+    """The single-character symbol standing for merge ``k`` (0-based)."""
+    if not 0 <= k < MAX_STEPS:
+        raise ValueError(f"merge index {k} outside 0..{MAX_STEPS - 1}")
+    return chr(_PLACEHOLDER_BASE + k)
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
@@ -46,66 +71,56 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def _best(pairs: DataFrame) -> DataFrame:
-    # global argmax over the alphabet²-bounded pair table — the
-    # single-partition window is ≤ (|alphabet| + steps)² rows by design
-    wb = W.orderBy(F.col("cnt").desc(), F.col("pair"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") == 1)
-        .select("pair", "cnt")
-    )
-
-
-def _apply_merge(words: DataFrame, best: DataFrame, ph: str) -> DataFrame:
-    m = best.select(F.col("pair").alias("m"))
-    return words.crossJoin(F.broadcast(m)).select(
-        F.replace(F.col("w"), F.col("m"), F.lit(ph)).alias("w"), "f"
-    )
-
-
-def _expand(col: Column, k: int) -> Column:
-    """Replace placeholders 0..k-1 in ``col`` with their fully-expanded
-    merge strings (columns m0..m{k-1} must be in scope)."""
-    out = col
-    for j in range(k):
-        out = F.replace(
-            out, F.lit(_PLACEHOLDERS[j]), _expand(F.col(f"m{j}"), j)
-        )
-    return out
-
-
 def learn_bpe(words: DataFrame, n_steps: int = 3) -> DataFrame:
     """Learn the first ``n_steps`` BPE merges from a ``(w, f)``
     word-frequency relation; returns ``(step, merge_pair, cnt)`` with
     merges expanded back to base characters.
 
-    Precondition: words contain no digit characters (the placeholder
-    alphabet); offending rows are filtered out, identically to the
-    oracle's ^[a-z]+$ guard.
-    """
-    if not 1 <= n_steps <= len(_PLACEHOLDERS):
-        raise ValueError(f"n_steps must be in 1..{len(_PLACEHOLDERS)}")
-    cur = words.filter(~F.col("w").rlike("[0-9]"))
-    merges: list[DataFrame] = []
-    for k in range(n_steps):
-        b = _best(_pair_counts(cur))
-        merges.append(b)
-        if k < n_steps - 1:
-            cur = _apply_merge(cur, b, _PLACEHOLDERS[k])
+    Iteration shape: per step, ONE distributed pair-count aggregation
+    (bounded by the symbol alphabet squared) and a TakeOrdered(1)
+    argmax whose single winning row is collected — the rule table thus
+    lives on the driver (as in every production BPE trainer), while
+    the |vocab|-row word state never leaves the cluster.  Stops early
+    if no adjacent pair remains.
 
-    out: DataFrame | None = None
-    for k, b in enumerate(merges):
-        r = b
-        for j in range(k):
-            r = r.crossJoin(
-                F.broadcast(merges[j].select(F.col("pair").alias(f"m{j}")))
-            )
-        r = r.select(
-            F.lit(k + 1).alias("step"),
-            _expand(F.col("pair"), k).alias("merge_pair"),
-            "cnt",
+    Precondition: words match ``^[a-z]+$`` (no placeholder characters);
+    offending rows are filtered out, identically to the oracle's guard.
+    """
+    if not 1 <= n_steps <= MAX_STEPS:
+        raise ValueError(f"n_steps must be in 1..{MAX_STEPS}")
+    spark = words.sparkSession
+    cur = words.filter(F.col("w").rlike("^[a-z]+$")).select("w", "f")
+
+    merges: list[tuple[str, int]] = []
+    for k in range(n_steps):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
         )
-        out = r if out is None else out.unionByName(r)
-    assert out is not None
-    return out
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merges.append((pair, cnt))
+        if k < n_steps - 1:
+            cur = cur.select(
+                F.replace(
+                    F.col("w"), F.lit(pair), F.lit(placeholder(k))
+                ).alias("w"),
+                "f",
+            )
+            if (k + 1) % _CHECKPOINT_EVERY == 0:
+                cur = cur.localCheckpoint(eager=True)
+
+    # expansion back to base characters is pure driver-side string work
+    # over the (≤ n_steps)-row rule table
+    expansions: dict[str, str] = {}
+    rows: list[tuple[int, str, int]] = []
+    for k, (pair, cnt) in enumerate(merges):
+        full = "".join(expansions.get(ch, ch) for ch in pair)
+        expansions[placeholder(k)] = full
+        rows.append((k + 1, full, cnt))
+    return spark.createDataFrame(
+        rows, "step INT, merge_pair STRING, cnt BIGINT"
+    )

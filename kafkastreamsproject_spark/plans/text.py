@@ -812,16 +812,19 @@ def bigram_lm_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_bpe_pairs(words_cte: str, pairs_cte: str) -> str:
     """One BPE pair-count CTE pair: weighted adjacent-symbol-pair counts
-    over a words relation, plus its argmax best-pair row."""
+    over a words relation, plus its argmax best-pair row.  MATERIALIZED
+    so DuckDB evaluates each step once — inlined CTEs would expand the
+    n-step chain into 2^n re-reads of the corpus (each w_k references
+    w_{k-1} twice: via its own replace and via its pair counts)."""
     return f"""
-    {pairs_cte} AS (
+    {pairs_cte} AS MATERIALIZED (
       SELECT pair, SUM(f) AS cnt FROM (
         SELECT unnest(list_transform(range(1, length(w)),
                       i -> substr(w, i, 2))) AS pair, f
         FROM {words_cte} WHERE length(w) >= 2
       ) GROUP BY pair
     ),
-    b_{pairs_cte} AS (
+    b_{pairs_cte} AS MATERIALIZED (
       SELECT pair, cnt FROM (
         SELECT pair, cnt,
                ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rn
@@ -830,65 +833,86 @@ def _sql_bpe_pairs(words_cte: str, pairs_cte: str) -> str:
     )"""
 
 
-@register(
-    "bpe_merge_steps",
-    oracle=f"""
-    WITH w0 AS (
+_BPE_STEPS = 12  # > the old digit-placeholder cap of 10, by design
+
+
+def _bpe_oracle_sql(n_steps: int = _BPE_STEPS) -> str:
+    """Generated n-step BPE oracle: the same CTE chain for any depth —
+    pair counts + argmax per step, the merge applied with the SAME
+    U+0100-based placeholder characters the Spark trainer uses, and
+    per-step expansion CTEs (e_k references e_1..e_{k-1} by name, so
+    the SQL stays O(n²) text instead of exponentially inlined)."""
+    from kafkastreamsproject_spark.functions.bpe import placeholder
+
+    ctes = [
+        f"""w0 AS MATERIALIZED (
       SELECT tok AS w, COUNT(*) AS f FROM (
         SELECT unnest({_SQL_TOKENS}) AS tok FROM documents
       ) WHERE regexp_matches(tok, '^[a-z]+$')
       GROUP BY tok
-    ),
-    {_sql_bpe_pairs("w0", "p1")},
-    w1 AS (SELECT replace(w, (SELECT pair FROM b_p1), '0') AS w, f FROM w0),
-    {_sql_bpe_pairs("w1", "p2")},
-    w2 AS (SELECT replace(w, (SELECT pair FROM b_p2), '1') AS w, f FROM w1),
-    {_sql_bpe_pairs("w2", "p3")}
-    SELECT CAST(1 AS INT) AS step, pair AS merge_pair,
-           CAST(cnt AS BIGINT) AS cnt FROM b_p1
-    UNION ALL
-    SELECT 2, replace(pair, '0', (SELECT pair FROM b_p1)), CAST(cnt AS BIGINT)
-    FROM b_p2
-    UNION ALL
-    SELECT 3,
-           replace(replace(pair, '1',
-                           replace((SELECT pair FROM b_p2), '0',
-                                   (SELECT pair FROM b_p1))),
-                   '0', (SELECT pair FROM b_p1)),
-           CAST(cnt AS BIGINT)
-    FROM b_p3
-    """,
+    )"""
+    ]
+    for k in range(1, n_steps + 1):
+        ctes.append(_sql_bpe_pairs(f"w{k - 1}", f"p{k}").strip())
+        if k < n_steps:
+            ctes.append(
+                f"w{k} AS MATERIALIZED (SELECT replace(w, "
+                f"(SELECT pair FROM b_p{k}), "
+                f"'{placeholder(k - 1)}') AS w, f FROM w{k - 1})"
+            )
+    for k in range(1, n_steps + 1):
+        e = "pair"
+        for j in range(k - 1):
+            e = f"replace({e}, '{placeholder(j)}', (SELECT x FROM e{j + 1}))"
+        ctes.append(f"e{k} AS (SELECT {e} AS x, cnt FROM b_p{k})")
+    selects = [
+        f"SELECT CAST({k} AS INT) AS step, x AS merge_pair, "
+        f"CAST(cnt AS BIGINT) AS cnt FROM e{k}"
+        for k in range(1, n_steps + 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(
+        selects
+    )
+
+
+@register(
+    "bpe_merge_steps",
+    oracle_fn=_bpe_oracle_sql,
     tags=("text", "tokenizer"),
     tier="shadow",
 )
 def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING, first three merge steps (Sennrich et
-    al.): count corpus-frequency-weighted adjacent symbol pairs, merge
-    the most frequent pair into a new symbol, recount, repeat — the
-    inner loop every subword vocabulary is built with
-    (vocab_top_pieces only COUNTS pieces; this learns merges).
+    """BPE tokenizer TRAINING, first 12 merge steps (Sennrich et al.):
+    count corpus-frequency-weighted adjacent symbol pairs, merge the
+    most frequent pair into a new symbol, recount, repeat — the inner
+    loop every subword vocabulary is built with (vocab_top_pieces only
+    COUNTS pieces; this learns merges).
 
-    Merged symbols are single placeholder characters ('0','1','2' —
-    outside the corpus alphabet; the vocab is defensively filtered to
-    ^[a-z]+$ so a fixture drift cannot collide with them), so a symbol
-    sequence stays an ordinary string and pair extraction stays
-    substr(w, i, 2) — no array-of-struct state.  Pair semantics:
-    overlapping occurrences each count ('aaa' contributes two 'aa');
-    the merge application is simultaneous left-to-right non-overlapping
-    replace — identical in both engines, and pinned against an
-    independent Python reference trainer in
-    tests/test_operator_properties.py.  Emitted merges are expanded
-    back to base characters.  Deterministic tie-break (count DESC,
-    pair ASC).
+    Merged symbols are single placeholder characters from U+0100
+    upward (768 available — the r7 verdict's digit-placeholder cap of
+    10 is gone; functions/bpe.py:MAX_STEPS), all outside the corpus
+    alphabet (the vocab is defensively filtered to ^[a-z]+$ so a
+    fixture drift cannot collide with them), so a symbol sequence
+    stays an ordinary string and pair extraction stays substr(w, i, 2)
+    — no array-of-struct state.  Pair semantics: overlapping
+    occurrences each count ('aaa' contributes two 'aa'); the merge
+    application is simultaneous left-to-right non-overlapping replace
+    — identical in both engines, and pinned against an independent
+    Python reference trainer in tests/test_text_functions.py
+    (including past 10 steps and a 120-step run).  Emitted merges are
+    expanded back to base characters.  Deterministic tie-break (count
+    DESC, pair ASC — UTF-8 binary order equals codepoint order in both
+    engines, so the non-ASCII placeholders sort identically).
 
     Scale shape: the working state is the WORD-frequency table (|vocab|
     rows), not the corpus — the one corpus-sized pass is the initial
     word count; each iteration is then a pair explode (≤|word|
-    pairs/word) + one |alphabet+merges|²-bounded aggregation, an
-    argmax over that bounded table, and a 1-row broadcast back into
-    the vocab relation (sanctioned BNLJ).  This is exactly how
-    production BPE trainers scale: corpus → word counts once, then
-    iterate on the counts."""
+    pairs/word) + one |alphabet+merges|²-bounded aggregation and a
+    TakeOrdered(1) argmax whose single row joins the driver-side rule
+    table (the sanctioned bounded collect; production BPE trainers
+    keep exactly this split).  Lineage is localCheckpoint-truncated
+    every few steps so plan depth stays constant however many merges
+    run."""
     from kafkastreamsproject_spark.functions.bpe import learn_bpe
 
     docs = load_table(spark, "documents", sf_dir)
@@ -898,4 +922,4 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    return learn_bpe(w0, n_steps=3)
+    return learn_bpe(w0, n_steps=_BPE_STEPS)
