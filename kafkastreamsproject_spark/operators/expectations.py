@@ -85,8 +85,14 @@ def run_expectations(df: DataFrame, checks: list[Check]) -> DataFrame:
         agg = df.agg(
             *[c.violations.alias(f"v{i}") for i, c in enumerate(row_checks)]
         )
+        # check names derive from COLUMN names — escape SQL string
+        # metachars so a quoted column cannot break or inject into the
+        # stack() expression (ADVICE r7)
+        def q(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
         pairs = ", ".join(
-            f"'{c.name}', '{c.kind}', v{i}" for i, c in enumerate(row_checks)
+            f"{q(c.name)}, {q(c.kind)}, v{i}" for i, c in enumerate(row_checks)
         )
         out = agg.select(
             F.expr(

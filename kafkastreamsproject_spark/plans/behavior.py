@@ -1482,8 +1482,11 @@ _PSI_BINS = 10
     ),
     binned AS (
       SELECT event_type,
+             -- same degenerate-range clamp as the Spark side (ADVICE
+             -- r7): both engines must take the guarded path together
              LEAST(CAST(FLOOR((value - rng.lo)
-                              / ((rng.hi - rng.lo) / {_PSI_BINS})) AS BIGINT),
+                              / (GREATEST(rng.hi - rng.lo, 1e-9)
+                                 / {_PSI_BINS})) AS BIGINT),
                    {_PSI_BINS - 1}) AS bin
       FROM vals CROSS JOIN rng
     ),

@@ -53,7 +53,11 @@ MOCK_BROKER_SCHEMA = (
 
 
 def _scan(path: str) -> dict[int, list[tuple]]:
-    """Full per-partition record lists (ts, key, value), in log order."""
+    """Full per-partition record lists (ts, key, value), in log order.
+
+    Timestamps parse with an EXPLICIT UTC zone (ADVICE r7): epoch
+    seconds must mean the same instant on every machine — the host's
+    local zone never participates."""
     import datetime as dt
 
     logs: dict[int, list[tuple]] = {}
@@ -63,7 +67,9 @@ def _scan(path: str) -> dict[int, list[tuple]]:
             if not line.strip():
                 continue
             rec = json.loads(line)
-            ts = dt.datetime.fromtimestamp(rec.get("ts_epoch", 0.0))
+            ts = dt.datetime.fromtimestamp(
+                rec.get("ts_epoch", 0.0), tz=dt.timezone.utc
+            )
             logs.setdefault(part, []).append(
                 (ts, rec.get("key"), rec["value"])
             )
@@ -157,11 +163,21 @@ def to_mock_topic_sink(
     directory — which `mock_trip_stream`/the raw reader can then
     consume, closing the produce→consume loop locally.
 
-    Epoch-idempotent: segment files are named by (epoch, partition), so
-    a replayed micro-batch overwrites its own segments instead of
-    duplicating records — the same foreachBatch idempotence discipline
-    as the rollup store sink.  Keys hash with the portable md5 device,
-    so partition assignment is deterministic across engines and runs.
+    Epoch-idempotent: segment files are named by (epoch, partition),
+    and every replayed micro-batch (re)writes a segment for EVERY
+    partition 0..n_partitions-1 — empty where it produced no rows — so
+    a replay that happens to hash its rows into fewer partitions than
+    the failed first attempt still truncates the stale partitions'
+    segments instead of leaving their records to duplicate (ADVICE
+    r7).  Same foreachBatch idempotence discipline as the rollup store
+    sink.  Keys hash with the portable md5 device, so partition
+    assignment is deterministic across engines and runs.
+
+    Record timestamps: each record is stamped ``ts_epoch =
+    float(epoch_id)`` — a deterministic, per-batch-monotone stand-in
+    for Kafka's append-time (broker-assigned at produce, identical
+    across machines because it never consults a wall clock or a local
+    zone; readers parse it as UTC).
     """
     from pyspark.sql import functions as F  # noqa: F811
 
@@ -186,10 +202,14 @@ def to_mock_topic_sink(
         by_part: dict[int, list] = {}
         for r in rows:
             by_part.setdefault(int(r["p"]), []).append(
-                {"key": r["key"], "value": r["value"]}
+                {
+                    "key": r["key"],
+                    "value": r["value"],
+                    "ts_epoch": float(epoch_id),
+                }
             )
-        for p, recs in sorted(by_part.items()):
-            append_segment(topic_path, p, int(epoch_id), recs)
+        for p in range(n_partitions):
+            append_segment(topic_path, p, int(epoch_id), by_part.get(p, []))
 
     return (
         df.writeStream.outputMode(output_mode)

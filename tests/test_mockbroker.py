@@ -304,3 +304,180 @@ def test_full_anomaly_topology_over_mock_broker(spark, tmp_path):
     assert got[key]["rentedOverReturned"] == 2
     assert got[key]["returnedOverRented"] == 0
     assert abs(got[key]["nToDocksRatio"] - 0.2) < 1e-9
+
+
+def test_mock_broker_crash_replay_of_committed_range(spark, tmp_path):
+    """The Kafka-shaped failure case: partitions interleave across
+    segments over several micro-batches, then a crash between the
+    offset-log write and the commit (simulated by deleting the batch's
+    commit marker) forces the restarted query to REPLAY exactly the
+    planned range via readBetweenOffsets — not from zero, not nothing.
+    The fresh memory sink makes the replayed content observable: it
+    must hold precisely the replayed batch plus the new backlog, each
+    record once."""
+    log = str(tmp_path / "log")
+    ckpt = tmp_path / "ck_replay"
+    out = str(tmp_path / "out_replay")
+    register_mock_broker(spark)
+
+    def run():
+        raw = (
+            spark.readStream.format("mockbroker").option("path", log).load()
+        )
+        q = (
+            raw.select("partition", "offset", "key")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(
+            (r.partition, r.offset, r.key)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # batch 0: both partitions populated
+    append_segment(log, 0, 0, [_trip(1, 1, 168, 8), _trip(2, 0, 168, 9)])
+    append_segment(log, 1, 0, [_trip(3, 1, 42, 8)])
+    assert run() == [(0, 0, "168"), (0, 1, "168"), (1, 0, "42")]
+
+    # batch 1: interleaved appends — partition 1 then partition 0
+    append_segment(log, 1, 1, [_trip(4, 0, 42, 9), _trip(5, 1, 42, 10)])
+    append_segment(log, 0, 1, [_trip(6, 1, 168, 10)])
+    assert run() == [
+        (0, 0, "168"),
+        (0, 1, "168"),
+        (0, 2, "168"),
+        (1, 0, "42"),
+        (1, 1, "42"),
+        (1, 2, "42"),
+    ]
+
+    # crash between offset write and commit of batch 1: the restarted
+    # query must re-construct batch 1 from the offset log
+    # (readBetweenOffsets) and deliver exactly-once end to end
+    (ckpt / "commits" / "1").unlink()
+    # ...including Hadoop's checksum companion, or the re-commit's
+    # rename fails on the stale crc
+    (ckpt / "commits" / ".1.crc").unlink()
+    append_segment(log, 0, 2, [_trip(7, 0, 168, 11)])
+    # the simple-reader API falls back to single-batch execution, so
+    # the recovery run processes ONLY the replayed batch — and the
+    # replay must introduce no duplicates despite re-reading the range
+    assert run() == [
+        (0, 0, "168"),
+        (0, 1, "168"),
+        (0, 2, "168"),
+        (1, 0, "42"),
+        (1, 1, "42"),
+        (1, 2, "42"),
+    ]
+    # the next run drains the backlog appended before the crash-restart
+    assert run() == [
+        (0, 0, "168"),
+        (0, 1, "168"),
+        (0, 2, "168"),
+        (0, 3, "168"),  # the new backlog, exactly once
+        (1, 0, "42"),
+        (1, 1, "42"),
+        (1, 2, "42"),
+    ]
+
+
+def test_read_between_offsets_multi_segment_interleave(tmp_path):
+    """Unit contract for the range replay itself: with partitions
+    interleaved across several segment files, readBetweenOffsets
+    returns exactly the half-open per-partition ranges — partition
+    cursors never bleed into each other and segment boundaries are
+    invisible."""
+    from kafkastreamsproject_spark.sources.mockbroker import (
+        MockBrokerStreamReader,
+    )
+
+    log = str(tmp_path / "log")
+    append_segment(log, 0, 0, [_trip(1, 1, 168, 8)])
+    append_segment(log, 1, 0, [_trip(2, 1, 42, 8), _trip(3, 0, 42, 9)])
+    append_segment(log, 0, 1, [_trip(4, 0, 168, 9), _trip(5, 1, 168, 10)])
+    append_segment(log, 1, 1, [_trip(6, 1, 42, 10)])
+
+    reader = MockBrokerStreamReader({"path": log})
+    rows = list(
+        reader.readBetweenOffsets({"0": 1, "1": 1}, {"0": 3, "1": 2})
+    )
+    assert [(p, off) for p, off, *_ in rows] == [
+        (0, 1),  # second record of p0, from the second segment
+        (0, 2),
+        (1, 1),  # second record of p1, from the FIRST segment
+    ]
+    # replaying the same range is deterministic (exactly-once relies
+    # on it)
+    assert rows == list(
+        reader.readBetweenOffsets({"0": 1, "1": 1}, {"0": 3, "1": 2})
+    )
+
+
+def test_mock_sink_stamps_deterministic_utc_timestamps(spark, tmp_path):
+    """Produced records carry ts_epoch = epoch_id; consumed back, the
+    timestamp is that exact UTC instant on any host (ADVICE r7 — no
+    local-zone parse, no unstamped epoch-0 default)."""
+    from kafkastreamsproject_spark.sources.mockbroker import (
+        to_mock_topic_sink,
+    )
+
+    in_log = str(tmp_path / "in-topic")
+    out_log = str(tmp_path / "out-topic")
+    append_segment(in_log, 0, 0, [_trip(1, 1, 168, 8), _trip(2, 0, 42, 9)])
+    trips = mock_trip_stream(spark, in_log).select("id", "stationId")
+    q = to_mock_topic_sink(
+        trips,
+        out_log,
+        str(tmp_path / "ck_ts"),
+        key_col="stationId",
+        n_partitions=3,
+        output_mode="append",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # every partition has an epoch-0 segment, even if empty (replay
+    # truncation contract)
+    import pathlib
+
+    names = sorted(p.name for p in pathlib.Path(out_log).glob("p*-*.jsonl"))
+    assert names == ["p0-000000.jsonl", "p1-000000.jsonl", "p2-000000.jsonl"]
+
+    raw = spark.readStream.format("mockbroker").option("path", out_log).load()
+    _drain(raw, "mb_ts", str(tmp_path / "ck_ts_cons"))
+    got = spark.sql(
+        "SELECT DISTINCT unix_timestamp(timestamp) AS s FROM mb_ts"
+    ).collect()
+    assert [r.s for r in got] == [0]  # epoch_id 0, exactly, in UTC
+
+
+def test_mock_sink_replay_truncates_stale_partition_segment(tmp_path):
+    """Writing an epoch's segment again (replay) with fewer records
+    truncates the file — stale first-attempt records cannot survive a
+    replay that hashed rows into fewer partitions."""
+    from kafkastreamsproject_spark.sources.mockbroker import _scan
+
+    log = str(tmp_path / "topic")
+    append_segment(log, 0, 0, [{"key": "a", "value": "v1", "ts_epoch": 0.0}])
+    append_segment(log, 1, 0, [{"key": "b", "value": "v2", "ts_epoch": 0.0}])
+    # replay of epoch 0 routes everything to partition 0
+    append_segment(
+        log,
+        0,
+        0,
+        [
+            {"key": "a", "value": "v1", "ts_epoch": 0.0},
+            {"key": "b", "value": "v2", "ts_epoch": 0.0},
+        ],
+    )
+    append_segment(log, 1, 0, [])
+    logs = _scan(log)
+    assert [v for _, _, v in logs.get(0, [])] == ["v1", "v2"]
+    assert logs.get(1, []) == []

@@ -697,6 +697,24 @@ def test_expectations_count_planted_violations(spark):
     assert all(r["passed"] for r in all_pass)
 
 
+def test_expectations_quote_in_column_name_cannot_inject(spark):
+    """Check names interpolate into a stack() SQL expression; a column
+    name carrying a quote (legal in Spark via backticks) must come out
+    as data, not as a broken/injected fragment (ADVICE r7)."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsproject_spark.operators import expectations as X
+
+    df = spark.createDataFrame([(1,), (None,)], "id int").select(
+        F.col("id").alias("o'brien")
+    )
+    got = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in X.run_expectations(df, [X.not_null("o'brien")]).collect()
+    }
+    assert got["not_null_o'brien"] == (1, False)
+
+
 def test_skyline_operator_exact_and_blockcount_invariant(spark):
     """The two-phase distributed skyline equals the brute-force
     reference and is invariant to the block count (partitioning must
