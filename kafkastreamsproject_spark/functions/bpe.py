@@ -38,7 +38,7 @@ registry query ``bpe_merge_steps`` (plans/text.py) cross-checks a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: first placeholder codepoint — above ASCII, below surrogates, each a
@@ -71,10 +71,15 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def learn_bpe(words: DataFrame, n_steps: int = 3) -> DataFrame:
+def learn_bpe_rules(
+    words: DataFrame, n_steps: int = 3
+) -> list[tuple[str, str, str, int]]:
     """Learn the first ``n_steps`` BPE merges from a ``(w, f)``
-    word-frequency relation; returns ``(step, merge_pair, cnt)`` with
-    merges expanded back to base characters.
+    word-frequency relation; returns the driver-side rule table as
+    ``(raw_pair, placeholder, expanded, cnt)`` in merge order —
+    ``raw_pair`` is the 2-symbol string in the working alphabet (may
+    contain earlier placeholders), ``expanded`` its base-character
+    expansion.
 
     Iteration shape: per step, ONE distributed pair-count aggregation
     (bounded by the symbol alphabet squared) and a TakeOrdered(1)
@@ -88,7 +93,6 @@ def learn_bpe(words: DataFrame, n_steps: int = 3) -> DataFrame:
     """
     if not 1 <= n_steps <= MAX_STEPS:
         raise ValueError(f"n_steps must be in 1..{MAX_STEPS}")
-    spark = words.sparkSession
     cur = words.filter(F.col("w").rlike("^[a-z]+$")).select("w", "f")
 
     merges: list[tuple[str, int]] = []
@@ -116,11 +120,33 @@ def learn_bpe(words: DataFrame, n_steps: int = 3) -> DataFrame:
     # expansion back to base characters is pure driver-side string work
     # over the (≤ n_steps)-row rule table
     expansions: dict[str, str] = {}
-    rows: list[tuple[int, str, int]] = []
+    rules: list[tuple[str, str, str, int]] = []
     for k, (pair, cnt) in enumerate(merges):
         full = "".join(expansions.get(ch, ch) for ch in pair)
         expansions[placeholder(k)] = full
-        rows.append((k + 1, full, cnt))
-    return spark.createDataFrame(
-        rows, "step INT, merge_pair STRING, cnt BIGINT"
+        rules.append((pair, placeholder(k), full, cnt))
+    return rules
+
+
+def learn_bpe(words: DataFrame, n_steps: int = 3) -> DataFrame:
+    """Learn merges (see :func:`learn_bpe_rules`) and return them as a
+    ``(step, merge_pair, cnt)`` DataFrame with merges expanded back to
+    base characters."""
+    rules = learn_bpe_rules(words, n_steps)
+    return words.sparkSession.createDataFrame(
+        [(k + 1, full, cnt) for k, (_, _, full, cnt) in enumerate(rules)],
+        "step INT, merge_pair STRING, cnt BIGINT",
     )
+
+
+def apply_merges(col: Column, rules: list[tuple[str, str, str, int]]) -> Column:
+    """BPE ENCODE a working-alphabet word column: apply every learned
+    merge in priority order (the standard BPE encode loop — each rule
+    is a simultaneous left-to-right non-overlapping replace, exactly
+    the semantics the rules were learned under).  The result's
+    LENGTH is the word's subword-token count, since every symbol is
+    one character by construction."""
+    out = col
+    for pair, ph, _, _ in rules:
+        out = F.replace(out, F.lit(pair), F.lit(ph))
+    return out

@@ -1540,6 +1540,137 @@ def stride_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_SPAN = 30   # planted shared-span length (tokens), > _CHUNK_W
+_RECALL_SHIFTS = 20  # planted alignments j = doc_id % 20: two stride periods
+
+
+def _recall_windows_sql(arr: str, stride: int) -> str:
+    return (
+        f"list_transform(range(1, len({arr}) - {_CHUNK_W} + 2, {stride}), "
+        f"i -> md5(array_to_string(({arr})[i:i+{_CHUNK_W - 1}], ' ')))"
+    )
+
+
+_SQL_RECALL_B = (
+    f"list_concat("
+    f"list_transform(range(1, doc_id % {_RECALL_SHIFTS} + 1), "
+    f"i -> concat('zz', doc_id, 'x', i)), "
+    f"({_SQL_TOKS2})[1:{_RECALL_SPAN}])"
+)
+
+
+def _recall_leg_sql(stride: int) -> str:
+    return f"""
+      SELECT {stride} AS stride,
+             CAST(doc_id % {_RECALL_SHIFTS} AS BIGINT) % {stride} AS align,
+             CASE WHEN len(list_intersect(
+                    {_recall_windows_sql(_SQL_TOKS2, stride)},
+                    {_recall_windows_sql("b", stride)})) > 0
+                  THEN 1 ELSE 0 END AS det
+      FROM (
+        SELECT doc_id, text, {_SQL_RECALL_B} AS b FROM documents
+        WHERE len({_SQL_TOKS2}) >= {_RECALL_SPAN}
+      )"""
+
+
+@register(
+    "stride_dedup_recall",
+    oracle=f"""
+    WITH legs AS (
+      {_recall_leg_sql(_CHUNK_STRIDE)}
+      UNION ALL
+      {_recall_leg_sql(_CHUNK_STRIDE // 2)}
+    )
+    SELECT CAST(stride AS INT) AS stride,
+           CAST(align AS INT) AS align,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(det) AS BIGINT) AS n_detected,
+           ROUND(SUM(det) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+    FROM legs GROUP BY stride, align
+    """,
+    tags=("dedup", "text", "diagnostic"),
+    tier="shadow",
+)
+def stride_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED miss-rate of stride-window dedup (r7 verdict: 'a recall
+    number in a shadow query, not a prose claim').  For every document
+    with ≥ 30 tokens, plant an offender: a twin whose text is j unique
+    junk tokens (j = doc_id mod 20) followed by a copy of the
+    document's first 30 tokens — a known shared substring at a KNOWN
+    relative alignment j.  A pair is detected iff the original's and
+    the twin's stride-window hash sets intersect (exactly the
+    stride_chunk_dedup_stats device, made row-local by
+    arrays_overlap — the planted pair shares a doc row, so no join or
+    shuffle is needed at all).
+
+    The readout groups by (stride, j mod stride): the pigeonhole
+    prediction is recall 1.0 exactly when the alignment is congruent
+    (j ≡ 0 mod stride) and ~0 otherwise, and running BOTH stride 10
+    and stride 5 in one query shows the documented mitigation — a
+    halved stride halves the missed alignment classes (at 2× explode
+    cost).  Accidental repeats in the corpus can only raise recall
+    above the prediction (they are true shared substrings), so the
+    number is a faithful lower-bound measurement, cross-checked
+    bit-for-bit by the oracle.
+
+    Scale shape: everything is per-row higher-order array math (build
+    twin, hash windows, intersect) followed by one ≤|strides|×|shifts|-
+    group aggregation — the corpus is scanned once, nothing wider than
+    15 rows ever shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens(F.col("text"))
+    j = F.col("doc_id") % _RECALL_SHIFTS
+    junk = F.slice(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_RECALL_SHIFTS - 1)),
+            lambda i: F.concat(
+                F.lit("zz"),
+                F.col("doc_id").cast("string"),
+                F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+        F.lit(1),
+        j.cast("int"),
+    )
+    base = docs.filter(F.size(toks) >= _RECALL_SPAN).select(
+        "doc_id",
+        toks.alias("t"),
+        F.concat(junk, F.slice(toks, 1, _RECALL_SPAN)).alias("b"),
+    )
+
+    def windows(arr, stride: int):
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.size(arr) - (_CHUNK_W - 1), F.lit(stride)
+            ),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, _CHUNK_W))),
+        )
+
+    legs = None
+    for stride in (_CHUNK_STRIDE, _CHUNK_STRIDE // 2):
+        leg = base.select(
+            F.lit(stride).alias("stride"),
+            (j % stride).cast("int").alias("align"),
+            F.arrays_overlap(
+                windows(F.col("t"), stride), windows(F.col("b"), stride)
+            )
+            .cast("long")
+            .alias("det"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return (
+        legs.groupBy(F.col("stride").cast("int").alias("stride"), "align")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("det").alias("n_detected"),
+            F.round(
+                F.sum("det") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 _CDC_P = 4  # mod-p hash selection: ~1/P of all windows survive
 
 # EVERY-offset windows, then content-defined selection: keep a window

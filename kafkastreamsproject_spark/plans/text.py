@@ -923,3 +923,188 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("f"))
     )
     return learn_bpe(w0, n_steps=_BPE_STEPS)
+
+
+def _sql_ngram_leg(k: int, label: str) -> str:
+    grams = (
+        f"list_transform(range(1, len({_SQL_TOKENS}) - {k} + 2), "
+        f"i -> md5(array_to_string(({_SQL_TOKENS})[i:i+{k - 1}], ' ')))"
+    )
+    return f"""
+    {label}_cnt AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest({grams}) AS g
+        FROM documents WHERE len({_SQL_TOKENS}) >= 3
+      ) GROUP BY doc_id, g
+    ),
+    {label}_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_{label}s,
+             ROUND((SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6)
+               AS dup_{label}_frac,
+             ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6)
+               AS top_{label}_share
+      FROM {label}_cnt GROUP BY doc_id
+    )"""
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH {_sql_ngram_leg(2, "bigram").strip()},
+    {_sql_ngram_leg(3, "trigram").strip()}
+    SELECT b.doc_id, b.n_bigrams, b.dup_bigram_frac, b.top_bigram_share,
+           t.n_trigrams, t.dup_trigram_frac, t.top_trigram_share
+    FROM bigram_doc b JOIN trigram_doc t ON t.doc_id = b.doc_id
+    """,
+    tags=("text", "quality"),
+    tier="shadow",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals — the Gopher/MassiveText
+    quality-filter family (Rae et al. 2021, "Scaling Language Models:
+    ... Gopher", §A1.1: duplicate n-gram fractions and top-n-gram
+    share): a document whose 2/3-grams are mostly repeats of
+    themselves is boilerplate or a generation loop and gets filtered
+    before training.  Per document and per n ∈ {{2, 3}}: total n-grams,
+    the DUPLICATE fraction 1 − distinct/total, and the share of the
+    single most frequent n-gram.
+
+    Spark-first shape: n-grams are higher-order array math on the
+    un-exploded row, hashed to 16-byte md5 before the explode so the
+    only shuffled payload is (doc_id, hash) — text never shuffles; a
+    (doc_id, gram)-grouped count then one per-doc aggregate.  Both
+    ratios divide organic integer counts once, rounded at 6 dp —
+    cross-engine safe.  Scale: work ∝ corpus token count, state ∝
+    per-doc distinct n-grams, exactly the chunk-dedup cost envelope."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens(F.col("text"))
+    base = docs.filter(F.size(toks) >= 3).select("doc_id", toks.alias("t"))
+
+    def leg(k: int, label: str) -> DataFrame:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("t") - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
+        )
+        cnt = (
+            base.select("doc_id", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        tot = F.sum("c")
+        return cnt.groupBy("doc_id").agg(
+            tot.alias(f"n_{label}s"),
+            F.round(
+                (tot - F.count(F.lit(1))) / tot.cast("double"), 6
+            ).alias(f"dup_{label}_frac"),
+            F.round(F.max("c") / tot.cast("double"), 6).alias(
+                f"top_{label}_share"
+            ),
+        )
+
+    return leg(2, "bigram").join(leg(3, "trigram"), "doc_id")
+
+
+def _bpe_encode_oracle_sql(n_steps: int = _BPE_STEPS) -> str:
+    """Generated encode oracle: reuse the n-step learning chain, then a
+    second MATERIALIZED chain applies ALL n merges to the distinct-word
+    table while keeping the original word as the join key."""
+    from kafkastreamsproject_spark.functions.bpe import placeholder
+
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+      SELECT tok AS w, COUNT(*) AS f FROM (
+        SELECT unnest({_SQL_TOKENS}) AS tok FROM documents
+      ) WHERE regexp_matches(tok, '^[a-z]+$')
+      GROUP BY tok
+    )"""
+    ]
+    for k in range(1, n_steps + 1):
+        ctes.append(_sql_bpe_pairs(f"w{k - 1}", f"p{k}").strip())
+        if k < n_steps:
+            ctes.append(
+                f"w{k} AS MATERIALIZED (SELECT replace(w, "
+                f"(SELECT pair FROM b_p{k}), "
+                f"'{placeholder(k - 1)}') AS w, f FROM w{k - 1})"
+            )
+    ctes.append("v0 AS (SELECT w AS orig, w AS cur FROM w0)")
+    for k in range(1, n_steps + 1):
+        ctes.append(
+            f"v{k} AS MATERIALIZED (SELECT orig, replace(cur, "
+            f"(SELECT pair FROM b_p{k}), '{placeholder(k - 1)}') AS cur "
+            f"FROM v{k - 1})"
+        )
+    ctes.append(
+        f"venc AS (SELECT orig, length(cur) AS n_sym FROM v{n_steps})"
+    )
+    ctes.append(
+        f"""docw AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+      ) WHERE regexp_matches(tok, '^[a-z]+$')
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(d.tok)) AS BIGINT) AS n_chars,
+           CAST(SUM(v.n_sym) AS BIGINT) AS n_subwords,
+           ROUND(SUM(length(d.tok)) / CAST(SUM(v.n_sym) AS DOUBLE), 6)
+             AS compression
+    FROM docw d JOIN venc v ON d.tok = v.orig
+    GROUP BY d.doc_id"""
+    )
+
+
+@register(
+    "bpe_encode_tokens",
+    oracle_fn=_bpe_encode_oracle_sql,
+    tags=("text", "tokenizer"),
+    tier="shadow",
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode the corpus with the 12 learned
+    BPE merges and report each document's subword-token count and
+    chars-per-token compression — the number a packing/cost planner
+    actually needs (n_bpe_tokens estimates by regex; this COUNTS under
+    the learned vocabulary, the bpe_merge_steps trainer's output put
+    to work).  Encoding applies the merge rules in learned priority
+    order — the standard BPE encode loop — and because every symbol is
+    one character, a word's token count is just the encoded string's
+    length.
+
+    Scale shape: the ENCODER runs once over the |vocab|-row distinct-
+    word table (n sequential replaces, JVM codegen), which then
+    broadcast-joins the (doc_id, word) token stream — the corpus is
+    never re-scanned per merge step and text bodies never shuffle.
+    Chars/subwords are organic integer sums; the one ratio divides
+    them once at 6 dp."""
+    from kafkastreamsproject_spark.functions.bpe import (
+        apply_merges,
+        learn_bpe_rules,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    stream = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    w0 = stream.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    rules = learn_bpe_rules(w0, n_steps=_BPE_STEPS)
+    vocab = w0.select(
+        "w", F.length(apply_merges(F.col("w"), rules)).alias("n_sym")
+    )
+    return (
+        stream.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_sym").alias("n_subwords"),
+            F.round(
+                F.sum(F.length("w")) / F.sum("n_sym").cast("double"), 6
+            ).alias("compression"),
+        )
+    )

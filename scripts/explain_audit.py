@@ -79,6 +79,9 @@ SANCTIONED_BNLJ = {
     "order_dow_seasonality",
     # 1-row session-count aggregate broadcast next to the 1-row peak
     "peak_concurrency",
+    # 1-row (lo, hi) range broadcast feeding bucketed_rank's bucket
+    # assignment (operators/prefixscan.py) — same 1-row-stat shape
+    "gini_revenue_concentration",
     # 1-row unigram/bigram grand totals broadcast into the PMI scan
     "pmi_collocations",
     # 1-row corpus-token-total broadcast into the surprisal scoring scan
@@ -153,6 +156,11 @@ def main() -> None:
     rows, shadow_rows, problems = [], [], []
     from kafkastreamsproject_spark.plans.registry import shadow_queries
 
+    from kafkastreamsproject_spark.testing.planaudit import (
+        ALLOWED_UNBOUNDED_GLOBAL_WINDOW,
+        global_window_findings,
+    )
+
     tiers = [(all_queries(), rows), (shadow_queries(), shadow_rows)]
     for specs, bucket in tiers:
         for name, spec in specs.items():
@@ -166,6 +174,14 @@ def main() -> None:
                 problems.append(f"{name}: CartesianProduct")
             if r["BroadcastNestedLoopJoin"] and name not in SANCTIONED_BNLJ:
                 problems.append(f"{name}: unsanctioned BroadcastNestedLoopJoin")
+            unbounded = [
+                f for f in global_window_findings(df) if f == "unbounded"
+            ]
+            if unbounded and name not in ALLOWED_UNBOUNDED_GLOBAL_WINDOW:
+                problems.append(
+                    f"{name}: {len(unbounded)} unallowlisted unpartitioned "
+                    "Window(s) over an unbounded input"
+                )
 
     lines = [
         "# PLANS — physical-plan inventory (generated by scripts/explain_audit.py)",
@@ -226,9 +242,13 @@ def main() -> None:
         lines += ["## PROBLEMS", ""] + [f"- {p}" for p in problems] + [""]
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(lines))
-    print(f"wrote {out} ({len(rows)} queries)")
+    print(f"wrote {out} ({len(rows)} primary + {len(shadow_rows)} shadow rows)")
     for p in problems:
         print("PROBLEM:", p)
+    if problems:
+        # the audit is a gate, not a report: a plan regression (or a
+        # stale allowlist) must fail the run, not hide in a table diff
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -122,6 +122,38 @@ def test_building_queries_leaves_session_conf_unchanged(spark, sf_dir):
         assert after == before, f"{name} mutated session conf: {after} != {before}"
 
 
+def test_plans_md_matches_registry():
+    """PLANS.md is a committed plan inventory; if the registry gains or
+    loses a query without a scripts/explain_audit.py regeneration the
+    audit is stale and plan regressions can hide (r7 verdict: the
+    125th shadow row was missing).  Compare exact name sets per tier."""
+    from pathlib import Path
+
+    from kafkastreamsproject_spark.plans.registry import shadow_queries
+
+    text = (
+        Path(__file__).resolve().parent.parent / "PLANS.md"
+    ).read_text()
+    primary_sec, shadow_sec = text.split("## Shadow tier")
+
+    def names(section: str) -> set:
+        return {
+            ln.split("|")[1].strip()
+            for ln in section.splitlines()
+            if ln.startswith("| ")
+            and not ln.startswith(("| query", "|---"))
+        }
+
+    want_primary = set(_SPECS) - {"streaming_daily_agg"}
+    want_shadow = set(shadow_queries())
+    assert names(primary_sec) == want_primary, (
+        "PLANS.md primary table out of sync — rerun scripts/explain_audit.py"
+    )
+    assert names(shadow_sec) == want_shadow, (
+        "PLANS.md shadow table out of sync — rerun scripts/explain_audit.py"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(_SPECS))
 def test_no_unpartitioned_window_over_growing_input(spark, sf_dir, name):
     """Plan-hygiene gate (r7 verdict): an empty-PARTITION-BY Window
