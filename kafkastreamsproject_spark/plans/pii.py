@@ -290,3 +290,60 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") >= _K_ANON).alias("is_k_anonymous"),
         )
     )
+
+
+_L_DIV = 3
+_BAL_BAND = 1000  # sensitive attribute: account-balance band width
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    SELECT c_mktsegment AS segment,
+           CAST(c_nationkey AS INT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / {_BAL_BAND})
+                                    AS BIGINT)) AS BIGINT)
+             AS n_sensitive_values,
+           COUNT(DISTINCT CAST(FLOOR(c_acctbal / {_BAL_BAND}) AS BIGINT))
+             >= {_L_DIV} AS is_l_diverse
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    tags=("pii", "privacy"),
+    tier="shadow",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    k-anonymity companion that catches the HOMOGENEITY attack
+    k-anonymity misses: a quasi-identifier class can be large yet leak
+    the sensitive attribute if every member shares one value.  Per
+    (market segment, nation) equivalence class: size, the number of
+    DISTINCT sensitive values (account balance banded to $1000 — the
+    banding is itself the generalization a release would apply), and
+    whether the class meets distinct-l-diversity with l=3.
+
+    One partial+final aggregate with a COUNT(DISTINCT band) —
+    Spark plans the two-phase distinct-aggregate expansion; everything
+    is integer arithmetic (band = FLOOR of an exact decimal / 1000),
+    so the flag is FP-free on both engines.  Output stays
+    |segments|×|nations| rows at any scale."""
+    cust = load_table(spark, "customer", sf_dir)
+    band = F.floor(F.col("c_acctbal") / _BAL_BAND).cast("long")
+    return (
+        cust.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct(band).alias("n_sensitive_values"),
+        )
+        .select(
+            "segment",
+            "nationkey",
+            "group_size",
+            "n_sensitive_values",
+            (F.col("n_sensitive_values") >= _L_DIV).alias("is_l_diverse"),
+        )
+    )

@@ -2400,3 +2400,98 @@ def order_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+_SQL_CDC_SEL = "h -> ('0x' || substr(h, 1, 8))::BIGINT % 4 = 0"
+
+
+@register(
+    "cdc_dedup_recall",
+    oracle=f"""
+    SELECT CAST(doc_id % {_RECALL_SHIFTS} AS BIGINT) % {_CHUNK_STRIDE}
+             AS align,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(det) AS BIGINT) AS n_detected,
+           ROUND(SUM(det) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(list_intersect(
+                    list_filter({_recall_windows_sql(_SQL_TOKS2, 1)},
+                                {_SQL_CDC_SEL}),
+                    list_filter({_recall_windows_sql("b", 1)},
+                                {_SQL_CDC_SEL}))) > 0
+                  THEN 1 ELSE 0 END AS det
+      FROM (
+        SELECT doc_id, text, {_SQL_RECALL_B} AS b FROM documents
+        WHERE len({_SQL_TOKS2}) >= {_RECALL_SPAN}
+      )
+    ) GROUP BY align
+    """,
+    tags=("dedup", "text", "diagnostic"),
+    tier="shadow",
+)
+def cdc_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking recall on the SAME planted offenders as
+    ``stride_dedup_recall`` — the measurement that justifies
+    ``cdc_chunk_dedup_stats``' alignment-robustness claim instead of
+    asserting it in prose.  Every window of every offset is hashed and
+    the mod-4 winnowing selector keeps ~1/4 of them; because selection
+    depends only on window CONTENT, the planted 30-token span selects
+    the same windows in the original and in its junk-shifted twin at
+    ANY alignment, so the per-alignment recall profile is FLAT at
+    1 − (3/4)^11 ≈ 0.96 — against the stride grid's 1.0-iff-congruent
+    staircase from ``stride_dedup_recall``.  The two readouts together
+    are the measured trade: the grid explodes W/stride windows per
+    doc but misses non-congruent repeats; CDC explodes every window
+    (filtering in the same codegen pass) and catches them all,
+    alignment-free.
+
+    Scale shape: identical to stride_dedup_recall — row-local array
+    math (build twin, hash, filter by selector, intersect), one
+    ≤10-group aggregate, nothing but the final 10 rows shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens(F.col("text"))
+    j = F.col("doc_id") % _RECALL_SHIFTS
+    junk = F.slice(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_RECALL_SHIFTS - 1)),
+            lambda i: F.concat(
+                F.lit("zz"),
+                F.col("doc_id").cast("string"),
+                F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+        F.lit(1),
+        j.cast("int"),
+    )
+    base = docs.filter(F.size(toks) >= _RECALL_SPAN).select(
+        "doc_id",
+        toks.alias("t"),
+        F.concat(junk, F.slice(toks, 1, _RECALL_SPAN)).alias("b"),
+        (j % _CHUNK_STRIDE).alias("align"),
+    )
+
+    def selected(arr):
+        windows = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (_CHUNK_W - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, _CHUNK_W))),
+        )
+        return F.filter(
+            windows,
+            lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 4
+            == 0,
+        )
+
+    det = F.arrays_overlap(selected(F.col("t")), selected(F.col("b")))
+    return (
+        base.select("align", det.cast("long").alias("det"))
+        .groupBy("align")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("det").alias("n_detected"),
+            F.round(
+                F.sum("det") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("recall"),
+        )
+    )

@@ -160,3 +160,34 @@ def test_learn_bpe_stops_when_no_pairs_remain(spark):
     )
     # after merging 'ab' and 'cd' every word is a single symbol
     assert got == [(1, "ab", 3), (2, "cd", 1)]
+
+
+def test_bpe_encode_roundtrip_and_token_counts(spark):
+    """apply_merges is a faithful BPE encoder: expanding every
+    placeholder in the encoded string recovers the original word
+    (lossless), and the encoded length (= subword count) matches an
+    independent Python encode applying the same rules in order."""
+    from kafkastreamsproject_spark.functions.bpe import (
+        apply_merges,
+        learn_bpe_rules,
+    )
+
+    words = {"low": 5, "lower": 2, "lowest": 6, "newer": 3, "wider": 1,
+             "banana": 4, "bandana": 2, "nab": 5}
+    df = spark.createDataFrame(list(words.items()), ["w", "f"])
+    rules = learn_bpe_rules(df, n_steps=8)
+    got = {
+        r["w"]: r["enc"]
+        for r in df.select(
+            "w", apply_merges(F.col("w"), rules).alias("enc")
+        ).collect()
+    }
+    expansions = {ph: full for _, ph, full, _ in rules}
+    for w in words:
+        enc = w
+        for pair, ph, _, _ in rules:  # independent Python encode
+            enc = enc.replace(pair, ph)
+        assert got[w] == enc, w
+        # losslessness: every symbol expands back to the original word
+        assert "".join(expansions.get(ch, ch) for ch in got[w]) == w
+        assert len(got[w]) <= len(w)
