@@ -1626,3 +1626,94 @@ def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("trigram", "n_occurrences", "rnk")
     )
+
+
+_ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day lookback, microseconds
+
+
+@register(
+    "purchase_attribution",
+    oracle=f"""
+    SELECT event_id AS purchase_id,
+           user_id,
+           purchase_us,
+           first_touch_us,
+           last_touch_us,
+           n_touches,
+           CAST((purchase_us - last_touch_us) // 1000000 AS BIGINT)
+             AS last_touch_lag_s
+    FROM (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) OVER w
+               AS first_touch_us,
+             MAX(CASE WHEN event_type = 'view'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) OVER w
+               AS last_touch_us,
+             CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER w
+                  AS BIGINT) AS n_touches
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                   RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                             AND 1 PRECEDING)
+    ) WHERE event_type = 'purchase' AND n_touches > 0
+    """,
+    tags=("behavior", "attribution"),
+    tier="shadow",
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style touch attribution: for every purchase, the
+    FIRST- and LAST-touch view inside a 7-day lookback window and the
+    touch count — the first-/last-click attribution primitive every
+    conversion report is built from (purchases with zero prior views
+    are unattributable and excluded).
+
+    One RANGE-framed window per user over event-time microseconds —
+    the frame ends at 1 PRECEDING so a view at the purchase's exact
+    timestamp never attributes to itself; conditional aggregates
+    (CASE inside MIN/MAX/COUNT) pick out views without a second scan
+    or a self-join.  Epoch-microsecond outputs keep the compare
+    integer-exact; the lag is integer division.
+
+    Scale shape: one shuffle on user_id serves the single window pass
+    — per-user state is the 7-day frame, never the history; the
+    classic alternative (events self-joined to events on a time-range
+    predicate) is quadratic per hot user and never appears in the
+    plan."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-_ATTR_WINDOW_US, -1)
+    )
+    is_view = F.col("event_type") == "view"
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("purchase_us"),
+        F.min(F.when(is_view, us)).over(w).alias("first_touch_us"),
+        F.max(F.when(is_view, us)).over(w).alias("last_touch_us"),
+        F.count(F.when(is_view, 1)).over(w).alias("n_touches"),
+    )
+    return (
+        enriched.filter(
+            (F.col("event_type") == "purchase") & (F.col("n_touches") > 0)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "purchase_us",
+            "first_touch_us",
+            "last_touch_us",
+            "n_touches",
+            F.floor(
+                (F.col("purchase_us") - F.col("last_touch_us")) / 1_000_000
+            ).alias("last_touch_lag_s"),
+        )
+    )

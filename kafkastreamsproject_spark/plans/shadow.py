@@ -2495,3 +2495,117 @@ def cdc_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def _recall_windows_from_sql(arr: str, start: int, stride: int) -> str:
+    return (
+        f"list_transform(range({start}, len({arr}) - {_CHUNK_W} + 2, "
+        f"{stride}), "
+        f"i -> md5(array_to_string(({arr})[i:i+{_CHUNK_W - 1}], ' ')))"
+    )
+
+
+@register(
+    "stride_refine_recall",
+    oracle=f"""
+    SELECT CAST(doc_id % {_RECALL_SHIFTS} AS BIGINT) % {_CHUNK_STRIDE}
+             AS align,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(det1) AS BIGINT) AS pass1_detected,
+           CAST(SUM(det2) AS BIGINT) AS pass2_detected,
+           ROUND((SUM(det1) + SUM(det2)) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS combined_recall
+    FROM (
+      SELECT doc_id,
+             det1,
+             CASE WHEN det1 = 0 AND len(list_intersect(
+                    {_recall_windows_from_sql(_SQL_TOKS2, 1, _CHUNK_STRIDE)},
+                    {_recall_windows_from_sql("b", 1 + _CHUNK_STRIDE // 2, _CHUNK_STRIDE)})) > 0
+                  THEN 1 ELSE 0 END AS det2
+      FROM (
+        SELECT doc_id, text, b,
+               CASE WHEN len(list_intersect(
+                      {_recall_windows_from_sql(_SQL_TOKS2, 1, _CHUNK_STRIDE)},
+                      {_recall_windows_from_sql("b", 1, _CHUNK_STRIDE)})) > 0
+                    THEN 1 ELSE 0 END AS det1
+        FROM (
+          SELECT doc_id, text, {_SQL_RECALL_B} AS b FROM documents
+          WHERE len({_SQL_TOKS2}) >= {_RECALL_SPAN}
+        )
+      )
+    ) GROUP BY align
+    """,
+    tags=("dedup", "text", "diagnostic"),
+    tier="shadow",
+)
+def stride_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PASS stride refinement (the r7 verdict's alternative to the
+    recall readout — here both exist): pass 1 probes the standard
+    stride-10 grids against each other; only pass-1 MISSES are
+    re-windowed at a half-stride offset (starts at 6, 16, … — the
+    suspect side only, against the unchanged store grid), which
+    catches exactly the alignment classes congruent to stride/2.
+    Combined recall on the planted offenders is the stride-5 staircase
+    (1.0 iff j ≡ 0 mod 5) while the second explode runs ONLY on
+    pass-1 survivors — at fixture alignment mix, ~90% of pairs —
+    and in a production store probe only on docs already flagged
+    suspicious by cheaper signals, which is the point of refinement
+    over simply halving the stride corpus-wide.
+
+    Row-local like its siblings: both passes are array intersects on
+    the un-exploded row; the conditional pass-2 evaluation IS the cost
+    model (det1 short-circuits it).  One ≤10-group aggregate ends the
+    plan."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens(F.col("text"))
+    j = F.col("doc_id") % _RECALL_SHIFTS
+    junk = F.slice(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_RECALL_SHIFTS - 1)),
+            lambda i: F.concat(
+                F.lit("zz"),
+                F.col("doc_id").cast("string"),
+                F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+        F.lit(1),
+        j.cast("int"),
+    )
+    base = docs.filter(F.size(toks) >= _RECALL_SPAN).select(
+        "doc_id",
+        toks.alias("t"),
+        F.concat(junk, F.slice(toks, 1, _RECALL_SPAN)).alias("b"),
+        (j % _CHUNK_STRIDE).alias("align"),
+    )
+
+    def windows(arr, start: int):
+        return F.transform(
+            F.sequence(
+                F.lit(start), F.size(arr) - (_CHUNK_W - 1), F.lit(_CHUNK_STRIDE)
+            ),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, _CHUNK_W))),
+        )
+
+    grid_t = windows(F.col("t"), 1)
+    det1 = F.arrays_overlap(grid_t, windows(F.col("b"), 1)).cast("long")
+    det2 = F.when(
+        det1 == 0,
+        F.arrays_overlap(
+            grid_t, windows(F.col("b"), 1 + _CHUNK_STRIDE // 2)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        base.select("align", det1.alias("det1"), det2.alias("det2"))
+        .groupBy("align")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("det1").alias("pass1_detected"),
+            F.sum("det2").alias("pass2_detected"),
+            F.round(
+                (F.sum("det1") + F.sum("det2"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("combined_recall"),
+        )
+    )
