@@ -9,8 +9,15 @@ the running aggregate within each bucket in parallel, aggregate one
 row per bucket, run the tiny cross-bucket scan on those, and combine.
 Only |buckets| rows ever sit in one task.
 
-Used by the skyline query (plans/relational.py:skyline_price_quantity);
-any monotone running aggregate (max/min/sum) decomposes the same way.
+The device family: :func:`bucketed_prefix_max` (exclusive running max —
+drives the 2-D skyline), :func:`bucketed_rank` (global ROW_NUMBER —
+drives the Gini rank identity and, with :func:`ntile_from_rank`, exact
+NTILE quantile grids), and :func:`bucketed_running_sum` (inclusive
+running sum with caller-chosen monotone buckets — drives the sweep-line
+family).  Each is pinned exactly equal to its single-window formulation
+in tests/test_scale_ops.py, and the plan-hygiene gate
+(testing/planaudit.py) recognizes the cross-bucket scans by their
+``__``-prefixed bucket columns — keep that naming in new variants.
 """
 
 from __future__ import annotations

@@ -13,6 +13,10 @@ docs):
 3b. top-p quality gate  optional per-source keep-best-p     (plans/llmdata.py's
                         fraction by rounded score            quality_filter_top_p
                                                              device)
+3c. repetition gate     optional duplicate-trigram-         (plans/text.py's
+                        fraction cap: the Gopher              doc_repetition_stats
+                        boilerplate/loop filter,              signal, row-local)
+                        zero-shuffle
 4. language filter     keep an allow-list of n-gram       (functions/text.py)
                        lang-ID predictions
 4b. surprisal gate      optional perplexity-proxy cap:      (plans/llmdata.py's
@@ -64,6 +68,7 @@ class CurationStats:
     after_neardup_dedup: int
     after_quality: int
     after_quality_top_p: int
+    after_repetition: int
     after_lang: int
     after_surprisal: int
     after_decontamination: int
@@ -76,6 +81,7 @@ def curate_corpus(
     *,
     quality_min: float = 0.5,
     quality_top_p: float | None = None,
+    repetition_max: float | None = None,
     langs: tuple[str, ...] | None = None,
     surprisal_max: float | None = None,
     holdout: DataFrame | None = None,
@@ -164,6 +170,33 @@ def curate_corpus(
             )
         n_top_p = quality.count() if quality_top_p is not None else n_quality
 
+        # 3c. optional repetition gate: drop docs whose duplicate-
+        # trigram fraction exceeds the cap — the Gopher/MassiveText
+        # repetition filter (the boilerplate/generation-loop signal
+        # plans/text.py:doc_repetition_stats measures).  Entirely
+        # row-local: the trigram array, its distinct, and the ratio
+        # never leave the row, so the gate is one scan with zero
+        # shuffle.
+        if repetition_max is not None:
+            if not 0.0 <= repetition_max < 1.0:
+                raise ValueError(
+                    f"repetition_max must be in [0, 1), got {repetition_max}"
+                )
+            toks = TX.tokens(F.col("text"))
+            tris = F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+            )
+            dup_frac = (
+                F.size(tris) - F.size(F.array_distinct(tris))
+            ) / F.size(tris).cast("double")
+            quality = quality.filter(
+                (F.size(toks) < 3) | (dup_frac <= repetition_max)
+            )
+        n_repetition = (
+            quality.count() if repetition_max is not None else n_top_p
+        )
+
         if langs is not None:
             quality = quality.filter(TX.lang_id(F.col("text")).isin(*langs))
         n_lang = quality.count()
@@ -250,6 +283,7 @@ def curate_corpus(
         after_neardup_dedup=n_neardup,
         after_quality=n_quality,
         after_quality_top_p=n_top_p,
+        after_repetition=n_repetition,
         after_lang=n_lang,
         after_surprisal=n_surprisal,
         after_decontamination=n_clean,

@@ -294,3 +294,52 @@ def test_surprisal_gate_drops_garbled_doc(spark):
     assert stats.after_lang == 9
     assert stats.after_surprisal == 8
     assert len(survivors) == 8
+
+
+def test_repetition_gate_drops_looping_doc(spark):
+    """Stage 3c: a generation-loop document (one phrase repeated) has a
+    duplicate-trigram fraction near 1 and is dropped by the cap; varied
+    documents with dup fraction ~0 survive.  The gate must also leave
+    sub-trigram (< 3 token) docs alone."""
+    from kafkastreamsproject_spark.pipelines.curation import curate_corpus
+
+    import hashlib
+
+    vocab = (
+        "the fast key order sort table scan merge join stream "
+        "batch spark window hash part dup"
+    ).split()
+
+    def tok(i: int, j: int) -> str:
+        # hash-walk: aperiodic, so dup-trigram fraction ≈ 0 (a
+        # modular stride walk would repeat with period 16 and sit at
+        # ~0.65 — itself a nice repetition-signal demo, but not the
+        # "varied doc" this fixture needs)
+        h = hashlib.md5(f"{i}-{j}".encode()).hexdigest()
+        return vocab[int(h[:4], 16) % 16]
+
+    varied = [
+        (i + 1, " ".join(tok(i, j) for j in range(48))) for i in range(8)
+    ]
+    looping = (9, " ".join(["spam ham eggs"] * 20))  # dup-3gram frac ≈ 1
+    tiny = (10, "ab cd")  # < 3 tokens: gate must not touch it
+    docs = spark.createDataFrame(
+        varied + [looping, tiny], "doc_id long, text string"
+    )
+
+    _, stats0 = curate_corpus(docs, quality_min=0.0, pack_budget=512)
+    assert stats0.after_repetition == stats0.after_quality == 10
+
+    packed, stats = curate_corpus(
+        docs, quality_min=0.0, repetition_max=0.5, pack_budget=512
+    )
+    survivors = sorted(r.doc_id for r in packed.select("doc_id").collect())
+    assert 9 not in survivors, (survivors, stats)
+    assert 10 in survivors
+    assert stats.after_quality == 10
+    assert stats.after_repetition == 9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, repetition_max=1.0)
