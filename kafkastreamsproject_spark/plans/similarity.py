@@ -1662,3 +1662,234 @@ def ivf_pq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "vec_id", "cell", "adc_dist2", "rnk")
     )
+
+
+_IVF_NPROBES = (1, 2, 4)
+
+
+@register(
+    "ivf_pq_recall_curve",
+    oracle=f"""
+    WITH {_sql_pq_ctes()},
+    coarse AS (SELECT vec_id AS ccid, qv AS cv2 FROM q WHERE vec_id < {_IVF_C}),
+    ad AS (
+      SELECT q.vec_id, c.ccid,
+             CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c.cv2[i]) * (q.qv[i] - c.cv2[i])))
+               AS BIGINT) AS dist2
+      FROM q CROSS JOIN coarse c
+    ),
+    ranked AS (
+      SELECT vec_id, ccid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, ccid) AS rn
+      FROM ad
+    ),
+    cells AS (SELECT vec_id, ccid AS cell FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, ccid AS cell, rn AS probe_rn FROM ranked
+      WHERE vec_id < {_N_QUERIES} AND rn <= {max(_IVF_NPROBES)}
+    ),
+    cand AS (
+      SELECT p.query_id, cl.vec_id, p.probe_rn
+      FROM probes p JOIN cells cl ON cl.cell = p.cell
+      WHERE cl.vec_id != p.query_id
+    ),
+    qsub AS (SELECT vec_id AS query_id, s, sv AS qsv FROM sub
+             WHERE vec_id < {_N_QUERIES}),
+    adc_parts AS (
+      SELECT ca.query_id, ca.vec_id, ca.probe_rn,
+             CAST(list_sum(list_transform(range(1, len(qs.qsv) + 1),
+                 i -> (qs.qsv[i] - cb.cv[i]) * (qs.qsv[i] - cb.cv[i])))
+               AS BIGINT) AS part
+      FROM cand ca
+      JOIN codes co ON co.vec_id = ca.vec_id
+      JOIN cb ON cb.s = co.s AND cb.cid = co.cid
+      JOIN qsub qs ON qs.query_id = ca.query_id AND qs.s = co.s
+    ),
+    adc AS (
+      SELECT query_id, vec_id, probe_rn,
+             CAST(SUM(part) AS BIGINT) AS adc_dist2
+      FROM adc_parts GROUP BY 1, 2, 3
+    ),
+    qa AS (SELECT vec_id AS query_id, qv AS qav FROM q
+           WHERE vec_id < {_N_QUERIES}),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qa.query_id, q2.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qa.query_id ORDER BY
+                 CAST(list_sum(list_transform(range(1, len(qa.qav) + 1),
+                     i -> (qa.qav[i] - q2.qv[i]) * (qa.qav[i] - q2.qv[i])))
+                   AS BIGINT), q2.vec_id) AS rn
+        FROM qa JOIN q q2 ON q2.vec_id != qa.query_id
+      ) WHERE rn <= {_TOP_K}
+    ),
+    np AS (SELECT unnest({list(_IVF_NPROBES)}) AS nprobe),
+    grid AS (SELECT np.nprobe, qa.query_id FROM np CROSS JOIN qa),
+    legs AS (
+      SELECT np.nprobe, a.query_id, a.vec_id, a.adc_dist2
+      FROM adc a JOIN np ON a.probe_rn <= np.nprobe
+    ),
+    ncand AS (
+      SELECT nprobe, query_id, COUNT(*) AS c FROM legs GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT nprobe, query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                     ORDER BY adc_dist2, vec_id) AS rn
+        FROM legs
+      ) WHERE rn <= {_TOP_K}
+    ),
+    hits AS (
+      SELECT t.nprobe, t.query_id, COUNT(*) AS h
+      FROM topk t JOIN truth tr ON tr.query_id = t.query_id
+                               AND tr.vec_id = t.vec_id
+      GROUP BY 1, 2
+    ),
+    cand_hits AS (
+      SELECT l.nprobe, l.query_id, COUNT(*) AS ch
+      FROM legs l JOIN truth tr ON tr.query_id = l.query_id
+                               AND tr.vec_id = l.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(g.nprobe AS INT) AS nprobe, g.query_id,
+           CAST(COALESCE(nc.c, 0) AS BIGINT) AS n_candidates,
+           ROUND(COALESCE(chh.ch, 0) / {_TOP_K}.0, 6) AS cand_recall_at_5,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.h, 0) / {_TOP_K}.0, 6) AS adc_recall_at_5
+    FROM grid g
+    LEFT JOIN ncand nc ON nc.nprobe = g.nprobe AND nc.query_id = g.query_id
+    LEFT JOIN hits h ON h.nprobe = g.nprobe AND h.query_id = g.query_id
+    LEFT JOIN cand_hits chh ON chh.nprobe = g.nprobe
+                           AND chh.query_id = g.query_id
+    """,
+    tags=("similarity", "quantization", "diagnostic"),
+    tier="shadow",
+)
+def ivf_pq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe CURVE for the IVF-PQ search path — the tuning
+    readout every IVF deployment runs (how many inverted-file cells
+    must a query probe before recall@5 against the exact answer is
+    acceptable?), completing the ANN operability trio: LSH has
+    ann_lsh_recall / ann_multiprobe_recall, IVF-PQ now has its curve.
+    Ground truth is the exact integer-L2 top-5 over the int8 code
+    vectors (the pq_adc_topk truth side); the candidate generation is
+    ivf_pq_search's, run ONCE at the largest nprobe with each
+    candidate tagged by the probe rank of its cell — a candidate
+    found via the r-th-nearest cell exists for every nprobe ≥ r, so
+    the three curve points come from post-filtering one ADC pass, not
+    three searches.  Per (nprobe, query) the curve DECOMPOSES the two
+    loss sources: ``cand_recall_at_5`` = truth found in the candidate
+    set (the IVF pruning loss — non-decreasing in nprobe by
+    construction) against ``n_candidates`` (the cost axis), and
+    ``adc_recall_at_5`` = truth in the final ADC-ranked top-5, which
+    also pays the quantization error and is NOT monotone: extra cells
+    admit quantization-flattered far candidates that can displace true
+    neighbors (measurably so on this fixture) — the readout that tells
+    an operator whether to spend on nprobe or on finer codebooks /
+    residual encoding.
+
+    Scale shape: identical to ivf_pq_search (bounded coarse/codebook
+    broadcasts, candidate join hash-partitioned on cell, per-query
+    partitioned rank windows) plus a 3-row nprobe dimension joined to
+    the bounded ADC relation — the curve costs one search, not
+    |curve| searches."""
+    base, sub, cb = _pq_subspaces(spark, sf_dir)
+    codes = _pq_codes(sub, cb).select("vec_id", "s", "cid")
+    coarse = base.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("ccid"), F.col("qv").alias("cv2")
+    )
+    ad = base.crossJoin(F.broadcast(coarse)).select(
+        "vec_id", "ccid", _int_dist2(F.col("qv"), F.col("cv2")).alias("dist2")
+    )
+    wv = W.partitionBy("vec_id").orderBy("dist2", "ccid")
+    ranked = ad.withColumn("rn", F.row_number().over(wv))
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("ccid").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= max(_IVF_NPROBES))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ccid").alias("cell"),
+        F.col("rn").alias("probe_rn"),
+    )
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "probe_rn")
+    )
+    qsub = sub.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qsv")
+    )
+    cb3 = cb.select(F.col("s_cb").alias("s"), "cid", "cv")
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(cb3), ["s", "cid"])
+        .join(F.broadcast(qsub), ["query_id", "s"])
+        .select(
+            "query_id",
+            "vec_id",
+            "probe_rn",
+            _int_dist2(F.col("qsv"), F.col("cv")).alias("part"),
+        )
+        .groupBy("query_id", "vec_id", "probe_rn")
+        .agg(F.sum("part").alias("adc_dist2"))
+    )
+
+    qa = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qav")
+    )
+    wt = W.partitionBy("query_id").orderBy("true_dist2", "vec_id")
+    truth = (
+        base.join(F.broadcast(qa), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _int_dist2(F.col("qav"), F.col("qv")).alias("true_dist2"),
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id")
+    )
+
+    spark_np = spark.createDataFrame(
+        [(k,) for k in _IVF_NPROBES], "nprobe int"
+    )
+    legs = adc.join(
+        F.broadcast(spark_np), F.col("probe_rn") <= F.col("nprobe")
+    )
+    ncand = legs.groupBy("nprobe", "query_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wk = W.partitionBy("nprobe", "query_id").orderBy("adc_dist2", "vec_id")
+    topk = (
+        legs.withColumn("krn", F.row_number().over(wk))
+        .filter(F.col("krn") <= _TOP_K)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    hits = topk.join(truth, ["query_id", "vec_id"]).groupBy(
+        "nprobe", "query_id"
+    ).agg(F.count(F.lit(1)).alias("h"))
+    cand_hits = legs.join(truth, ["query_id", "vec_id"]).groupBy(
+        "nprobe", "query_id"
+    ).agg(F.count(F.lit(1)).alias("ch"))
+
+    grid = spark_np.crossJoin(F.broadcast(qa.select("query_id")))
+    return (
+        grid.join(ncand, ["nprobe", "query_id"], "left")
+        .join(hits, ["nprobe", "query_id"], "left")
+        .join(cand_hits, ["nprobe", "query_id"], "left")
+        .select(
+            "nprobe",
+            "query_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.round(
+                F.coalesce(F.col("ch"), F.lit(0)) / float(_TOP_K), 6
+            ).alias("cand_recall_at_5"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)) / float(_TOP_K), 6
+            ).alias("adc_recall_at_5"),
+        )
+    )

@@ -99,6 +99,10 @@ SANCTIONED_BNLJ = {
     # 8-row coarse codebook broadcast for residual cell assignment —
     # same bounded shape as ivf_pq_search
     "ivf_pq_residual_search",
+    # ivf_pq_search's coarse broadcast + pq_adc_topk's 10-query truth
+    # broadcast + a 3-row nprobe dimension on a non-equi (probe_rn <=
+    # nprobe) join — every BNLJ side bounded by design
+    "ivf_pq_recall_curve",
     # phase-2 dominance confirm: broadcast non-equi anti-join over the
     # local-skyline candidate UNION (output-sized, not corpus-sized)
     "skyline3d_lineitem",
