@@ -1002,3 +1002,125 @@ def doc_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal"),
         )
     )
+
+
+_DSIR_B = 1024  # hashed-feature buckets (the DSIR paper's device)
+_DSIR_TARGET_MOD = 10  # doc_id % 10 == 0 plays the target domain
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             doc_id % {_DSIR_TARGET_MOD} = 0 AS is_target,
+             unnest(list_transform(range(1, len({_SQL_TOKENS})),
+               i -> ('0x' || substr(md5(({_SQL_TOKENS})[i] || ' ' ||
+                                        ({_SQL_TOKENS})[i+1]), 1, 8))::BIGINT
+                    % {_DSIR_B})) AS f
+      FROM documents WHERE len({_SQL_TOKENS}) >= 2
+    ),
+    ct AS (SELECT f, COUNT(*) AS c FROM feats WHERE is_target GROUP BY f),
+    cr AS (SELECT f, COUNT(*) AS c FROM feats WHERE NOT is_target GROUP BY f),
+    tot AS (
+      SELECT CAST((SELECT COALESCE(SUM(c), 0) FROM ct) AS BIGINT) AS nt,
+             CAST((SELECT COALESCE(SUM(c), 0) FROM cr) AS BIGINT) AS nr
+    )
+    SELECT fe.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(
+             (length(format('{{:b}}', COALESCE(ct.c, 0) + 1))
+              - length(format('{{:b}}', tot.nt + {_DSIR_B})))
+             - (length(format('{{:b}}', cr.c + 1))
+                - length(format('{{:b}}', tot.nr + {_DSIR_B})))
+           ) AS BIGINT) AS dyadic_logratio,
+           ROUND(SUM(
+             (length(format('{{:b}}', COALESCE(ct.c, 0) + 1))
+              - length(format('{{:b}}', tot.nt + {_DSIR_B})))
+             - (length(format('{{:b}}', cr.c + 1))
+                - length(format('{{:b}}', tot.nr + {_DSIR_B})))
+           ) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logratio
+    FROM feats fe
+    JOIN cr ON cr.f = fe.f
+    LEFT JOIN ct ON ct.f = fe.f
+    CROSS JOIN tot
+    WHERE NOT fe.is_target
+    GROUP BY fe.doc_id
+    """,
+    tags=("llmdata", "sampling", "quality"),
+    tier="shadow",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every RAW
+    document by how much more likely its hashed-bigram features are
+    under the TARGET domain than under the raw pool — the
+    domain-matching signal that up-samples target-like pretraining
+    data.  Features are bigrams hashed into 1024 buckets (the paper's
+    hashed n-gram generative model); the log importance ratio
+    Σ_f [log p_target(f) − log p_raw(f)] is computed with the repo's
+    dyadic device — bits(c+1) − bits(N+B) per Laplace-smoothed term —
+    so every per-feature term is an INTEGER and the per-doc sum is
+    exact on both engines (a float Σ of libm ln() terms would hash-
+    diverge on summation order; the bits() coarsening removes the
+    class while preserving the ranking structure, the
+    doc_surprisal_quality precedent).  The target split is
+    doc_id % 10 == 0, standing in for a curated domain corpus.
+
+    Scale shape: one corpus scan explodes (doc_id, feature-bucket)
+    pairs; BOTH frequency tables are ≤1024 rows by construction
+    (bounded by the bucket count, not the vocabulary — the reason DSIR
+    hashes features), so they broadcast; totals are 1-row broadcasts
+    and the rollup shuffles doc_ids.  Resampling from these weights is
+    the deterministic hash-Bernoulli device mixture_sample already
+    implements."""
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    toks = TX.tokens(F.col("text"))
+    fhash = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % _DSIR_B
+    )
+    fcol = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: fhash(
+            F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            )
+        ),
+    )
+    feats = (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _DSIR_TARGET_MOD == 0).alias("is_target"),
+            F.explode(fcol).alias("f"),
+        )
+    )
+    ct = feats.filter("is_target").groupBy("f").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    cr = feats.filter(~F.col("is_target")).groupBy("f").agg(
+        F.count(F.lit(1)).alias("c_r")
+    )
+    tot = ct.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("nt")).crossJoin(
+        cr.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("nr"))
+    )
+    bits = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+    term = (
+        bits(F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+        - bits(F.col("nt") + _DSIR_B)
+    ) - (bits(F.col("c_r") + 1) - bits(F.col("nr") + _DSIR_B))
+    return (
+        feats.filter(~F.col("is_target"))
+        .join(cr, "f")
+        .join(F.broadcast(ct), "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", term.alias("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("t").alias("dyadic_logratio"),
+            F.round(
+                F.sum("t") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_logratio"),
+        )
+    )

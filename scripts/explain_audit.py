@@ -61,6 +61,9 @@ SANCTIONED_BNLJ = {
     "above_segment_average",
     # 1-row (N, V) LM-total broadcast into the scoring scan
     "unigram_logprob_score",
+    # 1-row (Nt, Nr) totals broadcast into the raw-side scoring scan
+    # (the two frequency tables join as bounded equi-joins)
+    "dsir_importance_weights",
     # per-FK-edge 1-row aggregate pairs (orphans × total) broadcast
     "fk_orphan_audit",
     # 1-row corpus stats (N, avgdl, per-term df) broadcast into the

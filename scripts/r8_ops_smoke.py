@@ -43,6 +43,10 @@ QUERIES = [
     "cdc_dedup_recall",
     "doc_repetition_stats",
     "l_diversity_audit",
+    "stride_refine_recall",
+    "purchase_attribution",
+    "ivf_pq_recall_curve",
+    "dsir_importance_weights",
 ]
 
 
