@@ -204,3 +204,28 @@ def test_all_queries_emit_only_scalar_columns(spark, sf_dir):
             assert not any(k in t for k in ("array", "map", "struct")), (
                 f"{name}.{f.name}: {t} would crash the driver canonicalizer"
             )
+
+
+def test_smoke_scripts_reference_registered_queries():
+    """The scale-smoke scripts (scale evidence in PROGRESS.jsonl) name
+    registry queries by string; a rename would silently break the
+    evidence loop.  Every name in every r*_ops_smoke roster must exist
+    in the registry."""
+    import importlib.util
+    from pathlib import Path
+
+    from kafkastreamsproject_spark.plans.registry import shadow_queries
+
+    known = set(_SPECS) | set(shadow_queries())
+    scripts = sorted(
+        (Path(__file__).resolve().parent.parent / "scripts").glob(
+            "r*_ops_smoke.py"
+        )
+    )
+    assert scripts, "smoke scripts missing"
+    for path in scripts:
+        spec = importlib.util.spec_from_file_location(path.stem, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        unknown = [q for q in mod.QUERIES if q not in known]
+        assert not unknown, f"{path.name}: unknown queries {unknown}"
