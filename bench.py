@@ -63,6 +63,32 @@ def main() -> None:
     except Exception:
         pass
 
+    # Calibration probe (VERDICT r8 #2): two fixed synthetic kernels
+    # whose cost depends ONLY on the host — a pure-CPU range sum (JVM /
+    # codegen throughput) and a raw parquet scan-agg (I/O + decode
+    # throughput).  Neither touches engine code, so a cross-round shift
+    # in these numbers is machine/JVM drift by construction; dividing a
+    # headline timing by the probe separates host noise from a real
+    # plan regression (r8's uniform 1.42x inflation on untouched code
+    # was exactly this, but the record couldn't prove it).
+    calibration: dict[str, float] = {}
+    try:
+        cal_samples: dict[str, list[float]] = {"range_sum_500m": [],
+                                               "lineitem_scan_agg": []}
+        lineitem = os.path.join(sf_dir, "lineitem.parquet")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(500_000_000).selectExpr("sum(id)").collect()
+            cal_samples["range_sum_500m"].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            spark.read.parquet(lineitem).selectExpr(
+                "sum(l_quantity)", "sum(l_extendedprice)", "count(*)"
+            ).collect()
+            cal_samples["lineitem_scan_agg"].append(time.perf_counter() - t0)
+        calibration = {k: round(min(v), 4) for k, v in cal_samples.items()}
+    except Exception as e:  # a broken probe must never cost the record
+        calibration = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # Three timed runs per query, best-of reported: strips one-time plan
     # compilation and JIT noise so the number tracks the engine, not the
     # JVM's warm-up curve (whole-stage-codegen'd joins keep improving
@@ -97,6 +123,9 @@ def main() -> None:
         "queries_mean": means,
         "sf": sf,
         "runs_per_query": runs,
+        # host-drift normalizer: compare headline timings ACROSS rounds
+        # only after dividing by these (min-of-3, fixed kernels)
+        "calibration": calibration,
     }
     if errors:
         # surfaced, not fatal — the driver still gets every good timing,
