@@ -147,6 +147,11 @@ def mock_trip_stream(spark: SparkSession, path: str) -> DataFrame:
     ).select("trip.*")
 
 
+#: default append-clock origin — a fixed instant (2020-09-13T12:26:40Z)
+#: so default timestamps are epoch-seconds-shaped, not batch indices
+MOCK_APPEND_T0 = 1_600_000_000.0
+
+
 def to_mock_topic_sink(
     df: DataFrame,
     topic_path: str,
@@ -154,6 +159,7 @@ def to_mock_topic_sink(
     key_col: str | None = None,
     n_partitions: int = 2,
     output_mode: str = "update",
+    append_clock=None,
 ):
     """Producer side of the mock broker — the S4/S9 sink contract
     without a real Kafka: JSON-serialize each row exactly like
@@ -173,13 +179,24 @@ def to_mock_topic_sink(
     sink.  Keys hash with the portable md5 device, so partition
     assignment is deterministic across engines and runs.
 
-    Record timestamps: each record is stamped ``ts_epoch =
-    float(epoch_id)`` — a deterministic, per-batch-monotone stand-in
-    for Kafka's append-time (broker-assigned at produce, identical
-    across machines because it never consults a wall clock or a local
-    zone; readers parse it as UTC).
+    Record timestamps (append-time semantics, VERDICT r8 #7): each
+    record is stamped ``ts_epoch = append_clock(epoch_id)``, Kafka's
+    broker-assigned LogAppendTime.  ``append_clock`` is
+    caller-suppliable (epoch_id -> epoch seconds) so a test can feed a
+    realistic produce-time curve; the default is the deterministic
+    ``MOCK_APPEND_T0 + epoch_id`` — epoch-seconds-shaped (an
+    event-time-lag consumer sees instants, not batch indices) while
+    still never consulting a wall clock or local zone, so replays are
+    byte-identical across machines.  Whatever the clock returns, the
+    sink CLAMPS it non-decreasing across micro-batches (Kafka
+    guarantees per-partition non-decreasing LogAppendTime; a
+    misbehaving clock must not produce time travel).
     """
     from pyspark.sql import functions as F  # noqa: F811
+
+    if append_clock is None:
+        append_clock = lambda epoch_id: MOCK_APPEND_T0 + float(epoch_id)  # noqa: E731
+    last_ts = [float("-inf")]  # per-sink monotone clamp
 
     cols = [c for c in df.columns]
 
@@ -199,13 +216,15 @@ def to_mock_topic_sink(
             F.to_json(F.struct(*cols)).alias("value"),
         )
         rows = payload.collect()  # sink boundary: segments are driver-written
+        ts = max(float(append_clock(int(epoch_id))), last_ts[0])
+        last_ts[0] = ts
         by_part: dict[int, list] = {}
         for r in rows:
             by_part.setdefault(int(r["p"]), []).append(
                 {
                     "key": r["key"],
                     "value": r["value"],
-                    "ts_epoch": float(epoch_id),
+                    "ts_epoch": ts,
                 }
             )
         for p in range(n_partitions):

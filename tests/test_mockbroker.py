@@ -421,10 +421,12 @@ def test_read_between_offsets_multi_segment_interleave(tmp_path):
 
 
 def test_mock_sink_stamps_deterministic_utc_timestamps(spark, tmp_path):
-    """Produced records carry ts_epoch = epoch_id; consumed back, the
-    timestamp is that exact UTC instant on any host (ADVICE r7 — no
-    local-zone parse, no unstamped epoch-0 default)."""
+    """Produced records carry the default append clock's instant
+    (MOCK_APPEND_T0 + epoch_id — epoch-seconds-shaped, VERDICT r8 #7);
+    consumed back, the timestamp is that exact UTC instant on any host
+    (ADVICE r7 — no local-zone parse, no unstamped epoch-0 default)."""
     from kafkastreamsproject_spark.sources.mockbroker import (
+        MOCK_APPEND_T0,
         to_mock_topic_sink,
     )
 
@@ -455,7 +457,67 @@ def test_mock_sink_stamps_deterministic_utc_timestamps(spark, tmp_path):
     got = spark.sql(
         "SELECT DISTINCT unix_timestamp(timestamp) AS s FROM mb_ts"
     ).collect()
-    assert [r.s for r in got] == [0]  # epoch_id 0, exactly, in UTC
+    # epoch 0 under the default clock: MOCK_APPEND_T0 exactly, in UTC
+    assert [r.s for r in got] == [int(MOCK_APPEND_T0)]
+
+
+def test_mock_sink_append_timestamps_monotone_nondecreasing(spark, tmp_path):
+    """Append timestamps are per-topic monotone non-decreasing across
+    micro-batches (Kafka's LogAppendTime guarantee): the default clock
+    advances one second per epoch from MOCK_APPEND_T0, and a
+    caller-supplied clock that runs BACKWARD is clamped rather than
+    letting records time-travel (VERDICT r8 #7)."""
+    from kafkastreamsproject_spark.sources.mockbroker import (
+        MOCK_APPEND_T0,
+        _scan,
+        to_mock_topic_sink,
+    )
+
+    in_log = str(tmp_path / "in-topic")
+    out_log = str(tmp_path / "out-topic")
+    append_segment(in_log, 0, 0, [_trip(1, 1, 168, 8)])
+    trips = mock_trip_stream(spark, in_log).select("id", "stationId")
+    q = to_mock_topic_sink(
+        trips,
+        out_log,
+        str(tmp_path / "ck_mono"),
+        key_col="stationId",
+        n_partitions=1,
+        output_mode="append",
+    )
+    q.processAllAvailable()  # epoch 0
+    append_segment(in_log, 0, 1, [_trip(2, 0, 42, 9)])
+    q.processAllAvailable()  # epoch 1
+    append_segment(in_log, 0, 2, [_trip(3, 1, 7, 10)])
+    q.processAllAvailable()  # epoch 2
+    q.stop()
+
+    stamped = [ts for ts, _k, _v in _scan(out_log)[0]]
+    assert len(stamped) == 3
+    assert stamped == sorted(stamped)  # non-decreasing in log order
+    epochs = [ts.timestamp() for ts in stamped]
+    assert epochs == [MOCK_APPEND_T0 + i for i in range(3)]
+
+    # a misbehaving (decreasing) caller clock is clamped, never reversed
+    out2 = str(tmp_path / "out-topic-2")
+    in2 = str(tmp_path / "in-topic-2")
+    append_segment(in2, 0, 0, [_trip(1, 1, 168, 8)])
+    trips2 = mock_trip_stream(spark, in2).select("id", "stationId")
+    q2 = to_mock_topic_sink(
+        trips2,
+        out2,
+        str(tmp_path / "ck_mono2"),
+        key_col="stationId",
+        n_partitions=1,
+        output_mode="append",
+        append_clock=lambda e: 100.0 - e,
+    )
+    q2.processAllAvailable()  # epoch 0 -> 100
+    append_segment(in2, 0, 1, [_trip(2, 0, 42, 9)])
+    q2.processAllAvailable()  # epoch 1 -> clock says 99, clamped to 100
+    q2.stop()
+    epochs2 = [ts.timestamp() for ts, _k, _v in _scan(out2)[0]]
+    assert epochs2 == [100.0, 100.0]
 
 
 def test_mock_sink_replay_truncates_stale_partition_segment(tmp_path):
