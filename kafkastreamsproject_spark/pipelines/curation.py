@@ -29,6 +29,10 @@ docs):
                        — the contamination-drop step        plans/llmdata.py's
                                                             contamination_ngram_overlap
                                                             scores, as a filter)
+5b. DSIR resample       optional importance resample toward (plans/llmdata.py's
+                        a target domain: keep-rate ∝         dsir_importance_weights
+                        2^(mean dyadic log-ratio), via the   signal, as a keep
+                        deterministic hash-Bernoulli coin    policy)
 6. mixture sampling    per-source configured keep-rates    (same deterministic
                        (hash-Bernoulli, reproducible)       device as plans/
                                                             llmdata.py's
@@ -72,6 +76,7 @@ class CurationStats:
     after_lang: int
     after_surprisal: int
     after_decontamination: int
+    after_dsir: int
     after_mixture: int
     packs: int
 
@@ -86,6 +91,8 @@ def curate_corpus(
     surprisal_max: float | None = None,
     holdout: DataFrame | None = None,
     containment_max: float = 0.5,
+    dsir_target: DataFrame | None = None,
+    dsir_base_m: int = 500,
     mixture_rates_m: dict[str, int] | None = None,
     pack_budget: int = 2048,
 ) -> tuple[DataFrame, CurationStats]:
@@ -252,6 +259,101 @@ def curate_corpus(
         clean = scoped_persist(quality)
         n_clean = clean.count()
 
+        # 5b. optional DSIR importance resample toward a target domain
+        # (Xie et al. 2023; the plans/llmdata.py:dsir_importance_weights
+        # signal wired in as a keep/drop policy, VERDICT r8 #3): score
+        # each survivor by how much likelier its hashed-bigram features
+        # are under ``dsir_target`` than under the survivor pool, then
+        # keep with probability proportional to the importance weight —
+        # the same deterministic md5 hash-Bernoulli device as stage 6,
+        # salted "dsir:" so the two stages' coin flips are independent.
+        # Keep rate (per mille) = dsir_base_m * 2^mean_logratio, capped
+        # at 1000: a doc whose features look like the target (ratio > 0)
+        # keeps at up to 2^ratio times the base rate; an off-domain doc
+        # (ratio < 0) is thinned.  Scale shape: the feature explode is
+        # row-local, both frequency tables are bounded at _DSIR_B rows
+        # (broadcast), the score rollup shuffles (doc_id, int) pairs
+        # only, and the keep decision is a row-local filter — text
+        # bodies never shuffle.
+        if dsir_target is not None:
+            if not 0 < dsir_base_m <= 1000:
+                raise ValueError(
+                    f"dsir_base_m must be in (0, 1000], got {dsir_base_m}"
+                )
+            _B = 1024  # hashed-feature buckets (the DSIR paper's device)
+            toks = TX.tokens(F.col("text"))
+            fhash = lambda s: (  # noqa: E731
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % _B
+            )
+            fcol = F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: fhash(
+                    F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    )
+                ),
+            )
+
+            def _feats(df: DataFrame) -> DataFrame:
+                return df.filter(F.size(toks) >= 2).select(
+                    "doc_id", F.explode(fcol).alias("f")
+                )
+
+            ct = _feats(dsir_target).groupBy("f").agg(
+                F.count(F.lit(1)).alias("c_t")
+            )
+            cr = _feats(clean).groupBy("f").agg(
+                F.count(F.lit(1)).alias("c_r")
+            )
+            tot = ct.agg(
+                F.coalesce(F.sum("c_t"), F.lit(0)).alias("nt")
+            ).crossJoin(
+                cr.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("nr"))
+            )
+            bits = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+            term = (
+                bits(F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                - bits(F.col("nt") + _B)
+            ) - (bits(F.col("c_r") + 1) - bits(F.col("nr") + _B))
+            scores = (
+                _feats(clean)
+                .join(F.broadcast(cr), "f")
+                .join(F.broadcast(ct), "f", "left")
+                .crossJoin(F.broadcast(tot))
+                .select("doc_id", term.alias("t"))
+                .groupBy("doc_id")
+                .agg(
+                    (
+                        F.sum("t") / F.count(F.lit(1)).cast("double")
+                    ).alias("_ms")
+                )
+            )
+            h_dsir = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long")
+            # featureless docs (< 2 tokens) score 0 -> base keep rate
+            rate_m = F.least(
+                F.lit(1000.0),
+                F.lit(float(dsir_base_m))
+                * F.pow(
+                    F.lit(2.0),
+                    F.greatest(
+                        F.lit(-8.0),
+                        F.least(F.lit(8.0), F.coalesce(F.col("_ms"), F.lit(0.0))),
+                    ),
+                ),
+            )
+            clean = (
+                clean.join(scores, "doc_id", "left")
+                .filter((h_dsir % 1000).cast("double") < rate_m)
+                .drop("_ms")
+            )
+            clean = scoped_persist(clean)
+        n_dsir = clean.count() if dsir_target is not None else n_clean
+
         # 6. configured mixture: per-source deterministic keep-rates
         if mixture_rates_m is not None:
             spark = clean.sparkSession
@@ -287,6 +389,7 @@ def curate_corpus(
         after_lang=n_lang,
         after_surprisal=n_surprisal,
         after_decontamination=n_clean,
+        after_dsir=n_dsir,
         after_mixture=n_mixture,
         packs=n_packs,
     )

@@ -343,3 +343,74 @@ def test_repetition_gate_drops_looping_doc(spark):
 
     with _pytest.raises(ValueError):
         curate_corpus(docs, repetition_max=1.0)
+
+
+def test_curation_dsir_resample_upsamples_target_domain(spark):
+    """Stage 5b: with a target-domain corpus supplied, the DSIR
+    importance resample keeps target-like pool docs at a strictly
+    higher rate than off-domain docs (weight-proportional
+    hash-Bernoulli), is deterministic across runs, and leaves every
+    earlier funnel count untouched."""
+    import hashlib
+
+    sci = (
+        "neutron star gamma burst photon quark plasma fusion orbit "
+        "nebula spectra quasar flux lens dark halo"
+    ).split()
+    cook = (
+        "butter flour yeast dough oven whisk simmer braise glaze "
+        "saute crumb zest brine roux sear stock"
+    ).split()
+
+    def walk(vocab, salt, i, n=40):
+        def tok(j):
+            h = hashlib.md5(f"{salt}-{i}-{j}".encode()).hexdigest()
+            return vocab[int(h[:4], 16) % 16]
+
+        return " ".join(tok(j) for j in range(n))
+
+    pool = [(i + 1, walk(sci, "pool-sci", i)) for i in range(20)] + [
+        (100 + i, walk(cook, "pool-cook", i)) for i in range(20)
+    ]
+    docs = spark.createDataFrame(pool, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, walk(sci, "target", i)) for i in range(12)],
+        "doc_id long, text string",
+    )
+
+    packed, stats = curate_corpus(
+        docs, quality_min=0.0, dsir_target=target, dsir_base_m=800,
+        pack_budget=512,
+    )
+    # earlier stages untouched: nothing planted for them to drop
+    assert stats.input == stats.after_decontamination == 40
+    survivors = sorted(r.doc_id for r in packed.select("doc_id").collect())
+    kept_sci = sum(1 for d in survivors if d <= 20)
+    kept_cook = sum(1 for d in survivors if d > 100)
+    assert stats.after_dsir == len(survivors) == kept_sci + kept_cook
+    # target-like docs up-sampled relative to off-domain docs
+    assert kept_sci > kept_cook, (kept_sci, kept_cook)
+    # measured log-ratios on this fixture: sci in [-0.18, 0.41] ->
+    # keep rates 700-1000 permille; cook in [-1.1, -0.67] -> 370-500
+    assert kept_sci >= 13, (kept_sci, kept_cook)
+    assert kept_cook <= 12, (kept_sci, kept_cook)
+
+    # deterministic: the hash-Bernoulli coin is a pure function of
+    # doc_id, so a second run selects the identical survivor set
+    packed2, stats2 = curate_corpus(
+        docs, quality_min=0.0, dsir_target=target, dsir_base_m=800,
+        pack_budget=512,
+    )
+    assert sorted(
+        r.doc_id for r in packed2.select("doc_id").collect()
+    ) == survivors
+    assert stats2 == stats
+
+    # without a target, the stage is a no-op pass-through
+    _, stats0 = curate_corpus(docs, quality_min=0.0, pack_budget=512)
+    assert stats0.after_dsir == stats0.after_decontamination == 40
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, dsir_target=target, dsir_base_m=0)
