@@ -41,12 +41,69 @@ def test_fake_decode_shapes_and_determinism(spark, media):
         assert again[r.media_id] == r.feature
 
 
-def test_real_decode_raises_not_implemented(spark, media):
+def test_real_decode_raises_not_implemented_for_codec_formats(spark, media):
+    """text/plain payloads are not a self-contained format -> the codec
+    seam still raises; PPM payloads take the real path (tested below)."""
     with pytest.raises(Exception) as exc_info:
         extract_features(media, mode="real").collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_parse_ppm_header_pixels_and_errors():
+    """The P6 parser handles comments, single-whitespace pixel-block
+    boundary, and whitespace-looking pixel bytes; malformed payloads
+    raise."""
+    import numpy as np
+
+    from kafkastreamsproject_spark.functions.multimodal import parse_ppm
+
+    # 2x2 image whose pixels include \n (0x0A) and space (0x20)
+    px = bytes([10, 32, 9, 200, 0, 255, 1, 2, 3, 4, 5, 6])
+    buf = b"P6\n# a comment\n2 2\n255\n" + px
+    w, h, maxval, arr = parse_ppm(buf)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert arr.shape == (2, 2, 3)
+    assert arr.reshape(-1).tolist() == list(px)
+
+    with pytest.raises(ValueError):
+        parse_ppm(b"P5\n2 2\n255\n" + px)  # wrong magic (PGM)
+    with pytest.raises(ValueError):
+        parse_ppm(b"P6\n2 2\n255\n" + px[:5])  # truncated pixels
+    with pytest.raises(ValueError):
+        parse_ppm(b"P6\n2 2\n65535\n" + px * 2)  # 16-bit samples
+
+
+def test_real_decode_ppm_histograms_decoded_pixels(spark):
+    """mode='real' on PPM payloads decodes for real: the histogram is
+    over PIXEL samples, not raw payload bytes (header excluded)."""
+    import numpy as np
+
+    from kafkastreamsproject_spark.functions.multimodal import (
+        documents_as_ppm_media,
+        extract_features,
+        parse_ppm,
+    )
+    from kafkastreamsproject_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(25)
+    ppm = documents_as_ppm_media(docs)
+    rows = {
+        r.media_id: r
+        for r in extract_features(ppm, mode="real").collect()
+    }
+    payloads = {r.media_id: bytes(r.payload) for r in ppm.collect()}
+    assert rows.keys() == payloads.keys()
+    for mid, buf in payloads.items():
+        w, h, _m, arr = parse_ppm(buf)
+        want = np.bincount(
+            arr.reshape(-1) % FEATURE_DIM, minlength=FEATURE_DIM
+        )
+        got = rows[mid]
+        assert got.hist == want.tolist(), mid
+        assert got.n_bytes == len(buf)  # n_bytes stays the payload size
+        assert sum(got.hist) == 3 * w * h  # pixels only, no header bytes
 
 
 def test_registered_media_features_is_scalar_and_faithful(spark, sf_dir):
@@ -85,3 +142,71 @@ def test_n_bytes_matches_utf8_length(spark, media):
 
     bad = joined.filter(F.octet_length("payload") != F.col("n_bytes")).count()
     assert bad == 0
+
+
+def test_parse_wav_chunk_walk_and_errors():
+    """The RIFF parser walks chunks by declared size (unknown chunks
+    skipped, odd sizes word-aligned), asserts PCM-8, and returns the
+    data block; malformed payloads raise."""
+    import struct
+
+    import numpy as np
+
+    from kafkastreamsproject_spark.functions.multimodal import parse_wav
+
+    def wav(samples: bytes, extra_chunk: bytes = b"") -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        chunks = extra_chunk
+        chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(samples)) + samples
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    samples = bytes([0, 255, 128, 7, 200])
+    # an unknown ODD-sized chunk before fmt: skipped, alignment honored
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    n_ch, rate, bits, got = parse_wav(wav(samples, junk))
+    assert (n_ch, rate, bits) == (1, 8000, 8)
+    assert got.tolist() == list(samples)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_wav(b"RIFX" + wav(samples)[4:])  # wrong magic
+    with _pytest.raises(ValueError):
+        parse_wav(wav(samples)[:20])  # truncated: no data chunk
+    bad_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)  # 16-bit
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError):
+        parse_wav(bad)
+
+
+def test_real_decode_wav_histograms_decoded_samples(spark):
+    """mode='real' on WAV payloads decodes for real: the histogram is
+    over PCM samples, not raw payload bytes (RIFF header excluded)."""
+    import numpy as np
+
+    from kafkastreamsproject_spark.functions.multimodal import (
+        documents_as_wav_media,
+        extract_features,
+        parse_wav,
+    )
+    from kafkastreamsproject_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(25)
+    wav = documents_as_wav_media(docs)
+    rows = {
+        r.media_id: r for r in extract_features(wav, mode="real").collect()
+    }
+    payloads = {r.media_id: bytes(r.payload) for r in wav.collect()}
+    assert rows.keys() == payloads.keys()
+    for mid, buf in payloads.items():
+        _c, _r, _b, samples = parse_wav(buf)
+        want = np.bincount(samples % FEATURE_DIM, minlength=FEATURE_DIM)
+        got = rows[mid]
+        assert got.hist == want.tolist(), mid
+        assert got.n_bytes == len(buf)
+        assert sum(got.hist) == len(samples)  # samples only, no header
