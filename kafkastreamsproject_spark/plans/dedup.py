@@ -973,3 +973,142 @@ def cluster_radius_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster_size") - F.col("n_within_3")).alias("n_beyond_3"),
         )
     )
+
+
+_SQL_N_MATCH = " + ".join(
+    f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)"
+    for k in range(H.N_PERMS)
+)
+
+
+@register(
+    "minhash_estimator_error",
+    oracle=f"""
+    WITH corpus2 AS ({_SQL_CORPUS2}),
+    sigs AS (
+      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
+        {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(H.N_PERMS))}
+      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, mh{2*b} AS h1, mh{2*b+1} AS h2 FROM sigs"
+          for b in range(_N_BANDS)
+      )}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.h1 = b.h1 AND a.h2 = b.h2
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+      CAST({_SQL_N_MATCH} AS BIGINT) AS n_match_perms,
+      ({_SQL_N_MATCH}) / {H.N_PERMS}.0 AS est_jaccard,
+      CAST(len(list_intersect(sa.hset, sb.hset)) AS BIGINT) AS n_inter,
+      CAST(len(sa.hset) + len(sb.hset)
+           - len(list_intersect(sa.hset, sb.hset)) AS BIGINT) AS n_union,
+      len(list_intersect(sa.hset, sb.hset))
+        / CAST(len(sa.hset) + len(sb.hset)
+               - len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+        AS true_jaccard
+    FROM cands c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    """,
+    tags=("dedup", "minhash", "diagnostic"),
+    tier="shadow",
+)
+def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR-QUALITY readout — the dedup companion to the
+    ANN recall curves (same r8/r9 theme: every approximate device ships
+    a measured, oracle-checked quality number, not a prose claim).  For
+    every LSH candidate pair (the banding join of minhash_lsh_pairs,
+    WITHOUT the confirmation threshold) it emits the 8-permutation
+    MinHash Jaccard estimate (matching components / 8 — the unbiased
+    estimator whose per-pair quantization is visibly 1/8) next to the
+    TRUE Jaccard over the distinct shingle-hash sets, so an operator
+    can read the estimator's bias/variance at the deployed permutation
+    count and decide whether confirmation (the exact-Jaccard filter)
+    is still required — on this fixture it is: banding surfaces pairs
+    whose estimate is high but whose true similarity sits below the
+    0.5 keep threshold, exactly the false-positive class the confirm
+    step exists to kill.
+
+    Exactness: both ratios are single int/int divisions (no round()),
+    bit-identical across engines; counts are integers.
+
+    Scale shape: identical to minhash_lsh_pairs (persist-once
+    signatures, band equi-join, hash-array-only confirm side) — the
+    extra columns ride the existing pair join, no new shuffle."""
+    sigs = scoped_persist(
+        _shingled_corpus2(spark, sf_dir).select(
+            "doc_id",
+            F.array_distinct("hs").alias("hset"),
+            H.minhash_signature_array(F.col("hs")).alias("mhs"),
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.col("mhs")[2 * b].alias("h1"),
+                F.col("mhs")[2 * b + 1].alias("h2"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.h1", "band.h2")
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_id", "h1", "h2")
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("h1").alias("h1_b"),
+        F.col("h2").alias("h2_b"),
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("h1") == F.col("h1_b"))
+            & (F.col("h2") == F.col("h2_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hset").alias("h_a"),
+        F.col("mhs").alias("mh_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hset").alias("h_b"),
+        F.col("mhs").alias("mh_b"),
+    )
+    n_match = F.aggregate(
+        F.zip_with(
+            "mh_a", "mh_b",
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union = F.size("h_a") + F.size("h_b") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_match.alias("n_match_perms"),
+            (n_match / float(H.N_PERMS)).alias("est_jaccard"),
+            inter.cast("long").alias("n_inter"),
+            union.cast("long").alias("n_union"),
+            (inter / union.cast("double")).alias("true_jaccard"),
+        )
+    )
