@@ -111,6 +111,15 @@ SANCTIONED_BNLJ = {
     "skyline3d_lineitem",
     # 1-row range and totals broadcasts into the 10-row bin table
     "value_psi_drift",
+    # ivf_pq_search's coarse/truth broadcasts plus the exact re-rank's
+    # |queries|xR shortlist join — every BNLJ side bounded by design
+    "ivf_pq_rerank",
+    # same, plus a 4-row shortlist-depth dimension on a non-equi
+    # (srn <= R) join — same bounded-dimension shape as the nprobe curve
+    "ivf_pq_rerank_r_curve",
+    # ~12-row corpus band histogram + 1-row (N, m) totals broadcast
+    # into the |classes|x|bands| EMD grid — dimension-bounded by design
+    "t_closeness_audit",
 }
 
 _OPS = (
