@@ -2343,3 +2343,119 @@ def ivf_pq_rerank_r_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cand_recall_at_5"),
         )
     )
+
+
+_TRUNC_DIMS = (16, 32, 48, 64)
+
+
+@register(
+    "embedding_dim_truncation_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings
+    ),
+    qa AS (SELECT vec_id AS query_id, qv AS qav FROM q
+           WHERE vec_id < {_N_QUERIES}),
+    dims AS (SELECT unnest({list(_TRUNC_DIMS)}) AS trunc_dim),
+    dist AS (
+      SELECT d.trunc_dim, qa.query_id, q2.vec_id,
+             CAST(list_sum(list_transform(range(1, d.trunc_dim + 1),
+                 i -> (qa.qav[i] - q2.qv[i]) * (qa.qav[i] - q2.qv[i])))
+               AS BIGINT) AS dist2
+      FROM qa JOIN q q2 ON q2.vec_id != qa.query_id
+      CROSS JOIN dims d
+    ),
+    topk AS (
+      SELECT trunc_dim, query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY trunc_dim, query_id
+                                     ORDER BY dist2, vec_id) AS rn
+        FROM dist
+      ) WHERE rn <= {_TOP_K}
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM topk WHERE trunc_dim = {max(_TRUNC_DIMS)}
+    ),
+    hits AS (
+      SELECT t.trunc_dim, t.query_id, COUNT(*) AS h
+      FROM topk t JOIN truth tr ON tr.query_id = t.query_id
+                               AND tr.vec_id = t.vec_id
+      GROUP BY 1, 2
+    ),
+    grid AS (SELECT d.trunc_dim, qa.query_id FROM dims d CROSS JOIN qa)
+    SELECT CAST(g.trunc_dim AS INT) AS trunc_dim, g.query_id,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.h, 0) / {_TOP_K}.0 AS recall_at_5
+    FROM grid g
+    LEFT JOIN hits h ON h.trunc_dim = g.trunc_dim
+                    AND h.query_id = g.query_id
+    """,
+    tags=("similarity", "quantization", "diagnostic"),
+    tier="shadow",
+)
+def embedding_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style DIMENSION-TRUNCATION recall curve (Kusupati et
+    al. 2022, "Matryoshka Representation Learning"): recall@5 of exact
+    search over only the first d dimensions (d = 16/32/48/64) against
+    the full-dimension truth — the third member of the ANN operability
+    family (LSH has plane-count curves, IVF-PQ has nprobe/R curves,
+    truncation has this).  A deployment that truncates embeddings pays
+    d/64 of the memory, bandwidth, and distance FLOPs; this readout
+    prices that against recall, per query, so the dimension budget is
+    a measured decision.  Note these embeddings were NOT
+    matryoshka-trained, so the curve shows the untrained baseline —
+    exactly what an operator needs to see before assuming truncation
+    is safe.
+
+    Exactness: distances are exact integer L2 over the int8 code
+    vectors at every prefix; recall is an int/5 division.
+
+    Scale shape: the 10-query side broadcasts against the
+    corpus scan (the sanctioned bounded-BNLJ exact-baseline shape of
+    ann_topk_cosine); the 4-point dimension sweep rides the SAME pair
+    scan via a broadcast dimension table — prefix distances per pair,
+    one corpus pass, not |curve| passes; rank windows partition by
+    (trunc_dim, query)."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
+    )
+    base = emb.select("vec_id", qv.alias("qv"))
+    qa = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qav")
+    )
+    dims = spark.createDataFrame(
+        [(d,) for d in _TRUNC_DIMS], "trunc_dim int"
+    )
+    pdist = _int_dist2(
+        F.slice(F.col("qav"), 1, F.col("trunc_dim")),
+        F.slice(F.col("qv"), 1, F.col("trunc_dim")),
+    )
+    dist = (
+        base.join(F.broadcast(qa), F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(dims))
+        .select("trunc_dim", "query_id", "vec_id", pdist.alias("dist2"))
+    )
+    wk = W.partitionBy("trunc_dim", "query_id").orderBy("dist2", "vec_id")
+    topk = scoped_persist(
+        dist.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("trunc_dim", "query_id", "vec_id")
+    )
+    truth = topk.filter(F.col("trunc_dim") == max(_TRUNC_DIMS)).select(
+        "query_id", "vec_id"
+    )
+    hits = topk.join(truth, ["query_id", "vec_id"]).groupBy(
+        "trunc_dim", "query_id"
+    ).agg(F.count(F.lit(1)).alias("h"))
+    grid = dims.crossJoin(F.broadcast(qa.select("query_id")))
+    return (
+        grid.join(hits, ["trunc_dim", "query_id"], "left")
+        .select(
+            "trunc_dim",
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("h"), F.lit(0)) / float(_TOP_K)).alias(
+                "recall_at_5"
+            ),
+        )
+    )

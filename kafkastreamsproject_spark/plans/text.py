@@ -1005,10 +1005,11 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leg(2, "bigram").join(leg(3, "trigram"), "doc_id")
 
 
-def _bpe_encode_oracle_sql(n_steps: int = _BPE_STEPS) -> str:
-    """Generated encode oracle: reuse the n-step learning chain, then a
-    second MATERIALIZED chain applies ALL n merges to the distinct-word
-    table while keeping the original word as the join key."""
+def _bpe_encode_chain(n_steps: int = _BPE_STEPS) -> str:
+    """Shared CTE prefix for the encode-family oracles: the n-step
+    learning chain, a second MATERIALIZED chain applying ALL n merges
+    to the distinct-word table (original word kept as join key), and
+    the (doc_id, lang, source, tok) word stream."""
     from kafkastreamsproject_spark.functions.bpe import placeholder
 
     ctes = [
@@ -1039,14 +1040,19 @@ def _bpe_encode_oracle_sql(n_steps: int = _BPE_STEPS) -> str:
     )
     ctes.append(
         f"""docw AS (
-      SELECT doc_id, tok FROM (
-        SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+      SELECT doc_id, lang, source, tok FROM (
+        SELECT doc_id, lang, source, unnest({_SQL_TOKENS}) AS tok
+        FROM documents
       ) WHERE regexp_matches(tok, '^[a-z]+$')
     )"""
     )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _bpe_encode_oracle_sql(n_steps: int = _BPE_STEPS) -> str:
+    """Generated encode oracle over the shared chain."""
     return (
-        "WITH "
-        + ",\n    ".join(ctes)
+        _bpe_encode_chain(n_steps)
         + """
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -1056,6 +1062,24 @@ def _bpe_encode_oracle_sql(n_steps: int = _BPE_STEPS) -> str:
              AS compression
     FROM docw d JOIN venc v ON d.tok = v.orig
     GROUP BY d.doc_id"""
+    )
+
+
+def _bpe_fertility_oracle_sql(n_steps: int = _BPE_STEPS) -> str:
+    """Generated fertility oracle over the shared chain, rolled up per
+    (lang, source) instead of per document."""
+    return (
+        _bpe_encode_chain(n_steps)
+        + """
+    SELECT d.lang, d.source,
+           CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_sym) AS BIGINT) AS n_subwords,
+           SUM(v.n_sym) / CAST(COUNT(*) AS DOUBLE) AS fertility,
+           SUM(length(d.tok)) / CAST(SUM(v.n_sym) AS DOUBLE)
+             AS compression
+    FROM docw d JOIN venc v ON d.tok = v.orig
+    GROUP BY 1, 2"""
     )
 
 
@@ -1105,6 +1129,63 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").alias("n_subwords"),
             F.round(
                 F.sum(F.length("w")) / F.sum("n_sym").cast("double"), 6
+            ).alias("compression"),
+        )
+    )
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle_fn=_bpe_fertility_oracle_sql,
+    tags=("text", "tokenizer", "diagnostic"),
+    tier="shadow",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY readout per (lang, source): subword tokens
+    per word under the learned 12-merge BPE vocabulary — the number a
+    tokenizer team watches per language (a vocabulary trained on one
+    language's distribution over-segments the others, inflating their
+    token bills and effective sequence lengths; fertility differences
+    are the standard evidence for reallocating vocab budget).
+    Companion to bpe_encode_tokens (per-document counts): same learned
+    rules, same encode loop, rolled up along the corpus' language and
+    source axes, with compression (chars per subword) alongside.
+
+    Exactness: counts are organic integer sums; fertility and
+    compression are single int/int divisions (no round), bit-identical
+    across engines.
+
+    Scale shape: identical to bpe_encode_tokens — the encoder runs
+    once over the |vocab|-row distinct-word table, broadcast-joins the
+    word stream, and the rollup here shuffles |langs|x|sources|
+    partial aggregates instead of doc_ids.  Text never shuffles."""
+    from kafkastreamsproject_spark.functions.bpe import (
+        apply_merges,
+        learn_bpe_rules,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    stream = docs.select(
+        "doc_id", "lang", "source",
+        F.explode(TX.tokens(F.col("text"))).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    w0 = stream.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    rules = learn_bpe_rules(w0, n_steps=_BPE_STEPS)
+    vocab = w0.select(
+        "w", F.length(apply_merges(F.col("w"), rules)).alias("n_sym")
+    )
+    return (
+        stream.join(F.broadcast(vocab), "w")
+        .groupBy("lang", "source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_subwords"),
+            (
+                F.sum("n_sym") / F.count(F.lit(1)).cast("double")
+            ).alias("fertility"),
+            (
+                F.sum(F.length("w")) / F.sum("n_sym").cast("double")
             ).alias("compression"),
         )
     )

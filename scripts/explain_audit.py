@@ -120,6 +120,10 @@ SANCTIONED_BNLJ = {
     # ~12-row corpus band histogram + 1-row (N, m) totals broadcast
     # into the |classes|x|bands| EMD grid — dimension-bounded by design
     "t_closeness_audit",
+    # 10-query broadcast against the corpus scan (ann_topk_cosine's
+    # exact-baseline shape) + a 4-row dimension sweep riding the pair
+    # scan — every BNLJ side bounded by design
+    "embedding_dim_truncation_recall",
 }
 
 _OPS = (
