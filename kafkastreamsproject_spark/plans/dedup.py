@@ -1112,3 +1112,91 @@ def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter / union.cast("double")).alias("true_jaccard"),
         )
     )
+
+
+def _sql_split(id_expr: str) -> str:
+    """The dataset_split_report hash window (md5 hex[9:16] — disjoint
+    from the sampling window) as a split CASE over an id expression."""
+    from kafkastreamsproject_spark.plans.llmdata import (
+        _SPLIT_TRAIN_PCT,
+        _SPLIT_VAL_PCT,
+    )
+
+    h = f"('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 9, 8))::BIGINT"
+    return f"""CASE
+      WHEN {h} % 100 < {_SPLIT_TRAIN_PCT} THEN 'train'
+      WHEN {h} % 100 < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'
+      ELSE 'test' END"""
+
+
+@register(
+    "split_leakage_audit",
+    oracle_fn=lambda: f"""
+    WITH {_SQL_MINHASH_CTES},
+    sp AS (
+      SELECT doc_id, {_sql_split("doc_id")} AS split FROM corpus0
+    )
+    SELECT LEAST(a.split, b.split) AS split_a,
+           GREATEST(a.split, b.split) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           LEAST(a.split, b.split) != GREATEST(a.split, b.split)
+             AS is_leakage
+    FROM pairs p
+    JOIN sp a ON a.doc_id = p.id_a
+    JOIN sp b ON b.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "llmdata", "diagnostic"),
+    tier="shadow",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test NEAR-DUP LEAKAGE audit — the eval-integrity check
+    a benchmark-quality pipeline runs after splitting: a hash split
+    assigns documents independently of content, so a near-duplicate
+    pair can straddle the boundary and leak training phrasing into
+    val/test (inflating eval scores exactly like benchmark
+    contamination, but self-inflicted).  Counts every CONFIRMED
+    near-dup pair (minhash_lsh_pairs' banding + exact-Jaccard confirm,
+    over the doubled corpus whose planted twins make the hazard
+    non-hypothetical) by its unordered split pair — rows with
+    ``is_leakage`` true are the cross-boundary mass the remediation
+    (split by cluster, not by doc: dedup_clusters' components) must
+    drive to zero.  Split assignment is dataset_split_report's
+    hex[9:16] device verbatim, so this audits the ACTUAL split those
+    queries ship.
+
+    Scale shape: minhash_lsh_pairs' topology (persist-once signatures,
+    band equi-join, hash-only confirm) plus a row-local split
+    expression joined on pair ids; the rollup is ≤6 rows."""
+    from kafkastreamsproject_spark.plans.llmdata import (
+        _SPLIT_TRAIN_PCT,
+        _SPLIT_VAL_PCT,
+    )
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+    ).cast("long")
+    split = (
+        F.when(h % 100 < _SPLIT_TRAIN_PCT, "train")
+        .when(h % 100 < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    sp = _corpus2(spark, sf_dir).select("doc_id", split.alias("split"))
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("s_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("s_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("s_a", "s_b").alias("split_a"),
+            F.greatest("s_a", "s_b").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
+        )
+    )

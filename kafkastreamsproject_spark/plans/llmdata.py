@@ -1124,3 +1124,154 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logratio"),
         )
     )
+
+
+_SQL_TRI_HASHES = H.sql_hash_list(TX.sql_shingles(3))
+
+
+@register(
+    "doc_novelty_audit",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id, unnest({_SQL_TRI_HASHES}) AS h
+      FROM documents
+      WHERE len({_SQL_TOKENS}) >= 3
+    ),
+    fs AS (SELECT h, MIN(doc_id) AS first_seen FROM tri GROUP BY h)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN f.first_seen = t.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           SUM(CASE WHEN f.first_seen = t.doc_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM tri t JOIN fs f ON f.h = t.h
+    GROUP BY t.doc_id
+    """,
+    tags=("llmdata", "dedup", "diagnostic"),
+    tier="shadow",
+)
+def doc_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus NOVELTY audit — per document, the fraction of its
+    distinct word-trigrams never seen in any earlier document (doc_id
+    order standing in for crawl/ingest order): the staleness readout a
+    curation team tracks across crawl snapshots, where a falling
+    novelty curve means new data is mostly re-crawl (diminishing
+    returns per ingested byte) and a doc-level novelty near zero marks
+    boilerplate/template content that exact and near-dup stages both
+    miss (the doc differs, its phrasing doesn't).  A trigram is
+    attributed to the MINIMUM doc_id containing it, so the first
+    carrier scores it novel and every later carrier does not.
+
+    Exactness: counts are integers; novelty is one int/int division.
+
+    Scale shape: trigrams md5-hash within the row BEFORE the explode
+    (the doc_repetition_stats discipline — text never shuffles), the
+    first-seen table is one hash-keyed partial+final MIN aggregate,
+    and the attribution is a hash equi-join of (h, doc_id) longs; the
+    per-doc rollup shuffles doc_ids.  Nothing is corpus-length in any
+    single task and nothing broadcasts unboundedly."""
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    toks = TX.tokens(F.col("text"))
+    tri = (
+        docs.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(H.hash_list(TX.shingles(F.col("text"), 3))).alias("h"),
+        )
+    )
+    tri = scoped_persist(tri)
+    fs = tri.groupBy("h").agg(F.min("doc_id").alias("first_seen"))
+    return (
+        tri.join(fs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(
+                (F.col("first_seen") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+            (
+                F.sum((F.col("first_seen") == F.col("doc_id")).cast("long"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+_TOKEN_BUDGET = 1_000_000  # planner's total training-token budget
+_MIX_WEIGHT_SQL = ", ".join(
+    f"('src{i}', {_MIXTURE_RATES_M[i % 4]})" for i in range(20)
+)
+
+
+@register(
+    "mixture_token_plan",
+    oracle=f"""
+    WITH w(source, weight_m) AS (VALUES {_MIX_WEIGHT_SQL}),
+    avail AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({TX.sql_n_bpe_tokens()}) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(weight_m) AS BIGINT) AS wsum FROM w)
+    SELECT a.source, a.n_docs, a.available_tokens,
+           CAST(w.weight_m AS BIGINT) AS weight_m,
+           CAST(({_TOKEN_BUDGET} * w.weight_m) // t.wsum AS BIGINT)
+             AS allocated_tokens,
+           (({_TOKEN_BUDGET} * w.weight_m) // t.wsum)
+             / CAST(a.available_tokens AS DOUBLE) AS epochs,
+           ({_TOKEN_BUDGET} * w.weight_m) // t.wsum > a.available_tokens
+             AS needs_repetition
+    FROM avail a JOIN w USING (source) CROSS JOIN tot t
+    """,
+    tags=("llmdata", "sampling", "diagnostic"),
+    tier="shadow",
+)
+def mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture TOKEN-BUDGET planner — the "data recipe" table a
+    training run is provisioned from: given a total token budget and
+    per-source mixture weights (the mixture_sample configuration), how
+    many tokens each source is allocated, how many it actually has,
+    and the implied EPOCH count (allocated / available) — epochs > 1
+    flags the sources the run will repeat (the multi-epoch/repetition
+    regime the data-constrained scaling literature prices), epochs ≪ 1
+    the sources mostly left on the floor.  Complements mixture_sample
+    (which draws the per-doc sample) with the capacity arithmetic that
+    decides whether those weights are even feasible.
+
+    Exactness: allocation is integer FLOOR-division of
+    budget × weight by the weight total on BOTH engines (Spark `div`,
+    DuckDB `//` — a double `/` then cast would truncate on one engine
+    and round on the other); the epoch ratio is one int/int double
+    division (no round).
+
+    Scale shape: one documents scan with a row-local token count, a
+    |sources|-row aggregate, a broadcast weights join, and a 1-row
+    weight-total broadcast — output is |sources| rows at any corpus
+    size."""
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    spark_w = spark.createDataFrame(
+        [(f"src{i}", _MIXTURE_RATES_M[i % 4]) for i in range(20)],
+        "source string, weight_m int",
+    )
+    avail = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.n_bpe_tokens(F.col("text"))).alias("available_tokens"),
+    )
+    tot = spark_w.agg(F.sum("weight_m").cast("long").alias("wsum"))
+    alloc = F.expr(
+        f"({_TOKEN_BUDGET} * CAST(weight_m AS BIGINT)) div wsum"
+    )
+    return (
+        avail.join(F.broadcast(spark_w), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "available_tokens",
+            F.col("weight_m").cast("long").alias("weight_m"),
+            alloc.alias("allocated_tokens"),
+            (alloc / F.col("available_tokens").cast("double")).alias("epochs"),
+            (alloc > F.col("available_tokens")).alias("needs_repetition"),
+        )
+    )

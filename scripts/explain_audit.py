@@ -124,6 +124,8 @@ SANCTIONED_BNLJ = {
     # exact-baseline shape) + a 4-row dimension sweep riding the pair
     # scan — every BNLJ side bounded by design
     "embedding_dim_truncation_recall",
+    # 1-row weight-total broadcast into the |sources|-row plan table
+    "mixture_token_plan",
 }
 
 _OPS = (
