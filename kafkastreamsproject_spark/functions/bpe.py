@@ -79,6 +79,38 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 _BATCH_K = 16
 
 
+def _commit_prefix(
+    cands: list[tuple[str, int]], *, fetched_all: bool, max_commits: int
+) -> list[tuple[str, int]]:
+    """Driver-side conflict resolution for the batched argmax: the
+    exact prefix of the (count DESC, pair ASC)-sorted candidate list
+    that the one-at-a-time trainer would provably also commit, per the
+    three rules in :func:`learn_bpe_rules`'s docstring.  Pure function
+    of the fetched candidates — property-tested against a sequential
+    simulation in tests/test_text_functions.py."""
+    tail_cnt = cands[-1][1]
+    committed_syms: set[str] = set()
+    batch: list[tuple[str, int]] = []
+    for i, (pair, cnt) in enumerate(cands):
+        if len(batch) >= max_commits:
+            break
+        if any(ch in committed_syms for ch in pair):
+            break  # count is stale — recount before trusting anything below
+        if batch:  # rules (2) and (3) only bind once S is non-empty
+            dominated = any(
+                later_cnt >= cnt
+                and any(ch in committed_syms for ch in later_pair)
+                for later_pair, later_cnt in cands[i + 1:]
+            )
+            if dominated or (not fetched_all and tail_cnt >= cnt):
+                break
+        batch.append((pair, cnt))
+        committed_syms.update(pair)
+    if not batch:  # unreachable: the first candidate always commits
+        batch = [cands[0]]
+    return batch
+
+
 def learn_bpe_rules(
     words: DataFrame, n_steps: int = 3, batch_k: int = _BATCH_K
 ) -> list[tuple[str, str, str, int]]:
@@ -139,28 +171,11 @@ def learn_bpe_rules(
         )
         if not cands:
             break
-        fetched_all = len(cands) < batch_k  # nothing ranked below the tail
-        tail_cnt = int(cands[-1]["cnt"])
-        committed_syms: set[str] = set()
-        batch: list[tuple[str, int]] = []
-        for i, row in enumerate(cands):
-            if len(merges) + len(batch) >= n_steps:
-                break
-            pair, cnt = row["pair"], int(row["cnt"])
-            if any(ch in committed_syms for ch in pair):
-                break  # count is stale — recount before trusting anything below
-            if batch:  # rules (2) and (3) only bind once S is non-empty
-                dominated = any(
-                    int(later["cnt"]) >= cnt
-                    and any(ch in committed_syms for ch in later["pair"])
-                    for later in cands[i + 1:]
-                )
-                if dominated or (not fetched_all and tail_cnt >= cnt):
-                    break
-            batch.append((pair, cnt))
-            committed_syms.update(pair)
-        if not batch:  # unreachable: the first candidate always commits
-            batch = [(cands[0]["pair"], int(cands[0]["cnt"]))]
+        batch = _commit_prefix(
+            [(row["pair"], int(row["cnt"])) for row in cands],
+            fetched_all=len(cands) < batch_k,
+            max_commits=n_steps - len(merges),
+        )
 
         base_k = len(merges)
         merges.extend(batch)

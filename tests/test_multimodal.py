@@ -210,3 +210,70 @@ def test_real_decode_wav_histograms_decoded_samples(spark):
         assert got.hist == want.tolist(), mid
         assert got.n_bytes == len(buf)
         assert sum(got.hist) == len(samples)  # samples only, no header
+
+
+def test_parse_ppm_roundtrip_property():
+    """Property: any (w, h, pixel-bytes) triple encodes to a P6 payload
+    that parse_ppm decodes back exactly — including pixel bytes that
+    look like header whitespace and comment markers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkastreamsproject_spark.functions.multimodal import parse_ppm
+
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        data=st.data(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def prop(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=w * h * 3,
+                    max_size=w * h * 3,
+                )
+            )
+        )
+        buf = f"P6\n{w} {h}\n255\n".encode() + px
+        got_w, got_h, maxval, arr = parse_ppm(buf)
+        assert (got_w, got_h, maxval) == (w, h, 255)
+        assert arr.reshape(-1).tolist() == list(px)
+
+    prop()
+
+
+def test_parse_wav_roundtrip_property():
+    """Property: any PCM-8 sample vector encodes to a RIFF payload that
+    parse_wav decodes back exactly, with or without a junk chunk."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkastreamsproject_spark.functions.multimodal import parse_wav
+
+    @given(
+        samples=st.lists(
+            st.integers(min_value=0, max_value=255), min_size=0, max_size=64
+        ),
+        junk=st.binary(min_size=0, max_size=7),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=200, deadline=None)
+    def prop(samples, junk, rate):
+        sb = bytes(samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+        chunks = b"JUNK" + struct.pack("<I", len(junk)) + junk
+        if len(junk) % 2:
+            chunks += b"\x00"  # word alignment pad
+        chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(sb)) + sb
+        buf = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        n_ch, got_rate, bits, got = parse_wav(buf)
+        assert (n_ch, got_rate, bits) == (1, rate, 8)
+        assert got.tolist() == samples
+
+    prop()

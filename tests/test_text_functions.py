@@ -191,3 +191,72 @@ def test_bpe_encode_roundtrip_and_token_counts(spark):
         # losslessness: every symbol expands back to the original word
         assert "".join(expansions.get(ch, ch) for ch in got[w]) == w
         assert len(got[w]) <= len(w)
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    ),
+    batch_k=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_commit_prefix_matches_sequential_trainer(words, batch_k):
+    """The batched argmax's driver-side conflict resolution
+    (functions/bpe.py:_commit_prefix) commits EXACTLY the merges the
+    one-at-a-time trainer would produce, on arbitrary corpora: we run
+    a pure-Python sequential trainer as truth and a pure-Python
+    batched trainer that recomputes counts only between batches, and
+    require identical merge sequences.  The tiny 5-letter alphabet
+    maximizes symbol collisions, i.e. maximally stresses the
+    overlap/dominance rules."""
+    from kafkastreamsproject_spark.functions.bpe import (
+        _commit_prefix,
+        placeholder,
+    )
+
+    n_steps = 15
+
+    def pair_counts(cur):
+        cnt = {}
+        for w, f in cur.items():
+            for i in range(len(w) - 1):
+                p = w[i : i + 2]
+                cnt[p] = cnt.get(p, 0) + f
+        return cnt
+
+    def apply(cur, pair, k):
+        return {w.replace(pair, placeholder(k)): f for w, f in cur.items()}
+
+    # truth: strictly one merge per recount
+    seq = []
+    cur = dict(words)
+    for k in range(n_steps):
+        cnt = pair_counts(cur)
+        if not cnt:
+            break
+        pair, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        seq.append((pair, c))
+        cur = apply(cur, pair, k)
+
+    # batched: top-batch_k per recount + _commit_prefix
+    got = []
+    cur = dict(words)
+    while len(got) < n_steps:
+        cnt = pair_counts(cur)
+        if not cnt:
+            break
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        cands = ranked[:batch_k]
+        batch = _commit_prefix(
+            cands,
+            fetched_all=len(ranked) <= batch_k,
+            max_commits=n_steps - len(got),
+        )
+        for pair, c in batch:
+            cur = apply(cur, pair, len(got))
+            got.append((pair, c))
+
+    assert got == seq, (words, batch_k, got, seq)
