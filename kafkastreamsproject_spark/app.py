@@ -110,6 +110,9 @@ def _curate(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="kafkastreamsproject-curate")
     docs = spark.read.parquet(args.input)
     holdout = spark.read.parquet(args.holdout) if args.holdout else None
+    dsir_target = (
+        spark.read.parquet(args.dsir_target) if args.dsir_target else None
+    )
     langs = tuple(args.langs.split(",")) if args.langs else None
     packed, stats = curate_corpus(
         docs,
@@ -117,6 +120,8 @@ def _curate(args: argparse.Namespace) -> int:
         langs=langs,
         holdout=holdout,
         containment_max=args.containment_max,
+        dsir_target=dsir_target,
+        dsir_base_m=args.dsir_base_m,
         pack_budget=args.pack_budget,
     )
     write_training_shards(packed, docs, args.output)
@@ -124,7 +129,7 @@ def _curate(args: argparse.Namespace) -> int:
         f"input={stats.input} exact_dedup={stats.after_exact_dedup} "
         f"neardup={stats.after_neardup_dedup} quality={stats.after_quality} "
         f"lang={stats.after_lang} decontaminated={stats.after_decontamination} "
-        f"packs={stats.packs} -> {args.output}"
+        f"dsir={stats.after_dsir} packs={stats.packs} -> {args.output}"
     )
     return 0
 
@@ -163,6 +168,17 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--langs", help="comma-separated lang allow-list (default: all)")
     k.add_argument("--holdout", help="eval parquet for decontamination")
     k.add_argument("--containment-max", type=float, default=0.5)
+    k.add_argument(
+        "--dsir-target",
+        help="target-domain parquet (doc_id, text) for DSIR importance "
+        "resampling (stage 5b); omit to skip the stage",
+    )
+    k.add_argument(
+        "--dsir-base-m",
+        type=int,
+        default=500,
+        help="DSIR base keep-rate per mille at log-ratio 0",
+    )
     k.add_argument("--pack-budget", type=int, default=2048)
     k.set_defaults(fn=_curate)
 

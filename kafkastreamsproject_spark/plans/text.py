@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.functions import text as TX
 from kafkastreamsproject_spark.plans.registry import register
-from kafkastreamsproject_spark.sources.testdata import load_table
+from kafkastreamsproject_spark.sources.testdata import fan_out, load_table
 
 # DuckDB-side tokenization shared by the oracle strings.
 _SQL_TOKENS = "string_split_regex(trim(text), ' +')"
@@ -1188,4 +1188,121 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.length("w")) / F.sum("n_sym").cast("double")
             ).alias("compression"),
         )
+    )
+
+
+_GOPHER_MIN_WORDS = 5       # fixture-scaled (paper: 50)
+_GOPHER_MAX_WORDS = 1000    # fixture-scaled (paper: 100k)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_SQL_GOPHER_STOPS = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, w -> length(w)))
+               AS BIGINT) AS n_chars,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter(toks,
+                 w -> regexp_matches(w, '^[#$%&*+=^_~]+$')))
+               AS BIGINT) AS n_symbol_words,
+             CAST(len(list_filter(toks,
+                 w -> list_contains([{_SQL_GOPHER_STOPS}], w)))
+               AS BIGINT) AS n_stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           n_chars / CAST(n_words AS DOUBLE) AS mean_word_len,
+           n_symbol_words / CAST(n_words AS DOUBLE) AS symbol_ratio,
+           n_alpha_words / CAST(n_words AS DOUBLE) AS alpha_word_ratio,
+           n_stop_hits,
+           n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+             AS pass_word_count,
+           n_chars * 1 >= 3 * n_words AND n_chars <= 10 * n_words
+             AS pass_mean_word_len,
+           10 * n_symbol_words <= n_words AS pass_symbol_ratio,
+           10 * n_alpha_words >= 8 * n_words AS pass_alpha_ratio,
+           n_stop_hits >= 2 AS pass_stopwords,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+             AND (n_chars >= 3 * n_words AND n_chars <= 10 * n_words)
+             AND (10 * n_symbol_words <= n_words)
+             AND (10 * n_alpha_words >= 8 * n_words)
+             AND (n_stop_hits >= 2) AS gopher_pass
+    FROM m
+    """,
+    tags=("text", "quality", "llmdata"),
+    tier="shadow",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText RULE BATTERY (Rae et al. 2021, app. A)
+    as one scan — the published heuristic filter set pre-training
+    pipelines start from, complementing this repo's single-signal
+    gates (quality_score, doc_repetition_stats, doc_surprisal_quality)
+    with the full multi-rule verdict: word-count bounds, mean word
+    length in [3, 10], symbol-word ratio ≤ 0.1, ≥ 80% alphabetic
+    words, and ≥ 2 stopword hits (the paper's "stop word" existence
+    rule), each emitted as its own boolean so a tuning pass can see
+    WHICH rule kills a document, plus the conjunction ``gopher_pass``.
+    Thresholds are fixture-scaled where the paper's assume web-page
+    lengths (50..100k words → 5..1000).
+
+    Exactness: every RULE is a pure-integer cross-product comparison
+    (10·symbols ≤ words, not symbols/words ≤ 0.1 — no FP in any
+    verdict); the emitted ratios are single int/int divisions for
+    inspectability only.
+
+    Scale shape: one scan, all rules row-local higher-order functions
+    over the token array — zero shuffle, zero UDF."""
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    toks = TX.tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    n_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_alpha = F.size(
+        F.filter(toks, lambda w: w.rlike("[a-z]"))
+    ).cast("long")
+    n_sym = F.size(
+        F.filter(toks, lambda w: w.rlike(r"^[#$%&*+=^_~]+$"))
+    ).cast("long")
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(stops, w))
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_sym.alias("n_symbol_words"),
+        n_stop.alias("n_stop_hits"),
+    )
+    w, c = F.col("n_words"), F.col("n_chars")
+    p_wc = (w >= _GOPHER_MIN_WORDS) & (w <= _GOPHER_MAX_WORDS)
+    p_mwl = (c >= 3 * w) & (c <= 10 * w)
+    p_sym = 10 * F.col("n_symbol_words") <= w
+    p_alpha = 10 * F.col("n_alpha_words") >= 8 * w
+    p_stop = F.col("n_stop_hits") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        (c / w.cast("double")).alias("mean_word_len"),
+        (F.col("n_symbol_words") / w.cast("double")).alias("symbol_ratio"),
+        (F.col("n_alpha_words") / w.cast("double")).alias("alpha_word_ratio"),
+        "n_stop_hits",
+        p_wc.alias("pass_word_count"),
+        p_mwl.alias("pass_mean_word_len"),
+        p_sym.alias("pass_symbol_ratio"),
+        p_alpha.alias("pass_alpha_ratio"),
+        p_stop.alias("pass_stopwords"),
+        (p_wc & p_mwl & p_sym & p_alpha & p_stop).alias("gopher_pass"),
     )

@@ -414,3 +414,56 @@ def test_curation_dsir_resample_upsamples_target_domain(spark):
 
     with _pytest.raises(ValueError):
         curate_corpus(docs, dsir_target=target, dsir_base_m=0)
+
+
+def test_cli_curate_with_dsir_target(spark, tmp_path):
+    """The `curate` CLI end-to-end with the DSIR stage: parquet in,
+    training shards out, stage counts printed — the switch path for a
+    user running the funnel from the command line."""
+    import hashlib
+
+    from kafkastreamsproject_spark.app import main
+
+    vocab_a = "alpha beta gamma delta epsilon zeta eta theta".split()
+    vocab_b = "uno dos tres cuatro cinco seis siete ocho".split()
+
+    def walk(vocab, salt, i, n=24):
+        def tok(j):
+            h = hashlib.md5(f"{salt}-{i}-{j}".encode()).hexdigest()
+            return vocab[int(h[:4], 16) % 8]
+
+        return " ".join(tok(j) for j in range(n))
+
+    docs = spark.createDataFrame(
+        [(i + 1, walk(vocab_a, "p", i)) for i in range(10)]
+        + [(100 + i, walk(vocab_b, "q", i)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(1000 + i, walk(vocab_a, "t", i)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    docs_pq = str(tmp_path / "docs.parquet")
+    target_pq = str(tmp_path / "target.parquet")
+    out_dir = str(tmp_path / "shards")
+    docs.write.parquet(docs_pq)
+    target.write.parquet(target_pq)
+
+    assert main([
+        "curate",
+        "--input", docs_pq,
+        "--output", out_dir,
+        "--quality-min", "0.0",
+        "--dsir-target", target_pq,
+        "--dsir-base-m", "800",
+        "--pack-budget", "256",
+    ]) == 0
+
+    shards = spark.read.parquet(out_dir)
+    kept = sorted(r.doc_id for r in shards.select("doc_id").collect())
+    assert kept, "funnel should keep something"
+    kept_a = sum(1 for d in kept if d <= 10)
+    kept_b = sum(1 for d in kept if d > 100)
+    assert kept_a > kept_b, (kept_a, kept_b)  # DSIR up-samples domain A
+    # shard layout contract: text joined back, pack assignment present
+    assert {"doc_id", "text", "pack_id", "shard_id"} <= set(shards.columns)
