@@ -343,3 +343,79 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
         change.alias("change"),
     )
+
+
+from kafkastreamsproject_spark.functions import hashing as _H
+from kafkastreamsproject_spark.functions import text as _TX
+
+_SQL_TRI3 = f"list_distinct({_H.sql_hash_list(_TX.sql_shingles(3))})"
+_NOV_KEY_BASE = 1_000_000_000  # > any doc_id: (parity, doc_id) lex key
+
+
+@register(
+    "streaming_novelty_ingest",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id, doc_id % 2 AS par, unnest({_SQL_TRI3}) AS h
+      FROM documents
+      WHERE len(string_split_regex(trim(text), ' +')) >= 3
+    ),
+    fs AS (
+      SELECT h, MIN(par * {_NOV_KEY_BASE} + doc_id) AS fk
+      FROM tri GROUP BY h
+    )
+    SELECT t.doc_id,
+           CAST(t.par + 1 AS INT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN f.fk = t.par * {_NOV_KEY_BASE} + t.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           SUM(CASE WHEN f.fk = t.par * {_NOV_KEY_BASE} + t.doc_id
+                    THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM tri t JOIN fs f USING (h)
+    GROUP BY t.doc_id, t.par
+    """,
+    tags=("llmdata", "streaming", "diagnostic"),
+    tier="shadow",
+)
+def streaming_novelty_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch replay of NOVELTY-at-ingest (streaming/novelty.py):
+    fold the even-id documents, then the odd-id ones, through the
+    persistent first-seen trigram store; emit each doc's per-batch
+    novelty stats.  The DuckDB oracle re-derives every count from
+    first-carrier attribution under the (batch, doc_id) arrival order
+    — proving the incremental store fold equals the full-corpus
+    doc_novelty_audit semantics under that ordering: batch-2 docs lose
+    novelty to BOTH batch-1 carriers (via the store) and lower-id
+    batch-2 carriers (within-batch min), exactly like a second crawl
+    snapshot scored against the first.
+
+    Store lives in a throwaway temp dir; both folds eagerly
+    localCheckpoint their stats, so the returned DataFrame has no
+    lineage into the deleted files (the streaming_neardup_ingest
+    harness discipline)."""
+    import shutil
+    import tempfile
+
+    from kafkastreamsproject_spark.streaming.novelty import (
+        novelty_ingest_batch,
+    )
+
+    docs = fan_out(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    store = tempfile.mkdtemp(prefix="novelty_ingest_store_")
+    try:
+        s1 = novelty_ingest_batch(even, store)
+        s2 = novelty_ingest_batch(odd, store)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return s1.select(
+        "doc_id", F.lit(1).alias("batch"), "n_trigrams", "n_novel", "novelty"
+    ).unionByName(
+        s2.select(
+            "doc_id", F.lit(2).alias("batch"),
+            "n_trigrams", "n_novel", "novelty",
+        )
+    )

@@ -275,3 +275,48 @@ def test_dedup_shard_against_store_verdicts_and_probe_parity(spark, tmp_path):
 
     stored = spark.read.parquet(f"{store}/signatures")
     assert sorted(r.doc_id for r in stored.select("doc_id").collect()) == [1, 2]
+
+
+def test_novelty_ingest_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract of the novelty store: replaying an epoch
+    whose hashes already landed must not double-admit them (anti-join
+    append idempotence), and a later batch scores identically whether
+    the earlier epoch ran once or twice.  Also pins the attribution
+    semantics: partial trigram overlap yields partial novelty, an
+    exact twin of an admitted doc scores zero."""
+    from kafkastreamsproject_spark.streaming.novelty import (
+        _read_store,
+        novelty_ingest_batch,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        # doc 10 has 3 trigrams, sharing 2 with doc 1 ('alpha beta
+        # gamma', 'beta gamma delta') -> exactly 1 novel
+        [(10, "alpha beta gamma delta zeta"),
+         (11, "seven eight nine ten eleven")],
+        "doc_id long, text string",
+    )
+    b3 = spark.createDataFrame(
+        [(20, "alpha beta gamma delta zeta"),  # exact twin of 10 -> zero novel
+         (21, "twelve thirteen fourteen fifteen sixteen")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "nov_store")
+    novelty_ingest_batch(b1, store)
+    s2a = {r.doc_id: r for r in novelty_ingest_batch(b2, store).collect()}
+    assert s2a[10].n_novel == 1 and s2a[10].n_trigrams == 3
+    assert s2a[11].novelty == 1.0
+
+    n_store = _read_store(spark, f"{store}/trigrams").count()
+    # replay epoch 2 (crash after append): store must not grow
+    novelty_ingest_batch(b2, store)
+    assert _read_store(spark, f"{store}/trigrams").count() == n_store
+
+    s3 = {r.doc_id: r for r in novelty_ingest_batch(b3, store).collect()}
+    assert s3[20].n_novel == 0  # twin of an admitted doc
+    assert s3[21].novelty == 1.0
