@@ -323,7 +323,25 @@ def _bm25_sql() -> str:
     )
     tf_any = " + ".join(f"b.tf{i}" for i in range(len(_BM25_TERMS)))
     return f"""
-    WITH base AS (
+    WITH {_bm25_ctes()}
+    SELECT b.doc_id, ROUND({score}, 6) AS bm25
+    FROM base b, stats s
+    WHERE {tf_any} > 0
+    """
+
+
+def _bm25_ctes() -> str:
+    """Shared base/stats CTE prefix for the BM25-family oracles."""
+    toks = "string_split_regex(trim(text), ' +')"
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter({toks}, t -> t = '{w}')) AS DOUBLE) AS tf{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""base AS (
       SELECT doc_id,
              CAST(len({toks}) AS DOUBLE) AS dl,
              {tf_cols}
@@ -334,11 +352,17 @@ def _bm25_sql() -> str:
              SUM(dl) / COUNT(*) AS avgdl,
              {df_cols}
       FROM base
+    )"""
+
+
+def _bm25_score_sql() -> str:
+    """The pinned-order per-term score sum (b × s rows)."""
+    return " + ".join(
+        f"ln((s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)"
+        f" * (b.tf{i} * 2.2)"
+        f" / (b.tf{i} + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))"
+        for i in range(len(_BM25_TERMS))
     )
-    SELECT b.doc_id, ROUND({score}, 6) AS bm25
-    FROM base b, stats s
-    WHERE {tf_any} > 0
-    """
 
 
 @register(
@@ -1305,4 +1329,99 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_alpha.alias("pass_alpha_ratio"),
         p_stop.alias("pass_stopwords"),
         (p_wc & p_mwl & p_sym & p_alpha & p_stop).alias("gopher_pass"),
+    )
+
+
+_RERANK_R_LEX = 20  # BM25 recall-stage shortlist handed to the re-rank
+
+
+def _bm25_rerank_sql() -> str:
+    from kafkastreamsproject_spark.functions import vectors as V
+
+    return f"""
+    WITH {_bm25_ctes()},
+    scored AS (
+      SELECT b.doc_id, ROUND({_bm25_score_sql()}, 6) AS bm25
+      FROM base b, stats s
+      WHERE {" + ".join(f"b.tf{i}" for i in range(len(_BM25_TERMS)))} > 0
+    ),
+    shortlist AS (
+      SELECT doc_id, bm25 FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS srn
+        FROM scored
+      ) WHERE srn <= {_RERANK_R_LEX}
+    ),
+    rex AS (
+      SELECT s.doc_id, s.bm25,
+             ROUND({V.sql_cosine('q.embedding', 'e.embedding')}, 6) AS cos
+      FROM shortlist s
+      JOIN embeddings e ON e.vec_id = s.doc_id
+      JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q ON TRUE
+    )
+    SELECT doc_id, bm25, cos, CAST(rrn AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rrn
+      FROM rex
+    ) WHERE rrn <= 5
+    """
+
+
+@register(
+    "bm25_semantic_rerank",
+    oracle_fn=_bm25_rerank_sql,
+    tags=("text", "retrieval", "similarity"),
+    tier="shadow",
+)
+def bm25_semantic_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage RETRIEVAL SERVING stack — cheap lexical recall then
+    expensive semantic re-rank, the production search topology
+    (BM25 candidates → embedding re-scorer), and the retrieval
+    counterpart of ivf_pq_rerank's quantize-then-rerank: stage 1 runs
+    bm25_retrieval's scorer and keeps the top-20 shortlist via
+    operators/topk.py (TakeOrderedAndProject — no global sort); stage
+    2 reads embeddings ONLY for shortlist members (hash join on the
+    id, never an embedding scan per query), scores exact cosine
+    against the query embedding, and emits the final top-5 with both
+    scores so the lexical→semantic rank movement is inspectable
+    row-by-row.  Complements hybrid_retrieval_rrf: RRF fuses two FULL
+    rankings; the rerank stack never computes the full semantic
+    ranking at all — that asymmetry is the cost model that makes
+    semantic scoring affordable at corpus scale.
+
+    Determinism: both scores round at 6 dp with pinned evaluation
+    order (the bm25_retrieval / hybrid conventions); ranks break ties
+    by doc_id.
+
+    Scale shape: stage 1 is bm25_retrieval's plan verbatim (1-row
+    stats broadcast, row-local scoring, TakeOrdered top-20); stage 2
+    touches 20 embedding rows and the k-bounded rank window of
+    operators/topk.py.  The embedding payload never moves for
+    non-candidates."""
+    from kafkastreamsproject_spark.functions import vectors as V
+    from kafkastreamsproject_spark.operators.topk import top_k
+
+    lex = bm25_retrieval(spark, sf_dir)
+    shortlist = top_k(
+        lex, [F.col("bm25").desc(), F.col("doc_id")], _RERANK_R_LEX
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    rex = (
+        shortlist.join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .join(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(
+                V.cosine(F.col("q_emb"), F.col("embedding")), 6
+            ).alias("cos"),
+        )
+    )
+    return top_k(
+        rex, [F.col("cos").desc(), F.col("doc_id")], 5, rank_col="rnk"
     )

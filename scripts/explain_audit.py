@@ -126,6 +126,10 @@ SANCTIONED_BNLJ = {
     "embedding_dim_truncation_recall",
     # 1-row weight-total broadcast into the |sources|-row plan table
     "mixture_token_plan",
+    # bm25_retrieval's 1-row stats broadcast plus the 1-row query
+    # embedding broadcast into the 20-row lexical shortlist — every
+    # BNLJ side ≤ 1 row by design
+    "bm25_semantic_rerank",
 }
 
 _OPS = (
