@@ -147,3 +147,32 @@ def test_repetition_entropy_identity_and_bounds(toks: list[str]):
     bigrams = list(zip(toks, toks[1:]))
     dup_bigram_frac = 1 - len(set(bigrams)) / len(bigrams)
     assert 0.0 <= dup_bigram_frac < 1.0
+
+
+@given(
+    a=st.sets(st.integers(0, 120), min_size=1, max_size=40),
+    b=st.sets(st.integers(0, 120), min_size=1, max_size=40),
+    dfs=st.lists(st.integers(1, 9), min_size=121, max_size=121),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filtering_completeness(a, b, dfs):
+    """The prefix-filtering lemma under the repo's integer arithmetic
+    (plans/dedup.py prefix_filter_jaccard_pairs, t = 7/10): for ANY
+    global (df, token) order, any pair with 10·|A∩B| ≥ 7·|A∪B| shares
+    a token inside BOTH frequency-ordered prefixes of length
+    p = n − ceil(7n/10) + 1 = n − ((7n + 9) // 10) + 1."""
+    inter = len(a & b)
+    union = len(a | b)
+    if 10 * inter < 7 * union:
+        return  # below threshold — no guarantee claimed
+    key = lambda t: (dfs[t], t)  # noqa: E731 — arbitrary global order
+
+    def prefix(s):
+        n = len(s)
+        p = n - ((7 * n + 9) // 10) + 1
+        assert p >= 1  # the integer formula never empties a prefix
+        return set(sorted(s, key=key)[:p])
+
+    assert prefix(a) & prefix(b), (
+        f"pair at jaccard {inter}/{union} missed by prefix filter"
+    )
