@@ -1469,3 +1469,147 @@ def prefix_filter_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("confirmed_pairs", F.lit(0)).alias("confirmed_pairs"),
         )
     )
+
+
+# Shared oracle fragment: connected components over the confirmed
+# near-dup pairs, then every corpus2 doc keyed by its cluster
+# REPRESENTATIVE (component min-label; singletons represent themselves).
+_SQL_CLUSTER_REP_CTES = """
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(u, comp) AS (
+      SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY u
+    ),
+    rep AS (
+      SELECT c0.doc_id, COALESCE(c.cluster_id, c0.doc_id) AS rep
+      FROM corpus0 c0 LEFT JOIN comp c ON c.doc_id = c0.doc_id
+    )
+"""
+
+
+def _rep_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rep, split): every corpus2 doc with its cluster
+    representative and the hash split KEYED BY THE REPRESENTATIVE —
+    near-dup docs therefore share a split by construction."""
+    from kafkastreamsproject_spark.plans.llmdata import (
+        _SPLIT_TRAIN_PCT,
+        _SPLIT_VAL_PCT,
+    )
+
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = _corpus2(spark, sf_dir).select("doc_id")
+    reps = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("rep")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("rep").cast("string")), 9, 8), 16, 10
+    ).cast("long")
+    split = (
+        F.when(h % 100 < _SPLIT_TRAIN_PCT, "train")
+        .when(h % 100 < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return reps.select("doc_id", "rep", split.alias("split"))
+
+
+@register(
+    "cluster_aware_splits",
+    oracle_fn=lambda: f"""
+    WITH RECURSIVE
+    {_SQL_MINHASH_CTES},
+    {_SQL_CLUSTER_REP_CTES},
+    sp AS (
+      SELECT doc_id, rep, {_sql_split("rep")} AS split FROM rep
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters
+    FROM sp GROUP BY split
+    """,
+    tags=("dedup", "llmdata", "sampling"),
+    tier="shadow",
+)
+def cluster_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMEDIATION split_leakage_audit points at: assign
+    train/val/test by hashing the near-dup CLUSTER representative
+    (dedup_clusters' component min-label; singleton docs represent
+    themselves) instead of the doc id, so an entire duplicate cluster
+    lands on one side of every boundary and cross-split leakage is
+    impossible by construction — the split-by-cluster discipline
+    benchmark-quality corpora (e.g. The Pile's dedup-then-split, GPT-3's
+    fuzzy-dedup eval hygiene) apply.  Emits per-split doc and cluster
+    counts: the sizes stay near the configured 80/10/10 because the
+    hash is uniform over representatives (what moves is only WHICH
+    docs travel together).  Split hashing uses dataset_split_report's
+    hex[9:16] window verbatim, so this IS the shipped splitter, re-keyed.
+
+    Scale shape: the CC labels are already computed by the dedup stage
+    (bounded-iteration min-label propagation, checkpointed); on top of
+    them this adds one left join of (doc_id, cluster_id) longs and a
+    row-local hash — no new shuffle of text, and the rollup is 3 rows."""
+    sp = _rep_splits(spark, sf_dir)
+    return sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("rep").alias("n_clusters"),
+    )
+
+
+@register(
+    "cluster_split_leakage",
+    oracle_fn=lambda: f"""
+    WITH RECURSIVE
+    {_SQL_MINHASH_CTES},
+    {_SQL_CLUSTER_REP_CTES},
+    sp AS (
+      SELECT doc_id, {_sql_split("rep")} AS split FROM rep
+    )
+    SELECT LEAST(a.split, b.split) AS split_a,
+           GREATEST(a.split, b.split) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           LEAST(a.split, b.split) != GREATEST(a.split, b.split)
+             AS is_leakage
+    FROM pairs p
+    JOIN sp a ON a.doc_id = p.id_a
+    JOIN sp b ON b.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "llmdata", "diagnostic"),
+    tier="shadow",
+)
+def cluster_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_leakage_audit re-run under the cluster-aware assignment —
+    the before/after pair that proves the fix: every confirmed near-dup
+    pair lies inside one component, both ends hash by the same
+    representative, so ONLY same-split rows can appear and
+    ``is_leakage`` is false on every row (the audit's cross-boundary
+    mass, driven to zero).  Oracle-checked end-to-end: the DuckDB side
+    recomputes components, representatives, and splits independently,
+    so a wrong Spark component label would surface as a value mismatch,
+    not silently as a plausible zero."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    sp = _rep_splits(spark, sf_dir).select("doc_id", "split")
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("s_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("s_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("s_a", "s_b").alias("split_a"),
+            F.greatest("s_a", "s_b").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
+        )
+    )

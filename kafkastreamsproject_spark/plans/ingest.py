@@ -419,3 +419,72 @@ def streaming_novelty_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_trigrams", "n_novel", "novelty",
         )
     )
+
+
+@register(
+    "orc_roundtrip_fingerprint",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                             || CAST(epoch_ms(ts) AS VARCHAR)), 1, 15))::BIGINT
+             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("io", "integrity"),
+    tier="shadow",
+)
+def orc_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange losslessness — the TYPED-format companion to
+    jsonl_roundtrip_fingerprint: the events table (BIGINT + TIMESTAMP
+    + DOUBLE + VARCHAR) is written through Spark's native ORC
+    writer and read back, and the order-independent fingerprint over
+    (event_id, epoch-millis of ts) per event_type must equal the
+    fingerprint DuckDB computes from the original parquet.  The
+    timestamp rides the fingerprint as INTEGER epoch millis, so a
+    zone shift, precision truncation, or NTZ/zoned confusion in the
+    ORC path flips the DECIMAL sum (the fixture's own ts column has
+    drifted parquet types across driver rounds — this pins the second
+    interchange format against the same hazard).
+
+    Shard layout and row order are deliberately not preserved; the
+    commutative fingerprint makes the equality meaningful anyway."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="orc_rt_")
+    out_dir = f"{scratch}/events"  # write target must not pre-exist
+    try:
+        ev.write.orc(out_dir)
+        back = spark.read.orc(out_dir)
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.unix_millis(F.col("ts")).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        fp = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(h.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("content_fp"),
+        )
+        # materialize before the temp dir is removed
+        return fp.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1275,3 +1275,235 @@ def mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (alloc > F.col("available_tokens")).alias("needs_repetition"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine linear quality-classifier training (r9) — the TRAINABLE
+# complement to the hand-written Gopher rules and the DSIR ratio: a
+# fastText-style linear filter (Joulin et al. 2016; the quality-filter
+# role in GPT-3 / CCNet data curation) trained INSIDE the engine with
+# the full-batch perceptron rule (Rosenblatt 1958).  The perceptron is
+# chosen deliberately: its update is pure integer arithmetic (no
+# sigmoid/exp), so K training steps are EXACTLY reproducible in the
+# DuckDB oracle — the same reason the DSIR device uses dyadic bits.
+# The positive class is planted (spam-phrase injection), following the
+# repo's planted-offender discipline: the signal is known, so the
+# confusion matrix is a meaningful readout, not noise.
+# ---------------------------------------------------------------------------
+
+_QC_B = 32  # hashed-bigram feature buckets (DSIR's bounding trick)
+_QC_DIMS = _QC_B + 1  # + bias
+_QC_STEPS = 12  # fixed full-batch perceptron steps
+_QC_SPAM = " click here" * 8
+_QC_SHIFT = 1_000_000
+
+
+def _qc_ctes() -> str:
+    """corpus → hashed-bigram features (long format, + bias dim) → K
+    chained perceptron steps w0..w{K}.  Every chained CTE MATERIALIZED
+    (feats is referenced 2K+1 times; DuckDB would inline it)."""
+    toks = _SQL_TOKENS
+    fhash = (
+        f"('0x' || substr(md5(({toks})[i] || ' ' || ({toks})[i+1]), 1, 8))"
+        f"::BIGINT % {_QC_B}"
+    )
+    parts = [
+        f"""corpus AS MATERIALIZED (
+      SELECT doc_id, text, -1 AS y FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + {_QC_SHIFT} AS doc_id, text || '{_QC_SPAM}' AS text,
+             1 AS y
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    bg AS MATERIALIZED (
+      SELECT doc_id, y,
+             unnest(list_transform(range(1, len({toks})), i -> {fhash})) AS dim
+      FROM corpus WHERE len({toks}) >= 2
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, y, dim, CAST(COUNT(*) AS BIGINT) AS val
+      FROM bg GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT DISTINCT doc_id, y, {_QC_B} AS dim, CAST(1 AS BIGINT) AS val
+      FROM bg
+    ),
+    w0 AS MATERIALIZED (
+      SELECT unnest(range(0, {_QC_DIMS})) AS dim, CAST(0 AS BIGINT) AS wt
+    )"""
+    ]
+    for k in range(_QC_STEPS):
+        parts.append(f"""m{k} AS MATERIALIZED (
+      SELECT d.doc_id, d.y FROM (
+        SELECT f.doc_id, MIN(f.y) AS y, SUM(w.wt * f.val) AS s
+        FROM feats f JOIN w{k} w ON w.dim = f.dim
+        GROUP BY f.doc_id
+      ) d WHERE d.y * d.s <= 0
+    ),
+    w{k + 1} AS MATERIALIZED (
+      SELECT w.dim, w.wt + COALESCE(u.delta, 0) AS wt
+      FROM w{k} w LEFT JOIN (
+        SELECT f.dim, SUM(m.y * f.val) AS delta
+        FROM m{k} m JOIN feats f ON f.doc_id = m.doc_id
+        GROUP BY f.dim
+      ) u ON u.dim = w.dim
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _qc_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, x): the labeled training corpus with its 33-dim
+    integer feature vector, computed ROW-LOCALLY — bigrams hash into
+    {0..31} in one pass, bucket counts come from in-row array filters,
+    and the bias rides as dim 32.  Nothing but (doc_id, y, 33 longs)
+    ever leaves the row."""
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
+    clean = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", F.lit(-1).alias("y")
+    )
+    spam = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + _QC_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_QC_SPAM)).alias("text"),
+        F.lit(1).alias("y"),
+    )
+    c = clean.unionByName(spam)
+    toks = TX.tokens(F.col("text"))
+    bks = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _QC_B,
+    )
+    x = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_QC_B - 1)),
+            lambda j: F.size(
+                F.filter(bks, lambda b: b == j.cast("long"))
+            ).cast("long"),
+        ),
+        F.array(F.lit(1).cast("long")),
+    )
+    return c.filter(F.size(toks) >= 2).select("doc_id", "y", x.alias("x"))
+
+
+def _qc_train(feats: DataFrame) -> list[int]:
+    """K full-batch perceptron steps.  Each step is ONE distributed
+    job — the current weights fold into the plan as literals (whole-
+    stage-codegen arithmetic, no UDF), the misclassified-set update
+    Σ y·x comes back as 33 longs — the sanctioned bounded-driver-state
+    iterative-trainer shape (kmeans_int8_lloyd / functions/bpe.py
+    precedent).  All-integer, so the sequence is engine-exact."""
+    w = [0] * _QC_DIMS
+    for _ in range(_QC_STEPS):
+        terms = [
+            F.element_at(F.col("x"), j + 1) * F.lit(int(w[j]))
+            for j in range(_QC_DIMS)
+            if w[j] != 0
+        ]
+        dot = sum(terms[1:], terms[0]) if terms else F.lit(0)
+        row = (
+            feats.filter((F.col("y") * dot) <= 0)
+            .agg(
+                *[
+                    F.sum(
+                        F.col("y") * F.element_at(F.col("x"), j + 1)
+                    ).alias(f"d{j}")
+                    for j in range(_QC_DIMS)
+                ]
+            )
+            .first()
+        )
+        w = [w[j] + (row[f"d{j}"] or 0) for j in range(_QC_DIMS)]
+    return w
+
+
+@register(
+    "quality_classifier_train",
+    oracle_fn=lambda: f"""
+    WITH {_qc_ctes()}
+    SELECT CAST(dim AS INT) AS dim, CAST(wt AS BIGINT) AS weight
+    FROM w{_QC_STEPS}
+    """,
+    tags=("llmdata", "quality", "ml"),
+    tier="shadow",
+)
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a fastText-style linear quality classifier IN the engine:
+    12 full-batch perceptron steps over hashed-bigram count features
+    (32 buckets + bias) on a planted task — odd docs are clean (y=−1),
+    even docs get a spam phrase injected (y=+1) — and emit the final
+    33 integer weights.  The perceptron update w += Σ_misclassified y·x
+    is transcendental-free, so the oracle replays the identical K-step
+    trajectory in chained CTEs and the weights match EXACTLY — in-engine
+    trainable data curation with hard verification, complementing the
+    fixed Gopher rule battery and the DSIR ratio (which selects toward
+    a target domain; this learns to DETECT a planted contamination).
+
+    Scale shape: features are row-local md5-bucket counts (dimension
+    bounded at 32 — DSIR's hashing trick, so weights always broadcast);
+    each training step is one distributed aggregate with the current
+    weights folded in as codegen literals, returning 33 longs to the
+    driver (the kmeans/BPE sanctioned iterative shape); at 100 TB the
+    trainer runs on a sample while application (next query) is a pure
+    scan."""
+    feats = scoped_persist(_qc_feats(spark, sf_dir))
+    w = _qc_train(feats)
+    return spark.createDataFrame(
+        [(j, int(w[j])) for j in range(_QC_DIMS)], "dim int, weight long"
+    )
+
+
+@register(
+    "quality_classifier_confusion",
+    oracle_fn=lambda: f"""
+    WITH {_qc_ctes()},
+    pred AS (
+      SELECT f.doc_id, MIN(f.y) AS y,
+             CASE WHEN SUM(w.wt * f.val) > 0 THEN 1 ELSE -1 END AS y_hat
+      FROM feats f JOIN w{_QC_STEPS} w ON w.dim = f.dim
+      GROUP BY f.doc_id
+    )
+    SELECT CAST(y AS INT) AS y, CAST(y_hat AS INT) AS y_hat,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    tags=("llmdata", "quality", "ml", "diagnostic"),
+    tier="shadow",
+)
+def quality_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained classifier back over the corpus and emit the
+    confusion matrix (y × ŷ counts; ŷ = sign(w·x), ties to −1).  The
+    planted spam signal is linearly separable up to hash-bucket
+    collisions, so the diagonal dominating is the readout that the
+    12-step trainer actually learned the injected phrase's buckets —
+    and because the oracle independently retrains AND re-applies, a
+    divergence anywhere in the trajectory surfaces as a value mismatch.
+
+    Scale shape: application is the production path of a quality
+    filter — the 33 weights fold into the scan as literals (zero
+    shuffle, zero UDF, pure whole-stage codegen); this is exactly how
+    a fastText-style filter screens a 100 TB crawl."""
+    feats = scoped_persist(_qc_feats(spark, sf_dir))
+    w = _qc_train(feats)
+    terms = [
+        F.element_at(F.col("x"), j + 1) * F.lit(int(w[j]))
+        for j in range(_QC_DIMS)
+        if w[j] != 0
+    ]
+    dot = sum(terms[1:], terms[0]) if terms else F.lit(0)
+    y_hat = F.when(dot > 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        feats.select("y", y_hat.alias("y_hat"))
+        .groupBy("y", "y_hat")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
