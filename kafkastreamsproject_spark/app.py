@@ -114,9 +114,16 @@ def _curate(args: argparse.Namespace) -> int:
         spark.read.parquet(args.dsir_target) if args.dsir_target else None
     )
     langs = tuple(args.langs.split(",")) if args.langs else None
+    classifier_seed = (
+        spark.read.parquet(args.classifier_seed)
+        if args.classifier_seed
+        else None
+    )
     packed, stats = curate_corpus(
         docs,
         quality_min=args.quality_min,
+        classifier_seed=classifier_seed,
+        classifier_steps=args.classifier_steps,
         langs=langs,
         holdout=holdout,
         containment_max=args.containment_max,
@@ -128,6 +135,7 @@ def _curate(args: argparse.Namespace) -> int:
     print(
         f"input={stats.input} exact_dedup={stats.after_exact_dedup} "
         f"neardup={stats.after_neardup_dedup} quality={stats.after_quality} "
+        f"classifier={stats.after_classifier} "
         f"lang={stats.after_lang} decontaminated={stats.after_decontamination} "
         f"dsir={stats.after_dsir} packs={stats.packs} -> {args.output}"
     )
@@ -168,6 +176,17 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--langs", help="comma-separated lang allow-list (default: all)")
     k.add_argument("--holdout", help="eval parquet for decontamination")
     k.add_argument("--containment-max", type=float, default=0.5)
+    k.add_argument(
+        "--classifier-seed",
+        help="labeled seed parquet (text, y: +1 drop / -1 keep) — trains "
+        "the perceptron quality gate (stage 3d); omit to skip the stage",
+    )
+    k.add_argument(
+        "--classifier-steps",
+        type=int,
+        default=12,
+        help="full-batch perceptron training steps for stage 3d",
+    )
     k.add_argument(
         "--dsir-target",
         help="target-domain parquet (doc_id, text) for DSIR importance "

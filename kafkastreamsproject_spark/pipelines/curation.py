@@ -17,6 +17,12 @@ docs):
                         fraction cap: the Gopher              doc_repetition_stats
                         boilerplate/loop filter,              signal, row-local)
                         zero-shuffle
+3d. classifier gate     optional TRAINED quality filter:    (functions/perceptron.py;
+                        a perceptron over hashed-bigram       the fastText-style
+                        features fits a caller-supplied       filter verified by
+                        labeled seed set, then drops docs     plans/llmdata.py's
+                        it predicts positive (spam);          quality_classifier_*
+                        application is a zero-shuffle scan    oracle pair)
 4. language filter     keep an allow-list of n-gram       (functions/text.py)
                        lang-ID predictions
 4b. surprisal gate      optional perplexity-proxy cap:      (plans/llmdata.py's
@@ -73,6 +79,7 @@ class CurationStats:
     after_quality: int
     after_quality_top_p: int
     after_repetition: int
+    after_classifier: int
     after_lang: int
     after_surprisal: int
     after_decontamination: int
@@ -87,6 +94,8 @@ def curate_corpus(
     quality_min: float = 0.5,
     quality_top_p: float | None = None,
     repetition_max: float | None = None,
+    classifier_seed: DataFrame | None = None,
+    classifier_steps: int = 12,
     langs: tuple[str, ...] | None = None,
     surprisal_max: float | None = None,
     holdout: DataFrame | None = None,
@@ -101,6 +110,11 @@ def curate_corpus(
     Returns ``(packed, stats)``: one row per surviving document with its
     pack assignment (doc_id, n_tokens, shard_id, pack_id, pack_tokens,
     overflow), and the per-stage funnel counts.
+
+    ``classifier_seed`` (text, y ∈ {−1 keep, +1 drop}) enables stage
+    3d: a full-batch perceptron (``classifier_steps`` steps) is trained
+    on the seed's hashed-bigram features and every survivor the model
+    predicts positive is dropped — the learned quality filter.
 
     ``holdout`` (doc_id, text) enables stage 5: any doc whose distinct
     shingle-hash containment against the holdout's hash universe exceeds
@@ -202,6 +216,45 @@ def curate_corpus(
             )
         n_repetition = (
             quality.count() if repetition_max is not None else n_top_p
+        )
+
+        # 3d. optional TRAINED quality gate: fit a full-batch
+        # perceptron over hashed-bigram features on the caller's
+        # labeled seed set (``classifier_seed``: text, y ∈ {−1 keep,
+        # +1 drop}), then drop every survivor the model predicts
+        # positive.  This is the fastText-style learned filter of the
+        # GPT-3 / CCNet pipelines, complementing the fixed heuristics:
+        # stage 3 encodes what LOW QUALITY looks like a priori, this
+        # stage learns whatever the seed labels mark (spam templates,
+        # boilerplate families, machine-generated slop).  Training
+        # scans only the seed (steps × one distributed aggregate,
+        # 33 longs back per step — the sanctioned iterative shape);
+        # application folds the weights into the scan as codegen
+        # literals, so the gate itself is zero-shuffle at any corpus
+        # size.  Verified device: plans/llmdata.py's
+        # quality_classifier_train / _confusion oracle pair replays
+        # the identical trajectory in DuckDB.
+        if classifier_seed is not None:
+            from kafkastreamsproject_spark.functions import perceptron as P
+
+            seed = scoped_persist(
+                classifier_seed.select(
+                    F.col("y").cast("long").alias("y"),
+                    P.hashed_bigram_features(F.col("text")).alias("x"),
+                )
+            )
+            w = P.train_perceptron(
+                seed, P.DEFAULT_BUCKETS + 1, classifier_steps
+            )
+            pred_drop = (
+                P.dot_weights(
+                    P.hashed_bigram_features(F.col("text")), w
+                )
+                > 0
+            )
+            quality = quality.filter(~pred_drop)
+        n_classifier = (
+            quality.count() if classifier_seed is not None else n_repetition
         )
 
         if langs is not None:
@@ -386,6 +439,7 @@ def curate_corpus(
         after_quality=n_quality,
         after_quality_top_p=n_top_p,
         after_repetition=n_repetition,
+        after_classifier=n_classifier,
         after_lang=n_lang,
         after_surprisal=n_surprisal,
         after_decontamination=n_clean,

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.functions import hashing as H
+from kafkastreamsproject_spark.functions import perceptron as P
 from kafkastreamsproject_spark.functions import text as TX
 from kafkastreamsproject_spark.operators.cache import scoped_persist
 from kafkastreamsproject_spark.plans.registry import register
@@ -1367,32 +1368,7 @@ def _qc_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = clean.unionByName(spam)
     toks = TX.tokens(F.col("text"))
-    bks = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _QC_B,
-    )
-    x = F.concat(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_QC_B - 1)),
-            lambda j: F.size(
-                F.filter(bks, lambda b: b == j.cast("long"))
-            ).cast("long"),
-        ),
-        F.array(F.lit(1).cast("long")),
-    )
+    x = P.hashed_bigram_features(F.col("text"), _QC_B)
     return c.filter(F.size(toks) >= 2).select("doc_id", "y", x.alias("x"))
 
 
@@ -1403,28 +1379,7 @@ def _qc_train(feats: DataFrame) -> list[int]:
     Σ y·x comes back as 33 longs — the sanctioned bounded-driver-state
     iterative-trainer shape (kmeans_int8_lloyd / functions/bpe.py
     precedent).  All-integer, so the sequence is engine-exact."""
-    w = [0] * _QC_DIMS
-    for _ in range(_QC_STEPS):
-        terms = [
-            F.element_at(F.col("x"), j + 1) * F.lit(int(w[j]))
-            for j in range(_QC_DIMS)
-            if w[j] != 0
-        ]
-        dot = sum(terms[1:], terms[0]) if terms else F.lit(0)
-        row = (
-            feats.filter((F.col("y") * dot) <= 0)
-            .agg(
-                *[
-                    F.sum(
-                        F.col("y") * F.element_at(F.col("x"), j + 1)
-                    ).alias(f"d{j}")
-                    for j in range(_QC_DIMS)
-                ]
-            )
-            .first()
-        )
-        w = [w[j] + (row[f"d{j}"] or 0) for j in range(_QC_DIMS)]
-    return w
+    return P.train_perceptron(feats, _QC_DIMS, _QC_STEPS)
 
 
 @register(
@@ -1495,12 +1450,7 @@ def quality_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fastText-style filter screens a 100 TB crawl."""
     feats = scoped_persist(_qc_feats(spark, sf_dir))
     w = _qc_train(feats)
-    terms = [
-        F.element_at(F.col("x"), j + 1) * F.lit(int(w[j]))
-        for j in range(_QC_DIMS)
-        if w[j] != 0
-    ]
-    dot = sum(terms[1:], terms[0]) if terms else F.lit(0)
+    dot = P.dot_weights(F.col("x"), w)
     y_hat = F.when(dot > 0, F.lit(1)).otherwise(F.lit(-1))
     return (
         feats.select("y", y_hat.alias("y_hat"))

@@ -467,3 +467,57 @@ def test_cli_curate_with_dsir_target(spark, tmp_path):
     assert kept_a > kept_b, (kept_a, kept_b)  # DSIR up-samples domain A
     # shard layout contract: text joined back, pack assignment present
     assert {"doc_id", "text", "pack_id", "shard_id"} <= set(shards.columns)
+
+
+def test_curation_classifier_gate_drops_planted_spam(spark):
+    """Stage 3d: a perceptron trained on a labeled seed set (spam
+    phrase injected into the positive class) drops the corpus docs
+    carrying the same plant, keeps the clean docs, and generalizes —
+    the corpus filler is disjoint from the seed filler, so only the
+    learned spam-bucket weights can separate them."""
+    import hashlib
+
+    from kafkastreamsproject_spark.pipelines.curation import curate_corpus
+
+    vocab = (
+        "the fast key order sort table scan merge join stream "
+        "batch spark window hash part dup"
+    ).split()
+    spam = " click here" * 8
+
+    def walk(salt, i, n=48):
+        def tok(j):
+            h = hashlib.md5(f"{salt}-{i}-{j}".encode()).hexdigest()
+            return vocab[int(h[:4], 16) % 16]
+
+        return " ".join(tok(j) for j in range(n))
+
+    clean = [(i + 1, walk("corpus-clean", i)) for i in range(8)]
+    spammy = [(100 + i, walk("corpus-spam", i) + spam) for i in range(8)]
+    docs = spark.createDataFrame(clean + spammy, "doc_id long, text string")
+    seed = spark.createDataFrame(
+        [(walk("seed", i), -1) for i in range(8)]
+        + [(walk("seed-pos", i) + spam, 1) for i in range(8)],
+        "text string, y int",
+    )
+
+    # without the gate everything survives (quality floor disabled)
+    _, stats0 = curate_corpus(docs, quality_min=0.0, pack_budget=512)
+    assert stats0.after_classifier == stats0.after_repetition == 16
+
+    packed, stats = curate_corpus(
+        docs, quality_min=0.0, classifier_seed=seed, pack_budget=512
+    )
+    survivors = sorted(r.doc_id for r in packed.select("doc_id").collect())
+    assert stats.after_repetition == 16
+    assert survivors == [i + 1 for i in range(8)], (survivors, stats)
+    assert stats.after_classifier == 8
+
+    # deterministic: integer trainer + literal-folded application
+    packed2, stats2 = curate_corpus(
+        docs, quality_min=0.0, classifier_seed=seed, pack_budget=512
+    )
+    assert sorted(
+        r.doc_id for r in packed2.select("doc_id").collect()
+    ) == survivors
+    assert stats2 == stats
