@@ -1418,6 +1418,97 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QC_TAUS = 16  # threshold sweep: k/16-of-max-|score| for k in -16..16
+
+
+@register(
+    "quality_classifier_pr_curve",
+    oracle_fn=lambda: f"""
+    WITH {_qc_ctes()},
+    scored AS MATERIALIZED (
+      SELECT f.doc_id, MIN(f.y) AS y, SUM(w.wt * f.val) AS s
+      FROM feats f JOIN w{_QC_STEPS} w ON w.dim = f.dim
+      GROUP BY f.doc_id
+    ),
+    mx AS (SELECT MAX(ABS(s)) AS m FROM scored),
+    ks AS (SELECT unnest(range(-{_QC_TAUS}, {_QC_TAUS} + 1)) AS k),
+    cells AS (
+      SELECT k.k,
+        SUM(CASE WHEN {_QC_TAUS} * s.s > k.k * mx.m AND s.y = 1
+            THEN 1 ELSE 0 END) AS tp,
+        SUM(CASE WHEN {_QC_TAUS} * s.s > k.k * mx.m AND s.y = -1
+            THEN 1 ELSE 0 END) AS fp,
+        SUM(CASE WHEN {_QC_TAUS} * s.s <= k.k * mx.m AND s.y = 1
+            THEN 1 ELSE 0 END) AS fn,
+        SUM(CASE WHEN {_QC_TAUS} * s.s <= k.k * mx.m AND s.y = -1
+            THEN 1 ELSE 0 END) AS tn
+      FROM scored s CROSS JOIN mx CROSS JOIN ks k
+      GROUP BY k.k
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6)
+           END AS precision_at_k,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_at_k
+    FROM cells
+    """,
+    tags=("llmdata", "quality", "ml", "diagnostic"),
+    tier="shadow",
+)
+def quality_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep over the trained classifier: precision/recall
+    of "drop iff w·x > τ" at 33 thresholds τ = k·max|score|/16,
+    k ∈ −16..16 — the operating-curve readout a deployment tunes
+    against before screening a 100 TB crawl (pick τ for the tolerable
+    clean-data loss, read off the spam leak-through).  Pure-integer
+    threshold test (16·s > k·max|s| — never a divided float), so the
+    oracle's independently retrained trajectory lands on bit-identical
+    cells; the only doubles are the final exact-integer-ratio rates.
+
+    Scale shape: scores come from the literal-folded scan (one pass);
+    the sweep is one aggregate over a 33× bounded fan-out of (y, s)
+    pairs against two broadcast dimensions (the 1-row max-|score|
+    aggregate and the 33-row k range) — corpus text is never rescanned
+    per threshold."""
+    feats = scoped_persist(_qc_feats(spark, sf_dir))
+    w = _qc_train(feats)
+    scored = feats.select(
+        "y", P.dot_weights(F.col("x"), w).alias("s")
+    )
+    mx = scored.agg(F.max(F.abs(F.col("s"))).alias("m"))
+    ks = spark.range(-_QC_TAUS, _QC_TAUS + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    pred = (F.lit(_QC_TAUS) * F.col("s")) > (F.col("k") * F.col("m"))
+    cells = (
+        scored.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(pred & (F.col("y") == 1), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(pred & (F.col("y") == -1), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~pred & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
+            F.sum(F.when(~pred & (F.col("y") == -1), 1).otherwise(0)).alias("tn"),
+        )
+    )
+    return cells.select(
+        "k",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            (F.col("tp") + F.col("fp")) > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+        ).alias("precision_at_k"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias(
+            "recall_at_k"
+        ),
+    )
+
+
 @register(
     "quality_classifier_confusion",
     oracle_fn=lambda: f"""

@@ -1988,6 +1988,137 @@ def chunk_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINE_W = 12  # synthetic line width (tokens); the line-dedup unit
+
+
+@register(
+    "line_dedup_keep_first",
+    oracle=f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, {_SQL_TOKS2} AS toks
+      FROM documents WHERE len({_SQL_TOKS2}) >= 1
+      UNION ALL
+      SELECT doc_id + {_SHIFT} AS doc_id,
+             list_cat(
+               list_transform(range({_LINE_W}),
+                 i -> 'uniq' || CAST(doc_id + {_SHIFT} AS VARCHAR)),
+               list_slice({_SQL_TOKS2}, {_LINE_W} + 1, len({_SQL_TOKS2})))
+               AS toks
+      FROM documents WHERE len({_SQL_TOKS2}) > {_LINE_W}
+    ),
+    base AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(0, (len(toks) - 1) // {_LINE_W} + 1),
+               i -> array_to_string(
+                 list_slice(toks, i * {_LINE_W} + 1,
+                            i * {_LINE_W} + {_LINE_W}), ' ')) AS lines
+      FROM corpus
+    ),
+    ex AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(range(0, len(lines))) AS ord,
+             unnest(list_transform(lines, l -> md5(l))) AS lh
+      FROM base
+    ),
+    kept AS MATERIALIZED (
+      SELECT doc_id, list_sort(list(ord)) AS keep FROM (
+        SELECT doc_id, ord,
+               ROW_NUMBER() OVER (PARTITION BY lh ORDER BY doc_id, ord)
+                 AS rn
+        FROM ex
+      ) WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.lines) AS INT) AS n_lines_before,
+           CAST(len(COALESCE(k.keep, [])) AS INT) AS n_lines_after,
+           COALESCE(array_to_string(
+             list_filter(b.lines,
+               (l, i) -> list_contains(COALESCE(k.keep, []), i - 1)),
+             ' '), '') AS deduped_text
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    """,
+    tags=("dedup", "text"),
+    tier="shadow",
+)
+def line_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-wide LINE dedup with keep-FIRST
+    semantics: every line occurring more than once anywhere in the
+    corpus survives only at its first occurrence (ordered by (doc_id,
+    line ordinal)) — later copies, including intra-document repeats,
+    are scrubbed and the surviving text re-emitted.  This is the third
+    removal policy in the dedup family: minhash keeps one DOC per
+    cluster, chunk_scrub_text drops a shared span from EVERY doc,
+    this keeps exactly ONE copy of the shared line in the corpus (the
+    C4 "discard all but one of any repeated span" rule).
+
+    The documents fixture is single-line, so lines are synthesized as
+    consecutive {_LINE_W}-token windows, and duplicates are planted by
+    unioning shifted twins of the long-enough docs: each twin leads
+    with one unique line and then repeats its original's lines 1..n
+    (boundary-aligned).  Keep-first means originals retain everything
+    while every twin collapses to its unique lead line — retention,
+    full-collapse, and the tail partial line are all oracle-exercised.
+
+    Spark-first shape: line slicing, hashing, and the final scrub are
+    in-row higher-order array ops; only (doc_id, ordinal, 16-byte
+    hash) explodes and shuffles for the first-occurrence election
+    (min(struct(doc_id, ord)) per hash — an aggregate, never a global
+    window), and the elected ordinals (a few ints per doc) join back
+    on doc_id.  The one corpus-sized shuffle is that final doc_id
+    join — inherent to any rewrite that must pair a doc with a
+    corpus-wide verdict; at 100 TB everything else moves hashes."""
+    from kafkastreamsproject_spark.operators.cache import scoped_persist
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    uniq = F.concat(F.lit("uniq"), (F.col("doc_id") + _SHIFT).cast("string"))
+    originals = docs.filter(F.size(toks) >= 1).select(
+        "doc_id", toks.alias("toks")
+    )
+    twins = docs.filter(F.size(toks) > _LINE_W).select(
+        (F.col("doc_id") + _SHIFT).alias("doc_id"),
+        F.concat(
+            F.array_repeat(uniq, _LINE_W),
+            F.slice(toks, _LINE_W + 1, F.size(toks) - _LINE_W),
+        ).alias("toks"),
+    )
+    corpus = originals.unionByName(twins)
+    n_last = ((F.size(F.col("toks")) - 1) / _LINE_W).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_last),
+        lambda i: F.array_join(
+            F.slice(F.col("toks"), i * _LINE_W + 1, _LINE_W), " "
+        ),
+    )
+    base = scoped_persist(corpus.select("doc_id", lines.alias("lines")))
+    ex = base.select(
+        "doc_id",
+        F.posexplode(F.transform("lines", F.md5)).alias("ord", "lh"),
+    )
+    first = ex.groupBy("lh").agg(F.min(F.struct("doc_id", "ord")).alias("w"))
+    kept = (
+        ex.join(first, "lh")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("ord") == F.col("w.ord"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("ord")).alias("keep"))
+    )
+    j = base.join(kept, "doc_id", "left").withColumn(
+        "keep", F.coalesce("keep", F.array().cast("array<int>"))
+    )
+    scrubbed = F.filter(
+        "lines", lambda l, i: F.array_contains(F.col("keep"), i)
+    )
+    return j.select(
+        "doc_id",
+        F.size("lines").alias("n_lines_before"),
+        F.size(scrubbed).alias("n_lines_after"),
+        F.array_join(scrubbed, " ").alias("deduped_text"),
+    )
+
+
 @register(
     "orders_profile",
     oracle="""

@@ -55,6 +55,9 @@ SANCTIONED_BNLJ = {
     "tfidf_top_terms",
     # 1-row totals aggregate broadcast into the 10-row heavy-key list
     "key_skew_audit",
+    # 1-row max-|score| aggregate + 33-row threshold range broadcast
+    # against the scored (y, s) pairs — the PR-sweep fan-out
+    "quality_classifier_pr_curve",
     # 1-row global threshold / |sources|-row rate table broadcast
     "q22_idle_rich_customers",
     "mixture_resample",

@@ -34,14 +34,29 @@ QUERIES = [
     "ppm_image_stats",
     "wav_audio_stats",
     "minhash_estimator_error",
+    # later-r9 additions: retrieval rerank, set-similarity join,
+    # novelty audit, cluster-aware splits, the trained quality
+    # classifier (train / confusion / threshold sweep), and the
+    # keep-first line dedup
+    "bm25_semantic_rerank",
+    "prefix_filter_jaccard_pairs",
+    "doc_novelty_audit",
+    "cluster_aware_splits",
+    "quality_classifier_train",
+    "quality_classifier_confusion",
+    "quality_classifier_pr_curve",
+    "line_dedup_keep_first",
 ]
 
 
 def main() -> None:
     spark = get_spark(app_name="r9-ops-smoke")
-    from kafkastreamsproject_spark.plans.registry import shadow_queries
+    from kafkastreamsproject_spark.plans.registry import (
+        all_queries,
+        shadow_queries,
+    )
 
-    specs = shadow_queries()
+    specs = {**all_queries(), **shadow_queries()}
     out = {"kind": "r9_ops_smoke", "queries": {}}
     for name in QUERIES:
         row = {}
