@@ -1114,6 +1114,196 @@ def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERM_CURVE_PS = (2, 4, 8, 16)  # permutation budgets swept
+_PERM_CURVE_MAX = max(_PERM_CURVE_PS)
+
+
+def _sql_prefix_match(p: int) -> str:
+    """Matching-component count over the first ``p`` permutations."""
+    return " + ".join(
+        f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)"
+        for k in range(p)
+    )
+
+
+@register(
+    "minhash_perm_error_curve",
+    oracle=f"""
+    WITH corpus2 AS ({_SQL_CORPUS2}),
+    sigs AS (
+      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
+        {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(_PERM_CURVE_MAX))}
+      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, mh{2*b} AS h1, mh{2*b+1} AS h2 FROM sigs"
+          for b in range(_N_BANDS)
+      )}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.h1 = b.h1 AND a.h2 = b.h2
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT
+        len(list_intersect(sa.hset, sb.hset)) AS i,
+        len(sa.hset) + len(sb.hset)
+          - len(list_intersect(sa.hset, sb.hset)) AS u,
+        {", ".join(f"({_sql_prefix_match(p)}) AS m{p}" for p in _PERM_CURVE_PS)}
+      FROM cands c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+    ),
+    st AS (
+      {" UNION ALL ".join(
+          f"SELECT {p} AS p, m{p} AS m, i, u FROM pairs"
+          for p in _PERM_CURVE_PS
+      )}
+    )
+    SELECT CAST(p AS INT) AS p,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(CASE WHEN 8 * ABS(m * u - i * p) <= p * u
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_within_eighth,
+      SUM((1000000 * ABS(m * u - i * p)) // (p * u))
+        / CAST(COUNT(*) AS DOUBLE) AS mean_abs_err_ppm
+    FROM st GROUP BY p
+    """,
+    tags=("dedup", "minhash", "diagnostic"),
+    tier="shadow",
+)
+def minhash_perm_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation-budget curve for the MinHash estimator — the tuning
+    companion minhash_estimator_error's single-point readout asks for:
+    over the SAME LSH candidate population (the deployed 8-perm banding
+    join), the Jaccard-estimate error at 2, 4, 8, and 16 permutations,
+    each estimate using the signature's first p components.  Per budget
+    it emits the pair count, how many pairs estimate within 1/8 of the
+    true Jaccard, and the mean absolute error — the bytes-per-doc vs
+    estimator-variance trade an operator prices before widening
+    signatures across a 100 TB corpus.
+
+    Exactness: the error never exists as a free float — the within-1/8
+    test is the pure-integer comparison 8·|m·u − i·p| ≤ p·u and the
+    accumulated error is the integer floor of 10⁶·|m/p − i/u| (same
+    dyadic-style device as doc_surprisal_quality), so sums are exact
+    and the single final int/int division is engine-identical.
+
+    Scale shape: identical to minhash_estimator_error — the 16-perm
+    signature is ONE in-row pass over the shingle hashes (computing a
+    wider signature costs no extra scan), candidates come from the
+    unchanged band equi-join, and the 4-budget sweep is a stack (row
+    generator) over per-pair integers, never a re-join."""
+    sigs = scoped_persist(
+        _shingled_corpus2(spark, sf_dir).select(
+            "doc_id",
+            F.array_distinct("hs").alias("hset"),
+            H.minhash_signature_array(
+                F.col("hs"), _PERM_CURVE_MAX
+            ).alias("mhs"),
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.col("mhs")[2 * b].alias("h1"),
+                F.col("mhs")[2 * b + 1].alias("h2"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.h1", "band.h2")
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_id", "h1", "h2")
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("h1").alias("h1_b"),
+        F.col("h2").alias("h2_b"),
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("h1") == F.col("h1_b"))
+            & (F.col("h2") == F.col("h2_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hset").alias("h_a"),
+        F.col("mhs").alias("mh_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hset").alias("h_b"),
+        F.col("mhs").alias("mh_b"),
+    )
+    z = F.zip_with(
+        "mh_a",
+        "mh_b",
+        lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+    def prefix_match(p: int):
+        return F.aggregate(
+            F.slice(z, 1, p),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    inter = F.size(F.array_intersect("h_a", "h_b")).cast("long")
+    union = (F.size("h_a") + F.size("h_b")).cast("long") - inter
+    pairs = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            inter.alias("i"),
+            union.alias("u"),
+            *[prefix_match(p).alias(f"m{p}") for p in _PERM_CURVE_PS],
+        )
+    )
+    stack_args = ", ".join(f"{p}, m{p}" for p in _PERM_CURVE_PS)
+    st = pairs.select(
+        "i",
+        "u",
+        F.expr(
+            f"stack({len(_PERM_CURVE_PS)}, {stack_args}) AS (p, m)"
+        ),
+    )
+    dev = F.abs(F.col("m") * F.col("u") - F.col("i") * F.col("p"))
+    err_ppm = F.expr(
+        "(1000000 * abs(m * u - i * p)) div (p * u)"
+    )
+    return (
+        st.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(
+                    F.lit(8) * dev <= F.col("p") * F.col("u"), 1
+                ).otherwise(0)
+            ).alias("n_within_eighth"),
+            F.sum(err_ppm).alias("sum_err_ppm"),
+        )
+        .select(
+            "p",
+            "n_pairs",
+            "n_within_eighth",
+            (
+                F.col("sum_err_ppm") / F.col("n_pairs").cast("double")
+            ).alias("mean_abs_err_ppm"),
+        )
+    )
+
+
 def _sql_split(id_expr: str) -> str:
     """The dataset_split_report hash window (md5 hex[9:16] — disjoint
     from the sampling window) as a split CASE over an id expression."""

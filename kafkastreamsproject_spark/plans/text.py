@@ -1215,6 +1215,220 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_MIX_SEGS = 4  # per-doc segments for mixed-language detection
+
+
+def _sql_seg_lang_id(seg: int) -> str:
+    """DuckDB twin of the per-segment language vote: argmax marker
+    count over segment ``seg`` of the near-equal token
+    windows, 'unknown' when the segment carries no markers at all."""
+    S = _LANG_MIX_SEGS
+    seg_expr = (
+        f"list_slice(toks, (({seg} * n) // {S}) + 1,"
+        f" (({seg} + 1) * n) // {S})"
+    )
+    counts = {
+        lang: (
+            f"len(list_filter({seg_expr}, t -> t IN ('"
+            + "', '".join(TX.LANG_MARKERS[lang])
+            + "')))"
+        )
+        for lang in TX.LANG_MARKERS
+    }
+    best = "GREATEST(" + ", ".join(counts.values()) + ")"
+    whens = " ".join(
+        f"WHEN {counts[lang]} = {best} THEN '{lang}'"
+        for lang in TX.LANG_MARKERS
+    )
+    return f"CASE WHEN {best} = 0 THEN 'unknown' {whens} ELSE 'unknown' END"
+
+
+@register(
+    "doc_lang_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang AS label, {_SQL_TOKENS} AS toks,
+             len({_SQL_TOKENS}) AS n
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, label,
+        {", ".join(f"{_sql_seg_lang_id(s)} AS p{s}" for s in range(_LANG_MIX_SEGS))}
+      FROM t
+    )
+    SELECT doc_id, label,
+      {" || ',' || ".join(f"p{s}" for s in range(_LANG_MIX_SEGS))}
+        AS seg_preds,
+      CAST(len(list_distinct(list_filter(
+        [{", ".join(f"p{s}" for s in range(_LANG_MIX_SEGS))}],
+        p -> p != 'unknown'))) AS INT) AS n_seg_langs,
+      CAST(len(list_distinct(list_filter(
+        [{", ".join(f"p{s}" for s in range(_LANG_MIX_SEGS))}],
+        p -> p != 'unknown'))) >= 2 AS BOOLEAN) AS is_mixed
+    FROM votes
+    """,
+    tags=("text", "diagnostic"),
+    tier="shadow",
+)
+def doc_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language DOCUMENT detection — the per-segment refinement
+    of lang_id_predict's whole-doc vote: each document splits into 4
+    near-equal token windows, each window votes via the marker-token
+    argmax ('unknown' when it carries no markers), and a doc whose
+    windows disagree on two or more real languages is flagged mixed.
+    Code-switching and concatenation artifacts (boilerplate in one
+    language stitched to content in another) are invisible to a
+    whole-doc argmax — the dominant language simply outvotes the
+    minority span — and per-segment voting is the standard cheap
+    detector a curation pipeline runs before deciding whether to
+    split, drop, or route such docs.
+
+    Scale shape: entirely row-local — segment bounds are integer
+    floor divisions (Spark `div`, DuckDB `//` — the engine-exact
+    pair), marker counts are in-row array filters over token slices,
+    and no column but the verdict leaves the row.  Zero shuffle at
+    any corpus size."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", F.col("lang").alias("label"), toks.alias("toks")
+    ).withColumn("n", F.size("toks"))
+    S = _LANG_MIX_SEGS
+
+    def seg_pred(s: int):
+        lo = F.expr(f"({s} * n) div {S}")
+        hi = F.expr(f"(({s} + 1) * n) div {S}")
+        seg = F.slice(F.col("toks"), lo + 1, hi - lo)
+        counts = {
+            lang: F.size(
+                F.filter(seg, lambda t: t.isin(*TX.LANG_MARKERS[lang]))
+            )
+            for lang in TX.LANG_MARKERS
+        }
+        best = F.greatest(*counts.values())
+        expr = F.lit("unknown")
+        for lang in reversed(list(TX.LANG_MARKERS)):
+            expr = F.when(counts[lang] == best, F.lit(lang)).otherwise(expr)
+        return F.when(best == 0, F.lit("unknown")).otherwise(expr)
+
+    preds = base.select(
+        "doc_id",
+        "label",
+        *[seg_pred(s).alias(f"p{s}") for s in range(S)],
+    )
+    arr = F.array(*[F.col(f"p{s}") for s in range(S)])
+    real = F.array_distinct(F.filter(arr, lambda p: p != F.lit("unknown")))
+    return preds.select(
+        "doc_id",
+        "label",
+        F.concat_ws(",", arr).alias("seg_preds"),
+        F.size(real).alias("n_seg_langs"),
+        (F.size(real) >= 2).alias("is_mixed"),
+    )
+
+
+_BPE_CURVE_DEPTHS = (0, 4, 8, _BPE_STEPS)  # vocab budgets swept
+
+
+def _bpe_fertility_curve_oracle_sql() -> str:
+    """Corpus fertility at every swept merge depth, read off the encode
+    chain's already-materialized intermediates v0/v4/v8/v12."""
+    st = " UNION ALL ".join(
+        f"SELECT {d} AS depth, orig, length(cur) AS n_sym FROM v{d}"
+        for d in _BPE_CURVE_DEPTHS
+    )
+    return (
+        _bpe_encode_chain(_BPE_STEPS)
+        + f""",
+    st AS ({st})
+    SELECT CAST(s.depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(d.tok)) AS BIGINT) AS n_chars,
+           CAST(SUM(s.n_sym) AS BIGINT) AS n_subwords,
+           SUM(s.n_sym) / CAST(COUNT(*) AS DOUBLE) AS fertility,
+           SUM(length(d.tok)) / CAST(SUM(s.n_sym) AS DOUBLE) AS compression
+    FROM docw d JOIN st s ON d.tok = s.orig
+    GROUP BY s.depth"""
+    )
+
+
+@register(
+    "bpe_fertility_curve",
+    oracle_fn=_bpe_fertility_curve_oracle_sql,
+    tags=("text", "tokenizer", "diagnostic"),
+    tier="shadow",
+)
+def bpe_fertility_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility vs VOCABULARY SIZE — the tokenizer-budget curve: the
+    corpus encoded under the first 0, 4, 8, and 12 learned merges
+    (greedy BPE training makes every prefix of a 12-step run exactly
+    the k-step tokenizer, so one training yields the whole sweep) with
+    subwords-per-word and chars-per-subword at each depth.  Depth 0 is
+    the character tokenizer (fertility = chars/word, compression 1.0);
+    the curve's flattening is the diminishing-returns readout a vocab
+    budget is priced against — the sweep companion to
+    bpe_fertility_by_lang's single-depth per-language table.
+
+    Exactness: counts are organic integer sums; the two ratios are
+    single int/int divisions (no round), bit-identical across engines —
+    the oracle reads its depths off the encode chain's materialized
+    v{{k}} intermediates, so the sweep re-verifies the chain itself.
+
+    Scale shape: the encoder (all four depths) runs over the
+    |vocab|-row distinct-word table only, broadcast-joins the word
+    stream once, and the corpus collapses to ONE aggregate row (six
+    integer sums) that a stack fans back out to the four depth rows —
+    adding a depth costs one more |vocab|-row column, never a corpus
+    re-scan."""
+    from kafkastreamsproject_spark.functions.bpe import (
+        apply_merges,
+        learn_bpe_rules,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    stream = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    w0 = stream.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    rules = learn_bpe_rules(w0, n_steps=_BPE_STEPS)
+    vocab = w0.select(
+        "w",
+        *[
+            F.length(apply_merges(F.col("w"), rules[:d])).alias(f"n{d}")
+            for d in _BPE_CURVE_DEPTHS
+        ],
+    )
+    totals = (
+        stream.join(F.broadcast(vocab), "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            *[F.sum(f"n{d}").alias(f"s{d}") for d in _BPE_CURVE_DEPTHS],
+        )
+    )
+    stack_args = ", ".join(f"{d}, s{d}" for d in _BPE_CURVE_DEPTHS)
+    st = totals.select(
+        "n_words",
+        "n_chars",
+        F.expr(
+            f"stack({len(_BPE_CURVE_DEPTHS)}, {stack_args})"
+            " AS (depth, n_subwords)"
+        ),
+    )
+    return st.select(
+        "depth",
+        "n_words",
+        "n_chars",
+        "n_subwords",
+        (F.col("n_subwords") / F.col("n_words").cast("double")).alias(
+            "fertility"
+        ),
+        (F.col("n_chars") / F.col("n_subwords").cast("double")).alias(
+            "compression"
+        ),
+    )
+
+
 _GOPHER_MIN_WORDS = 5       # fixture-scaled (paper: 50)
 _GOPHER_MAX_WORDS = 1000    # fixture-scaled (paper: 100k)
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

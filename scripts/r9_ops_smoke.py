@@ -46,6 +46,9 @@ QUERIES = [
     "quality_classifier_confusion",
     "quality_classifier_pr_curve",
     "line_dedup_keep_first",
+    "minhash_perm_error_curve",
+    "bpe_fertility_curve",
+    "doc_lang_mix",
 ]
 
 
