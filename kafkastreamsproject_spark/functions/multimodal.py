@@ -245,15 +245,22 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def documents_as_ppm_media(docs: DataFrame) -> DataFrame:
+def documents_as_ppm_media(
+    docs: DataFrame, brightness_delta: int = 0
+) -> DataFrame:
     """Adapter: synthesize a REAL P6 PPM payload per document row —
     deterministic dimensions (width 4..8, height 3..6 from doc_id) and
-    samples ``1 + (doc_id*37 + 11*i) % 127`` (all in 1..127, so the
-    UTF-8 encode is one byte per sample and the generative formula is
-    closed-form reproducible in SQL).  The payload is a spec-valid
-    binary PPM — :func:`parse_ppm` decodes it with no knowledge of the
-    formula — so the decode path is exercised for real while a SQL
-    oracle checks the decoded statistics against the closed form."""
+    samples ``1 + brightness_delta + (doc_id*37 + 11*i) % 127`` (all in
+    0..127 for delta ∈ {−1, 0}, so the UTF-8 encode is one byte per
+    sample and the generative formula is closed-form reproducible in
+    SQL).  The payload is a spec-valid binary PPM — :func:`parse_ppm`
+    decodes it with no knowledge of the formula — so the decode path is
+    exercised for real while a SQL oracle checks the decoded statistics
+    against the closed form.  ``brightness_delta`` shifts every sample
+    uniformly — a byte-level change that leaves all luminance GRADIENTS
+    intact, the planted perceptual near-duplicate for the dHash query."""
+    if not -1 <= brightness_delta <= 0:
+        raise ValueError("brightness_delta must keep samples in 0..127")
     d = F.col("doc_id")
     w = (F.lit(4) + d % 5).cast("int")
     h = (F.lit(3) + d % 4).cast("int")
@@ -261,7 +268,9 @@ def documents_as_ppm_media(docs: DataFrame) -> DataFrame:
     pix = F.array_join(
         F.transform(
             F.sequence(F.lit(0).cast("long"), n3 - 1),
-            lambda i: F.char(F.lit(1) + (d * 37 + i * 11) % 127),
+            lambda i: F.char(
+                F.lit(1 + brightness_delta) + (d * 37 + i * 11) % 127
+            ),
         ),
         "",
     )
@@ -283,6 +292,51 @@ def documents_as_ppm_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("sample_rate"),
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
+    )
+
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        # luminance-gradient perceptual hash: bit i set iff pixel i is
+        # darker than pixel i+1 (row-major); ≤ 47 bits for the fixture
+        # dimensions, exact integer — SQL-reproducible
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def decode_image_dhash_batch():
+    """mapInPandas function: REAL PPM decode → difference-hash (dHash)
+    over the luminance sequence.  Luminance is the exact integer
+    r+g+b per pixel; bit i of the hash is 1 iff lum[i] < lum[i+1] —
+    the gradient-sign fingerprint that is invariant to uniform
+    brightness shifts (the classic perceptual-dedup property)."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height", "dhash")}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _maxval, px = parse_ppm(bytes(payload))
+                lum = px.reshape(-1, 3).astype(np.int64).sum(axis=1)
+                bits = (lum[:-1] < lum[1:]).astype(np.int64)
+                dhash = int((bits << np.arange(len(bits))).sum())
+                rows["media_id"].append(media_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["dhash"].append(dhash)
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def extract_image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual dHash over a media table (mapInPandas — Arrow
+    batches, no shuffle; only the fixed-width hash leaves the row)."""
+    return media.select("media_id", "payload").mapInPandas(
+        decode_image_dhash_batch(), schema=IMAGE_DHASH_SCHEMA
     )
 
 

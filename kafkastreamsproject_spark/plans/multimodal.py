@@ -176,6 +176,98 @@ def ppm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPM_LUM = (
+    "(({d} * 37 + (3 * {p}) * 11) % 127)"
+    " + (({d} * 37 + (3 * {p} + 1) * 11) % 127)"
+    " + (({d} * 37 + (3 * {p} + 2) * 11) % 127)"
+)
+_MEDIA_SHIFT = 1_000_000
+
+
+@register(
+    "ppm_dhash_neardup",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id AS d FROM documents
+      UNION ALL
+      SELECT doc_id + {_MEDIA_SHIFT} AS media_id, doc_id AS d
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    hs AS (
+      SELECT media_id,
+        CAST(4 + d % 5 AS INT) AS width,
+        CAST(3 + d % 4 AS INT) AS height,
+        CAST(list_sum(list_transform(
+          range(0, (4 + d % 5) * (3 + d % 4) - 1),
+          p -> CASE WHEN {_PPM_LUM.format(d="d", p="p")}
+                      < {_PPM_LUM.format(d="d", p="(p + 1)")}
+               THEN (1::BIGINT << p) ELSE 0::BIGINT END))
+          AS BIGINT) AS dhash
+      FROM m
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           a.width, a.height, a.dhash
+    FROM hs a JOIN hs b
+      ON a.width = b.width AND a.height = b.height
+     AND a.dhash = b.dhash AND a.media_id < b.media_id
+    """,
+    tags=("multimodal", "dedup"),
+    tier="shadow",
+)
+def ppm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image near-dup — dedup over decoded pixels, not
+    payload bytes: every image (plus a planted twin of each even doc
+    whose samples are uniformly darkened by 1 — byte-level different,
+    exact-hash invisible) is REALLY decoded through the media seam,
+    fingerprinted with a dHash (luminance-gradient signs, row-major:
+    bit i = lum[i] < lum[i+1]), and images are paired on hash
+    equality.  The twins land exactly because a uniform brightness
+    shift preserves every gradient sign — the canonical perceptual-
+    hash property no byte/checksum dedup has — while the oracle
+    recomputes the hashes from the closed-form pixel formula (the
+    delta cancels in the comparisons) and replays the same join.
+
+    Scale shape: decode + hash is one Arrow-batched mapInPandas scan
+    (payload bytes never shuffle; only (media_id, w, h, 8-byte hash)
+    leaves the row), hashes persist once, and pairing is a hash
+    equi-join — identical cost envelope to exact dedup, applied to
+    the decoded-content domain.  At 100 TB the same plan runs with
+    the real shortlist-then-verify discipline of the text near-dup
+    family (Hamming-band the hash if single-bit noise matters)."""
+    from kafkastreamsproject_spark.functions.multimodal import (
+        extract_image_dhash,
+    )
+    from kafkastreamsproject_spark.operators.cache import scoped_persist
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    base = documents_as_ppm_media(docs)
+    twins = documents_as_ppm_media(
+        docs.filter(F.col("doc_id") % 2 == 0), brightness_delta=-1
+    ).withColumn("media_id", F.col("media_id") + _MEDIA_SHIFT)
+    dh = scoped_persist(
+        extract_image_dhash(base.unionByName(twins))
+    )
+    a = dh.select(
+        F.col("media_id").alias("id_a"), "width", "height", "dhash"
+    )
+    b = dh.select(
+        F.col("media_id").alias("id_b"),
+        F.col("width").alias("width_b"),
+        F.col("height").alias("height_b"),
+        F.col("dhash").alias("dhash_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("width") == F.col("width_b"))
+            & (F.col("height") == F.col("height_b"))
+            & (F.col("dhash") == F.col("dhash_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "width", "height", "dhash")
+    )
+
+
 @register(
     "wav_audio_stats",
     oracle="""

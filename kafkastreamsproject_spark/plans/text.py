@@ -1429,6 +1429,119 @@ def bpe_fertility_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKLIST_FAIL_NUM, _BLOCKLIST_FAIL_DEN = 3, 5  # block iff fail > 3/5
+
+
+@register(
+    "source_quality_blocklist",
+    oracle_fn=lambda: f"""
+    WITH t AS (
+      SELECT source, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT source,
+        CASE WHEN (len(toks) BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+          AND (list_sum(list_transform(toks, w -> length(w))) >= 3 * len(toks))
+          AND (list_sum(list_transform(toks, w -> length(w))) <= 10 * len(toks))
+          AND 10 * len(list_filter(toks,
+                w -> regexp_matches(w, '^[#$%&*+=^_~]+$'))) <= len(toks)
+          AND 10 * len(list_filter(toks,
+                w -> regexp_matches(w, '[a-z]'))) >= 8 * len(toks)
+          AND len(list_filter(toks,
+                w -> list_contains([{_SQL_GOPHER_STOPS}], w))) >= 2
+        THEN 0 ELSE 1 END AS fail
+      FROM t
+    ),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(fail) AS BIGINT) AS n_gopher_fail
+      FROM g GROUP BY source
+    )
+    SELECT source, n_docs, n_gopher_fail,
+      n_gopher_fail / CAST(n_docs AS DOUBLE) AS gopher_fail_rate,
+      {_BLOCKLIST_FAIL_DEN} * n_gopher_fail
+        > {_BLOCKLIST_FAIL_NUM} * n_docs AS blocked,
+      CASE WHEN {_BLOCKLIST_FAIL_DEN} * n_gopher_fail
+                  > {_BLOCKLIST_FAIL_NUM} * n_docs
+           THEN 0 ELSE n_docs END AS n_docs_kept
+    FROM s
+    """,
+    tags=("text", "quality", "llmdata"),
+    tier="shadow",
+)
+def source_quality_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a SOURCE blocklist from per-document quality verdicts —
+    the UT1/blocklist move of web-scale pipelines (don't judge each
+    page in isolation; a domain whose pages mostly fail the filters is
+    dropped wholesale, catching the pages that individually squeak
+    by): per source, the Gopher-battery failure count, and a blocked
+    verdict when failures exceed {_BLOCKLIST_FAIL_NUM}/{_BLOCKLIST_FAIL_DEN}
+    of the source's docs, plus the kept-doc count the decision implies.
+    Application is a broadcast anti-join of the |sources|-row blocklist
+    against any scan.
+
+    Exactness: the verdict is the pure-integer cross-product test
+    5·fails > 3·docs (same
+    discipline as the per-doc rules); the emitted rate is one int/int
+    division for inspectability.
+
+    Scale shape: the per-doc verdict is the gopher_quality_rules
+    zero-shuffle scan collapsed map-side to |sources| partial rows;
+    the only shuffled relation is (source, two longs)."""
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    toks = TX.tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    n_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("long")
+    n_sym = F.size(
+        F.filter(toks, lambda w: w.rlike(r"^[#$%&*+=^_~]+$"))
+    ).cast("long")
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(stops, w))
+    ).cast("long")
+    gopher_pass = (
+        (n_words >= _GOPHER_MIN_WORDS)
+        & (n_words <= _GOPHER_MAX_WORDS)
+        & (n_chars >= 3 * n_words)
+        & (n_chars <= 10 * n_words)
+        & (10 * n_sym <= n_words)
+        & (10 * n_alpha >= 8 * n_words)
+        & (n_stop >= 2)
+    )
+    s = (
+        docs.select(
+            "source",
+            F.when(gopher_pass, F.lit(0)).otherwise(F.lit(1)).alias("fail"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("fail").alias("n_gopher_fail"),
+        )
+    )
+    blocked = (
+        F.lit(_BLOCKLIST_FAIL_DEN) * F.col("n_gopher_fail")
+        > F.lit(_BLOCKLIST_FAIL_NUM) * F.col("n_docs")
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_gopher_fail",
+        (F.col("n_gopher_fail") / F.col("n_docs").cast("double")).alias(
+            "gopher_fail_rate"
+        ),
+        blocked.alias("blocked"),
+        F.when(blocked, F.lit(0).cast("long"))
+        .otherwise(F.col("n_docs"))
+        .alias("n_docs_kept"),
+    )
+
+
 _GOPHER_MIN_WORDS = 5       # fixture-scaled (paper: 50)
 _GOPHER_MAX_WORDS = 1000    # fixture-scaled (paper: 100k)
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -49,6 +49,8 @@ QUERIES = [
     "minhash_perm_error_curve",
     "bpe_fertility_curve",
     "doc_lang_mix",
+    "ppm_dhash_neardup",
+    "source_quality_blocklist",
 ]
 
 
