@@ -421,6 +421,119 @@ def streaming_novelty_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LD_W = 12            # line width — streaming/linededup.LINE_W
+_LD_SHIFT = 1_000_000  # twin doc_id shift (matches line_dedup_keep_first)
+_LD_KEYB = 2_000_000   # > any twin doc_id: (batch, doc_id) lex key base
+_LD_ORDB = 4096        # > any per-doc line count: ordinal key base
+_LD_TOKS = "string_split_regex(trim(text), ' +')"
+
+
+@register(
+    "streaming_line_dedup_ingest",
+    oracle=f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, 0 AS par, {_LD_TOKS} AS toks
+      FROM documents WHERE len({_LD_TOKS}) >= 1
+      UNION ALL
+      SELECT doc_id + {_LD_SHIFT} AS doc_id, 1 AS par,
+             list_cat(
+               list_transform(range({_LD_W}),
+                 i -> 'uniq' || CAST(doc_id + {_LD_SHIFT} AS VARCHAR)),
+               list_slice({_LD_TOKS}, {_LD_W} + 1, len({_LD_TOKS})))
+               AS toks
+      FROM documents WHERE len({_LD_TOKS}) > {_LD_W}
+    ),
+    base AS MATERIALIZED (
+      SELECT doc_id, par,
+             list_transform(range(0, (len(toks) - 1) // {_LD_W} + 1),
+               i -> array_to_string(
+                 list_slice(toks, i * {_LD_W} + 1,
+                            i * {_LD_W} + {_LD_W}), ' ')) AS lines
+      FROM corpus
+    ),
+    ex AS MATERIALIZED (
+      SELECT doc_id, par,
+             unnest(range(0, len(lines))) AS ord,
+             unnest(list_transform(lines, l -> md5(l))) AS lh
+      FROM base
+    ),
+    fs AS (
+      SELECT lh,
+             MIN((par * {_LD_KEYB} + doc_id) * {_LD_ORDB} + ord) AS fk
+      FROM ex GROUP BY lh
+    ),
+    kept AS (
+      SELECT e.doc_id, list_sort(list(e.ord)) AS keep
+      FROM ex e JOIN fs f USING (lh)
+      WHERE f.fk = (e.par * {_LD_KEYB} + e.doc_id) * {_LD_ORDB} + e.ord
+      GROUP BY e.doc_id
+    )
+    SELECT b.doc_id, CAST(b.par + 1 AS INT) AS batch,
+           CAST(len(b.lines) AS INT) AS n_lines,
+           CAST(len(COALESCE(k.keep, [])) AS INT) AS n_kept,
+           COALESCE(array_to_string(COALESCE(k.keep, []), ','), '')
+             AS kept_ords,
+           len(COALESCE(k.keep, []))
+             / CAST(len(b.lines) AS DOUBLE) AS keep_frac
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    """,
+    tags=("dedup", "streaming", "llmdata"),
+    tier="shadow",
+)
+def streaming_line_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch replay of keep-first LINE dedup AT INGEST
+    (streaming/linededup.py): fold the original documents, then their
+    planted byte-different twins (unique lead line + the original's
+    shifted tail — the line_dedup_keep_first corpus split by arrival),
+    through the persistent first-seen line-hash store; emit each doc's
+    per-batch kept-line stats.  The DuckDB oracle re-derives every
+    verdict from first-keeper attribution under the (batch, doc_id,
+    ordinal) arrival order — proving the incremental store fold equals
+    the batch operator's keep-first semantics under that ordering:
+    batch-2 twins lose every shared line to the store (keeping only
+    their unique lead) while batch-1 docs dedup only among themselves.
+
+    Store lives in a throwaway temp dir; both folds eagerly
+    localCheckpoint their stats, so the returned DataFrame has no
+    lineage into the deleted files (the streaming_neardup_ingest
+    harness discipline)."""
+    import shutil
+    import tempfile
+
+    from kafkastreamsproject_spark.streaming.linededup import (
+        LINE_W,
+        line_dedup_ingest_batch,
+    )
+
+    docs = fan_out(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+    toks = _TX.tokens(F.col("text"))
+    uniq = F.concat(
+        F.lit("uniq"), (F.col("doc_id") + _LD_SHIFT).cast("string")
+    )
+    twins = docs.filter(F.size(toks) > LINE_W).select(
+        (F.col("doc_id") + _LD_SHIFT).alias("doc_id"),
+        F.array_join(
+            F.concat(
+                F.array_repeat(uniq, LINE_W),
+                F.slice(toks, LINE_W + 1, F.size(toks) - LINE_W),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    store = tempfile.mkdtemp(prefix="line_dedup_ingest_store_")
+    try:
+        s1 = line_dedup_ingest_batch(docs, store)
+        s2 = line_dedup_ingest_batch(twins, store)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    cols = ["n_lines", "n_kept", "kept_ords", "keep_frac"]
+    return s1.select("doc_id", F.lit(1).alias("batch"), *cols).unionByName(
+        s2.select("doc_id", F.lit(2).alias("batch"), *cols)
+    )
+
+
 @register(
     "orc_roundtrip_fingerprint",
     oracle="""

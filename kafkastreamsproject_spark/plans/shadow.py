@@ -1988,7 +1988,10 @@ def chunk_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LINE_W = 12  # synthetic line width (tokens); the line-dedup unit
+from kafkastreamsproject_spark.streaming.linededup import (  # noqa: E402
+    LINE_W as _LINE_W,  # synthetic line width (tokens); the line-dedup unit
+    lines_expr as _lines_expr,
+)
 
 
 @register(
@@ -2083,14 +2086,11 @@ def line_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
     )
     corpus = originals.unionByName(twins)
-    n_last = ((F.size(F.col("toks")) - 1) / _LINE_W).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_last),
-        lambda i: F.array_join(
-            F.slice(F.col("toks"), i * _LINE_W + 1, _LINE_W), " "
-        ),
+    base = scoped_persist(
+        corpus.select(
+            "doc_id", _lines_expr(F.col("toks")).alias("lines")
+        )
     )
-    base = scoped_persist(corpus.select("doc_id", lines.alias("lines")))
     ex = base.select(
         "doc_id",
         F.posexplode(F.transform("lines", F.md5)).alias("ord", "lh"),

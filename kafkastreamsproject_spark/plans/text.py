@@ -1429,6 +1429,93 @@ def bpe_fertility_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zipf_slope_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+    rk AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM freq
+    ),
+    p AS (
+      SELECT CAST(length(format('{{:b}}', r)) AS BIGINT) AS x,
+             CAST(length(format('{{:b}}', c)) AS BIGINT) AS y,
+             c
+      FROM rk
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM p
+    )
+    SELECT n_types, n_tokens,
+           n_types * sxy - sx * sy AS slope_num,
+           n_types * sxx - sx * sx AS slope_den,
+           CASE WHEN n_types * sxx - sx * sx = 0 THEN NULL
+                ELSE (n_types * sxy - sx * sy)
+                     / CAST(n_types * sxx - sx * sx AS DOUBLE)
+           END AS zipf_slope
+    FROM s
+    """,
+    tags=("text", "diagnostic", "llmdata"),
+    tier="shadow",
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary — the
+    log-log regression behind the classic corpus-health check (natural
+    text sits near slope −1; templated/machine-generated corpora skew
+    flatter or steeper), fitted in EXACT arithmetic: log2 is coarsened
+    to the dyadic bits(x) = floor(log2 x)+1 device (doc_surprisal_quality
+    precedent — monotone, integer, engine-identical), and the OLS
+    slope over (bits(rank), bits(freq)) is assembled from integer
+    sufficient statistics (n·Σxy − Σx·Σy over n·Σx² − (Σx)²) with the
+    exact numerator/denominator pair emitted beside the one final
+    int/int division.
+
+    Scale shape: the frequency table is one token-hash aggregate; the
+    GLOBAL frequency rank comes from the bucketed two-level scan
+    (operators/prefixscan.py:bucketed_rank — parallel per-bucket ranks
+    + a |buckets|-row prefix pass), never a single-task sort; the fit
+    collapses map-side to one 6-integer row."""
+    from kafkastreamsproject_spark.operators.prefixscan import bucketed_rank
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    freq = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = bucketed_rank(
+        freq, "c", "tok", ascending=False, out_col="r"
+    )
+    bits = lambda col: F.length(F.bin(col)).cast("long")
+    p = ranked.select(
+        bits(F.col("r")).alias("x"), bits(F.col("c")).alias("y"), "c"
+    )
+    s = p.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_types") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "n_types",
+        "n_tokens",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den != 0, num / den.cast("double")).alias("zipf_slope"),
+    )
+
+
 _BLOCKLIST_FAIL_NUM, _BLOCKLIST_FAIL_DEN = 3, 5  # block iff fail > 3/5
 
 

@@ -88,6 +88,9 @@ SANCTIONED_BNLJ = {
     # 1-row (lo, hi) range broadcast feeding bucketed_rank's bucket
     # assignment (operators/prefixscan.py) — same 1-row-stat shape
     "gini_revenue_concentration",
+    # same bucketed_rank (lo, hi) 1-row broadcast, ranking the
+    # vocabulary frequency table for the Zipf fit
+    "zipf_slope_fit",
     # 1-row unigram/bigram grand totals broadcast into the PMI scan
     "pmi_collocations",
     # 1-row corpus-token-total broadcast into the surprisal scoring scan

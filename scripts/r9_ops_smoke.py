@@ -51,6 +51,8 @@ QUERIES = [
     "doc_lang_mix",
     "ppm_dhash_neardup",
     "source_quality_blocklist",
+    "streaming_line_dedup_ingest",
+    "zipf_slope_fit",
 ]
 
 

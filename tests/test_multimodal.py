@@ -277,3 +277,67 @@ def test_parse_wav_roundtrip_property():
         assert got.tolist() == samples
 
     prop()
+
+
+def test_dhash_brightness_invariance_property():
+    """The luminance-gradient dHash is invariant to any uniform
+    brightness shift that avoids clipping — the property the planted
+    twins of ppm_dhash_neardup rely on — and flips when a gradient
+    actually reverses."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def dhash(px):
+        lum = px.reshape(-1, 3).astype(np.int64).sum(axis=1)
+        bits = (lum[:-1] < lum[1:]).astype(np.int64)
+        return int((bits << np.arange(len(bits))).sum())
+
+    @given(
+        pixels=st.lists(
+            st.tuples(*[st.integers(min_value=1, max_value=127)] * 3),
+            min_size=2,
+            max_size=48,
+        ),
+        delta=st.integers(min_value=-1, max_value=0),
+    )
+    @settings(max_examples=200, deadline=None)
+    def prop(pixels, delta):
+        base = np.array(pixels, dtype=np.int64).reshape(-1, 3)
+        shifted = base + delta  # stays in 0..127: no clipping
+        assert dhash(base) == dhash(shifted)
+
+    prop()
+
+    # a genuine gradient reversal changes the hash
+    a = np.array([[10, 10, 10], [20, 20, 20]], dtype=np.int64)
+    b = np.array([[20, 20, 20], [10, 10, 10]], dtype=np.int64)
+    assert dhash(a) != dhash(b)
+
+
+def test_extract_image_dhash_matches_reference(spark):
+    """extract_image_dhash (real decode through the Arrow seam) equals
+    a driver-side recompute from parse_ppm on the same payloads."""
+    import numpy as np
+
+    from kafkastreamsproject_spark.functions.multimodal import (
+        documents_as_ppm_media,
+        extract_image_dhash,
+        parse_ppm,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x", "s", 1) for i in range(1, 9)],
+        "doc_id long, text string, source string, n_chars int",
+    )
+    media = documents_as_ppm_media(docs)
+    got = {
+        r.media_id: (r.width, r.height, r.dhash)
+        for r in extract_image_dhash(media).collect()
+    }
+    for row in media.select("media_id", "payload").collect():
+        w, h, _m, px = parse_ppm(bytes(row.payload))
+        lum = px.reshape(-1, 3).astype(np.int64).sum(axis=1)
+        bits = (lum[:-1] < lum[1:]).astype(np.int64)
+        want = int((bits << np.arange(len(bits))).sum())
+        assert got[row.media_id] == (w, h, want)

@@ -320,3 +320,47 @@ def test_novelty_ingest_replay_is_idempotent(spark, tmp_path):
     s3 = {r.doc_id: r for r in novelty_ingest_batch(b3, store).collect()}
     assert s3[20].n_novel == 0  # twin of an admitted doc
     assert s3[21].novelty == 1.0
+
+
+def test_line_dedup_ingest_keep_first_and_replay(spark, tmp_path):
+    """Crash-replay and keep-first contracts of the line-hash store:
+    within a batch a repeated line is kept only at its min (doc_id,
+    ordinal); a later batch keeps nothing the store already holds;
+    replaying an epoch neither grows the store nor changes a later
+    batch's verdicts."""
+    from kafkastreamsproject_spark.streaming.linededup import (
+        _read_store,
+        line_dedup_ingest_batch,
+    )
+
+    line_a = " ".join(f"a{i}" for i in range(12))  # one full line
+    line_b = " ".join(f"b{i}" for i in range(12))
+    line_c = " ".join(f"c{i}" for i in range(12))
+    b1 = spark.createDataFrame(
+        [
+            (1, f"{line_a} {line_b}"),      # keeps both
+            (2, f"{line_b} {line_c}"),      # line_b lost to doc 1
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, f"{line_a} {line_c}"),     # both already in the store
+            (11, f"{line_a} d0 d1 d2"),     # tail partial line is new
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "line_store")
+    s1 = {r.doc_id: r for r in line_dedup_ingest_batch(b1, store).collect()}
+    assert (s1[1].n_lines, s1[1].n_kept, s1[1].kept_ords) == (2, 2, "0,1")
+    assert (s1[2].n_lines, s1[2].n_kept, s1[2].kept_ords) == (2, 1, "1")
+
+    n_store = _read_store(spark, f"{store}/lines").count()
+    assert n_store == 3  # line_a, line_b, line_c
+    line_dedup_ingest_batch(b1, store)  # crash replay after append
+    assert _read_store(spark, f"{store}/lines").count() == n_store
+
+    s2 = {r.doc_id: r for r in line_dedup_ingest_batch(b2, store).collect()}
+    assert (s2[10].n_lines, s2[10].n_kept, s2[10].kept_ords) == (2, 0, "")
+    assert (s2[11].n_lines, s2[11].n_kept, s2[11].kept_ords) == (2, 1, "1")
+    assert s2[11].keep_frac == 0.5
