@@ -2119,6 +2119,164 @@ def line_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ED_MAX = 6  # edit-distance keep threshold for the fuzzy-dedup confirm
+
+
+@register(
+    "editdist_neardup_pairs",
+    oracle=f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, array_to_string({_SQL_TOKS2}, ' ') AS text_norm,
+             {_SQL_TOKS2} AS toks
+      FROM documents WHERE len({_SQL_TOKS2}) >= 2
+      UNION ALL
+      SELECT doc_id + {_SHIFT} AS doc_id,
+             array_to_string(
+               list_transform({_SQL_TOKS2},
+                 (t, i) -> CASE WHEN i = (doc_id % len({_SQL_TOKS2})) + 1
+                           THEN 'qz' ELSE t END), ' ') AS text_norm,
+             list_transform({_SQL_TOKS2},
+               (t, i) -> CASE WHEN i = (doc_id % len({_SQL_TOKS2})) + 1
+                         THEN 'qz' ELSE t END) AS toks
+      FROM documents WHERE len({_SQL_TOKS2}) >= 2 AND doc_id % 2 = 0
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id, text_norm,
+             md5(array_to_string(
+               list_slice(toks, 1, len(toks) // 2), ' ')) AS h1,
+             md5(array_to_string(
+               list_slice(toks, len(toks) // 2 + 1, len(toks)), ' '))
+               AS h2
+      FROM corpus
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, h1 AS h FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, h2 AS h FROM sig
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(sa.text_norm, sb.text_norm) AS INT)
+             AS edit_dist
+    FROM cands c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE levenshtein(sa.text_norm, sb.text_norm) <= {_ED_MAX}
+    """,
+    tags=("dedup", "text"),
+    tier="shadow",
+)
+def editdist_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs — the record-linkage
+    primitive the shingle families can't express: two documents match
+    iff their normalized texts are within Levenshtein distance 6,
+    found WITHOUT the n² all-pairs scan via the half-hash
+    pigeonhole (any pair differing in at most one token leaves one
+    token half untouched, so blocking on either half-hash has perfect
+    recall for single-token edits — the simhash/stride pigeonhole
+    argument applied to edit operations).  Planted offenders: every
+    even doc gets a twin with one token (at a doc-dependent position,
+    so both halves are exercised) replaced by 'qz'.  Twins whose
+    replaced token is longer than the threshold (dist > 6) are
+    CORRECTLY excluded by the confirm — blocking recall is perfect,
+    and the oracle-checked output shows the threshold doing real work
+    on both sides of it.
+
+    Exactness: Spark's ``levenshtein`` and DuckDB's are the same
+    classic DP distance — integer, engine-identical; the confirm
+    threshold is an integer comparison.
+
+    Scale shape: signatures are two in-row md5s; the candidate join
+    moves only (doc_id, 16-byte hash, band); full texts are read back
+    ONLY for candidate ids (two hash joins), so the quadratic edit-
+    distance DP runs on |candidates| pairs, never the corpus — the
+    shortlist-then-verify discipline of the whole near-dup family."""
+    from kafkastreamsproject_spark.operators.cache import scoped_persist
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    base = docs.filter(F.size(toks) >= 2).select(
+        "doc_id", toks.alias("toks")
+    )
+    # NOTE: __pos is materialized BEFORE the doc_id re-alias — a
+    # sibling `doc_id` reference in the same select would bind to the
+    # shifted LATERAL alias (Spark 3.4+ lateral column alias
+    # resolution), silently moving the planted edit
+    twin_toks = F.transform(
+        F.col("toks"),
+        lambda t, i: F.when(i == F.col("__pos"), F.lit("qz")).otherwise(t),
+    )
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 2 == 0)
+        .withColumn(
+            "__pos",
+            (F.col("doc_id") % F.size(F.col("toks"))).cast("int"),
+        )
+        .select(
+            (F.col("doc_id") + _SHIFT).alias("doc_id"),
+            twin_toks.alias("toks"),
+        )
+    )
+    n = F.size(F.col("toks"))
+    half = F.expr("size(toks) div 2").cast("int")
+    sig = scoped_persist(
+        corpus.select(
+            "doc_id",
+            F.array_join(F.col("toks"), " ").alias("text_norm"),
+            F.md5(
+                F.array_join(F.slice(F.col("toks"), 1, half), " ")
+            ).alias("h1"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("toks"), half + 1, n - half), " "
+                )
+            ).alias("h2"),
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("h1").alias("h")),
+                F.struct(F.lit(1).alias("band"), F.col("h2").alias("h")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.h")
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "h")
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("h").alias("h_b"),
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("h") == F.col("h_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("text_norm").alias("t_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), F.col("text_norm").alias("t_b")
+    )
+    dist = F.levenshtein("t_a", "t_b")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(dist <= _ED_MAX)
+        .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
+    )
+
+
 @register(
     "orders_profile",
     oracle="""

@@ -53,6 +53,7 @@ QUERIES = [
     "source_quality_blocklist",
     "streaming_line_dedup_ingest",
     "zipf_slope_fit",
+    "editdist_neardup_pairs",
 ]
 
 
