@@ -88,6 +88,24 @@ def dot_weights(x: Column, w: list[int]) -> Column:
     return sum(terms[1:], terms[0])
 
 
+def dot_weights_inline(x: Column, w: list[int]) -> Column:
+    """``w·x`` evaluating ``x`` exactly ONCE — for scoring directly
+    over the featurization EXPRESSION (un-materialized).  The literal-
+    folded :func:`dot_weights` references its input once per non-zero
+    dimension; over a persisted column that is pure codegen arithmetic,
+    but over the raw hashed-bigram expression Catalyst's projection
+    collapse would inline the whole higher-order-function subtree into
+    every term (HOF subtrees defeat common-subexpression elimination —
+    the minhash_signature_array lesson, ~33× here).  Zipping against
+    the weight-array literal keeps one evaluation of ``x``."""
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    return F.aggregate(
+        F.zip_with(x, warr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def train_perceptron(
     feats: DataFrame, dims: int, steps: int, *, x_col: str = "x",
     y_col: str = "y",

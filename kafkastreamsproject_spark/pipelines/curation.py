@@ -247,7 +247,7 @@ def curate_corpus(
                 seed, P.DEFAULT_BUCKETS + 1, classifier_steps
             )
             pred_drop = (
-                P.dot_weights(
+                P.dot_weights_inline(
                     P.hashed_bigram_features(F.col("text")), w
                 )
                 > 0

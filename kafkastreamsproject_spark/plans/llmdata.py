@@ -330,6 +330,196 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_CONTAM_TAUS = (5, 10, 20, 30, 50)  # contamination-rate cutoffs (percent)
+_CONTAM_SHIFT = 1_000_000  # planted-gradient twin doc_id shift
+
+
+@register(
+    "contamination_threshold_curve",
+    oracle=f"""
+    WITH toks0 AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+      FROM documents WHERE {_SQL_MIN_TOKS}
+    ),
+    grad AS (
+      SELECT t.doc_id + {_CONTAM_SHIFT} AS doc_id,
+             array_to_string(list_cat(
+               list_slice(e.toks, 1,
+                 greatest(least((t.doc_id % 10) * 3,
+                                len(e.toks), len(t.toks) - {_SHINGLE_W}), 0)),
+               list_slice(t.toks,
+                 greatest(least((t.doc_id % 10) * 3,
+                                len(e.toks), len(t.toks) - {_SHINGLE_W}), 0) + 1,
+                 len(t.toks))), ' ') AS text
+      FROM toks0 t JOIN toks0 e
+        ON e.doc_id = t.doc_id - (t.doc_id % {_EVAL_MOD})
+      WHERE t.doc_id % {_EVAL_MOD} != 0 AND t.doc_id % 2 = 0
+    ),
+    corpus AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE {_SQL_MIN_TOKS}
+      UNION ALL
+      SELECT doc_id, text FROM grad
+    ),
+    base AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs
+      FROM corpus WHERE {_SQL_MIN_TOKS}
+    ),
+    eval_set AS (
+      SELECT DISTINCT unnest(hs) AS h FROM base WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    train AS (SELECT doc_id, hs FROM base WHERE doc_id % {_EVAL_MOD} != 0),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM train),
+    hits AS (
+      SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS nc
+      FROM ex JOIN eval_set USING (h) GROUP BY ex.doc_id
+    ),
+    perdoc AS (
+      SELECT t.doc_id, CAST(len(t.hs) AS BIGINT) AS ns,
+             COALESCE(h.nc, 0) AS nc
+      FROM train t LEFT JOIN hits h USING (doc_id)
+    ),
+    st AS (
+      {" UNION ALL ".join(
+          f"SELECT {t} AS tau_pct, doc_id, ns, nc FROM perdoc"
+          for t in _CONTAM_TAUS
+      )}
+    )
+    SELECT CAST(tau_pct AS INT) AS tau_pct,
+      CAST(SUM(CASE WHEN 100 * nc > tau_pct * ns THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_docs_dropped,
+      CAST(SUM(CASE WHEN 100 * nc > tau_pct * ns THEN 0 ELSE 1 END)
+        AS BIGINT) AS n_docs_kept,
+      CAST(SUM(CASE WHEN 100 * nc > tau_pct * ns THEN 0 ELSE nc END)
+        AS BIGINT) AS n_contaminated_kept
+    FROM st GROUP BY tau_pct
+    """,
+    tags=("llmdata", "contamination", "diagnostic"),
+    tier="shadow",
+)
+def contamination_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination OPERATING CURVE — the cutoff-tuning readout for
+    the drop-contaminated-docs policy: at each contamination-rate
+    threshold τ ∈ {5, 10, 20, 30, 50}%, how many training docs the gate
+    drops, how many survive, and how much contaminated shingle volume
+    LEAKS THROUGH on the survivors (the quantity an eval-integrity
+    review actually bounds).  The trade is explicit: a loose τ keeps
+    data but leaks eval n-grams; a tight τ cleans the corpus at corpus
+    cost — the same sweep-curve discipline as the classifier PR curve
+    and the IVF recall curves.  The fixture's natural overlap is
+    binary (a couple of fully-contaminated docs), so a CONTAMINATION
+    GRADIENT is planted: every even training doc gets a twin whose
+    leading (doc_id%10)·3 tokens are borrowed from its nearest eval
+    doc — graded containment from 0 to ~30%, so each τ draws a
+    different drop line and the curve actually bends.
+
+    Exactness: the drop verdict is the pure-integer cross-product test
+    100·contaminated > τ·shingles — no divided rate is ever compared —
+    and every emitted cell is an integer count.
+
+    Scale shape: per-doc counts come from the one broadcast-probe pass
+    of contamination_ngram_overlap; the 5-threshold sweep is a stack
+    over (doc_id, two longs) — the curve costs one probe, never
+    |curve| probes."""
+    docs = fan_out(load_table(spark, "documents", sf_dir)).filter(
+        F.size(TX.tokens(F.col("text"))) >= _SHINGLE_W
+    )
+    toks0 = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    )
+    evald = toks0.select(
+        F.col("doc_id").alias("eid"), F.col("toks").alias("etoks")
+    ).filter(F.col("eid") % _EVAL_MOD == 0)
+    tr = (
+        toks0.filter(
+            (F.col("doc_id") % _EVAL_MOD != 0) & (F.col("doc_id") % 2 == 0)
+        )
+        .withColumn("eid", F.col("doc_id") - F.col("doc_id") % _EVAL_MOD)
+        .join(evald, "eid")
+        .withColumn(
+            "__j",
+            F.greatest(
+                F.least(
+                    (F.col("doc_id") % 10) * 3,
+                    F.size("etoks"),
+                    F.size("toks") - _SHINGLE_W,
+                ),
+                F.lit(0),
+            ).cast("int"),
+        )
+    )
+    grad = tr.select(
+        (F.col("doc_id") + _CONTAM_SHIFT).alias("doc_id"),
+        F.array_join(
+            F.concat(
+                F.slice(F.col("etoks"), 1, F.col("__j")),
+                F.slice(
+                    F.col("toks"),
+                    F.col("__j") + 1,
+                    F.size("toks") - F.col("__j"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(grad).filter(
+        F.size(TX.tokens(F.col("text"))) >= _SHINGLE_W
+    )
+    base = scoped_persist(
+        corpus.select(
+            "doc_id",
+            F.array_distinct(
+                H.hash_list(TX.shingles(F.col("text"), _SHINGLE_W))
+            ).alias("hs"),
+        )
+    )
+    eval_set = (
+        base.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    train = base.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    hits = (
+        train.select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(eval_set), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    perdoc = (
+        train.select("doc_id", F.size("hs").cast("long").alias("ns"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ns",
+            F.coalesce(F.col("nc"), F.lit(0).cast("long")).alias("nc"),
+        )
+    )
+    stack_args = ", ".join(str(t) for t in _CONTAM_TAUS)
+    st = perdoc.select(
+        "ns",
+        "nc",
+        F.expr(
+            f"explode(array({stack_args})) AS tau_pct"
+        ),
+    )
+    dropped = F.lit(100) * F.col("nc") > F.col("tau_pct") * F.col("ns")
+    return (
+        st.groupBy("tau_pct")
+        .agg(
+            F.sum(F.when(dropped, 1).otherwise(0)).alias("n_docs_dropped"),
+            F.sum(F.when(dropped, 0).otherwise(1)).alias("n_docs_kept"),
+            F.sum(F.when(dropped, F.lit(0).cast("long")).otherwise(F.col("nc"))).alias(
+                "n_contaminated_kept"
+            ),
+        )
+        .select(
+            F.col("tau_pct").cast("int").alias("tau_pct"),
+            "n_docs_dropped",
+            "n_docs_kept",
+            "n_contaminated_kept",
+        )
+    )
+
+
 @register(
     "streaming_contamination_gate",
     oracle=f"""
@@ -1416,6 +1606,118 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(j, int(w[j])) for j in range(_QC_DIMS)], "dim int, weight long"
     )
+
+
+@register(
+    "streaming_classifier_gate",
+    oracle_fn=lambda: f"""
+    WITH {_qc_ctes()},
+    pred AS (
+      SELECT f.doc_id, MIN(f.y) AS y,
+             CASE WHEN SUM(w.wt * f.val) > 0 THEN 1 ELSE -1 END AS y_hat
+      FROM feats f JOIN w{_QC_STEPS} w ON w.dim = f.dim
+      GROUP BY f.doc_id
+    )
+    SELECT CAST(y AS INT) AS y, CAST(y_hat AS INT) AS y_hat,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    tags=("llmdata", "quality", "ml", "streaming"),
+    tier="shadow",
+)
+def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained quality filter EXECUTED BY Structured Streaming —
+    curation-at-ingest for the learned gate, completing the at-ingest
+    family (contamination gate, near-dup/novelty/line-dedup stores):
+    the perceptron trains once batch-side, then a parquet file-stream
+    of documents flows through the literal-folded scoring filter
+    (features row-local, 33 integer weights baked into the plan as
+    codegen literals — the production shape: NO broadcast, NO state on
+    the scoring path) into a complete-mode y×ŷ count.  The emitted
+    confusion must equal the batch quality_classifier_confusion — the
+    DuckDB oracle independently retrains AND re-applies, so a drift
+    anywhere in trainer, featurizer, or the streaming filter surfaces
+    as a value mismatch.
+
+    Scale shape: the only stateful operator is the 4-cell confusion
+    count; everything upstream is a stateless scan, so this runs
+    forever on an unbounded crawl feed at constant state."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    feats = scoped_persist(_qc_feats(spark, sf_dir))
+    w = _qc_train(feats)
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    # build the planted task ON the stream (odd = clean y=−1, even =
+    # spam-injected y=+1), mirroring _qc_feats row-for-row; staged via
+    # withColumn so no same-name re-alias coexists with a reader (the
+    # lateral-column-alias hazard)
+    odd = F.col("doc_id") % 2 == 1
+    labeled = (
+        raw.withColumn("y", F.when(odd, F.lit(-1)).otherwise(F.lit(1)))
+        .withColumn(
+            "text2",
+            F.when(odd, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(_QC_SPAM))
+            ),
+        )
+        .select(
+            F.when(odd, F.col("doc_id"))
+            .otherwise(F.col("doc_id") + _QC_SHIFT)
+            .alias("doc_id2"),
+            F.col("text2").alias("text"),
+            "y",
+        )
+        .filter(F.size(TX.tokens(F.col("text"))) >= 2)
+        # the fixture is ONE parquet file → one stream input partition;
+        # without this stateless shuffle the hashed-bigram featurization
+        # serializes on a single core (measured ~3.5 min at sf0.1 vs
+        # ~20 s wide).  At 100 TB the feed has >> |cores| files and the
+        # repartition is a no-op to remove.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    dot = P.dot_weights_inline(
+        P.hashed_bigram_features(F.col("text"), _QC_B), w
+    )
+    y_hat = F.when(dot > 0, F.lit(1)).otherwise(F.lit(-1))
+    counts = (
+        labeled.select("y", y_hat.alias("y_hat"))
+        .groupBy("y", "y_hat")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_clfgate_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_clfgate_")
+    try:
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
 
 
 _QC_TAUS = 16  # threshold sweep: k/16-of-max-|score| for k in -16..16

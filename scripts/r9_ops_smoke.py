@@ -54,6 +54,8 @@ QUERIES = [
     "streaming_line_dedup_ingest",
     "zipf_slope_fit",
     "editdist_neardup_pairs",
+    "streaming_classifier_gate",
+    "contamination_threshold_curve",
 ]
 
 
