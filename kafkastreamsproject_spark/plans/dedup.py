@@ -1114,6 +1114,142 @@ def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JAC_CURVE_TS = (50, 70, 90, 95, 98, 100)  # Jaccard confirm cutoffs (percent)
+
+
+@register(
+    "jaccard_threshold_curve",
+    oracle=f"""
+    WITH corpus2 AS ({_SQL_CORPUS2}),
+    sigs AS (
+      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
+        {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(H.N_PERMS))}
+      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, mh{2*b} AS h1, mh{2*b+1} AS h2 FROM sigs"
+          for b in range(_N_BANDS)
+      )}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.h1 = b.h1 AND a.h2 = b.h2
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+        CAST(len(list_intersect(sa.hset, sb.hset)) AS BIGINT) AS i,
+        CAST(len(sa.hset) + len(sb.hset)
+             - len(list_intersect(sa.hset, sb.hset)) AS BIGINT) AS u
+      FROM cands c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+    ),
+    st AS (
+      {" UNION ALL ".join(
+          f"SELECT {t} AS t_pct, id_a, id_b, i, u FROM pairs"
+          for t in _JAC_CURVE_TS
+      )}
+    )
+    SELECT CAST(t_pct AS INT) AS t_pct,
+      CAST(SUM(CASE WHEN 100 * i >= t_pct * u THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_pairs_kept,
+      CAST(COUNT(DISTINCT CASE WHEN 100 * i >= t_pct * u
+                          THEN id_b END) AS BIGINT) AS n_docs_removable
+    FROM st GROUP BY t_pct
+    """,
+    tags=("dedup", "minhash", "diagnostic"),
+    tier="shadow",
+)
+def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CONFIRM-threshold operating curve — what the corpus
+    loses or keeps as the exact-Jaccard cutoff sweeps 0.5 → 1.0 over
+    the same LSH candidate population: per threshold, the surviving
+    pair count and the number of docs a keep-lowest-id policy would
+    remove (distinct higher ids among kept pairs).  With the planted
+    corpus2 twins at known similarity plus natural near-dups, the
+    curve prices the dedup aggressiveness knob the same way the PR
+    curve prices the classifier τ and the contamination curve prices
+    the decontamination cutoff.
+
+    Exactness: every verdict is the pure-integer cross-product test
+    100·|∩| ≥ t·|∪| — the true-Jaccard ratio is never materialized as
+    a float; cells are integer counts.
+
+    Scale shape: one banding pass (identical to minhash_lsh_pairs) +
+    a 5-threshold stack over per-pair (two longs) — the curve costs
+    one candidate join, never |curve| joins."""
+    sigs = scoped_persist(
+        _shingled_corpus2(spark, sf_dir).select(
+            "doc_id",
+            F.array_distinct("hs").alias("hset"),
+            H.minhash_signature_array(F.col("hs")).alias("mhs"),
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.col("mhs")[2 * b].alias("h1"),
+                F.col("mhs")[2 * b + 1].alias("h2"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.h1", "band.h2")
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_id", "h1", "h2")
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("h1").alias("h1_b"),
+        F.col("h2").alias("h2_b"),
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("h1") == F.col("h1_b"))
+            & (F.col("h2") == F.col("h2_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("hset").alias("h_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("hset").alias("h_b"))
+    inter = F.size(F.array_intersect("h_a", "h_b")).cast("long")
+    union = (F.size("h_a") + F.size("h_b")).cast("long") - inter
+    pairs = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", inter.alias("i"), union.alias("u"))
+    )
+    ts = ", ".join(str(t) for t in _JAC_CURVE_TS)
+    st = pairs.select(
+        "id_a", "id_b", "i", "u",
+        F.expr(f"explode(array({ts})) AS t_pct"),
+    )
+    kept = F.lit(100) * F.col("i") >= F.col("t_pct") * F.col("u")
+    return (
+        st.groupBy("t_pct")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_pairs_kept"),
+            F.countDistinct(
+                F.when(kept, F.col("id_b"))
+            ).alias("n_docs_removable"),
+        )
+        .select(
+            F.col("t_pct").cast("int").alias("t_pct"),
+            "n_pairs_kept",
+            "n_docs_removable",
+        )
+    )
+
+
 _PERM_CURVE_PS = (2, 4, 8, 16)  # permutation budgets swept
 _PERM_CURVE_MAX = max(_PERM_CURVE_PS)
 

@@ -56,6 +56,7 @@ QUERIES = [
     "editdist_neardup_pairs",
     "streaming_classifier_gate",
     "contamination_threshold_curve",
+    "jaccard_threshold_curve",
 ]
 
 
