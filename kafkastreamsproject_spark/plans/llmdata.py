@@ -1468,6 +1468,106 @@ def mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_DOC_BUDGET = 100_000  # temperature planner's total document budget
+_TEMP_SCALE = 1_000_000  # fixed-point scale for the exponentiated share
+
+
+@register(
+    "mixture_temperature_curve",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM avail),
+    taus(tau) AS (VALUES (1), (2), (4)),
+    wq AS (
+      SELECT a.source, a.n_docs, t.n_total, x.tau,
+             CAST(FLOOR({_TEMP_SCALE} * CASE x.tau
+               WHEN 1 THEN a.n_docs / CAST(t.n_total AS DOUBLE)
+               WHEN 2 THEN sqrt(a.n_docs / CAST(t.n_total AS DOUBLE))
+               ELSE sqrt(sqrt(a.n_docs / CAST(t.n_total AS DOUBLE)))
+             END) AS BIGINT) AS weight_scaled
+      FROM avail a CROSS JOIN tot t CROSS JOIN taus x
+    )
+    SELECT tau, source, n_docs, weight_scaled,
+           weight_scaled /
+             CAST(SUM(weight_scaled) OVER (PARTITION BY tau) AS DOUBLE)
+             AS share,
+           CAST(({_TEMP_DOC_BUDGET} * weight_scaled)
+             // SUM(weight_scaled) OVER (PARTITION BY tau) AS BIGINT)
+             AS alloc_docs,
+           CAST(({_TEMP_DOC_BUDGET} * weight_scaled)
+             // SUM(weight_scaled) OVER (PARTITION BY tau) AS BIGINT)
+             / CAST(n_docs AS DOUBLE) AS epochs
+    FROM wq
+    """,
+    tags=("llmdata", "sampling", "diagnostic", "curve"),
+    tier="shadow",
+)
+def mixture_temperature_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-sampling mixture curve — the multilingual/source
+    reweighting rule (q_i ∝ p_i^(1/τ), Devlin et al. mBERT exponent
+    0.7, XLM-R τ≈3.3, Gopher/PaLM source temperatures) swept at
+    τ ∈ {1, 2, 4}: τ=1 is proportional (natural) sampling, larger τ
+    flattens the mixture toward uniform, up-sampling tail sources at
+    the cost of repeating them (the epochs column prices exactly that,
+    the same capacity arithmetic as mixture_token_plan).  This DERIVES
+    the per-source weights from corpus statistics, complementing
+    mixture_token_plan / mixture_sample which take weights as given
+    config — together they close the recipe loop: measure → reweight →
+    allocate → draw.
+
+    Exactness (why τ ∈ {1,2,4} and not arbitrary exponents): p^(1/2)
+    and p^(1/4) are computed as sqrt and sqrt∘sqrt — IEEE-754 square
+    root is CORRECTLY ROUNDED on every engine, unlike pow(x, y) whose
+    libm implementations differ in the last ulp between the JVM and
+    DuckDB.  The input p is one int/int double division, the weight is
+    then pinned to an integer (floor of the 1e6-scaled value), and
+    every downstream number is integer arithmetic or a single int/int
+    division: share = weight / Σweight (integer sum — exact), alloc =
+    integer floor-division of budget × weight by Σweight (Spark `div`,
+    DuckDB `//`), epochs = alloc/n_docs.  No float ever sums across
+    rows, so aggregation order cannot perturb the hash.
+
+    Scale shape: one documents scan collapsing to |sources| rows, a
+    1-row total broadcast, a 3-row τ cross join, and a window
+    PARTITIONED BY τ over |sources|×3 bounded rows — output is tiny at
+    any corpus size, and the corpus is touched exactly once."""
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    avail = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = avail.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    taus = spark.createDataFrame([(1,), (2,), (4,)], "tau int")
+    p = F.col("n_docs") / F.col("n_total").cast("double")
+    weight = F.floor(
+        _TEMP_SCALE
+        * F.when(F.col("tau") == 1, p)
+        .when(F.col("tau") == 2, F.sqrt(p))
+        .otherwise(F.sqrt(F.sqrt(p)))
+    ).cast("long")
+    wsum = F.sum("weight_scaled").over(W.partitionBy("tau"))
+    alloc = F.expr(
+        f"({_TEMP_DOC_BUDGET} * weight_scaled) div wsum"
+    )
+    return (
+        avail.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(taus))
+        .withColumn("weight_scaled", weight)
+        .withColumn("wsum", wsum)
+        .select(
+            "tau",
+            "source",
+            "n_docs",
+            "weight_scaled",
+            (F.col("weight_scaled") / F.col("wsum").cast("double")).alias(
+                "share"
+            ),
+            alloc.alias("alloc_docs"),
+            (alloc / F.col("n_docs").cast("double")).alias("epochs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # In-engine linear quality-classifier training (r9) — the TRAINABLE
 # complement to the hand-written Gopher rules and the DSIR ratio: a
