@@ -12,6 +12,8 @@ shuffles).  Pick n_buckets so a bucket ≈ one task's worth of data
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -31,3 +33,150 @@ def materialize_bucketed(
 
 def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+# ---------------------------------------------------------------------------
+# Appendable bucketed hash stores (streaming-ingest state)
+#
+# The persisted-store ingest folds (streaming/linededup.py,
+# streaming/novelty.py, streaming/neardup.py) probe an ever-growing
+# hash relation every micro-batch.  A plain parquet append log makes
+# that probe re-shuffle the ENTIRE store per batch — at 100 TB the
+# line store is corpus-sized and the per-batch Exchange dominates
+# everything else.  Writing the store as a bucketed external table
+# keyed on the probe column makes the anti-join read co-located
+# buckets: only the (small) incoming batch shuffles, the store side
+# plans zero Exchange (asserted in tests/test_neardup_ingest.py).
+#
+# Appends go through saveAsTable(mode="append") with a matching bucket
+# spec — each epoch adds one bucket-encoded file per task, so the scan
+# stays bucketed (multiple files per bucket disable only the sorted
+# read, never the shuffle elimination).  compact_bucketed_store bounds
+# the resulting small-file count between epochs.
+# ---------------------------------------------------------------------------
+
+
+def store_table_name(prefix: str, path: str) -> str:
+    """Deterministic catalog name for the store at ``path`` — the same
+    store re-opened in a new session maps back to the same table."""
+    digest = hashlib.md5(path.encode("utf-8")).hexdigest()[:12]
+    return f"{prefix}_{digest}"
+
+
+def read_bucketed_store(
+    spark: SparkSession,
+    path: str,
+    table_name: str,
+    schema: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+) -> DataFrame:
+    """Open the bucketed store at ``path`` (empty DataFrame if absent).
+
+    Registers the external table on first touch of an existing store
+    (fresh session over persisted state: the bucket ids live in the
+    file names, so re-declaring the table over them restores the
+    shuffle-free probe) and drops a stale catalog entry whose files
+    are gone (recycled test tmpdirs)."""
+    from kafkastreamsproject_spark.operators.fs import hadoop_has_files
+
+    has_files = hadoop_has_files(spark, path)
+    if spark.catalog.tableExists(table_name):
+        if has_files:
+            return spark.table(table_name)
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        return spark.createDataFrame([], schema)
+    if has_files:
+        cluster = ", ".join(bucket_cols)
+        spark.sql(
+            f"CREATE TABLE {table_name} ({schema}) USING parquet "
+            f"CLUSTERED BY ({cluster}) SORTED BY ({cluster}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+        return spark.table(table_name)
+    return spark.createDataFrame([], schema)
+
+
+def append_bucketed_store(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+) -> None:
+    """Append ``df`` to the bucketed store, creating the external table
+    at ``path`` on first write.  Idempotency under epoch replay is the
+    CALLER's contract (anti-join the append set against the store
+    before calling), same as the plain-parquet folds."""
+    writer = (
+        df.write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if not spark.catalog.tableExists(table_name):
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def compact_bucketed_store(
+    spark: SparkSession,
+    path: str,
+    table_name: str,
+    schema: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+) -> int:
+    """Compact the store's append-accumulated files to ~1 per bucket.
+
+    Every epoch appends one file per task; a long-running ingest
+    accumulates thousands of tiny files and the per-batch probe goes
+    metadata-bound (the classic streaming small-files failure).  This
+    maintenance op rewrites the store bucketed (repartition on the
+    bucket key aligns tasks to buckets, so each bucket lands in one
+    file) and swaps it in via two FS renames, mirroring
+    streaming/neardup.py:compact_store's single-writer contract: run
+    between epochs; the rename swap is atomic on HDFS/local FS.
+
+    Reads via plain parquet (bucket metadata is ignored on read), so
+    this also MIGRATES a legacy unbucketed store into the bucketed
+    layout.  Returns the data-file count after compaction."""
+    from kafkastreamsproject_spark.operators.fs import (
+        _fs_and_path,
+        hadoop_has_files,
+    )
+    from pyspark.sql import functions as F
+
+    if not hadoop_has_files(spark, path):
+        return 0
+    store = spark.read.schema(schema).parquet(path)
+    tmp_path = f"{path}_compacting"
+    tmp_name = f"{table_name}_compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    (
+        store.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", tmp_path)
+        .saveAsTable(tmp_name)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")  # external: files stay
+    fs, src = _fs_and_path(spark, path)
+    _, tmp_p = _fs_and_path(spark, tmp_path)
+    old = f"{path}_old"
+    _, old_p = _fs_and_path(spark, old)
+    if fs.exists(old_p):
+        fs.delete(old_p, True)
+    fs.rename(src, old_p)
+    fs.rename(tmp_p, src)
+    fs.delete(old_p, True)
+    if spark.catalog.tableExists(table_name):
+        spark.sql(f"REFRESH TABLE {table_name}")
+    return sum(
+        1
+        for status in fs.listStatus(src)
+        if status.getPath().getName().endswith(".parquet")
+    )

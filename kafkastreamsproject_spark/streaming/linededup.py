@@ -16,8 +16,13 @@ its FIRST keeper in arrival order — across batches by batch order,
 within a batch by minimum (doc_id, ordinal).
 
 Scale shape: lines are sliced and hashed in-row (text never shuffles);
-the store carries one 32-char md5 per distinct corpus line; the probe
-is a hash anti-join; per-doc rollups shuffle (doc_id, small ints).
+the store carries one 32-char md5 per distinct corpus line, written as
+a BUCKETED external table keyed on the hash (sources/bucketed.py) so
+the per-batch anti-join probe reads co-located buckets and plans ZERO
+store-side Exchange — at 100 TB the line store is corpus-sized and an
+unbucketed store would re-shuffle its entire history every micro-batch.
+Only the (small) batch side shuffles; per-doc rollups shuffle
+(doc_id, small ints).  compact_store bounds the per-epoch small files.
 """
 
 from __future__ import annotations
@@ -26,10 +31,17 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.functions import text as TX
-from kafkastreamsproject_spark.operators.fs import hadoop_has_files
+from kafkastreamsproject_spark.sources.bucketed import (
+    append_bucketed_store,
+    compact_bucketed_store,
+    read_bucketed_store,
+    store_table_name,
+)
 
 LINE_W = 12  # tokens per synthetic line — must match the batch operator
 _STORE_SCHEMA = "lh string"
+N_BUCKETS = 8  # bucket ≈ one task's worth at the target SF; both the
+# table and the batch-side Exchange share this count
 
 
 def lines_expr(toks: Column, w: int = LINE_W) -> Column:
@@ -44,9 +56,29 @@ def lines_expr(toks: Column, w: int = LINE_W) -> Column:
 
 
 def _read_store(spark: SparkSession, path: str) -> DataFrame:
-    if hadoop_has_files(spark, path):
-        return spark.read.schema(_STORE_SCHEMA).parquet(path)
-    return spark.createDataFrame([], _STORE_SCHEMA)
+    """The store as a bucketed-table scan — probes against it plan no
+    store-side Exchange (asserted in tests/test_neardup_ingest.py)."""
+    return read_bucketed_store(
+        spark, path, store_table_name("line_store", path), _STORE_SCHEMA,
+        ["lh"], N_BUCKETS,
+    )
+
+
+def fresh_against_store(batch_first: DataFrame, store: DataFrame) -> DataFrame:
+    """The probe: batch-elected first-keepers whose line hash the store
+    has never admitted.  Store side scans its buckets in place."""
+    return batch_first.join(store.select("lh"), "lh", "left_anti")
+
+
+def compact_store(spark: SparkSession, store_path: str) -> int:
+    """Bound the store's per-epoch small files (~1 file per bucket
+    after).  Single-writer: run between epochs.  Returns the data-file
+    count after compaction."""
+    path = f"{store_path}/lines"
+    return compact_bucketed_store(
+        spark, path, store_table_name("line_store", path), _STORE_SCHEMA,
+        ["lh"], N_BUCKETS,
+    )
 
 
 def line_dedup_ingest_batch(batch: DataFrame, store_path: str) -> DataFrame:
@@ -75,7 +107,7 @@ def line_dedup_ingest_batch(batch: DataFrame, store_path: str) -> DataFrame:
     batch_first = ex.groupBy("lh").agg(
         F.min(F.struct("doc_id", "ord")).alias("w")
     )
-    fresh = batch_first.join(store.select("lh"), "lh", "left_anti")
+    fresh = fresh_against_store(batch_first, store)
     kept = (
         ex.join(fresh, "lh")
         .filter(
@@ -107,20 +139,31 @@ def line_dedup_ingest_batch(batch: DataFrame, store_path: str) -> DataFrame:
     admitted = fresh.select("lh").localCheckpoint(eager=True)
     ex.unpersist()
 
-    admitted.write.mode("append").parquet(path)
+    append_bucketed_store(
+        spark, admitted, path, store_table_name("line_store", path),
+        ["lh"], N_BUCKETS,
+    )
     return stats
 
 
 def to_line_dedup_ingest_sink(
-    docs: DataFrame, store_path: str, checkpoint: str, out_table: str
+    docs: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    out_table: str,
+    compact_every: int | None = None,
 ):
     """Streaming form: fold each micro-batch through
     :func:`line_dedup_ingest_batch` and surface per-doc stats in a
-    global temp view (test double for a metrics sink)."""
+    global temp view (test double for a metrics sink).  With
+    ``compact_every=k`` the store is compacted after every k-th epoch
+    (between folds — the single-writer window)."""
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         stats = line_dedup_ingest_batch(batch_df, store_path)
         stats.createOrReplaceGlobalTempView(out_table)
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            compact_store(batch_df.sparkSession, store_path)
 
     return (
         docs.writeStream.outputMode("append")

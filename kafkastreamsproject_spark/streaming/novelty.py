@@ -21,8 +21,12 @@ the same (verdicts-before-append discipline).
 
 Scale shape: trigrams md5-hash inside the row before the explode (text
 never shuffles), the store carries (h, first_doc) longs — 16 B per
-distinct corpus trigram — the probe is a hash anti-join keyed on h,
-and per-doc rollups shuffle (doc_id, long) pairs.
+distinct corpus trigram — written as a BUCKETED external table keyed
+on h (sources/bucketed.py) so the per-batch anti-join probe reads
+co-located buckets and plans ZERO store-side Exchange; an unbucketed
+store would re-shuffle its entire (ever-growing) history every
+micro-batch.  Only the batch side shuffles; per-doc rollups shuffle
+(doc_id, long) pairs.  compact_store bounds per-epoch small files.
 """
 
 from __future__ import annotations
@@ -32,10 +36,16 @@ from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.functions import hashing as H
 from kafkastreamsproject_spark.functions import text as TX
-from kafkastreamsproject_spark.operators.fs import hadoop_has_files
+from kafkastreamsproject_spark.sources.bucketed import (
+    append_bucketed_store,
+    compact_bucketed_store,
+    read_bucketed_store,
+    store_table_name,
+)
 
 _NOVELTY_SCHEMA = "h long, first_doc long"
 _TRI_W = 3
+N_BUCKETS = 8  # shared by the table and the batch-side Exchange
 
 
 def doc_trigram_hashes(docs: DataFrame) -> DataFrame:
@@ -55,9 +65,29 @@ def doc_trigram_hashes(docs: DataFrame) -> DataFrame:
 
 
 def _read_store(spark: SparkSession, path: str) -> DataFrame:
-    if hadoop_has_files(spark, path):
-        return spark.read.schema(_NOVELTY_SCHEMA).parquet(path)
-    return spark.createDataFrame([], _NOVELTY_SCHEMA)
+    """The store as a bucketed-table scan — probes against it plan no
+    store-side Exchange (asserted in tests/test_neardup_ingest.py)."""
+    return read_bucketed_store(
+        spark, path, store_table_name("novelty_store", path),
+        _NOVELTY_SCHEMA, ["h"], N_BUCKETS,
+    )
+
+
+def fresh_against_store(batch_first: DataFrame, store: DataFrame) -> DataFrame:
+    """The probe: batch-elected first-carriers whose trigram hash the
+    store has never admitted.  Store side scans its buckets in place."""
+    return batch_first.join(store.select("h"), "h", "left_anti")
+
+
+def compact_store(spark: SparkSession, store_path: str) -> int:
+    """Bound the store's per-epoch small files (~1 file per bucket
+    after).  Single-writer: run between epochs.  Returns the data-file
+    count after compaction."""
+    path = f"{store_path}/trigrams"
+    return compact_bucketed_store(
+        spark, path, store_table_name("novelty_store", path),
+        _NOVELTY_SCHEMA, ["h"], N_BUCKETS,
+    )
 
 
 def novelty_ingest_batch(
@@ -79,7 +109,7 @@ def novelty_ingest_batch(
     store = _read_store(spark, tri_path)
 
     batch_first = tri.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    fresh = batch_first.join(store.select("h"), "h", "left_anti")
+    fresh = fresh_against_store(batch_first, store)
 
     stats = (
         tri.join(
@@ -110,20 +140,31 @@ def novelty_ingest_batch(
     admitted = fresh.localCheckpoint(eager=True)
     tri.unpersist()
 
-    admitted.write.mode("append").parquet(tri_path)
+    append_bucketed_store(
+        spark, admitted, tri_path, store_table_name("novelty_store", tri_path),
+        ["h"], N_BUCKETS,
+    )
     return stats
 
 
 def to_novelty_ingest_sink(
-    docs: DataFrame, store_path: str, checkpoint: str, out_table: str
+    docs: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    out_table: str,
+    compact_every: int | None = None,
 ):
     """Streaming form: fold each micro-batch through
     :func:`novelty_ingest_batch` and collect per-doc stats into a
-    global temp view (test double for a metrics sink)."""
+    global temp view (test double for a metrics sink).  With
+    ``compact_every=k`` the store is compacted after every k-th epoch
+    (between folds — the single-writer window)."""
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         stats = novelty_ingest_batch(batch_df, store_path)
         stats.createOrReplaceGlobalTempView(out_table)
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            compact_store(batch_df.sparkSession, store_path)
 
     return (
         docs.writeStream.outputMode("append")

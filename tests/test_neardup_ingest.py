@@ -364,3 +364,173 @@ def test_line_dedup_ingest_keep_first_and_replay(spark, tmp_path):
     assert (s2[10].n_lines, s2[10].n_kept, s2[10].kept_ords) == (2, 0, "")
     assert (s2[11].n_lines, s2[11].n_kept, s2[11].kept_ords) == (2, 1, "1")
     assert s2[11].keep_frac == 0.5
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_line_store_probe_is_bucketed_with_zero_store_exchange(
+    spark, tmp_path
+):
+    """The line-hash store is a bucketed table keyed on lh: the
+    per-batch anti-join probe's store side is a bucketed FileScan with
+    NO Exchange feeding it — only the batch side shuffles.  At 100 TB
+    the store is corpus-sized; this is the difference between a probe
+    that moves one micro-batch and one that re-shuffles the corpus."""
+    import re
+
+    from kafkastreamsproject_spark.streaming.linededup import (
+        _read_store,
+        fresh_against_store,
+        line_dedup_ingest_batch,
+        lines_expr,
+    )
+    from kafkastreamsproject_spark.functions import text as TX
+
+    line_a = " ".join(f"a{i}" for i in range(12))
+    store = str(tmp_path / "lstore")
+    line_dedup_ingest_batch(
+        _docs(spark, [(1, line_a), (2, "x " * 30)]), store
+    )
+
+    toks = TX.tokens(F.col("text"))
+    batch_first = (
+        _docs(spark, [(9, line_a)])
+        .select(
+            "doc_id",
+            F.posexplode(F.transform(lines_expr(toks), F.md5)).alias(
+                "ord", "lh"
+            ),
+        )
+        .groupBy("lh")
+        .agg(F.min(F.struct("doc_id", "ord")).alias("w"))
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = fresh_against_store(
+            batch_first, _read_store(spark, f"{store}/lines")
+        )
+        plan = _plan_of(probe)
+        assert "Bucketed: true" in plan, plan
+        # exactly one Exchange: the batch side's hashpartitioning to the
+        # bucket count; zero above the store scan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+        # and the probe is still CORRECT: line_a anti-joins away
+        assert {r.lh for r in probe.collect()} == {
+            r.lh
+            for r in batch_first.collect()
+        } - {
+            r.lh
+            for r in spark.read.parquet(f"{store}/lines").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_novelty_store_probe_is_bucketed_with_zero_store_exchange(
+    spark, tmp_path
+):
+    """Same zero-store-side-Exchange contract for the trigram novelty
+    store, keyed on h."""
+    import re
+
+    from kafkastreamsproject_spark.streaming.novelty import (
+        _read_store,
+        doc_trigram_hashes,
+        fresh_against_store,
+        novelty_ingest_batch,
+    )
+
+    store = str(tmp_path / "nstore")
+    novelty_ingest_batch(
+        _docs(spark, [(1, "alpha beta gamma delta epsilon")]), store
+    )
+    batch_first = (
+        doc_trigram_hashes(
+            _docs(spark, [(9, "alpha beta gamma zeta eta")])
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = fresh_against_store(
+            batch_first, _read_store(spark, f"{store}/trigrams")
+        )
+        plan = _plan_of(probe)
+        assert "Bucketed: true" in plan, plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+        # 'alpha beta gamma' is stored; the other two trigrams are fresh
+        assert probe.count() == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_line_and_novelty_store_compaction(spark, tmp_path):
+    """compact_store bounds the per-epoch file accumulation for both
+    ingest stores: fewer data files, identical rows, and the next fold
+    still dedups against the compacted state."""
+    import glob
+
+    from kafkastreamsproject_spark.streaming import linededup as LD
+    from kafkastreamsproject_spark.streaming import novelty as NV
+
+    line_a = " ".join(f"a{i}" for i in range(12))
+    lstore = str(tmp_path / "lstore_c")
+    for i, txt in enumerate([line_a, "x " * 30, "y " * 30]):
+        LD.line_dedup_ingest_batch(_docs(spark, [(i, txt)]), lstore)
+    before = sorted(
+        r.lh for r in spark.read.parquet(f"{lstore}/lines").collect()
+    )
+    files_before = len(glob.glob(f"{lstore}/lines/*.parquet"))
+    n_after = LD.compact_store(spark, lstore)
+    files_after = len(glob.glob(f"{lstore}/lines/*.parquet"))
+    assert n_after == files_after <= min(LD.N_BUCKETS, files_before)
+    assert (
+        sorted(r.lh for r in spark.read.parquet(f"{lstore}/lines").collect())
+        == before
+    )
+    s = {
+        r.doc_id: r.n_kept
+        for r in LD.line_dedup_ingest_batch(
+            _docs(spark, [(10, line_a)]), lstore
+        ).collect()
+    }
+    assert s[10] == 0  # still deduped post-compaction
+
+    nstore = str(tmp_path / "nstore_c")
+    for i, txt in enumerate(
+        ["alpha beta gamma delta", "one two three four", "five six seven eight"]
+    ):
+        NV.novelty_ingest_batch(_docs(spark, [(i, txt)]), nstore)
+    nbefore = sorted(
+        (r.h, r.first_doc)
+        for r in spark.read.parquet(f"{nstore}/trigrams").collect()
+    )
+    nfiles_before = len(glob.glob(f"{nstore}/trigrams/*.parquet"))
+    nn_after = NV.compact_store(spark, nstore)
+    nfiles_after = len(glob.glob(f"{nstore}/trigrams/*.parquet"))
+    assert nn_after == nfiles_after <= min(NV.N_BUCKETS, nfiles_before)
+    assert (
+        sorted(
+            (r.h, r.first_doc)
+            for r in spark.read.parquet(f"{nstore}/trigrams").collect()
+        )
+        == nbefore
+    )
+    s = {
+        r.doc_id: r.n_novel
+        for r in NV.novelty_ingest_batch(
+            _docs(spark, [(10, "alpha beta gamma delta")]), nstore
+        ).collect()
+    }
+    assert s[10] == 0  # twin of an admitted doc scores zero novelty
