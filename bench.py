@@ -127,6 +127,17 @@ def main() -> None:
         # only after dividing by these (min-of-3, fixed kernels)
         "calibration": calibration,
     }
+    # r9 verdict #3: emit the normalized series directly so drift vs
+    # plan regression is a one-line read — each headline min divided by
+    # the parquet scan-agg probe (same host, same JVM, same run).  A
+    # machine-speed shift moves raw and probe together (normalized
+    # stable); a plan regression moves only the raw (normalized jumps).
+    scan_probe = calibration.get("lineitem_scan_agg")
+    if isinstance(scan_probe, float) and scan_probe > 0:
+        result["normalized"] = {
+            k: round(v / scan_probe, 3) for k, v in timings.items()
+        }
+        result["normalized_total"] = round(total / scan_probe, 3)
     if errors:
         # surfaced, not fatal — the driver still gets every good timing,
         # and the error text says exactly which query to fix

@@ -119,11 +119,21 @@ def _curate(args: argparse.Namespace) -> int:
         if args.classifier_seed
         else None
     )
+    if args.source_blocklist is None or args.source_blocklist == "auto":
+        blocklist = args.source_blocklist
+    else:
+        blocklist = tuple(args.source_blocklist.split(","))
+    if args.classifier_tau in (None, "auto"):
+        tau = args.classifier_tau
+    else:
+        tau = float(args.classifier_tau)
     packed, stats = curate_corpus(
         docs,
         quality_min=args.quality_min,
+        source_blocklist=blocklist,
         classifier_seed=classifier_seed,
         classifier_steps=args.classifier_steps,
+        classifier_tau=tau,
         langs=langs,
         holdout=holdout,
         containment_max=args.containment_max,
@@ -134,8 +144,10 @@ def _curate(args: argparse.Namespace) -> int:
     write_training_shards(packed, docs, args.output)
     print(
         f"input={stats.input} exact_dedup={stats.after_exact_dedup} "
-        f"neardup={stats.after_neardup_dedup} quality={stats.after_quality} "
+        f"neardup={stats.after_neardup_dedup} "
+        f"blocklist={stats.after_blocklist} quality={stats.after_quality} "
         f"classifier={stats.after_classifier} "
+        f"classifier_tau={stats.classifier_tau} "
         f"lang={stats.after_lang} decontaminated={stats.after_decontamination} "
         f"dsir={stats.after_dsir} packs={stats.packs} -> {args.output}"
     )
@@ -186,6 +198,17 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=12,
         help="full-batch perceptron training steps for stage 3d",
+    )
+    k.add_argument(
+        "--classifier-tau",
+        help="stage 3d operating point: a number (drop at w.x > tau), "
+        "'auto' (max-F1 over the seed's PR sweep), or omit for tau=0",
+    )
+    k.add_argument(
+        "--source-blocklist",
+        help="stage 2b: comma-separated blocked sources, or 'auto' to "
+        "derive the list from the Gopher failure rate per source "
+        "(block iff fails > 3/5 of the source's docs); omit to skip",
     )
     k.add_argument(
         "--dsir-target",

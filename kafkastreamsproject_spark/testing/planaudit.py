@@ -42,6 +42,10 @@ ALLOWED_UNBOUNDED_GLOBAL_WINDOW: dict[str, str] = {
     # share-of-parent windows over the nation x region aggregate —
     # 25 rows by TPC-H dimension construction
     "revenue_share_report": "windows over the 25-row nation aggregate",
+    # corpus-total window over the per-SOURCE aggregate — |sources|
+    # rows regardless of corpus size (replaced the 1-row-total
+    # crossJoin that planned an unsanctioned BNLJ)
+    "mixture_temperature_curve": "window over the |sources| aggregate",
 }
 
 

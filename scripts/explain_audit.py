@@ -123,6 +123,10 @@ SANCTIONED_BNLJ = {
     # same, plus a 4-row shortlist-depth dimension on a non-equi
     # (srn <= R) join — same bounded-dimension shape as the nprobe curve
     "ivf_pq_rerank_r_curve",
+    # the composed production stack (residual encoding + exact rerank):
+    # ivf_pq_residual_search's coarse broadcast + the rerank tail's
+    # 10-query truth broadcast + the 4-row R dimension — all bounded
+    "ivf_pq_residual_rerank_r_curve",
     # ~12-row corpus band histogram + 1-row (N, m) totals broadcast
     # into the |classes|x|bands| EMD grid — dimension-bounded by design
     "t_closeness_audit",

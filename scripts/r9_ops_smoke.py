@@ -83,8 +83,15 @@ def main() -> None:
         out["queries"][name] = row
         print(f"{name}: {row}")
     line = json.dumps(out)
-    with open(Path(__file__).resolve().parent.parent / "PROGRESS.jsonl", "a") as f:
+    root = Path(__file__).resolve().parent.parent
+    with open(root / "PROGRESS.jsonl", "a") as f:
         f.write(line + "\n")
+    # r10: PROGRESS.jsonl is driver-rotated (the r9 results were lost
+    # to rotation) — results ALSO go to a committed artifact
+    (root / "smokes").mkdir(exist_ok=True)
+    (root / "smokes" / "r9.json").write_text(
+        json.dumps(out, indent=2) + "\n"
+    )
     print(line)
 
 

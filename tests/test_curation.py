@@ -521,3 +521,124 @@ def test_curation_classifier_gate_drops_planted_spam(spark):
         r.doc_id for r in packed2.select("doc_id").collect()
     ) == survivors
     assert stats2 == stats
+
+
+def test_curation_source_blocklist_stage(spark):
+    """Stage 2b: the UT1-style source blocklist consumed by the funnel.
+    'auto' derives the blocked set with the source_quality_blocklist
+    integer rule (5·fails > 3·docs of the source fail the Gopher
+    battery) and drops the source WHOLESALE — including its one page
+    that individually passes every rule, the reason the stage exists;
+    an explicit list blocks exactly the named sources.  Zero extra
+    corpus shuffle: application is a broadcast anti-join."""
+    from kafkastreamsproject_spark.pipelines.curation import curate_corpus
+
+    good = [
+        (i + 1, f"the quick brown fox number {i} jumps over a lazy dog "
+                "near the river bank today", "good.example")
+        for i in range(4)
+    ]
+    # 4/5 of junk.example fails Gopher (2 words, no stopwords); the
+    # fifth page passes every per-doc rule but dies with its domain
+    bad = [(100 + i, f"xx{i} yy{i}", "junk.example") for i in range(4)]
+    squeaker = [
+        (199, "the entirely reasonable page with a calm tone that reads "
+              "well near the end", "junk.example")
+    ]
+    docs = spark.createDataFrame(
+        good + bad + squeaker, "doc_id long, text string, source string"
+    )
+
+    # without the stage, the squeaker survives the per-doc gates
+    packed0, stats0 = curate_corpus(docs, quality_min=0.4, pack_budget=512)
+    ids0 = sorted(r.doc_id for r in packed0.select("doc_id").collect())
+    assert 199 in ids0
+    assert stats0.after_blocklist == stats0.after_neardup_dedup
+
+    packed, stats = curate_corpus(
+        docs, quality_min=0.4, source_blocklist="auto", pack_budget=512
+    )
+    ids = sorted(r.doc_id for r in packed.select("doc_id").collect())
+    assert ids == [1, 2, 3, 4], (ids, stats)
+    assert stats.after_neardup_dedup == 9
+    assert stats.after_blocklist == 4          # junk.example gone wholesale
+
+    # explicit mode blocks exactly the named sources
+    packed2, stats2 = curate_corpus(
+        docs,
+        quality_min=0.4,
+        source_blocklist=("good.example",),
+        pack_budget=512,
+    )
+    ids2 = sorted(r.doc_id for r in packed2.select("doc_id").collect())
+    assert 199 in ids2 and not any(i in ids2 for i in (1, 2, 3, 4))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        curate_corpus(docs, source_blocklist="derive", pack_budget=512)
+
+
+def test_curation_classifier_auto_tau_matches_hand_tuned(spark):
+    """classifier_tau='auto' derives the operating point from the
+    seed's own 33-threshold PR sweep (max-F1 cell, ties to smallest
+    |k|).  On the cleanly separable planted-spam seed the max-F1 cell
+    is the natural τ=0, so the auto gate must reproduce the
+    hand-tuned (default) gate's survivors exactly — and record the
+    chosen τ in the stats."""
+    import hashlib
+
+    from kafkastreamsproject_spark.pipelines.curation import curate_corpus
+
+    vocab = (
+        "the fast key order sort table scan merge join stream "
+        "batch spark window hash part dup"
+    ).split()
+    spam = " click here" * 8
+
+    def walk(salt, i, n=48):
+        def tok(j):
+            h = hashlib.md5(f"{salt}-{i}-{j}".encode()).hexdigest()
+            return vocab[int(h[:4], 16) % 16]
+
+        return " ".join(tok(j) for j in range(n))
+
+    clean = [(i + 1, walk("corpus-clean", i)) for i in range(8)]
+    spammy = [(100 + i, walk("corpus-spam", i) + spam) for i in range(8)]
+    docs = spark.createDataFrame(clean + spammy, "doc_id long, text string")
+    seed = spark.createDataFrame(
+        [(walk("seed", i), -1) for i in range(8)]
+        + [(walk("seed-pos", i) + spam, 1) for i in range(8)],
+        "text string, y int",
+    )
+
+    packed_hand, stats_hand = curate_corpus(
+        docs, quality_min=0.0, classifier_seed=seed, pack_budget=512
+    )
+    packed_auto, stats_auto = curate_corpus(
+        docs,
+        quality_min=0.0,
+        classifier_seed=seed,
+        classifier_tau="auto",
+        pack_budget=512,
+    )
+    hand = sorted(r.doc_id for r in packed_hand.select("doc_id").collect())
+    auto = sorted(r.doc_id for r in packed_auto.select("doc_id").collect())
+    assert hand == auto == [i + 1 for i in range(8)]
+    assert stats_hand.classifier_tau == 0.0      # default gate records τ=0
+    assert stats_auto.classifier_tau is not None
+    # separable seed: max F1 = 1.0 spans a k range; smallest |k| wins,
+    # so auto lands on the natural operating point
+    assert stats_auto.classifier_tau == 0.0
+    assert stats_auto.after_classifier == 8
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        curate_corpus(
+            docs,
+            quality_min=0.0,
+            classifier_seed=seed,
+            classifier_tau="max-f1",
+            pack_budget=512,
+        )

@@ -154,6 +154,26 @@ def test_plans_md_matches_registry():
     )
 
 
+def test_plans_md_problems_section_stays_empty():
+    """The committed plan inventory must be CLEAN: scripts/
+    explain_audit.py appends a ## PROBLEMS section (and exits non-zero)
+    when any query plans a CartesianProduct, an unsanctioned
+    BroadcastNestedLoopJoin, or an unallowlisted global Window — so a
+    PLANS.md carrying that section means the repo shipped a plan its
+    own sanction rules reject (r9: mixture_temperature_curve did
+    exactly that).  This turns the audit's prose rule into a hard gate
+    like the Window allowlist."""
+    from pathlib import Path
+
+    text = (
+        Path(__file__).resolve().parent.parent / "PLANS.md"
+    ).read_text()
+    assert "## PROBLEMS" not in text, (
+        "PLANS.md ships a PROBLEMS section — fix the offending plan (or "
+        "extend the justified allowlists) and rerun scripts/explain_audit.py"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(_SPECS))
 def test_no_unpartitioned_window_over_growing_input(spark, sf_dir, name):
     """Plan-hygiene gate (r7 verdict): an empty-PARTITION-BY Window
