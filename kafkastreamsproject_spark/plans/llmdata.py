@@ -1959,3 +1959,121 @@ def quality_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("y", "y_hat")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq),
+    d AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(length(format('{{:b}}', tot.n_total))
+                      - length(format('{{:b}}', f.c))) AS BIGINT) AS sum_sur
+      FROM tok t JOIN freq f USING (tok) CROSS JOIN tot
+      GROUP BY t.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, doc.source, d.n_tokens,
+             d.sum_sur / CAST(d.n_tokens AS DOUBLE) AS ms
+      FROM d JOIN documents doc USING (doc_id)
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY ms, doc_id) AS r,
+             COUNT(*) OVER () AS n
+      FROM scored
+    ),
+    b AS (
+      SELECT source, n_tokens,
+             CASE WHEN 3 * r <= n THEN 'head'
+                  WHEN 3 * r <= 2 * n THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM rk
+    ),
+    per_source AS (SELECT source, COUNT(*) AS n_src FROM b GROUP BY source)
+    SELECT b.source, b.ppl_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_tokens) AS BIGINT) AS n_tok_total,
+           ROUND(COUNT(*) / CAST(MIN(ps.n_src) AS DOUBLE), 6)
+             AS share_of_source
+    FROM b JOIN per_source ps USING (source)
+    GROUP BY b.source, b.ppl_bucket
+    """,
+    tags=("llmdata", "text", "quality"),
+    tier="shadow",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): rank every
+    document by LM score and split the corpus into equal head / middle
+    / tail terciles — THE published device for grading crawl text by
+    fluency (CCNet keeps head+middle; tail is the noise pool), here
+    reported as each source's composition across the three buckets so
+    a mixture designer can see which sources contribute fluent text.
+    The LM score is the repo's exact-integer dyadic surprisal
+    (doc_surprisal_quality's bits(N)-bits(c) device), so the ranking
+    is oracle-exact: the mean is one int/int double division and the
+    tercile test is pure integer (3·rank <= n, 3·rank <= 2n).
+
+    Scale shape: the global rank comes from the bucketed two-level
+    scan (operators/prefixscan.py:bucketed_rank — range-bucket on the
+    score, rank within buckets in parallel, offset by the |buckets|-row
+    prefix sum), NEVER a single-task sort of the corpus; the corpus
+    total n is a sanctioned 1-row broadcast; everything downstream
+    aggregates |sources| x 3 rows."""
+    from kafkastreamsproject_spark.operators.prefixscan import bucketed_rank
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    sur = _bits(F.col("n_total")) - _bits(F.col("c"))
+    d = (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", sur.alias("sur"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("sur").alias("sum_sur"),
+        )
+    )
+    scored = d.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("sum_sur") / F.col("n_tokens").cast("double")).alias("ms"),
+    )
+    ranked = bucketed_rank(scored, "ms", "doc_id", out_col="r")
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    bucket = (
+        F.when(3 * F.col("r") <= F.col("n"), F.lit("head"))
+        .when(3 * F.col("r") <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    b = ranked.crossJoin(F.broadcast(n)).select(
+        "source", "n_tokens", bucket.alias("ppl_bucket")
+    )
+    per_source = b.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    return (
+        b.groupBy("source", "ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tok_total"),
+        )
+        .join(F.broadcast(per_source), "source")
+        .select(
+            "source",
+            "ppl_bucket",
+            "n_docs",
+            "n_tok_total",
+            F.round(
+                F.col("n_docs") / F.col("n_src").cast("double"), 6
+            ).alias("share_of_source"),
+        )
+    )

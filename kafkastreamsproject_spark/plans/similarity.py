@@ -2783,3 +2783,123 @@ def ivf_pq_residual_rerank_r_curve(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("cand_recall_at_5"),
         )
     )
+
+
+@register(
+    "embedding_binary_hamming_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings),
+    qa AS (SELECT vec_id AS query_id, qv AS qav FROM q
+           WHERE vec_id < {_N_QUERIES}),
+    pairs AS (
+      SELECT qa.query_id, q2.vec_id,
+             CAST(list_sum(list_transform(range(1, len(qa.qav) + 1),
+                 i -> CASE WHEN (qa.qav[i] > 0) != (q2.qv[i] > 0)
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS hamming,
+             CAST(list_sum(list_transform(range(1, len(qa.qav) + 1),
+                 i -> (qa.qav[i] - q2.qv[i]) * (qa.qav[i] - q2.qv[i])))
+               AS BIGINT) AS dist2
+      FROM qa JOIN q q2 ON q2.vec_id != qa.query_id
+    ),
+    ham_topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, vec_id) AS rn
+        FROM pairs
+      ) WHERE rn <= {_TOP_K}
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, vec_id) AS rn
+        FROM pairs
+      ) WHERE rn <= {_TOP_K}
+    ),
+    hits AS (
+      SELECT h.query_id, COUNT(*) AS nh
+      FROM ham_topk h JOIN truth t ON t.query_id = h.query_id
+                                  AND t.vec_id = h.vec_id
+      GROUP BY 1
+    )
+    SELECT qa.query_id,
+           CAST(COALESCE(hits.nh, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(hits.nh, 0) / {_TOP_K}.0, 6) AS recall_at_5
+    FROM qa LEFT JOIN hits ON hits.query_id = qa.query_id
+    """,
+    tags=("similarity", "quantization", "diagnostic"),
+    tier="shadow",
+)
+def embedding_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-BIT (sign) quantization recall — the extreme end of the
+    compression family: keep only sign(v_i) per dimension (64 dims ->
+    64 bits, a 32x shrink over int8) and rank neighbors by HAMMING
+    distance, the binary-embedding retrieval of semantic-hashing /
+    binary-passage-retrieval systems.  Together with
+    embedding_quantize_int8 (8 bit/dim), pq_encode_int8 (~0.5 bit/dim
+    equivalent), and embedding_dim_truncation_recall (fewer dims at
+    full precision) this completes the bits-per-dimension axis of the
+    quantization operability family: recall@5 against the exact-int8
+    truth says what the 32x storage cut costs.
+
+    Exactness: the sign test, the XOR-popcount Hamming sum, and the
+    exact-truth L2 are all integer; ties break by vec_id on both
+    sides, so the oracle is bit-exact.
+
+    Scale shape: the 10-query side broadcasts against one corpus scan
+    (the sanctioned ann_topk_cosine exact-baseline shape — at scale
+    the scan side would carry 8-byte packed signatures, not vectors);
+    per query only (vec_id, two longs) rows reach the bounded top-k
+    windows."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    qvx = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
+    )
+    base = emb.select("vec_id", qvx.alias("qv"))
+    qa = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qav")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "qav", "qv",
+            lambda a, b: ((a > 0) != (b > 0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = scoped_persist(
+        base.join(F.broadcast(qa), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            ham.alias("hamming"),
+            _int_dist2(F.col("qav"), F.col("qv")).alias("dist2"),
+        )
+    )
+    wh = W.partitionBy("query_id").orderBy("hamming", "vec_id")
+    ham_topk = (
+        pairs.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id")
+    )
+    wt = W.partitionBy("query_id").orderBy("dist2", "vec_id")
+    truth = (
+        pairs.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id")
+    )
+    hits = ham_topk.join(truth, ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("nh"))
+    return (
+        qa.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("nh"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("nh"), F.lit(0)) / float(_TOP_K), 6
+            ).alias("recall_at_5"),
+        )
+    )

@@ -13,6 +13,7 @@ shuffles).  Pick n_buckets so a bucket ≈ one task's worth of data
 from __future__ import annotations
 
 import hashlib
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -54,6 +55,29 @@ def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
 # read, never the shuffle elimination).  compact_bucketed_store bounds
 # the resulting small-file count between epochs.
 # ---------------------------------------------------------------------------
+
+
+@_contextmanager
+def shuffle_scoped_to_buckets(spark: SparkSession, n_buckets: int):
+    """Pin ``spark.sql.shuffle.partitions`` to the store's bucket count
+    for the scope — the conf contract a bucketed-store probe needs.
+
+    EnsureRequirements reuses a child's existing partitioning only when
+    its partition count is >= the session's shuffle partitions; with
+    ambient partitions above the bucket count the planner re-shuffles
+    BOTH join sides and DisableUnnecessaryBucketedScan then demotes the
+    bucketed scan entirely (measured r10: a sibling job re-applying its
+    own shuffle conf onto a shared session silently re-introduced the
+    store-side Exchange).  Production guidance at 100 TB: bucket the
+    store at least as wide as the ingest job's parallelism; this scope
+    encodes the same invariant for the single-writer fold, where the
+    batch-sized rollups are cheap at any width."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_buckets))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def store_table_name(prefix: str, path: str) -> str:

@@ -35,6 +35,7 @@ from kafkastreamsproject_spark.sources.bucketed import (
     append_bucketed_store,
     compact_bucketed_store,
     read_bucketed_store,
+    shuffle_scoped_to_buckets,
     store_table_name,
 )
 
@@ -66,7 +67,12 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame:
 
 def fresh_against_store(batch_first: DataFrame, store: DataFrame) -> DataFrame:
     """The probe: batch-elected first-keepers whose line hash the store
-    has never admitted.  Store side scans its buckets in place."""
+    has never admitted.  Store side scans its buckets in place —
+    PROVIDED the session's shuffle partitions do not exceed N_BUCKETS
+    at execution time (EnsureRequirements only reuses the bucket
+    partitioning then; the fold enforces this with
+    shuffle_scoped_to_buckets, and an explicit batch-side repartition
+    is NOT a substitute — Catalyst hoists it above the join)."""
     return batch_first.join(store.select("lh"), "lh", "left_anti")
 
 
@@ -94,55 +100,59 @@ def line_dedup_ingest_batch(batch: DataFrame, store_path: str) -> DataFrame:
     spark = batch.sparkSession
     path = f"{store_path}/lines"
 
-    toks = TX.tokens(F.col("text"))
-    base = batch.filter(F.size(toks) >= 1).select(
-        "doc_id", lines_expr(toks).alias("lines")
-    )
-    ex = base.select(
-        "doc_id", F.posexplode(F.transform("lines", F.md5)).alias("ord", "lh")
-    )
-    ex.persist()
-    store = _read_store(spark, path)
-
-    batch_first = ex.groupBy("lh").agg(
-        F.min(F.struct("doc_id", "ord")).alias("w")
-    )
-    fresh = fresh_against_store(batch_first, store)
-    kept = (
-        ex.join(fresh, "lh")
-        .filter(
-            (F.col("doc_id") == F.col("w.doc_id"))
-            & (F.col("ord") == F.col("w.ord"))
+    with shuffle_scoped_to_buckets(spark, N_BUCKETS):
+        toks = TX.tokens(F.col("text"))
+        base = batch.filter(F.size(toks) >= 1).select(
+            "doc_id", lines_expr(toks).alias("lines")
         )
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("ord")).alias("keep"))
-    )
-    stats = (
-        base.select("doc_id", F.size("lines").alias("n_lines"))
-        .join(kept, "doc_id", "left")
-        .withColumn("keep", F.coalesce("keep", F.array().cast("array<int>")))
-        .select(
+        ex = base.select(
             "doc_id",
-            "n_lines",
-            F.size("keep").alias("n_kept"),
-            F.array_join(F.col("keep").cast("array<string>"), ",").alias(
-                "kept_ords"
-            ),
-            (F.size("keep") / F.col("n_lines").cast("double")).alias(
-                "keep_frac"
-            ),
+            F.posexplode(F.transform("lines", F.md5)).alias("ord", "lh"),
         )
-    )
-    # pin stats AND the append set to the pre-append store snapshot:
-    # neither carries lineage into files this fold writes
-    stats = stats.localCheckpoint(eager=True)
-    admitted = fresh.select("lh").localCheckpoint(eager=True)
-    ex.unpersist()
+        ex.persist()
+        store = _read_store(spark, path)
 
-    append_bucketed_store(
-        spark, admitted, path, store_table_name("line_store", path),
-        ["lh"], N_BUCKETS,
-    )
+        batch_first = ex.groupBy("lh").agg(
+            F.min(F.struct("doc_id", "ord")).alias("w")
+        )
+        fresh = fresh_against_store(batch_first, store)
+        kept = (
+            ex.join(fresh, "lh")
+            .filter(
+                (F.col("doc_id") == F.col("w.doc_id"))
+                & (F.col("ord") == F.col("w.ord"))
+            )
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("ord")).alias("keep"))
+        )
+        stats = (
+            base.select("doc_id", F.size("lines").alias("n_lines"))
+            .join(kept, "doc_id", "left")
+            .withColumn(
+                "keep", F.coalesce("keep", F.array().cast("array<int>"))
+            )
+            .select(
+                "doc_id",
+                "n_lines",
+                F.size("keep").alias("n_kept"),
+                F.array_join(F.col("keep").cast("array<string>"), ",").alias(
+                    "kept_ords"
+                ),
+                (F.size("keep") / F.col("n_lines").cast("double")).alias(
+                    "keep_frac"
+                ),
+            )
+        )
+        # pin stats AND the append set to the pre-append store snapshot:
+        # neither carries lineage into files this fold writes
+        stats = stats.localCheckpoint(eager=True)
+        admitted = fresh.select("lh").localCheckpoint(eager=True)
+        ex.unpersist()
+
+        append_bucketed_store(
+            spark, admitted, path, store_table_name("line_store", path),
+            ["lh"], N_BUCKETS,
+        )
     return stats
 
 

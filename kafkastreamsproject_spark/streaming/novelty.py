@@ -40,6 +40,7 @@ from kafkastreamsproject_spark.sources.bucketed import (
     append_bucketed_store,
     compact_bucketed_store,
     read_bucketed_store,
+    shuffle_scoped_to_buckets,
     store_table_name,
 )
 
@@ -75,7 +76,10 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame:
 
 def fresh_against_store(batch_first: DataFrame, store: DataFrame) -> DataFrame:
     """The probe: batch-elected first-carriers whose trigram hash the
-    store has never admitted.  Store side scans its buckets in place."""
+    store has never admitted.  Store side scans its buckets in place —
+    provided shuffle partitions <= N_BUCKETS at execution time (the
+    fold enforces this with shuffle_scoped_to_buckets; see
+    streaming/linededup.py:fresh_against_store)."""
     return batch_first.join(store.select("h"), "h", "left_anti")
 
 
@@ -104,46 +108,50 @@ def novelty_ingest_batch(
     spark = batch.sparkSession
     tri_path = f"{store_path}/trigrams"
 
-    tri = doc_trigram_hashes(batch)
-    tri.persist()
-    store = _read_store(spark, tri_path)
+    with shuffle_scoped_to_buckets(spark, N_BUCKETS):
+        tri = doc_trigram_hashes(batch)
+        tri.persist()
+        store = _read_store(spark, tri_path)
 
-    batch_first = tri.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    fresh = fresh_against_store(batch_first, store)
+        batch_first = tri.groupBy("h").agg(
+            F.min("doc_id").alias("first_doc")
+        )
+        fresh = fresh_against_store(batch_first, store)
 
-    stats = (
-        tri.join(
-            fresh.select("h", F.col("first_doc").alias("nf")), "h", "left"
+        stats = (
+            tri.join(
+                fresh.select("h", F.col("first_doc").alias("nf")), "h", "left"
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_trigrams"),
+                F.sum(
+                    (F.col("nf") == F.col("doc_id")).cast("long")
+                ).alias("n_novel"),
+            )
+            .select(
+                "doc_id",
+                "n_trigrams",
+                F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                    "n_novel"
+                ),
+                (
+                    F.coalesce(F.col("n_novel"), F.lit(0))
+                    / F.col("n_trigrams").cast("double")
+                ).alias("novelty"),
+            )
         )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum(
-                (F.col("nf") == F.col("doc_id")).cast("long")
-            ).alias("n_novel"),
-        )
-        .select(
-            "doc_id",
-            "n_trigrams",
-            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
-                "n_novel"
-            ),
-            (
-                F.coalesce(F.col("n_novel"), F.lit(0))
-                / F.col("n_trigrams").cast("double")
-            ).alias("novelty"),
-        )
-    )
-    # pin stats AND the append set to the pre-append store snapshot:
-    # neither carries lineage into files this fold writes
-    stats = stats.localCheckpoint(eager=True)
-    admitted = fresh.localCheckpoint(eager=True)
-    tri.unpersist()
+        # pin stats AND the append set to the pre-append store snapshot:
+        # neither carries lineage into files this fold writes
+        stats = stats.localCheckpoint(eager=True)
+        admitted = fresh.localCheckpoint(eager=True)
+        tri.unpersist()
 
-    append_bucketed_store(
-        spark, admitted, tri_path, store_table_name("novelty_store", tri_path),
-        ["h"], N_BUCKETS,
-    )
+        append_bucketed_store(
+            spark, admitted, tri_path,
+            store_table_name("novelty_store", tri_path),
+            ["h"], N_BUCKETS,
+        )
     return stats
 
 

@@ -91,6 +91,12 @@ SANCTIONED_BNLJ = {
     # same bucketed_rank (lo, hi) 1-row broadcast, ranking the
     # vocabulary frequency table for the Zipf fit
     "zipf_slope_fit",
+    # same bucketed-rank shape as zipf: 1-row bounds + 1-row corpus
+    # total broadcasts into the tercile test
+    "ccnet_perplexity_buckets",
+    # 10-query broadcast against the corpus scan on a non-equi
+    # (vec_id != query_id) condition — ann_topk_cosine's exact shape
+    "embedding_binary_hamming_recall",
     # 1-row unigram/bigram grand totals broadcast into the PMI scan
     "pmi_collocations",
     # 1-row corpus-token-total broadcast into the surprisal scoring scan

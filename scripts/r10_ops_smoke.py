@@ -32,6 +32,10 @@ QUERIES = [
     "mixture_temperature_curve",
     "streaming_line_dedup_ingest",
     "streaming_novelty_ingest",
+    # later-r10 additions: the CCNet corpus grading and the 1-bit
+    # quantization recall point
+    "ccnet_perplexity_buckets",
+    "embedding_binary_hamming_recall",
 ]
 
 

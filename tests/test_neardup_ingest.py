@@ -386,7 +386,11 @@ def test_line_store_probe_is_bucketed_with_zero_store_exchange(
     that moves one micro-batch and one that re-shuffles the corpus."""
     import re
 
+    from kafkastreamsproject_spark.sources.bucketed import (
+        shuffle_scoped_to_buckets,
+    )
     from kafkastreamsproject_spark.streaming.linededup import (
+        N_BUCKETS,
         _read_store,
         fresh_against_store,
         line_dedup_ingest_batch,
@@ -396,9 +400,18 @@ def test_line_store_probe_is_bucketed_with_zero_store_exchange(
 
     line_a = " ".join(f"a{i}" for i in range(12))
     store = str(tmp_path / "lstore")
-    line_dedup_ingest_batch(
-        _docs(spark, [(1, line_a), (2, "x " * 30)]), store
-    )
+    # ambient conf deliberately ABOVE the bucket count: the fold must
+    # still fold correctly (it scopes shuffle partitions internally —
+    # without the scope the planner demotes the bucketed scan, the r10
+    # regression a sibling job's conf re-application exposed)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(4 * N_BUCKETS))
+    try:
+        line_dedup_ingest_batch(
+            _docs(spark, [(1, line_a), (2, "x " * 30)]), store
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     toks = TX.tokens(F.col("text"))
     batch_first = (
@@ -418,7 +431,8 @@ def test_line_store_probe_is_bucketed_with_zero_store_exchange(
         probe = fresh_against_store(
             batch_first, _read_store(spark, f"{store}/lines")
         )
-        plan = _plan_of(probe)
+        with shuffle_scoped_to_buckets(spark, N_BUCKETS):
+            plan = _plan_of(probe)
         assert "Bucketed: true" in plan, plan
         # exactly one Exchange: the batch side's hashpartitioning to the
         # bucket count; zero above the store scan
@@ -442,7 +456,11 @@ def test_novelty_store_probe_is_bucketed_with_zero_store_exchange(
     store, keyed on h."""
     import re
 
+    from kafkastreamsproject_spark.sources.bucketed import (
+        shuffle_scoped_to_buckets,
+    )
     from kafkastreamsproject_spark.streaming.novelty import (
+        N_BUCKETS,
         _read_store,
         doc_trigram_hashes,
         fresh_against_store,
@@ -466,7 +484,8 @@ def test_novelty_store_probe_is_bucketed_with_zero_store_exchange(
         probe = fresh_against_store(
             batch_first, _read_store(spark, f"{store}/trigrams")
         )
-        plan = _plan_of(probe)
+        with shuffle_scoped_to_buckets(spark, N_BUCKETS):
+            plan = _plan_of(probe)
         assert "Bucketed: true" in plan, plan
         assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
         # 'alpha beta gamma' is stored; the other two trigrams are fresh
