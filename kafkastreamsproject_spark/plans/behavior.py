@@ -1717,3 +1717,148 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("last_touch_lag_s"),
         )
     )
+
+
+@register(
+    "streaming_unmatched_views",
+    oracle="""
+    WITH mx AS (
+      SELECT LEAST(
+        (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+          WHERE event_type = 'view'),
+        (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+          WHERE event_type = 'purchase')
+      ) AS m
+    ),
+    v AS (
+      SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS vts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.view_id,
+           CAST(v.vts AS VARCHAR) AS view_ts
+    FROM v CROSS JOIN mx
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.pts > v.vts
+          AND p.pts <= v.vts + INTERVAL 60 MINUTES
+      )
+      AND v.vts + INTERVAL 60 MINUTES < mx.m - INTERVAL 1 MINUTE
+    """,
+    tags=("behavior", "streaming", "join"),
+    tier="shadow",
+)
+def streaming_unmatched_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the state-EVICTION emission path
+    streaming_event_pairs' inner join never exercises: views with no
+    same-user purchase in the following hour emit exactly once, with a
+    NULL purchase side, only when the watermark closes their match
+    window (outer-join rows cannot emit eagerly — a match might still
+    arrive — so Spark emits them from the state-cleanup pass).  This is
+    the abandoned-cart / unanswered-event detector in pure Structured
+    Streaming, the streaming twin of the NOT EXISTS anti-join.
+
+    Determinism contract (what the oracle states): the final emitted
+    set after an availableNow drain is every unmatched view whose
+    horizon the FINAL watermark strictly passed — and the query-global
+    watermark is the MIN over both watermark operators (measured here:
+    the purchase side's max event time trails the view side's by ~32
+    minutes, and Spark held exactly the two boundary views an
+    all-events max would have predicted evicted), so the cutoff is
+    v_ts + 60 min < least(max view ts, max purchase ts) − 1 min (the
+    1-minute delay); later views stay in state at shutdown and are NOT
+    emitted.  Intermediate batching only affects WHEN a row emits,
+    never whether — eviction is monotone in the watermark — so the
+    no-data micro-batch that availableNow runs after the last file
+    makes the drained result batch-structure-independent.
+
+    Scale shape: two-sided watermarked join state bounded by
+    (rate × (watermark + horizon)) per side, identical to the inner
+    twin; the post-join IS NULL filter is stateless."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    _CONF_KEYS = ("spark.sql.session.timeZone",)
+    saved = {k: spark.conf.get(k, None) for k in _CONF_KEYS}
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    views = (
+        stream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 minute")
+    )
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 60 MINUTES"))
+    )
+    unmatched = (
+        views.join(purchases, cond, "left_outer")
+        .filter(F.col("purchase_id").isNull())
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            F.col("v_ts").cast("string").alias("view_ts"),
+        )
+    )
+    name = f"stream_unmatched_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_unmatched_")
+    try:
+        q = (
+            unmatched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.table(name).localCheckpoint(eager=True)

@@ -1939,3 +1939,209 @@ def cluster_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
         )
     )
+
+
+_BBIT_BS = (1, 2, 4, 8)  # low-bit widths swept (full = minhash_perm_error_curve p=16)
+
+
+def _sql_bbit_match(b: int) -> str:
+    """Matching masked-component count over all 16 permutations."""
+    mask = (1 << b) - 1
+    return " + ".join(
+        f"(CASE WHEN (sa.mh{k} & {mask}) = (sb.mh{k} & {mask})"
+        f" THEN 1 ELSE 0 END)"
+        for k in range(_PERM_CURVE_MAX)
+    )
+
+
+@register(
+    "bbit_minhash_error_curve",
+    oracle=f"""
+    WITH corpus2 AS ({_SQL_CORPUS2}),
+    sigs AS (
+      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
+        {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(_PERM_CURVE_MAX))}
+      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, mh{2*b} AS h1, mh{2*b+1} AS h2 FROM sigs"
+          for b in range(_N_BANDS)
+      )}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.h1 = b.h1 AND a.h2 = b.h2
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT
+        len(list_intersect(sa.hset, sb.hset)) AS i,
+        len(sa.hset) + len(sb.hset)
+          - len(list_intersect(sa.hset, sb.hset)) AS u,
+        {", ".join(f"({_sql_bbit_match(b)}) AS mb{b}" for b in _BBIT_BS)}
+      FROM cands c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+    ),
+    st AS (
+      {" UNION ALL ".join(
+          f"SELECT {b} AS b, mb{b} AS m, i, u FROM pairs"
+          for b in _BBIT_BS
+      )}
+    ),
+    dev AS (
+      SELECT b,
+        ABS(((1 << b) * m - {_PERM_CURVE_MAX}) * u
+            - i * {_PERM_CURVE_MAX} * ((1 << b) - 1)) AS num,
+        {_PERM_CURVE_MAX} * ((1 << b) - 1) * u AS den
+      FROM st
+    )
+    SELECT CAST(b AS INT) AS b,
+      CAST({_PERM_CURVE_MAX} * b / 8 AS INT) AS sig_bytes,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(CASE WHEN 8 * num <= den THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_within_eighth,
+      SUM((1000000 * num) // den) / CAST(COUNT(*) AS DOUBLE)
+        AS mean_abs_err_ppm
+    FROM dev GROUP BY b
+    """,
+    tags=("dedup", "minhash", "diagnostic"),
+    tier="shadow",
+)
+def bbit_minhash_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (Li & König 2010) error curve — the dedup family's
+    bits-per-COMPONENT axis, orthogonal to minhash_perm_error_curve's
+    component-COUNT axis and the twin of embedding_binary_hamming_recall
+    on the embedding side: store only the low b bits of each of the 16
+    permutation minima (a 16-perm signature shrinks 128 B → 2 B at b=1)
+    and correct for accidental low-bit collisions with the published
+    unbiased estimator J = (m/p − 1/2^b)/(1 − 1/2^b), where m counts
+    masked-component matches.  Over the SAME deployed LSH candidate
+    population, per b ∈ {1,2,4,8}: signature bytes, pairs within 1/8 of
+    true Jaccard, and mean absolute error — pricing how many bits a
+    100 TB signature store actually needs before the confirm step.
+
+    Exactness: the estimate never exists as a float — with
+    num = |(2^b·m − p)·u − i·p·(2^b−1)| and den = p·(2^b−1)·u the
+    within-1/8 test is 8·num ≤ den and the accumulated error is the
+    integer floor of 10⁶·num/den (the minhash_perm_error_curve device,
+    extended with the collision-correction terms).
+
+    Scale shape: the masked matches are row-local zip_with sums over
+    the one persisted 16-perm signature (no extra scan); candidates
+    come from the unchanged 8-perm band equi-join; the 4-width sweep
+    is a stack over per-pair integers, never a re-join."""
+    sigs = scoped_persist(
+        _shingled_corpus2(spark, sf_dir).select(
+            "doc_id",
+            F.array_distinct("hs").alias("hset"),
+            H.minhash_signature_array(
+                F.col("hs"), _PERM_CURVE_MAX
+            ).alias("mhs"),
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.col("mhs")[2 * b].alias("h1"),
+                F.col("mhs")[2 * b + 1].alias("h2"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.h1", "band.h2")
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_id", "h1", "h2")
+    b_ = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("h1").alias("h1_b"),
+        F.col("h2").alias("h2_b"),
+    )
+    cands = (
+        a.join(
+            b_,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("h1") == F.col("h1_b"))
+            & (F.col("h2") == F.col("h2_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hset").alias("h_a"),
+        F.col("mhs").alias("mh_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hset").alias("h_b"),
+        F.col("mhs").alias("mh_b"),
+    )
+
+    def masked_match(b: int):
+        mask = F.lit((1 << b) - 1).cast("long")
+        z = F.zip_with(
+            "mh_a",
+            "mh_b",
+            lambda x, y: F.when(
+                x.bitwiseAND(mask) == y.bitwiseAND(mask), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        return F.aggregate(
+            z, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    inter = F.size(F.array_intersect("h_a", "h_b")).cast("long")
+    union = (F.size("h_a") + F.size("h_b")).cast("long") - inter
+    pairs = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            inter.alias("i"),
+            union.alias("u"),
+            *[masked_match(b).alias(f"mb{b}") for b in _BBIT_BS],
+        )
+    )
+    stack_args = ", ".join(f"{b}, mb{b}" for b in _BBIT_BS)
+    st = pairs.select(
+        "i",
+        "u",
+        F.expr(f"stack({len(_BBIT_BS)}, {stack_args}) AS (b, m)"),
+    )
+    p = F.lit(_PERM_CURVE_MAX).cast("long")
+    two_b = F.expr("shiftleft(cast(1 as bigint), b)")
+    num = F.abs(
+        (two_b * F.col("m") - p) * F.col("u")
+        - F.col("i") * p * (two_b - 1)
+    )
+    den = p * (two_b - 1) * F.col("u")
+    dev = st.select("b", num.alias("num"), den.alias("den"))
+    return (
+        dev.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.lit(8) * F.col("num") <= F.col("den"), 1)
+                .otherwise(0)
+            ).alias("n_within_eighth"),
+            (
+                F.sum(F.expr("(1000000 * num) div den"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_abs_err_ppm"),
+        )
+        .select(
+            F.col("b").cast("int").alias("b"),
+            (F.lit(_PERM_CURVE_MAX) * F.col("b") / F.lit(8))
+            .cast("int")
+            .alias("sig_bytes"),
+            "n_pairs",
+            "n_within_eighth",
+            "mean_abs_err_ppm",
+        )
+    )

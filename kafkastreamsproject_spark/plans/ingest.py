@@ -601,3 +601,136 @@ def orc_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fp.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _ci_oracle() -> str:
+    """Chained-CTE replay of the two-epoch mini-batch k-means fold
+    (streaming/centroids.py) — every centroid, count, and sufficient
+    statistic re-derived from arrival order alone."""
+    from kafkastreamsproject_spark.plans.similarity import (
+        _KM_K,
+        _SQL_KM_Q,
+        _sql_km_dist2,
+    )
+
+    def epoch(t: int, batch: str, prev: str | None) -> str:
+        cents = f"seeds" if prev is None else f"st{t - 1}"
+        return f"""a{t} AS MATERIALIZED (
+      SELECT vec_id, qv, cid FROM (
+        SELECT b.vec_id, b.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                 ORDER BY {_sql_km_dist2('b.qv', 'c.cv')}, c.cid) AS rn
+        FROM {batch} b CROSS JOIN {cents} c
+      ) WHERE rn = 1
+    ),
+    s{t} AS (
+      SELECT cid, pos, CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT cid, unnest(qv) AS v,
+               unnest(range(1, len(qv) + 1)) AS pos
+        FROM a{t}
+      ) GROUP BY cid, pos
+    ),
+    sl{t} AS (
+      SELECT cid, list(sv ORDER BY pos) AS bs, MAX(cnt) AS na
+      FROM s{t} GROUP BY cid
+    ),
+    ms{t} AS (
+      SELECT c.cid,
+             c.n + COALESCE(sl.na, 0) AS n,
+             CASE WHEN sl.bs IS NULL THEN c.s
+                  ELSE list_transform(range(1, len(c.s) + 1),
+                                      i -> c.s[i] + sl.bs[i]) END AS s,
+             c.cv AS cv_old,
+             COALESCE(sl.na, 0) AS n_assigned
+      FROM {cents} c LEFT JOIN sl{t} sl USING (cid)
+    ),
+    st{t} AS MATERIALIZED (
+      SELECT cid, n, s,
+             CASE WHEN n > 0
+                  THEN list_transform(s,
+                    x -> CAST(ROUND(x / CAST(n AS DOUBLE)) AS BIGINT))
+                  ELSE cv_old END AS cv,
+             n_assigned
+      FROM ms{t}
+    )"""
+
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings
+    ),
+    b1 AS (SELECT * FROM q WHERE vec_id % 2 = 0),
+    b2 AS (SELECT * FROM q WHERE vec_id % 2 = 1),
+    seeds AS MATERIALIZED (
+      SELECT vec_id AS cid, CAST(0 AS BIGINT) AS n,
+             list_transform(qv, x -> CAST(0 AS BIGINT)) AS s, qv AS cv
+      FROM b1 ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    {epoch(0, 'b1', None)},
+    {epoch(1, 'b2', 'st0')}
+    SELECT * FROM (
+      SELECT 1 AS batch, cid, CAST(n_assigned AS BIGINT) AS n_assigned,
+             CAST(n AS BIGINT) AS n_total,
+             CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT)
+               AS c_dot
+      FROM st0
+      UNION ALL
+      SELECT 2 AS batch, cid, CAST(n_assigned AS BIGINT),
+             CAST(n AS BIGINT),
+             CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT)
+      FROM st1
+    )
+    """
+
+
+@register(
+    "streaming_centroid_ingest",
+    oracle_fn=_ci_oracle,
+    tags=("similarity", "streaming", "clustering"),
+    tier="shadow",
+)
+def streaming_centroid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch replay of INCREMENTAL k-means centroid maintenance
+    (streaming/centroids.py — mini-batch k-means, Sculley 2010): the
+    embeddings corpus split by arrival parity folds through the
+    snapshot store as two micro-batches, and each epoch emits its
+    per-centroid summary — rows assigned, cumulative count, and the
+    updated centroid's exact self-dot (the integer drift signal).  The
+    DuckDB oracle replays the full trajectory — deterministic seed
+    election (k lowest first-batch vec_ids), integer argmin assignment
+    with (dist2, cid) tie-break, sufficient-statistic merge, and the
+    one IEEE-portable round(sum/n) per component — chained CTEs, the
+    perceptron-trainer exactness discipline applied to a streaming
+    fold.  Proves the incremental fold tracks data drift: batch 2's
+    centroids move (c_dot changes) without any full-corpus re-pass.
+
+    Scale shape: see streaming/centroids.py — K-row broadcast store,
+    bounded-broadcast assignment, one partial-aggregated (cid, dim)
+    shuffle per epoch; the store is kilobytes at any corpus size, the
+    snapshot-per-epoch overwrite is the idempotency mechanism."""
+    from kafkastreamsproject_spark.streaming.centroids import (
+        centroid_ingest_batch,
+        quantize_codes,
+    )
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    q = quantize_codes(emb).select("vec_id", "qv")
+    b1 = q.filter(F.col("vec_id") % 2 == 0)
+    b2 = q.filter(F.col("vec_id") % 2 == 1)
+    store = tempfile.mkdtemp(prefix="centroid_ingest_store_")
+    try:
+        s1 = centroid_ingest_batch(b1, store, epoch=0)
+        s2 = centroid_ingest_batch(b2, store, epoch=1)
+        out = (
+            s1.select(F.lit(1).alias("batch"), "cid", "n_assigned",
+                      "n_total", "c_dot")
+            .unionByName(
+                s2.select(F.lit(2).alias("batch"), "cid", "n_assigned",
+                          "n_total", "c_dot")
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

@@ -2077,3 +2077,216 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_source"),
         )
     )
+
+
+_DRM_T = 3  # Group-DRO multiplicative-weight rounds
+_DRM_CLAMP = 4  # |q| bound: weights span 2^-4 .. 2^4 around uniform
+
+
+def _drm_ctes() -> str:
+    """sc (source × token counts) → T chained rounds, each re-fitting
+    the weighted unigram LM and updating the per-source dyadic
+    exponents; every chained CTE MATERIALIZED (sc is referenced twice
+    per round)."""
+    bits_nw = "length(format('{:b}', n.nw))"
+    bits_cw = "length(format('{:b}', c.cw))"
+    parts = [
+        f"""corpus AS MATERIALIZED (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT 'planted_hard' AS source,
+             array_to_string(list_transform({_SQL_TOKENS},
+               t -> t || '_u' || CAST(doc_id AS VARCHAR)), ' ') AS text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT 'planted_easy' AS source, trim(repeat('the ', 50)) AS text
+      FROM documents WHERE doc_id % 7 = 3
+    ),
+    tok AS MATERIALIZED (
+      SELECT source, unnest({_SQL_TOKENS}) AS tok FROM corpus
+    ),
+    sc AS MATERIALIZED (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2
+    ),
+    q0 AS (SELECT DISTINCT source, 0 AS q FROM sc)"""
+    ]
+    for t in range(_DRM_T + 1):
+        parts.append(f"""cw{t} AS MATERIALIZED (
+      SELECT s.tok, CAST(SUM(s.n * (1 << (w.q + {_DRM_CLAMP}))) AS BIGINT) AS cw
+      FROM sc s JOIN q{t} w USING (source) GROUP BY s.tok
+    ),
+    nw{t} AS (SELECT CAST(SUM(cw) AS BIGINT) AS nw FROM cw{t}),
+    dom{t} AS MATERIALIZED (
+      SELECT s.source,
+             CAST(SUM(s.n * ({bits_nw} - {bits_cw})) AS BIGINT) AS ss,
+             CAST(SUM(s.n) AS BIGINT) AS nt
+      FROM sc s JOIN cw{t} c USING (tok) CROSS JOIN nw{t} n
+      GROUP BY s.source
+    )""")
+        if t < _DRM_T:
+            parts.append(f"""tot{t} AS (
+      SELECT CAST(SUM(ss) AS BIGINT) AS sa, CAST(SUM(nt) AS BIGINT) AS na
+      FROM dom{t}
+    ),
+    q{t + 1} AS (
+      SELECT d.source,
+        LEAST({_DRM_CLAMP}, GREATEST(-{_DRM_CLAMP}, w.q + CASE
+          WHEN 8 * (d.ss * t.na - t.sa * d.nt) >= d.nt * t.na THEN 1
+          WHEN 8 * (d.ss * t.na - t.sa * d.nt) <= -(d.nt * t.na) THEN -1
+          ELSE 0 END)) AS q
+      FROM dom{t} d JOIN q{t} w USING (source) CROSS JOIN tot{t} t
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "doremi_mixture_weights",
+    oracle_fn=lambda: f"""
+    WITH {_drm_ctes()},
+    wsum AS (
+      SELECT CAST(SUM(1 << (q + {_DRM_CLAMP})) AS BIGINT) AS ws
+      FROM q{_DRM_T}
+    )
+    SELECT d.source, d.nt AS n_tokens, CAST(w.q AS INT) AS q,
+           CAST((1 << (w.q + {_DRM_CLAMP})) AS BIGINT) AS w_num,
+           ROUND((1 << (w.q + {_DRM_CLAMP})) / CAST(ws.ws AS DOUBLE), 6)
+             AS mixture_weight,
+           CAST((1000000 * d.ss) // d.nt AS BIGINT) AS loss_ppm
+    FROM dom{_DRM_T} d JOIN q{_DRM_T} w USING (source)
+    CROSS JOIN wsum ws
+    """,
+    tags=("llmdata", "mixture", "ml"),
+    tier="shadow",
+)
+def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023) IN the engine:
+    Group-DRO multiplicative weights over per-source excess loss, with
+    the paper's proxy model replaced by the repo's exact-integer device
+    — a unigram LM RE-FIT each round on the currently-reweighted corpus
+    (weighted counts are Σ 2^(q_k)·n_k — exact integers, the DSIR
+    dyadic trick), domain loss = mean dyadic surprisal under that LM,
+    and the exponentiated-gradient update coarsened to its sign: a
+    domain whose excess loss exceeds 1/8 bit doubles its weight, one
+    more than 1/8 bit BELOW the mixture average halves it (clamped to
+    2^±4).  The loop is a true fixpoint iteration — reweighting changes
+    the LM, which changes every domain's loss — exactly the dynamic the
+    paper's proxy-model loop exhibits, minus the transcendentals.  The
+    final row per source: its token count, exponent, normalized mixture
+    weight, and loss under the final mixture's LM.
+
+    Planted dynamics: two synthetic domains join the real sources —
+    ``planted_hard`` (every token uniquified per doc → near-maximal
+    surprisal) and ``planted_easy`` (one token repeated → near-zero) —
+    so the trajectory is actually exercised: hard climbs to q=+3
+    (≈0.75 mixture weight — the worst-domain concentration Group-DRO's
+    minimax objective drives and the paper reports for high-entropy
+    domains), easy and the homogeneous real sources decay to −3, and
+    both update branches fire every round.
+
+    Exactness: the excess-loss test is the pure-integer comparison
+    8·(ss_k·na − sa·nt_k) vs ±(nt_k·na) (no float loss ever exists),
+    so the oracle's chained-CTE replay reproduces the identical weight
+    trajectory.  (At extreme corpus sizes the cross-products want
+    DECIMAL(38) / hugeint — a documented widening, not a redesign.)
+
+    Scale shape: the iterative-trainer shape (functions/perceptron.py
+    / functions/bpe.py precedent): per round ONE distributed job —
+    re-aggregate the weighted vocab (broadcast 20-row weight table,
+    one tok shuffle), score domains (vocab-side build join, source
+    rollup), and return |sources| integer triples to the driver via a
+    single collect_list row; T=3 rounds + final eval = 4 bounded jobs
+    over the persisted (source, tok, n) base."""
+    base = fan_out(load_table(spark, "documents", sf_dir))
+    toks = TX.tokens(F.col("text"))
+    hard = base.filter(F.col("doc_id") % 7 == 0).select(
+        F.lit("planted_hard").alias("source"),
+        F.array_join(
+            F.transform(
+                toks,
+                lambda t: F.concat(
+                    t, F.lit("_u"), F.col("doc_id").cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    easy = base.filter(F.col("doc_id") % 7 == 3).select(
+        F.lit("planted_easy").alias("source"),
+        F.trim(F.repeat(F.lit("the "), 50)).alias("text"),
+    )
+    docs = (
+        base.select("source", "text").unionByName(hard).unionByName(easy)
+    )
+    tok = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    sc = scoped_persist(
+        tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def dom_losses(q: dict[str, int]) -> DataFrame:
+        wdf = spark.createDataFrame(
+            [(s, 1 << (qv + _DRM_CLAMP)) for s, qv in sorted(q.items())],
+            "source string, w long",
+        )
+        cw = (
+            sc.join(F.broadcast(wdf), "source")
+            .groupBy("tok")
+            .agg(F.sum(F.col("n") * F.col("w")).alias("cw"))
+        )
+        nw = cw.agg(F.sum("cw").alias("nw"))
+        sur = _bits(F.col("nw")) - _bits(F.col("cw"))
+        return (
+            sc.join(cw, "tok")
+            .crossJoin(F.broadcast(nw))
+            .select("source", "n", (F.col("n") * sur).alias("sbits"))
+            .groupBy("source")
+            .agg(
+                F.sum("sbits").alias("ss"),
+                F.sum("n").alias("nt"),
+            )
+        )
+
+    srcs = (
+        sc.select("source")
+        .distinct()
+        .groupBy()
+        .agg(F.collect_list("source").alias("s"))
+        .first()
+        .s
+    )
+    q: dict[str, int] = {s: 0 for s in srcs}
+    for _ in range(_DRM_T):
+        row = dom_losses(q).groupBy().agg(
+            F.collect_list(F.struct("source", "ss", "nt")).alias("d")
+        ).first()
+        sa = sum(r.ss for r in row.d)
+        na = sum(r.nt for r in row.d)
+        for r in row.d:
+            excess8 = 8 * (r.ss * na - sa * r.nt)
+            step = 1 if excess8 >= r.nt * na else (
+                -1 if excess8 <= -(r.nt * na) else 0
+            )
+            q[r.source] = max(-_DRM_CLAMP, min(_DRM_CLAMP, q[r.source] + step))
+    ws = sum(1 << (qv + _DRM_CLAMP) for qv in q.values())
+    qdf = spark.createDataFrame(
+        [(s, qv, 1 << (qv + _DRM_CLAMP)) for s, qv in sorted(q.items())],
+        "source string, q int, w_num long",
+    )
+    return (
+        dom_losses(q)
+        .join(F.broadcast(qdf), "source")
+        .select(
+            "source",
+            F.col("nt").alias("n_tokens"),
+            "q",
+            "w_num",
+            F.round(F.col("w_num") / F.lit(float(ws)), 6).alias(
+                "mixture_weight"
+            ),
+            F.expr("cast((1000000 * ss) div nt as bigint)").alias(
+                "loss_ppm"
+            ),
+        )
+    )

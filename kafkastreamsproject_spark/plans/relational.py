@@ -1287,3 +1287,79 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "bucketed_warehouse_join",
+    oracle="""
+    SELECT o.o_orderpriority AS orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                 AS DOUBLE), 4) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("relational", "scale", "join"),
+    tier="shadow",
+)
+def bucketed_warehouse_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-bucketed warehouse join — THE standing answer to the
+    single biggest recurring cost at 100 TB: re-shuffling the fact
+    table on its join key for every query.  Both fact tables are
+    materialized ``bucketBy(orderkey)`` ONCE (the amortized write);
+    the lineitem⋈orders equi-join then reads co-located buckets and
+    plans ZERO Exchange below the SortMergeJoin — the whole query's
+    only shuffle is the final |priority|-row aggregation
+    (plan-asserted in tests/test_scale_ops.py).  Broadcast is disabled
+    in-scope precisely so the partitioned strategy is what runs: at
+    production scale NEITHER side of this join fits in an executor.
+
+    This registers the technique test_bucketed_join_has_no_shuffle
+    proves as an oracle-checked query: the bucketed round-trip must
+    be value-lossless, so revenue off the bucketed tables equals
+    DuckDB's off the raw parquet (exact DECIMAL accumulation).
+
+    Reference parity: the reference re-keys its stream
+    (KafkaConsumer.kt:43-49's map to ConsumerDateTimeKey) and Kafka
+    Streams then materializes a repartition topic so every stateful op
+    reads key-co-located partitions; bucketing is the batch-warehouse
+    form of the same amortized co-location contract.
+    """
+    from kafkastreamsproject_spark.sources.bucketed import (
+        materialize_bucketed,
+        store_table_name,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li_name = store_table_name("wh_li", sf_dir)
+    ord_name = store_table_name("wh_orders", sf_dir)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        materialize_bucketed(li, li_name, "l_orderkey", 8)
+        materialize_bucketed(orders, ord_name, "o_orderkey", 8)
+        lb, ob = spark.table(li_name), spark.table(ord_name)
+        rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+            F.lit(1) - F.col("l_discount")
+        ).cast("decimal(4,2)")
+        out = (
+            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+            )
+        )
+        # pin the |priority|-row result before dropping the managed
+        # tables it reads (the ingest-store harness discipline)
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql(f"DROP TABLE IF EXISTS {li_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {ord_name}")

@@ -99,6 +99,9 @@ SANCTIONED_BNLJ = {
     "embedding_binary_hamming_recall",
     # 1-row unigram/bigram grand totals broadcast into the PMI scan
     "pmi_collocations",
+    # 1-row weighted-corpus-total broadcast into the domain-loss scan
+    # (doc_surprisal_quality's N-broadcast shape, once per DRO round)
+    "doremi_mixture_weights",
     # 1-row corpus-token-total broadcast into the surprisal scoring scan
     "doc_surprisal_quality",
     # 8-row coarse-centroid codebook broadcast against the corpus for

@@ -36,6 +36,13 @@ QUERIES = [
     # quantization recall point
     "ccnet_perplexity_buckets",
     "embedding_binary_hamming_recall",
+    # batch 3: co-bucketed warehouse join, b-bit minhash storage axis,
+    # DoReMi domain reweighting, outer stream-stream join
+    "bucketed_warehouse_join",
+    "bbit_minhash_error_curve",
+    "doremi_mixture_weights",
+    "streaming_unmatched_views",
+    "streaming_centroid_ingest",
 ]
 
 

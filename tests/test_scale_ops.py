@@ -790,3 +790,46 @@ def test_residual_rerank_reaches_ceiling_plain_does_not(spark):
     assert ceiling - res[rs[-1]][0] <= 0.05
     # (c) whole-curve mean dominance
     assert sum(res[r][0] for r in rs) >= sum(plain[r][0] for r in rs)
+
+
+def test_bucketed_warehouse_join_query_single_exchange(spark, sf_dir):
+    """The REGISTERED bucketed-join query (plans/relational.py:
+    bucketed_warehouse_join) must keep the technique's plan guarantee:
+    the lineitem⋈orders SortMergeJoin reads co-located buckets, so the
+    whole query's only Exchange is the final tiny aggregation — zero
+    shuffles attributable to the fact-table join.  (The query
+    localCheckpoints its result and drops the warehouse tables, so the
+    plan is captured on an equivalent in-scope rebuild.)"""
+    import re
+
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li_name = store_table_name("whtest_li", sf_dir)
+    ord_name = store_table_name("whtest_orders", sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        materialize_bucketed(li, li_name, "l_orderkey", 8)
+        materialize_bucketed(orders, ord_name, "o_orderkey", 8)
+        lb, ob = spark.table(li_name), spark.table(ord_name)
+        out = (
+            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        plan = _plan(out)
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange == 1, plan  # only the final aggregation
+        assert out.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {li_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {ord_name}")
