@@ -99,3 +99,84 @@ def bloom_semi_join(
             "left_semi",
         )
     return survivors
+
+
+# ---------------------------------------------------------------------------
+# Batch-bloom pushdown for anti-join store probes (ingest-store path)
+# ---------------------------------------------------------------------------
+
+
+def md5_bloom_positions(key: Column, n_hashes: int, n_bits: int) -> list[Column]:
+    """Portable (DuckDB-replicable) bloom positions: md5-prefix hash of
+    ``i || ':' || key`` mod ``n_bits`` — the oracle-twin variant of
+    :func:`bloom_positions` for queries whose false-positive COUNTS are
+    part of the checked result (xxhash64 has no DuckDB twin; exact md5
+    does)."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_bits
+        for i in range(n_hashes)
+    ]
+
+
+def sql_md5_bloom_position(key_expr: str, i: int, n_bits: int) -> str:
+    """DuckDB twin of one :func:`md5_bloom_positions` component."""
+    return (
+        f"(('0x' || substr(md5('{i}:' || CAST({key_expr} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {n_bits})"
+    )
+
+
+def bloom_pruned_anti_join(
+    batch: DataFrame,
+    batch_key: str,
+    store: DataFrame,
+    store_key: str,
+    *,
+    n_hashes: int = 2,
+    n_bits: int = 1 << 18,
+) -> DataFrame:
+    """``batch LEFT ANTI JOIN store`` with the STORE side pre-pruned by
+    a bloom of the BATCH keys — the ingest-store probe's scale device.
+
+    The per-epoch probe is small-vs-huge: a micro-batch of keys against
+    a corpus-sized store.  Spark's runtime row-level bloom does exactly
+    this pruning for shuffle joins but its ``bloom_filter_agg`` is not
+    user-invocable (see module header), so this composes the same shape
+    from public primitives: sketch the batch's bit positions (≤
+    ``min(n_hashes·|batch|, n_bits)`` longs — bounded by the BATCH, so
+    no persistence, no staleness, rebuilt each epoch), broadcast it,
+    and keep only store rows whose positions all hit before the exact
+    anti-join.
+
+    EXACT by construction: a store row dropped by the sketch shares no
+    key with the batch (no false negatives), so it cannot affect the
+    anti-join's result — the reduction only shrinks the store-side rows
+    entering the join (from |store| to true-matches + bloom false
+    positives).  Pays when the join is costlier per store row than two
+    hash probes: SMJ sorts, wide store rows, or any store side that
+    would otherwise shuffle; on an already-bucketed store it trims the
+    sort input.  Sizing: FPR ≈ (1 − e^(−n_hashes·|batch|/n_bits))^n_hashes;
+    keep n_bits ≳ 14·|batch| for ~1%."""
+    sketch = F.broadcast(
+        batch.select(
+            F.explode(
+                F.array(*md5_bloom_positions(F.col(batch_key), n_hashes, n_bits))
+            ).alias("pos")
+        ).distinct()
+    )
+    pruned = store
+    for i in range(n_hashes):
+        pos_i = md5_bloom_positions(F.col(store_key), n_hashes, n_bits)[i]
+        pruned = pruned.join(sketch, pos_i == sketch["pos"], "left_semi")
+    return batch.join(
+        pruned,
+        batch[batch_key] == pruned[store_key],
+        "left_anti",
+    )

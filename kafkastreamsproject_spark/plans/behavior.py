@@ -1862,3 +1862,129 @@ def streaming_unmatched_views(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.table(name).localCheckpoint(eager=True)
+
+
+@register(
+    "streaming_scd2_enrich",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    dim AS (
+      SELECT user_id, 'base' AS tier,
+             TIMESTAMP '2024-01-01 00:00:00' AS vf,
+             CASE WHEN user_id % 3 = 0
+                  THEN TIMESTAMP '2024-01-15 00:00:00' END AS vt
+      FROM u
+      UNION ALL
+      SELECT user_id, 'plus', TIMESTAMP '2024-01-15 00:00:00', NULL
+      FROM u WHERE user_id % 3 = 0
+    )
+    SELECT e.event_id, e.user_id, d.tier,
+           CAST(CAST(e.ts AS TIMESTAMP) AS VARCHAR) AS event_ts
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND CAST(e.ts AS TIMESTAMP) >= d.vf
+     AND (d.vt IS NULL OR CAST(e.ts AS TIMESTAMP) < d.vt)
+    """,
+    tags=("behavior", "streaming", "join", "cdc"),
+    tier="shadow",
+)
+def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-CORRECT stream enrichment: each event joins the
+    version of its user's SCD2 dimension row that was valid AT THE
+    EVENT'S OWN TIMESTAMP — ts ∈ [valid_from, valid_to) — not the
+    current version.  This is the temporal generalization of the
+    reference's J1 stream×static equi-join (CustomTransformer.kt's
+    station lookup never versions its dimension), and the device that
+    prevents feature leakage in a training-data pipeline: enriching
+    historical events with TODAY's dimension silently teaches the model
+    the future.  Every user whose id % 3 == 0 upgrades base→plus at
+    Jan 15; their January events must split tiers on that boundary.
+
+    Streaming-specific shape: the SCD2 side is STATIC (broadcast), so
+    the interval condition rides the stream-static join stencil — a
+    stateless per-row lookup, no watermark, no join state; the
+    dimension re-broadcasts per micro-batch, which is exactly how a
+    slowly-changing dimension stays fresh mid-stream.  Append sink;
+    availableNow drain equals the batch interval join the oracle
+    states."""
+    import shutil
+    import tempfile
+    import uuid
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    _CONF_KEYS = ("spark.sql.session.timeZone",)
+    saved = {k: spark.conf.get(k, None) for k in _CONF_KEYS}
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    users = (
+        load_table(spark, "events", sf_dir).select("user_id").distinct()
+    )
+    jan1 = F.lit(_dt.datetime(2024, 1, 1)).cast("timestamp")
+    jan15 = F.lit(_dt.datetime(2024, 1, 15)).cast("timestamp")
+    upgraded = F.col("user_id") % 3 == 0
+    v_base = users.select(
+        "user_id",
+        F.lit("base").alias("tier"),
+        jan1.alias("vf"),
+        F.when(upgraded, jan15).otherwise(
+            F.lit(None).cast("timestamp")
+        ).alias("vt"),
+    )
+    v_plus = users.filter(upgraded).select(
+        "user_id",
+        F.lit("plus").alias("tier"),
+        jan15.alias("vf"),
+        F.lit(None).cast("timestamp").alias("vt"),
+    )
+    dim = v_base.unionByName(v_plus)
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", F.col("user_id").alias("e_user"), "ts")
+    )
+    cond = (
+        (F.col("e_user") == dim.user_id)
+        & (F.col("ts") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("ts") < F.col("vt")))
+    )
+    enriched = stream.join(F.broadcast(dim), cond, "inner").select(
+        "event_id",
+        F.col("e_user").alias("user_id"),
+        "tier",
+        F.col("ts").cast("string").alias("event_ts"),
+    )
+    name = f"scd2_enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_scd2_")
+    try:
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.table(name).localCheckpoint(eager=True)

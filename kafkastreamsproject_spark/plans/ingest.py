@@ -734,3 +734,277 @@ def streaming_centroid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+_BF_BITS = 1 << 14  # deliberately small so false positives are visible
+_BF_HASHES = 2
+
+
+def _bf_oracle() -> str:
+    from kafkastreamsproject_spark.operators.bloomjoin import (
+        sql_md5_bloom_position,
+    )
+
+    p0 = sql_md5_bloom_position("lh", 0, _BF_BITS)
+    p1 = sql_md5_bloom_position("lh", 1, _BF_BITS)
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(0, (len({_LD_TOKS}) - 1) // {_LD_W} + 1),
+               i -> array_to_string(
+                 list_slice({_LD_TOKS}, i * {_LD_W} + 1,
+                            i * {_LD_W} + {_LD_W}), ' ')) AS lines
+      FROM documents WHERE len({_LD_TOKS}) >= 1
+    ),
+    ex AS MATERIALIZED (
+      SELECT doc_id, unnest(list_transform(lines, l -> md5(l))) AS lh
+      FROM base
+    ),
+    store AS MATERIALIZED (
+      SELECT DISTINCT lh FROM ex WHERE doc_id % 2 = 1
+    ),
+    batch AS MATERIALIZED (
+      SELECT DISTINCT lh FROM ex WHERE doc_id % 2 = 0
+    ),
+    sketch AS MATERIALIZED (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([{p0}, {p1}]) AS pos FROM batch
+      )
+    ),
+    surv AS MATERIALIZED (
+      SELECT lh FROM store
+      WHERE {p0} IN (SELECT pos FROM sketch)
+        AND {p1} IN (SELECT pos FROM sketch)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM store) AS n_store,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM batch) AS n_batch,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM batch
+        WHERE lh IN (SELECT lh FROM store)) AS n_match,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_survivors,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) -
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM batch
+          WHERE lh IN (SELECT lh FROM store)) AS n_false_pos,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM batch
+        WHERE lh NOT IN (SELECT lh FROM store)) AS n_fresh,
+      CAST((1000000 * ((SELECT COUNT(*) FROM surv)
+                       - (SELECT COUNT(*) FROM batch
+                           WHERE lh IN (SELECT lh FROM store))))
+           // ((SELECT COUNT(*) FROM store)
+               - (SELECT COUNT(*) FROM batch
+                   WHERE lh IN (SELECT lh FROM store))) AS BIGINT)
+        AS fp_ppm
+    """
+
+
+@register(
+    "batch_bloom_pushdown_stats",
+    oracle_fn=_bf_oracle,
+    tags=("dedup", "streaming", "scale", "diagnostic"),
+    tier="shadow",
+)
+def batch_bloom_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operability readout for the batch-bloom store-probe pushdown
+    (operators/bloomjoin.py:bloom_pruned_anti_join): on the line-dedup
+    relation split by parity (odd docs = the persisted store, even docs
+    = the arriving batch), sketch the batch's md5-bloom positions
+    (deliberately undersized at 2^14 bits so false positives are
+    VISIBLE), prune the store with it, and report exactly what a
+    capacity planner needs: store rows surviving the prune
+    (true matches + bloom false positives — the rows the exact
+    anti-join still has to sort), the false-positive rate over true
+    negatives (fp_ppm), and the fresh-key count the full operator
+    emits — which the oracle recomputes as a plain NOT IN, proving the
+    pruned anti-join is EXACT end-to-end, not just approximately
+    filtered.
+
+    Scale shape: the sketch is bounded by min(2·|batch|, n_bits) longs
+    regardless of store size and is rebuilt per epoch from the batch —
+    no persistence, no staleness; the store never shuffles (two
+    broadcast semi probes + the co-located anti-join).  Run at 10×
+    data, the same n_bits saturates and fp_ppm climbs — the sizing
+    cliff (n_bits ≳ 14·|batch| for ~1%) made measurable."""
+    from kafkastreamsproject_spark.operators.bloomjoin import (
+        bloom_pruned_anti_join,
+        md5_bloom_positions,
+    )
+    from kafkastreamsproject_spark.streaming.linededup import lines_expr
+
+    docs = fan_out(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+    toks = _TX.tokens(F.col("text"))
+    ex = (
+        docs.filter(F.size(toks) >= 1)
+        .select("doc_id", F.explode(lines_expr(toks)).alias("line"))
+        .select("doc_id", F.md5("line").alias("lh"))
+    )
+    from kafkastreamsproject_spark.operators.cache import scoped_persist
+
+    store = scoped_persist(
+        ex.filter(F.col("doc_id") % 2 == 1).select("lh").distinct()
+    )
+    batch = scoped_persist(
+        ex.filter(F.col("doc_id") % 2 == 0).select("lh").distinct()
+    )
+    sketch = F.broadcast(
+        batch.select(
+            F.explode(
+                F.array(
+                    *md5_bloom_positions(F.col("lh"), _BF_HASHES, _BF_BITS)
+                )
+            ).alias("pos")
+        ).distinct()
+    )
+    surv = store
+    for i in range(_BF_HASHES):
+        pos_i = md5_bloom_positions(F.col("lh"), _BF_HASHES, _BF_BITS)[i]
+        surv = surv.join(sketch, pos_i == sketch["pos"], "left_semi")
+    fresh = bloom_pruned_anti_join(
+        batch, "lh", store, "lh", n_hashes=_BF_HASHES, n_bits=_BF_BITS
+    )
+    n_store = store.agg(F.count(F.lit(1)).alias("n_store"))
+    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    n_match = (
+        batch.join(store, "lh", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    n_surv = surv.agg(F.count(F.lit(1)).alias("n_survivors"))
+    n_fresh = fresh.agg(F.count(F.lit(1)).alias("n_fresh"))
+    return (
+        n_store.crossJoin(n_batch)
+        .crossJoin(n_match)
+        .crossJoin(n_surv)
+        .crossJoin(n_fresh)
+        .select(
+            "n_store",
+            "n_batch",
+            "n_match",
+            "n_survivors",
+            (F.col("n_survivors") - F.col("n_match")).alias("n_false_pos"),
+            "n_fresh",
+            F.expr(
+                "cast((1000000 * (n_survivors - n_match))"
+                " div (n_store - n_match) as bigint)"
+            ).alias("fp_ppm"),
+        )
+    )
+
+
+@register(
+    "line_store_forget_replay",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(0, (len({_LD_TOKS}) - 1) // {_LD_W} + 1),
+               i -> array_to_string(
+                 list_slice({_LD_TOKS}, i * {_LD_W} + 1,
+                            i * {_LD_W} + {_LD_W}), ' ')) AS lines
+      FROM documents WHERE len({_LD_TOKS}) >= 1
+    ),
+    ex AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(range(0, len(lines))) AS ord,
+             unnest(list_transform(lines, l -> md5(l))) AS lh
+      FROM base
+    ),
+    fs AS MATERIALIZED (
+      SELECT lh, MIN(doc_id * {_LD_ORDB} + ord) AS fk FROM ex GROUP BY lh
+    ),
+    forget AS MATERIALIZED (
+      SELECT DISTINCT lh FROM ex WHERE doc_id % 4 = 0
+    ),
+    k1 AS (
+      SELECT e.doc_id, list_sort(list(e.ord)) AS keep
+      FROM ex e JOIN fs f USING (lh)
+      WHERE f.fk = e.doc_id * {_LD_ORDB} + e.ord
+      GROUP BY e.doc_id
+    ),
+    k2 AS (
+      SELECT e.doc_id, list_sort(list(e.ord)) AS keep
+      FROM ex e JOIN fs f USING (lh)
+      WHERE f.fk = e.doc_id * {_LD_ORDB} + e.ord
+        AND e.lh IN (SELECT lh FROM forget)
+      GROUP BY e.doc_id
+    ),
+    stacked AS (
+      SELECT 1 AS batch, b.doc_id, len(b.lines) AS n_lines, k1.keep
+      FROM base b LEFT JOIN k1 USING (doc_id)
+      UNION ALL
+      SELECT 2, b.doc_id, len(b.lines), k2.keep
+      FROM base b LEFT JOIN k2 USING (doc_id)
+    )
+    SELECT CAST(batch AS INT) AS batch, doc_id,
+           CAST(n_lines AS INT) AS n_lines,
+           CAST(len(COALESCE(keep, [])) AS INT) AS n_kept,
+           COALESCE(array_to_string(COALESCE(keep, []), ','), '')
+             AS kept_ords,
+           len(COALESCE(keep, [])) / CAST(n_lines AS DOUBLE) AS keep_frac
+    FROM stacked
+    """,
+    tags=("dedup", "streaming", "privacy"),
+    tier="shadow",
+)
+def line_store_forget_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten REPLAY through the line-dedup store: fold
+    the corpus (epoch 1), erase every line hash carried by the
+    to-be-forgotten documents (doc_id % 4 == 0) via the bucket-local
+    deletion (sources/bucketed.py:forget_keys_in_store — only the
+    buckets the victim hashes route to are rewritten; file-identity
+    of the rest is pytest-asserted), then fold the SAME corpus again
+    (epoch 2).  The oracle states the erasure semantics end-to-end:
+    epoch 2 re-admits exactly the first-keeper lines whose hashes were
+    forgotten — a forgotten hash behaves as if never seen (full
+    re-admission), an unforgotten one stays deduplicated.  This is the
+    GDPR-erasure contract for derived stores: deletion must also
+    restore ADMISSIBILITY, not just drop rows.
+
+    Scale shape: the fold is the unchanged bucketed-store probe; the
+    erasure reads and rewrites only the affected buckets' files
+    (bounded driver state: ≤ n_buckets ids via one collect_list row),
+    cost ∝ affected buckets — at 100 TB a localized delete set
+    touches a sliver of the store."""
+    from kafkastreamsproject_spark.sources.bucketed import (
+        forget_keys_in_store,
+        store_table_name,
+    )
+    from kafkastreamsproject_spark.streaming.linededup import (
+        _STORE_SCHEMA,
+        N_BUCKETS,
+        line_dedup_ingest_batch,
+        lines_expr,
+    )
+
+    docs = fan_out(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+    store = tempfile.mkdtemp(prefix="line_forget_store_")
+    path = f"{store}/lines"
+    try:
+        s1 = line_dedup_ingest_batch(docs, store)
+        toks = _TX.tokens(F.col("text"))
+        victims = (
+            docs.filter((F.col("doc_id") % 4 == 0) & (F.size(toks) >= 1))
+            .select(F.explode(lines_expr(toks)).alias("line"))
+            .select(F.md5("line").alias("lh"))
+            .distinct()
+        )
+        forget_keys_in_store(
+            spark,
+            victims,
+            path,
+            store_table_name("line_store", path),
+            _STORE_SCHEMA,
+            ["lh"],
+            N_BUCKETS,
+        )
+        s2 = line_dedup_ingest_batch(docs, store)
+        cols = ["doc_id", "n_lines", "n_kept", "kept_ords", "keep_frac"]
+        out = (
+            s1.select(F.lit(1).alias("batch"), *cols)
+            .unionByName(s2.select(F.lit(2).alias("batch"), *cols))
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

@@ -204,3 +204,101 @@ def compact_bucketed_store(
         for status in fs.listStatus(src)
         if status.getPath().getName().endswith(".parquet")
     )
+
+
+def forget_keys_in_store(
+    spark: SparkSession,
+    keys: DataFrame,
+    path: str,
+    table_name: str,
+    schema: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+) -> dict[str, int]:
+    """Targeted deletion (right-to-be-forgotten) from a bucketed store:
+    remove every store row whose bucket-key value appears in ``keys``,
+    touching ONLY the buckets those keys hash to.
+
+    At 100 TB a GDPR erasure over an append-only corpus-sized store
+    cannot be a full rewrite.  Bucketing makes deletion local: the
+    bucket id is ``pmod(murmur3(key), n)`` — the same expression
+    ``bucketBy`` routes writes with (and ``F.hash`` exposes) — so the
+    delete set maps to a bounded set of bucket ids, and only THOSE
+    buckets' files are read, anti-joined, and rewritten; every other
+    bucket's files are untouched bytes (asserted by file identity in
+    tests/test_neardup_ingest.py).  Cost ∝ |affected buckets| ·
+    bucket size, independent of store size for localized delete sets.
+
+    Single-writer maintenance op (the compaction contract): run
+    between epochs; delete-then-append is not atomic under concurrent
+    probes.  Returns counts: affected_buckets, files_rewritten,
+    rows_deleted."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kafkastreamsproject_spark.operators.fs import (
+        _fs_and_path,
+        hadoop_has_files,
+    )
+
+    if not hadoop_has_files(spark, path):
+        return {"affected_buckets": 0, "files_rewritten": 0, "rows_deleted": 0}
+    key_col = bucket_cols[0]
+    # bounded: at most n_buckets ids come back (one collect_list row,
+    # the perceptron-trainer driver-state device)
+    row = (
+        keys.select(
+            F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .groupBy()
+        .agg(F.collect_list("b").alias("bs"))
+        .first()
+    )
+    bucket_ids = sorted(row.bs) if row and row.bs else []
+    if not bucket_ids:
+        return {"affected_buckets": 0, "files_rewritten": 0, "rows_deleted": 0}
+    fs, root = _fs_and_path(spark, path)
+    pat = re.compile(r"_(\d{5})(?:\.|$)")
+    affected_files = []
+    for status in fs.listStatus(root):
+        fname = status.getPath().getName()
+        if not fname.endswith(".parquet"):
+            continue
+        m = pat.search(fname)
+        if m and int(m.group(1)) in set(bucket_ids):
+            affected_files.append(status.getPath())
+    if not affected_files:
+        return {
+            "affected_buckets": len(bucket_ids),
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+        }
+    paths = [p.toString() for p in affected_files]
+    old_rows = spark.read.schema(schema).parquet(*paths)
+    kept = old_rows.join(
+        F.broadcast(keys.select(key_col).distinct()), key_col, "left_anti"
+    ).localCheckpoint(eager=True)  # pin before deleting source files
+    n_old = spark.read.schema(schema).parquet(*paths).count()
+    n_kept = kept.count()
+    for p in affected_files:
+        fs.delete(p, False)
+    if n_kept > 0:
+        writer = (
+            kept.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+        )
+        if not spark.catalog.tableExists(table_name):
+            writer = writer.option("path", path)
+        writer.saveAsTable(table_name)
+    if spark.catalog.tableExists(table_name):
+        spark.sql(f"REFRESH TABLE {table_name}")
+    return {
+        "affected_buckets": len(bucket_ids),
+        "files_rewritten": len(affected_files),
+        "rows_deleted": n_old - n_kept,
+    }

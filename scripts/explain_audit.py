@@ -102,6 +102,8 @@ SANCTIONED_BNLJ = {
     # 1-row weighted-corpus-total broadcast into the domain-loss scan
     # (doc_surprisal_quality's N-broadcast shape, once per DRO round)
     "doremi_mixture_weights",
+    # five 1-row count aggregates composed into the single stats row
+    "batch_bloom_pushdown_stats",
     # 1-row corpus-token-total broadcast into the surprisal scoring scan
     "doc_surprisal_quality",
     # 8-row coarse-centroid codebook broadcast against the corpus for

@@ -43,6 +43,11 @@ QUERIES = [
     "doremi_mixture_weights",
     "streaming_unmatched_views",
     "streaming_centroid_ingest",
+    # batch 4: bloom store-probe pushdown, temporal dimension enrich,
+    # bucket-local GDPR erasure
+    "batch_bloom_pushdown_stats",
+    "streaming_scd2_enrich",
+    "line_store_forget_replay",
 ]
 
 

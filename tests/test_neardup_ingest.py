@@ -553,3 +553,91 @@ def test_line_and_novelty_store_compaction(spark, tmp_path):
         ).collect()
     }
     assert s[10] == 0  # twin of an admitted doc scores zero novelty
+
+
+def test_forget_keys_touches_only_affected_buckets(spark, sf_dir, tmp_path):
+    """GDPR-style targeted deletion (sources/bucketed.py:
+    forget_keys_in_store): forgetting a handful of line hashes must
+    (a) remove exactly those rows, (b) re-admit them on re-ingest, and
+    (c) leave every unaffected bucket's files BYTE-IDENTICAL (same
+    path, length, mtime) — the deletion-cost ∝ affected-buckets claim,
+    checked at the file level."""
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path
+    from kafkastreamsproject_spark.sources.bucketed import (
+        forget_keys_in_store,
+        store_table_name,
+    )
+    from kafkastreamsproject_spark.streaming.linededup import (
+        N_BUCKETS,
+        _STORE_SCHEMA,
+        _read_store,
+        line_dedup_ingest_batch,
+    )
+
+    store = str(tmp_path / "fstore")
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{i}_{j}" for j in range(24))) for i in range(1, 9)],
+    )
+    line_dedup_ingest_batch(docs, store)
+    path = f"{store}/lines"
+    before = _read_store(spark, path).select("lh").toPandas()
+    assert len(before) == 16  # 8 docs x 2 lines, all unique
+
+    # forget the two lexicographically-lowest line hashes
+    import pyspark.sql.functions as F2
+
+    all_rows = sorted(r.lh for r in _read_store(spark, path).collect())
+    victims = spark.createDataFrame(
+        [(h,) for h in all_rows[:2]], _STORE_SCHEMA
+    )
+    fs, root = _fs_and_path(spark, path)
+    snap = {
+        s.getPath().getName(): (s.getLen(), s.getModificationTime())
+        for s in fs.listStatus(root)
+        if s.getPath().getName().endswith(".parquet")
+    }
+    victim_buckets = {
+        r.b
+        for r in victims.select(
+            F2.pmod(F2.hash("lh"), F2.lit(N_BUCKETS)).alias("b")
+        ).collect()
+    }
+    stats = forget_keys_in_store(
+        spark,
+        victims,
+        path,
+        store_table_name("line_store", path),
+        _STORE_SCHEMA,
+        ["lh"],
+        N_BUCKETS,
+    )
+    assert stats["rows_deleted"] == 2
+    assert stats["affected_buckets"] == len(victim_buckets)
+
+    after_rows = sorted(r.lh for r in _read_store(spark, path).collect())
+    assert after_rows == all_rows[2:]  # victims gone, everything else kept
+
+    # unaffected buckets: files byte-identical (name, length, mtime)
+    import re
+
+    pat = re.compile(r"_(\d{5})(?:\.|$)")
+    untouched = 0
+    now = {
+        s.getPath().getName(): (s.getLen(), s.getModificationTime())
+        for s in fs.listStatus(root)
+        if s.getPath().getName().endswith(".parquet")
+    }
+    for fname, meta in snap.items():
+        b = int(pat.search(fname).group(1))
+        if b not in victim_buckets:
+            assert now.get(fname) == meta, fname
+            untouched += 1
+    assert untouched > 0  # the claim is only meaningful if some survive
+
+    # forgotten hashes re-admit: re-ingest the same docs — only the
+    # victims' ordinals come back
+    stats2 = line_dedup_ingest_batch(docs, store).toPandas()
+    readmitted = stats2[stats2.n_kept > 0]
+    assert int(stats2.n_kept.sum()) == 2
+    assert set(readmitted.doc_id) <= {1, 2, 3, 4, 5, 6, 7, 8}
