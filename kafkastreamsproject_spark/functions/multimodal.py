@@ -492,3 +492,116 @@ def documents_as_wav_media(docs: DataFrame) -> DataFrame:
             ((n * 1000) / 8000).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        # frame-energy gradient fingerprint: bit j set iff frame j+1's
+        # energy exceeds frame j's — the audio twin of the image dHash,
+        # invariant to uniform gain shifts of the centered signal
+        T.StructField("efp", T.LongType()),
+    ]
+)
+
+AUDIO_FP_FRAME_W = 4  # samples per energy frame
+
+
+def decode_audio_fingerprint_batch(frame_w: int = AUDIO_FP_FRAME_W):
+    """mapInPandas function: REAL WAV/PCM decode → frame-energy
+    difference fingerprint.  Energy of frame j is the exact integer
+    Σ (s−128)² over its ``frame_w`` samples (8-bit unsigned PCM
+    centered); bit j of the fingerprint is 1 iff frame j+1's energy
+    is strictly greater than frame j's.  A trailing partial frame is
+    dropped (both engines identically)."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "n_frames", "efp")}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                _n_ch, _rate, _bits, samples = parse_wav(bytes(payload))
+                s = samples.astype(np.int64) - 128
+                n_frames = len(s) // frame_w
+                e = (
+                    (s[: n_frames * frame_w] ** 2)
+                    .reshape(n_frames, frame_w)
+                    .sum(axis=1)
+                )
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                efp = int((bits << np.arange(len(bits))).sum())
+                rows["media_id"].append(media_id)
+                rows["n_frames"].append(n_frames)
+                rows["efp"].append(efp)
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def extract_audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Frame-energy fingerprints over a media table (mapInPandas —
+    Arrow batches, no shuffle; 12 bytes leave the row per payload)."""
+    return media.select("media_id", "payload").mapInPandas(
+        decode_audio_fingerprint_batch(), schema=AUDIO_FP_SCHEMA
+    )
+
+
+#: fixed sample count for the fingerprint corpus: 33 frames → 32 bits
+AUDIO_FP_N = 132
+
+
+def documents_as_fp_wav_media(
+    docs: DataFrame, shift: int = 0, perturb: int = 0
+) -> DataFrame:
+    """Fixed-length (132-sample) WAV synth for the fingerprint family:
+    samples ``(doc_id*53 + 17i + perturb·[i = doc_id % 132]) % 256`` —
+    ``perturb`` moves exactly ONE sample, so exactly one frame's
+    energy moves and the twin's fingerprint differs from its
+    original's in AT MOST the two comparison bits adjacent to that
+    frame (magnitude — even mod-256 wraparound — is irrelevant; only
+    gradient signs enter the hash), which is what makes the Hamming≤2
+    confirm provably lossless for this perturbation class.  ``shift``
+    offsets media_id; the generative formula stays closed-form
+    reproducible in SQL while the payload is a spec-valid RIFF/WAVE
+    binary the decoder chunk-walks for real."""
+    d = F.col("doc_id")
+    n = F.lit(AUDIO_FP_N).cast("long")
+    header_hex = F.concat(
+        F.lit("52494646"),
+        _le_hex(F.lit(36) + n, 4),
+        F.lit("57415645"),
+        F.lit("666d7420"),
+        _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2),
+        _le_hex(F.lit(1), 2),
+        _le_hex(F.lit(8000), 4),
+        _le_hex(F.lit(8000), 4),
+        _le_hex(F.lit(1), 2),
+        _le_hex(F.lit(8), 2),
+        F.lit("64617461"),
+        _le_hex(n, 4),
+    )
+    samples_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n - 1),
+            lambda i: F.lpad(
+                F.hex(
+                    (
+                        d * 53
+                        + i * 17
+                        + F.when(
+                            i == d % AUDIO_FP_N, F.lit(perturb)
+                        ).otherwise(F.lit(0))
+                    )
+                    % 256
+                ),
+                2,
+                "0",
+            ),
+        ),
+        "",
+    )
+    payload = F.unhex(F.concat(header_hex, samples_hex))
+    return docs.select(
+        (d + F.lit(shift)).alias("media_id"), payload.alias("payload")
+    )

@@ -1988,3 +1988,94 @@ def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.table(name).localCheckpoint(eager=True)
+
+
+@register(
+    "streaming_exact_dedup",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_emitted
+    FROM (SELECT DISTINCT event_id, event_type FROM events)
+    GROUP BY event_id, event_type
+    """,
+    tags=("behavior", "streaming", "dedup"),
+    tier="shadow",
+)
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE emission over an at-least-once stream: the events
+    fixture is read as TWO unioned file streams (every event delivered
+    twice — the reference's cleanUp()-and-reprocess startup, T6,
+    guarantees exactly this duplication) and
+    ``dropDuplicatesWithinWatermark`` on event_id must emit each event
+    ONCE — n_emitted is pinned to 1 per event by the oracle's GROUP BY
+    over the distinct relation.  This registers streaming/dedup.py's
+    operator (pytest-only until now) as an oracle-checked query.
+
+    Why WithinWatermark and not a global dropDuplicates: the global
+    form keys state forever (corpus-sized at 100 TB); the watermarked
+    form retires a key's state once the watermark passes its event
+    time + delay — state bounded by (rate × horizon).  Both copies of
+    an event share one timestamp, so dedup within the horizon is
+    GUARANTEED regardless of how availableNow batches the two
+    sources."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    _CONF_KEYS = ("spark.sql.session.timeZone",)
+    saved = {k: spark.conf.get(k, None) for k in _CONF_KEYS}
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .select("event_id", "event_type", "ts")
+        )
+
+    from kafkastreamsproject_spark.streaming.dedup import dedup_stream
+
+    doubled = stream().unionByName(stream())
+    deduped = dedup_stream(
+        doubled, ["event_id"], "ts", watermark="1 hour"
+    ).select("event_id", "event_type")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_")
+    try:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return (
+        spark.table(name)
+        .groupBy("event_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_emitted"))
+        .localCheckpoint(eager=True)
+    )

@@ -323,3 +323,155 @@ def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sample_sum") / F.col("n_samples").cast("double")
         ).alias("mean_sample"),
     )
+
+
+_AFP_N = 132      # samples per clip (functions/multimodal.AUDIO_FP_N)
+_AFP_W = 4        # samples per energy frame
+_AFP_FRAMES = _AFP_N // _AFP_W
+_AFP_BITS = _AFP_FRAMES - 1
+_AFP_PERTURB = 128
+#: 3 blocks pigeonhole Hamming<=2 (one block must match exactly)
+_AFP_BLOCKS = ((0, 11), (11, 11), (22, 10))
+
+#: closed-form centered sample: (d*53 + 17i + perturb at i = d%N) - 128
+_AFP_C = (
+    f"((({{d}}) * 53 + 17 * ({{i}})"
+    f" + CASE WHEN is_twin AND ({{i}}) = ({{d}}) % {_AFP_N}"
+    f" THEN {_AFP_PERTURB} ELSE 0 END) % 256 - 128)"
+)
+
+
+def _afp_energy(j: str) -> str:
+    terms = " + ".join(
+        f"({_AFP_C.format(d='d', i=f'(4 * ({j}) + {k})')})"
+        f" * ({_AFP_C.format(d='d', i=f'(4 * ({j}) + {k})')})"
+        for k in range(_AFP_W)
+    )
+    return f"({terms})"
+
+
+@register(
+    "wav_fingerprint_neardup",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id AS d, FALSE AS is_twin
+      FROM documents
+      UNION ALL
+      SELECT doc_id + {1_000_000} AS media_id, doc_id AS d, TRUE AS is_twin
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    fp AS MATERIALIZED (
+      SELECT media_id,
+        CAST(list_sum(list_transform(range(0, {_AFP_BITS}),
+          j -> CASE WHEN {_afp_energy('(j + 1)')} > {_afp_energy('j')}
+               THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)
+          AS efp
+      FROM m
+    ),
+    blocks AS (
+      {" UNION ALL ".join(
+          f"SELECT media_id, efp, {bi} AS block_id,"
+          f" (efp >> {lo}) & {(1 << ln) - 1} AS block_val FROM fp"
+          for bi, (lo, ln) in enumerate(_AFP_BLOCKS)
+      )}
+    ),
+    cands AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.efp AS efp_a, b.efp AS efp_b
+      FROM blocks a JOIN blocks b
+        ON a.block_id = b.block_id AND a.block_val = b.block_val
+       AND a.media_id < b.media_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(efp_a, efp_b)) AS INT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(efp_a, efp_b)) <= 2
+    """,
+    tags=("multimodal", "dedup"),
+    tier="shadow",
+)
+def wav_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL audio near-dup through the REAL decode seam — the
+    Hamming-banded variant ppm_dhash_neardup's docstring defers to
+    ("band the hash if single-bit noise matters"), realized: every
+    clip (plus a one-sample-perturbed twin of each even doc — byte-
+    different, exact-hash invisible, and unlike the image twin NOT
+    fingerprint-identical) is decoded by the RIFF/WAVE chunk walk,
+    fingerprinted by frame-energy gradient signs (32 bits — the audio
+    dHash), and paired by pigeonhole blocking: Hamming ≤ 2 guarantees
+    one of three blocks matches exactly, the block equi-join yields
+    candidates, and an exact popcount(xor) ≤ 2 confirms.  A nudged
+    sample moves exactly one frame's energy, flipping at most its two
+    adjacent comparison bits — so every planted twin is provably
+    within the confirm radius (perfect recall by construction;
+    measured at sf0.01, ~19% of twins actually flip a bit and the
+    rest collide exactly, so BOTH the equality and the
+    Hamming-tolerant paths are exercised — which the oracle's replay
+    from the closed-form sample formula checks pair-for-pair).
+
+    Scale shape: decode + fingerprint is one Arrow-batched
+    mapInPandas scan (payloads never shuffle; 12 bytes leave the
+    row); blocking explodes 3 rows per clip; the candidate join is
+    block-bucketed (work ∝ Σ bucket², never n²); the confirm is
+    row-local integer popcount — the text near-dup family's
+    shortlist-then-verify discipline on the decoded-audio domain."""
+    from kafkastreamsproject_spark.functions.multimodal import (
+        documents_as_fp_wav_media,
+        extract_audio_fingerprint,
+    )
+    from kafkastreamsproject_spark.operators.cache import scoped_persist
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    base = documents_as_fp_wav_media(docs)
+    twins = documents_as_fp_wav_media(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        shift=1_000_000,
+        perturb=_AFP_PERTURB,
+    )
+    fp = scoped_persist(
+        extract_audio_fingerprint(base.unionByName(twins)).select(
+            "media_id", "efp"
+        )
+    )
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("block_id"),
+                (
+                    F.shiftright("efp", lo).bitwiseAND(F.lit((1 << ln) - 1))
+                ).alias("block_val"),
+            )
+            for bi, (lo, ln) in enumerate(_AFP_BLOCKS)
+        ]
+    )
+    blocks = fp.select(
+        "media_id", "efp", F.explode(block_structs).alias("b")
+    ).select("media_id", "efp", "b.block_id", "b.block_val")
+    a = blocks.select(
+        F.col("media_id").alias("id_a"),
+        F.col("efp").alias("efp_a"),
+        "block_id",
+        "block_val",
+    )
+    b = blocks.select(
+        F.col("media_id").alias("id_b"),
+        F.col("efp").alias("efp_b"),
+        F.col("block_id").alias("block_id_b"),
+        F.col("block_val").alias("block_val_b"),
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("block_id") == F.col("block_id_b"))
+            & (F.col("block_val") == F.col("block_val_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "efp_a", "efp_b")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("efp_a").bitwiseXOR(F.col("efp_b"))
+    ).cast("int")
+    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 2
+    )

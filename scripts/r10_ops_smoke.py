@@ -48,6 +48,8 @@ QUERIES = [
     "batch_bloom_pushdown_stats",
     "streaming_scd2_enrich",
     "line_store_forget_replay",
+    "wav_fingerprint_neardup",
+    "streaming_exact_dedup",
 ]
 
 
