@@ -641,3 +641,67 @@ def test_forget_keys_touches_only_affected_buckets(spark, sf_dir, tmp_path):
     readmitted = stats2[stats2.n_kept > 0]
     assert int(stats2.n_kept.sum()) == 2
     assert set(readmitted.doc_id) <= {1, 2, 3, 4, 5, 6, 7, 8}
+
+
+def test_line_store_compaction_bounds_files_and_preserves_probes(
+    spark, tmp_path
+):
+    """Four epochs of appends accumulate one file per task per epoch;
+    compaction must shrink the store to ~1 file per bucket (ratio
+    recorded in the assertion), keep every admitted hash, and leave
+    the next fold's verdicts identical to an uncompacted twin store."""
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path
+    from kafkastreamsproject_spark.streaming.linededup import (
+        N_BUCKETS,
+        _read_store,
+        compact_store,
+        line_dedup_ingest_batch,
+    )
+
+    stores = {lbl: str(tmp_path / lbl) for lbl in ("compacted", "plain")}
+    batches = [
+        _docs(
+            spark,
+            [
+                (e * 100 + i, " ".join(f"t{e}_{i}_{j}" for j in range(24)))
+                for i in range(1, 6)
+            ],
+        )
+        for e in range(4)
+    ]
+    for lbl, store in stores.items():
+        for b in batches:
+            line_dedup_ingest_batch(b, store)
+
+    def n_files(store):
+        fs, root = _fs_and_path(spark, f"{store}/lines")
+        return sum(
+            1
+            for s in fs.listStatus(root)
+            if s.getPath().getName().endswith(".parquet")
+        )
+
+    before = n_files(stores["compacted"])
+    after = compact_store(spark, stores["compacted"])
+    assert after == n_files(stores["compacted"])
+    # 4 epochs x files-per-epoch collapses to <= 1 file per bucket
+    assert before >= 2 * after
+    assert after <= N_BUCKETS
+
+    rows_c = sorted(
+        r.lh for r in _read_store(spark, f"{stores['compacted']}/lines").collect()
+    )
+    rows_p = sorted(
+        r.lh for r in _read_store(spark, f"{stores['plain']}/lines").collect()
+    )
+    assert rows_c == rows_p
+
+    # next fold: identical verdicts through the compacted store
+    nxt = _docs(
+        spark,
+        [(999, " ".join(f"t0_1_{j}" for j in range(24)))],  # dup of epoch 0
+    )
+    s_c = line_dedup_ingest_batch(nxt, stores["compacted"]).toPandas()
+    s_p = line_dedup_ingest_batch(nxt, stores["plain"]).toPandas()
+    assert s_c.to_dict("records") == s_p.to_dict("records")
+    assert int(s_c.n_kept.sum()) == 0  # fully deduplicated

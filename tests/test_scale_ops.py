@@ -833,3 +833,56 @@ def test_bucketed_warehouse_join_query_single_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {li_name}")
         spark.sql(f"DROP TABLE IF EXISTS {ord_name}")
+
+
+def test_aqe_splits_planted_skew_join(spark, sf_dir):
+    """AQE's runtime skew-join split — the zero-code answer to hot
+    keys that complements the explicit salted_join: plant a hot key
+    carrying 60% of lineitem, lower the skew thresholds to fixture
+    scale, and the FINAL adaptive plan must run
+    SortMergeJoin(skew=true) over an 'AQEShuffleRead skewed' — the
+    hot partition split across mapper ranges at runtime, no manual
+    salting.  (Detection needs >1 map task per side: a single-mapper
+    shuffle partition has no ranges to split — fan_out provides the
+    mappers, same reason it exists for the signature pipeline.)
+    Row count is pinned to the unskewed-plan join to prove the split
+    changes the schedule, not the result."""
+    from kafkastreamsproject_spark.sources.testdata import fan_out
+
+    li = fan_out(load_table(spark, "lineitem", sf_dir)).select(
+        F.when(F.col("l_orderkey") % 5 < 3, F.lit(42))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+    )
+    orders = fan_out(load_table(spark, "orders", sf_dir)).select(
+        F.col("o_orderkey").alias("k2"), "o_totalprice"
+    )
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = li.join(orders, li.k == orders.k2)
+        n = len(j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+        # 60% of lineitem hits key 42; orders has each key once, so the
+        # join count equals |lineitem|
+        assert n == load_table(spark, "lineitem", sf_dir).count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
