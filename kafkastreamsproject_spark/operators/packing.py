@@ -112,6 +112,7 @@ def pack_documents(
     tokens_col: str = "n_tokens",
     docs_per_shard: int = 100_000,
     n_shards: int | None = None,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign every document to a token-budgeted pack.
 
@@ -123,6 +124,18 @@ def pack_documents(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if shard_col is not None:
+        # caller-supplied sharding (e.g. an md5-derived column when the
+        # packing must be replayable in an engine without xxhash64);
+        # the default hash sharding is equivalent for balance
+        shards = docs_with_tokens.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+            F.col(shard_col).cast("int").alias("shard_id"),
+        )
+        return shards.groupBy("shard_id").applyInPandas(
+            lambda key, pdf: _ffd_pack(key, pdf, budget), schema=_OUT_SCHEMA
+        )
     meta = docs_with_tokens.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(tokens_col).cast("long").alias("n_tokens"),

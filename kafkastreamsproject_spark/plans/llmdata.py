@@ -2290,3 +2290,127 @@ def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PK_BUDGET = 96
+_PK_SHARDS = 4
+_PK_SHARD = (
+    f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {_PK_SHARDS})"
+)
+
+
+@register(
+    "packing_ffd_replay",
+    oracle=f"""
+    WITH RECURSIVE meta AS MATERIALIZED (
+      SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             CAST({_PK_SHARD} AS INT) AS shard_id
+      FROM documents
+    ),
+    seq AS MATERIALIZED (
+      SELECT shard_id, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY shard_id
+                                ORDER BY n_tokens DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY shard_id) AS n_docs
+      FROM meta
+    ),
+    ffd AS (
+      SELECT shard_id, 0 AS rn,
+             CAST([] AS BIGINT[]) AS rem, CAST([] AS BIGINT[]) AS asg
+      FROM (SELECT DISTINCT shard_id FROM seq)
+      UNION ALL
+      SELECT f.shard_id, f.rn + 1,
+        CASE
+          WHEN s.n_tokens > {_PK_BUDGET}
+            THEN list_append(f.rem, CAST(-1 AS BIGINT))
+          WHEN list_min(list_filter(range(1, len(f.rem) + 1),
+                 i -> f.rem[i] >= s.n_tokens)) IS NOT NULL
+            THEN list_transform(range(1, len(f.rem) + 1),
+                 i -> CASE WHEN i = list_min(list_filter(
+                        range(1, len(f.rem) + 1),
+                        j -> f.rem[j] >= s.n_tokens))
+                      THEN f.rem[i] - s.n_tokens ELSE f.rem[i] END)
+          ELSE list_append(f.rem, CAST({_PK_BUDGET} AS BIGINT) - s.n_tokens)
+        END,
+        list_append(f.asg, CAST(
+          CASE
+            WHEN s.n_tokens > {_PK_BUDGET} THEN len(f.rem)
+            WHEN list_min(list_filter(range(1, len(f.rem) + 1),
+                   i -> f.rem[i] >= s.n_tokens)) IS NOT NULL
+              THEN list_min(list_filter(range(1, len(f.rem) + 1),
+                     i -> f.rem[i] >= s.n_tokens)) - 1
+            ELSE len(f.rem)
+          END AS BIGINT))
+      FROM ffd f JOIN seq s
+        ON s.shard_id = f.shard_id AND s.rn = f.rn + 1
+    ),
+    final AS (
+      SELECT f.shard_id, f.asg
+      FROM ffd f JOIN (SELECT shard_id, MAX(n_docs) AS n FROM seq
+                       GROUP BY shard_id) t
+        ON t.shard_id = f.shard_id AND f.rn = t.n
+    ),
+    assigned AS (
+      SELECT s.shard_id, s.doc_id, s.n_tokens,
+             fin.asg[s.rn] AS pack_idx
+      FROM seq s JOIN final fin ON fin.shard_id = s.shard_id
+    )
+    SELECT shard_id,
+           CAST(shard_id AS VARCHAR) || '-' || CAST(pack_idx AS VARCHAR)
+             AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST((1000000 * SUM(n_tokens)) // {_PK_BUDGET} AS BIGINT)
+             AS fill_ppm,
+           MAX(n_tokens > {_PK_BUDGET}) AS overflow
+    FROM assigned
+    GROUP BY shard_id, pack_id
+    """,
+    tags=("llmdata", "packing"),
+    tier="shadow",
+)
+def packing_ffd_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing's oracle row — the last major operator family
+    that was pytest-only: the corpus's whitespace token counts pack
+    into 96-token shards (budget chosen inside the fixture's 10..99
+    token range so the oversize-doc branch actually fires) via operators/packing.py's
+    first-fit-decreasing (one applyInPandas task per shard, only
+    (id, count) ever shuffles), and the DuckDB oracle replays the
+    ENTIRE sequential FFD fold in one recursive CTE — per step, the
+    first-fit index is the min of the filtered capacity list, oversize
+    docs close their own pack at capacity −1, ties broken by
+    (n_tokens DESC, doc_id ASC) exactly as the numpy sweep orders.
+    Per resulting pack: doc count, token fill (exact ppm of budget),
+    overflow flag.  Sharding for this query is the md5-derived column
+    (pack_documents' shard_col override) because the default xxhash64
+    has no DuckDB twin; the hash legs are equivalent for balance and
+    the default leg stays pinned by tests/test_packing.py.
+
+    Scale shape: unchanged from the operator (FFD is NP-hard and
+    sequential, so the distributed shape is hash-sharded independent
+    FFD instances — 11/9·OPT + 6/9 per shard; the recursion exists
+    ONLY in the oracle, the engine side is one vectorized sweep per
+    shard)."""
+    from kafkastreamsproject_spark.functions import hashing as _H
+    from kafkastreamsproject_spark.operators.packing import pack_documents
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    meta = docs.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (
+            _H.token_hash32(F.col("doc_id").cast("string")) % _PK_SHARDS
+        ).cast("int").alias("shard"),
+    )
+    packed = pack_documents(
+        meta, _PK_BUDGET, shard_col="shard"
+    )
+    return packed.groupBy("shard_id", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("pack_tokens").alias("pack_tokens"),
+        F.expr(
+            f"cast((1000000 * max(pack_tokens)) div {_PK_BUDGET} as bigint)"
+        ).alias("fill_ppm"),
+        F.max("overflow").alias("overflow"),
+    )

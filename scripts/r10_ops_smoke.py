@@ -50,6 +50,7 @@ QUERIES = [
     "line_store_forget_replay",
     "wav_fingerprint_neardup",
     "streaming_exact_dedup",
+    "packing_ffd_replay",
 ]
 
 

@@ -79,3 +79,20 @@ def test_packing_oversize_doc_flagged(spark):
     # doc 3 (500) leaves 12 spare: doc 1 (10) fits, doc 4 (20) does not
     assert rows[1].pack_id == rows[3].pack_id
     assert rows[4].pack_id not in (rows[3].pack_id, rows[2].pack_id)
+
+
+def test_shard_col_override_routes_and_packs(spark):
+    """Caller-supplied sharding (shard_col): every row lands in its
+    given shard, budget still respected per pack — the leg
+    packing_ffd_replay's oracle replays with md5 shards."""
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 50, i % 3) for i in range(60)],
+        "doc_id long, n_tokens long, s int",
+    )
+    packed = pack_documents(docs, 64, shard_col="s").toPandas()
+    assert sorted(packed.doc_id) == list(range(60))
+    assert set(packed.shard_id) == {0, 1, 2}
+    # routing: shard_id equals the supplied column
+    assert all(packed.shard_id == packed.doc_id % 3)
+    by_pack = packed.groupby("pack_id").n_tokens.sum()
+    assert (by_pack[~packed.groupby("pack_id").overflow.any()] <= 64).all()
