@@ -373,7 +373,7 @@ def curate_corpus(
                 )
                 m = scored.agg(
                     F.max(F.abs(F.col("s"))).alias("m")
-                ).collect()[0].m or 0
+                ).first().m or 0
                 spark = seed.sparkSession
                 ks = spark.range(-taus, taus + 1).select(
                     F.col("id").cast("int").alias("k")
@@ -393,7 +393,11 @@ def curate_corpus(
                             F.when(~pred & (F.col("y") == 1), 1).otherwise(0)
                         ).alias("fn"),
                     )
-                    .collect()
+                    # 33 bounded rows to the driver via one collect_list
+                    # row (the perceptron-trainer device)
+                    .groupBy()
+                    .agg(F.collect_list(F.struct("k", "tp", "fp", "fn")))
+                    .first()[0]
                 )
                 byk = {c.k: c for c in cells}
 

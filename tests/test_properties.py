@@ -176,3 +176,109 @@ def test_prefix_filtering_completeness(a, b, dfs):
     assert prefix(a) & prefix(b), (
         f"pair at jaccard {inter}/{union} missed by prefix filter"
     )
+
+
+# ---------------------------------------------------------------------------
+# r10 operator contracts: FFD packing, bloom prune, b-bit correction
+# ---------------------------------------------------------------------------
+
+
+def _ffd(tokens: list[tuple[int, int]], budget: int):
+    """Python mirror of operators/packing.py:_ffd_pack (ids unique)."""
+    order = sorted(tokens, key=lambda t: (-t[1], t[0]))
+    remaining: list[int] = []
+    assign = {}
+    for doc, t in order:
+        if t > budget:
+            assign[doc] = len(remaining)
+            remaining.append(-1)
+            continue
+        for i, r in enumerate(remaining):
+            if r >= t:
+                remaining[i] = r - t
+                assign[doc] = i
+                break
+        else:
+            assign[doc] = len(remaining)
+            remaining.append(budget - t)
+    return remaining, assign
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=100), min_size=1, max_size=60),
+    budget=st.integers(min_value=10, max_value=120),
+)
+@settings(max_examples=200, deadline=None)
+def test_ffd_respects_budget_and_is_half_full(toks, budget):
+    """FFD contract: every non-overflow pack fits the budget, and at
+    most ONE pack ends more than half empty — if two packs both had
+    > budget/2 remaining, the later pack's first (largest) item was
+    <= budget/2 and would have fit in the earlier one.  This is the
+    structural fact behind FFD's constant-factor guarantee, checked
+    directly."""
+    rows = list(enumerate(toks))
+    remaining, assign = _ffd(rows, budget)
+    fills = {}
+    for doc, t in rows:
+        fills[assign[doc]] = fills.get(assign[doc], 0) + t
+    for p, fill in fills.items():
+        if remaining[p] != -1:  # non-overflow pack
+            assert fill <= budget
+    open_half_empty = sum(
+        1 for r in remaining if r != -1 and r > budget / 2
+    )
+    assert open_half_empty <= 1
+    # every doc assigned exactly once, nothing lost
+    assert sorted(assign) == sorted(d for d, _ in rows)
+
+
+def _bloom_positions(key: str, n_hashes: int, n_bits: int) -> list[int]:
+    """Python mirror of operators/bloomjoin.py:md5_bloom_positions."""
+    return [
+        int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:8], 16) % n_bits
+        for i in range(n_hashes)
+    ]
+
+
+@given(
+    batch=st.sets(st.sampled_from(WORDS), min_size=1, max_size=30),
+    store=st.sets(st.sampled_from(WORDS), min_size=1, max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_pruned_anti_join_is_exact(batch, store):
+    """The pruned anti-join equals the plain set difference for ANY
+    inputs: a store key dropped by the batch sketch shares no position
+    set with any batch key IT EQUALS (no false negatives), so pruning
+    can only remove non-matching store rows."""
+    n_hashes, n_bits = 2, 64  # tiny filter: false positives guaranteed
+    sketch = {
+        p for k in batch for p in _bloom_positions(k, n_hashes, n_bits)
+    }
+    survivors = {
+        k
+        for k in store
+        if all(p in sketch for p in _bloom_positions(k, n_hashes, n_bits))
+    }
+    # every true match survives the prune (no false negatives)
+    assert (batch & store) <= survivors
+    # therefore the anti-join against survivors is the true difference
+    assert batch - survivors == batch - store
+
+
+@given(
+    tokens=st.sets(st.sampled_from(WORDS), min_size=5, max_size=40),
+    b=st.sampled_from([1, 2, 4, 8]),
+)
+@settings(max_examples=100, deadline=None)
+def test_bbit_estimator_is_exact_on_identical_sets(tokens, b):
+    """b-bit MinHash sanity: identical sets match on every masked
+    component, and the collision-corrected estimator
+    (2^b·m − p)·u − i·p·(2^b−1) = 0 exactly when m = p and i = u."""
+    p = 16
+    sig = _minhash_sig(tokens, p)
+    mask = (1 << b) - 1
+    m = sum((x & mask) == (y & mask) for x, y in zip(sig, sig))
+    assert m == p
+    i = u = len(tokens)
+    num = ((1 << b) * m - p) * u - i * p * ((1 << b) - 1)
+    assert num == 0
