@@ -1839,3 +1839,167 @@ def bm25_semantic_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(
         rex, [F.col("cos").desc(), F.col("doc_id")], 5, rank_col="rnk"
     )
+
+
+_BLX_W = 12     # tokens per synthetic line (streaming/linededup.LINE_W)
+_BLX_TOP = 20   # corpus head tokens standing in for the stopword list
+_BLX_MIN = 6    # minimum line length for content
+
+
+@register(
+    "boilerplate_line_extract",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    stop AS MATERIALIZED (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+        FROM tok GROUP BY tok
+      ) WHERE rn <= {_BLX_TOP}
+    ),
+    base AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(0, (len({_SQL_TOKENS}) - 1) // {_BLX_W} + 1),
+               i -> array_to_string(
+                 list_slice({_SQL_TOKENS}, i * {_BLX_W} + 1,
+                            i * {_BLX_W} + {_BLX_W}), ' ')) AS lines
+      FROM documents WHERE len({_SQL_TOKENS}) >= 1
+    ),
+    lt AS MATERIALIZED (
+      SELECT b.doc_id, ord, line,
+             string_split_regex(trim(line), ' +') AS ltoks
+      FROM (
+        SELECT doc_id, unnest(range(0, len(lines))) AS ord,
+               unnest(lines) AS line
+        FROM base
+      ) b
+    ),
+    ltok AS MATERIALIZED (
+      SELECT doc_id, ord, line, len(ltoks) AS n_toks,
+             unnest(ltoks) AS t
+      FROM lt
+    ),
+    dens AS MATERIALIZED (
+      SELECT doc_id, ord, line, MAX(n_toks) AS n_toks,
+             SUM(CASE WHEN t IN (SELECT tok FROM stop)
+                 THEN 1 ELSE 0 END) AS n_stop
+      FROM ltok GROUP BY doc_id, ord, line
+    ),
+    verdict AS MATERIALIZED (
+      SELECT doc_id, ord, line, n_toks, n_stop,
+             (n_toks >= {_BLX_MIN} AND 4 * n_stop >= n_toks) AS is_content
+      FROM dens
+    )
+    SELECT v.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_content,
+           SUM(CASE WHEN is_content THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) AS content_frac,
+           md5(COALESCE(array_to_string(
+             list(CASE WHEN is_content THEN line END ORDER BY ord), ' '),
+             '')) AS content_fp
+    FROM verdict v
+    GROUP BY v.doc_id
+    """,
+    tags=("text", "llmdata", "quality"),
+    tier="shadow",
+)
+def boilerplate_line_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style BOILERPLATE line classification (Pomikálek 2011)
+    — the content-extraction stage every HTML-crawl pipeline runs
+    before quality scoring, re-expressed over the fixture's synthetic
+    12-token lines: a line is CONTENT iff it is long enough (≥6
+    tokens) and its stopword density clears the jusText threshold
+    (pure-integer test 4·n_stop ≥ n_toks, i.e. ≥25%), with the
+    stopword list derived from the corpus itself — its 20 most
+    frequent tokens (the standing proxy when no language list is
+    configured; jusText ships per-language lists the same size).  Per
+    doc: line counts, content fraction, and the md5 fingerprint of
+    the EXTRACTED text (kept lines in order) — the artifact a
+    downstream dedup/quality stage would actually consume.
+
+    Scale shape: the stopword head is a 20-row broadcast; line
+    verdicts are one explode + broadcast-join + (doc, ord) rollup —
+    text leaves the row only as the per-line token stream, and the
+    extracted fingerprint re-aggregates line strings per doc (bounded
+    by the doc itself).  The corpus head-token scan is shared with
+    token_heavy_hitters' topology."""
+    from kafkastreamsproject_spark.operators.cache import scoped_persist
+    from kafkastreamsproject_spark.operators.topk import top_k
+    from kafkastreamsproject_spark.streaming.linededup import lines_expr
+
+    docs = fan_out(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+    toks = TX.tokens(F.col("text"))
+    tok = docs.select("doc_id", F.explode(toks).alias("tok"))
+    stop = top_k(
+        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")),
+        [F.col("c").desc(), F.col("tok")],
+        _BLX_TOP,
+        rank_col="rn",
+    ).select("tok")
+    lt = (
+        docs.filter(F.size(toks) >= 1)
+        .select("doc_id", F.posexplode(lines_expr(toks, _BLX_W)).alias("ord", "line"))
+        .select(
+            "doc_id",
+            "ord",
+            "line",
+            F.explode(TX.tokens(F.col("line"))).alias("ltok"),
+        )
+    )
+    dens = (
+        lt.join(
+            F.broadcast(stop.withColumnRenamed("tok", "ltok").withColumn(
+                "is_stop", F.lit(1)
+            )),
+            "ltok",
+            "left",
+        )
+        .groupBy("doc_id", "ord", "line")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.coalesce("is_stop", F.lit(0))).alias("n_stop"),
+        )
+    )
+    is_content = (F.col("n_toks") >= _BLX_MIN) & (
+        F.lit(4) * F.col("n_stop") >= F.col("n_toks")
+    )
+    verdict = dens.select(
+        "doc_id", "ord", "line", is_content.alias("is_content")
+    )
+    return (
+        verdict.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("is_content"), 1).otherwise(0)).alias(
+                "n_content"
+            ),
+            (
+                F.sum(F.when(F.col("is_content"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("content_frac"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("is_content"),
+                                        F.struct("ord", "line"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["line"],
+                        ),
+                        " ",
+                    ),
+                    F.lit(""),
+                )
+            ).alias("content_fp"),
+        )
+    )

@@ -51,6 +51,7 @@ QUERIES = [
     "wav_fingerprint_neardup",
     "streaming_exact_dedup",
     "packing_ffd_replay",
+    "boilerplate_line_extract",
 ]
 
 
