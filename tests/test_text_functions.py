@@ -193,31 +193,15 @@ def test_bpe_encode_roundtrip_and_token_counts(spark):
         assert len(got[w]) <= len(w)
 
 
-@given(
-    words=st.dictionaries(
-        st.text(alphabet="abcde", min_size=1, max_size=8),
-        st.integers(min_value=1, max_value=9),
-        min_size=1,
-        max_size=12,
-    ),
-    batch_k=st.integers(min_value=1, max_value=8),
-)
-@settings(max_examples=300, deadline=None)
-def test_commit_prefix_matches_sequential_trainer(words, batch_k):
-    """The batched argmax's driver-side conflict resolution
-    (functions/bpe.py:_commit_prefix) commits EXACTLY the merges the
-    one-at-a-time trainer would produce, on arbitrary corpora: we run
-    a pure-Python sequential trainer as truth and a pure-Python
-    batched trainer that recomputes counts only between batches, and
-    require identical merge sequences.  The tiny 5-letter alphabet
-    maximizes symbol collisions, i.e. maximally stresses the
-    overlap/dominance rules."""
+def _batched_vs_sequential(words, batch_k, n_steps=15):
+    """Pure-Python harness: run the one-at-a-time trainer as truth and
+    the batched trainer (top-batch_k per recount + _commit_prefix with
+    per-pair adj3 context bounds, exactly mirroring learn_bpe_rules's
+    driver loop) and return (batched, sequential) merge lists."""
     from kafkastreamsproject_spark.functions.bpe import (
         _commit_prefix,
         placeholder,
     )
-
-    n_steps = 15
 
     def pair_counts(cur):
         cnt = {}
@@ -227,8 +211,26 @@ def test_commit_prefix_matches_sequential_trainer(words, batch_k):
                 cnt[p] = cnt.get(p, 0) + f
         return cnt
 
+    def adj3_bounds(cur):
+        # per pair, max weighted trigram count over trigrams having
+        # the pair as prefix or suffix — mirrors bpe._pair_stats
+        tri = {}
+        for w, f in cur.items():
+            for i in range(len(w) - 2):
+                t = w[i : i + 3]
+                tri[t] = tri.get(t, 0) + f
+        adj = {}
+        for t, c in tri.items():
+            for p in (t[:2], t[1:]):
+                adj[p] = max(adj.get(p, 0), c)
+        return adj
+
     def apply(cur, pair, k):
-        return {w.replace(pair, placeholder(k)): f for w, f in cur.items()}
+        out = {}
+        for w, f in cur.items():
+            w2 = w.replace(pair, placeholder(k))
+            out[w2] = out.get(w2, 0) + f
+        return out
 
     # truth: strictly one merge per recount
     seq = []
@@ -248,8 +250,9 @@ def test_commit_prefix_matches_sequential_trainer(words, batch_k):
         cnt = pair_counts(cur)
         if not cnt:
             break
+        adj = adj3_bounds(cur)
         ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
-        cands = ranked[:batch_k]
+        cands = [(p, c, adj.get(p, 0)) for p, c in ranked[:batch_k]]
         batch = _commit_prefix(
             cands,
             fetched_all=len(ranked) <= batch_k,
@@ -259,4 +262,36 @@ def test_commit_prefix_matches_sequential_trainer(words, batch_k):
             cur = apply(cur, pair, len(got))
             got.append((pair, c))
 
+    return got, seq
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    ),
+    batch_k=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_commit_prefix_matches_sequential_trainer(words, batch_k):
+    """The batched argmax's driver-side conflict resolution
+    (functions/bpe.py:_commit_prefix) commits EXACTLY the merges the
+    one-at-a-time trainer would produce, on arbitrary corpora.  The
+    tiny 5-letter alphabet maximizes symbol collisions, i.e. maximally
+    stresses the overlap/dominance/creatable-pair rules."""
+    got, seq = _batched_vs_sequential(words, batch_k)
     assert got == seq, (words, batch_k, got, seq)
+
+
+def test_commit_prefix_r10_counterexample():
+    """Pinned regression (VERDICT r10 #1): merging 'ee' in {'eee': 2}
+    CREATES the pair 'Āe' (count 2), which out-ranks the fetched
+    candidate 'aa' (count 1); the pre-fix dominance check could not
+    see created pairs and committed 'aa' early.  Rule (4)'s adj3 bound
+    must cut the batch after 'ee'."""
+    words = {"aa": 1, "eee": 2}
+    got, seq = _batched_vs_sequential(words, batch_k=2)
+    assert seq[:2] == [("ee", 4), ("Āe", 2)]
+    assert got == seq, (got, seq)
