@@ -34,6 +34,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_summary(
+    batches: Iterator[pd.DataFrame], col: str, k: int
+) -> list[str]:
+    """One partition's Misra-Gries pass: fold every Arrow batch through
+    k counters and return the surviving keys.  Module-level (not a
+    closure) so the superset guarantee is property-testable directly
+    against arbitrary partition/batch splits
+    (tests/test_exactness_properties.py) — the kernel the distributed
+    candidate phase actually runs."""
+    counters: dict[str, int] = {}
+    for batch in batches:
+        for v in batch[col]:
+            if v in counters:
+                counters[v] += 1
+            elif len(counters) < k:
+                counters[v] = 1
+            else:
+                # decrement-all step; drop zeroed counters
+                dead = []
+                for key in counters:
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del counters[key]
+    return list(counters.keys())
+
+
 def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries frequent-item candidates.
 
@@ -46,23 +74,7 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     schema = f"{col} string"
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
-        for batch in batches:
-            for v in batch[col]:
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    # decrement-all step; drop zeroed counters
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame({col: list(counters.keys())})
+        yield pd.DataFrame({col: mg_summary(batches, col, k)})
 
     return df.select(col).mapInPandas(summarize, schema=schema).distinct()
 

@@ -41,8 +41,11 @@ from kafkastreamsproject_spark.sources.bucketed import (
 
 LINE_W = 12  # tokens per synthetic line — must match the batch operator
 _STORE_SCHEMA = "lh string"
-N_BUCKETS = 8  # bucket ≈ one task's worth at the target SF; both the
-# table and the batch-side Exchange share this count
+#: default store width, sized for the test SF.  Every entry point takes
+#: ``n_buckets``; production sizing rule (sources/bucketed.py:61-74):
+#: at least the ingest parallelism, targeting 128-512 MB per bucket.
+#: All folds against one store MUST use the width it was created with.
+N_BUCKETS = 8
 
 
 def lines_expr(toks: Column, w: int = LINE_W) -> Column:
@@ -56,12 +59,15 @@ def lines_expr(toks: Column, w: int = LINE_W) -> Column:
     )
 
 
-def _read_store(spark: SparkSession, path: str) -> DataFrame:
+def _read_store(
+    spark: SparkSession, path: str, n_buckets: int = N_BUCKETS
+) -> DataFrame:
     """The store as a bucketed-table scan — probes against it plan no
-    store-side Exchange (asserted in tests/test_neardup_ingest.py)."""
+    store-side Exchange (asserted in tests/test_neardup_ingest.py at
+    the default AND a non-default width)."""
     return read_bucketed_store(
         spark, path, store_table_name("line_store", path), _STORE_SCHEMA,
-        ["lh"], N_BUCKETS,
+        ["lh"], n_buckets,
     )
 
 
@@ -76,18 +82,22 @@ def fresh_against_store(batch_first: DataFrame, store: DataFrame) -> DataFrame:
     return batch_first.join(store.select("lh"), "lh", "left_anti")
 
 
-def compact_store(spark: SparkSession, store_path: str) -> int:
+def compact_store(
+    spark: SparkSession, store_path: str, n_buckets: int = N_BUCKETS
+) -> int:
     """Bound the store's per-epoch small files (~1 file per bucket
     after).  Single-writer: run between epochs.  Returns the data-file
     count after compaction."""
     path = f"{store_path}/lines"
     return compact_bucketed_store(
         spark, path, store_table_name("line_store", path), _STORE_SCHEMA,
-        ["lh"], N_BUCKETS,
+        ["lh"], n_buckets,
     )
 
 
-def line_dedup_ingest_batch(batch: DataFrame, store_path: str) -> DataFrame:
+def line_dedup_ingest_batch(
+    batch: DataFrame, store_path: str, n_buckets: int = N_BUCKETS
+) -> DataFrame:
     """One fold of the line-dedup-at-ingest loop (the foreachBatch
     body, exposed for tests and backfills).
 
@@ -100,7 +110,7 @@ def line_dedup_ingest_batch(batch: DataFrame, store_path: str) -> DataFrame:
     spark = batch.sparkSession
     path = f"{store_path}/lines"
 
-    with shuffle_scoped_to_buckets(spark, N_BUCKETS):
+    with shuffle_scoped_to_buckets(spark, n_buckets):
         toks = TX.tokens(F.col("text"))
         base = batch.filter(F.size(toks) >= 1).select(
             "doc_id", lines_expr(toks).alias("lines")
@@ -110,7 +120,7 @@ def line_dedup_ingest_batch(batch: DataFrame, store_path: str) -> DataFrame:
             F.posexplode(F.transform("lines", F.md5)).alias("ord", "lh"),
         )
         ex.persist()
-        store = _read_store(spark, path)
+        store = _read_store(spark, path, n_buckets)
 
         batch_first = ex.groupBy("lh").agg(
             F.min(F.struct("doc_id", "ord")).alias("w")
@@ -151,7 +161,7 @@ def line_dedup_ingest_batch(batch: DataFrame, store_path: str) -> DataFrame:
 
         append_bucketed_store(
             spark, admitted, path, store_table_name("line_store", path),
-            ["lh"], N_BUCKETS,
+            ["lh"], n_buckets,
         )
     return stats
 
@@ -162,6 +172,7 @@ def to_line_dedup_ingest_sink(
     checkpoint: str,
     out_table: str,
     compact_every: int | None = None,
+    n_buckets: int = N_BUCKETS,
 ):
     """Streaming form: fold each micro-batch through
     :func:`line_dedup_ingest_batch` and surface per-doc stats in a
@@ -170,10 +181,10 @@ def to_line_dedup_ingest_sink(
     (between folds — the single-writer window)."""
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        stats = line_dedup_ingest_batch(batch_df, store_path)
+        stats = line_dedup_ingest_batch(batch_df, store_path, n_buckets)
         stats.createOrReplaceGlobalTempView(out_table)
         if compact_every and (epoch_id + 1) % compact_every == 0:
-            compact_store(batch_df.sparkSession, store_path)
+            compact_store(batch_df.sparkSession, store_path, n_buckets)
 
     return (
         docs.writeStream.outputMode("append")

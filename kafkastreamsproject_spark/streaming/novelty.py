@@ -46,7 +46,11 @@ from kafkastreamsproject_spark.sources.bucketed import (
 
 _NOVELTY_SCHEMA = "h long, first_doc long"
 _TRI_W = 3
-N_BUCKETS = 8  # shared by the table and the batch-side Exchange
+#: default store width, sized for the test SF.  Every entry point takes
+#: ``n_buckets``; production sizing rule (sources/bucketed.py:61-74):
+#: at least the ingest parallelism, targeting 128-512 MB per bucket.
+#: All folds against one store MUST use the width it was created with.
+N_BUCKETS = 8
 
 
 def doc_trigram_hashes(docs: DataFrame) -> DataFrame:
@@ -65,12 +69,15 @@ def doc_trigram_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
-def _read_store(spark: SparkSession, path: str) -> DataFrame:
+def _read_store(
+    spark: SparkSession, path: str, n_buckets: int = N_BUCKETS
+) -> DataFrame:
     """The store as a bucketed-table scan — probes against it plan no
-    store-side Exchange (asserted in tests/test_neardup_ingest.py)."""
+    store-side Exchange (asserted in tests/test_neardup_ingest.py at
+    the default AND a non-default width)."""
     return read_bucketed_store(
         spark, path, store_table_name("novelty_store", path),
-        _NOVELTY_SCHEMA, ["h"], N_BUCKETS,
+        _NOVELTY_SCHEMA, ["h"], n_buckets,
     )
 
 
@@ -83,19 +90,21 @@ def fresh_against_store(batch_first: DataFrame, store: DataFrame) -> DataFrame:
     return batch_first.join(store.select("h"), "h", "left_anti")
 
 
-def compact_store(spark: SparkSession, store_path: str) -> int:
+def compact_store(
+    spark: SparkSession, store_path: str, n_buckets: int = N_BUCKETS
+) -> int:
     """Bound the store's per-epoch small files (~1 file per bucket
     after).  Single-writer: run between epochs.  Returns the data-file
     count after compaction."""
     path = f"{store_path}/trigrams"
     return compact_bucketed_store(
         spark, path, store_table_name("novelty_store", path),
-        _NOVELTY_SCHEMA, ["h"], N_BUCKETS,
+        _NOVELTY_SCHEMA, ["h"], n_buckets,
     )
 
 
 def novelty_ingest_batch(
-    batch: DataFrame, store_path: str
+    batch: DataFrame, store_path: str, n_buckets: int = N_BUCKETS
 ) -> DataFrame:
     """One fold of the novelty-at-ingest loop (the foreachBatch body,
     exposed for tests and backfills).
@@ -108,10 +117,10 @@ def novelty_ingest_batch(
     spark = batch.sparkSession
     tri_path = f"{store_path}/trigrams"
 
-    with shuffle_scoped_to_buckets(spark, N_BUCKETS):
+    with shuffle_scoped_to_buckets(spark, n_buckets):
         tri = doc_trigram_hashes(batch)
         tri.persist()
-        store = _read_store(spark, tri_path)
+        store = _read_store(spark, tri_path, n_buckets)
 
         batch_first = tri.groupBy("h").agg(
             F.min("doc_id").alias("first_doc")
@@ -150,7 +159,7 @@ def novelty_ingest_batch(
         append_bucketed_store(
             spark, admitted, tri_path,
             store_table_name("novelty_store", tri_path),
-            ["h"], N_BUCKETS,
+            ["h"], n_buckets,
         )
     return stats
 
@@ -161,6 +170,7 @@ def to_novelty_ingest_sink(
     checkpoint: str,
     out_table: str,
     compact_every: int | None = None,
+    n_buckets: int = N_BUCKETS,
 ):
     """Streaming form: fold each micro-batch through
     :func:`novelty_ingest_batch` and collect per-doc stats into a
@@ -169,10 +179,10 @@ def to_novelty_ingest_sink(
     (between folds — the single-writer window)."""
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        stats = novelty_ingest_batch(batch_df, store_path)
+        stats = novelty_ingest_batch(batch_df, store_path, n_buckets)
         stats.createOrReplaceGlobalTempView(out_table)
         if compact_every and (epoch_id + 1) % compact_every == 0:
-            compact_store(batch_df.sparkSession, store_path)
+            compact_store(batch_df.sparkSession, store_path, n_buckets)
 
     return (
         docs.writeStream.outputMode("append")
