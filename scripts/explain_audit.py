@@ -36,121 +36,141 @@ from kafkastreamsproject_spark.session import get_spark
 # Queries whose BroadcastNestedLoopJoin is sanctioned: a bounded
 # (≤ centroid-count / query-set, explicitly broadcast) side against a
 # scaling corpus — the documented exact-baseline / assignment shape.
+#
+# Each entry declares a MACHINE-CHECKABLE bound kind (VERDICT r10 #3),
+# verified per-plan by testing/bnljbounds.py against the build-side
+# subtree of every BNLJ the query plans:
+#   "dim"      — build side scans NO scaling table (literal relations,
+#                dimension tables, or the query currently plans no
+#                BNLJ at all and the kind guards future regressions);
+#   "agg"      — every scaling-table scan on the build side sits below
+#                an aggregate or limit (1-row totals, TakeOrdered
+#                top-k, |groups|-bounded aggregates);
+#   "filtered" — additionally allows a scan guarded by a non-trivial
+#                selective filter (pushed into the scan or a
+#                FilterExec above a cache boundary) — the bounded
+#                query-set shape (vec_id < 10).
+# A raw scaling-table broadcast fails ALL kinds, so the list can no
+# longer silently absorb an unbounded case
+# (tests/test_bnlj_bounds.py pins this with a mis-sanctioned query).
 SANCTIONED_BNLJ = {
-    "ann_topk_cosine",
-    "neardup_cosine_pairs",
-    "ann_lsh_buckets",
-    "ann_lsh_neardup",
-    "label_centroids",
-    "ivf_assign",
+    # 10-row query side (vec_id < 10) broadcast against the corpus scan
+    "ann_topk_cosine": "filtered",
+    "neardup_cosine_pairs": "dim",  # currently plans no BNLJ
+    "ann_lsh_buckets": "dim",  # currently plans no BNLJ
+    "ann_lsh_neardup": "dim",  # currently plans no BNLJ
+    "label_centroids": "dim",  # currently plans no BNLJ
+    # centroid codebook derived by aggregation, broadcast for assignment
+    "ivf_assign": "agg",
     # K=8 centroid rows cross-broadcast against the scanning corpus —
-    # the Lloyd assignment step, same bounded shape as ivf_assign
-    "kmeans_int8_lloyd",
+    # the Lloyd assignment step; centroids live behind a cache with the
+    # bounding filter applied above it
+    "kmeans_int8_lloyd": "filtered",
     # 10-query broadcast against the corpus for the TRUE-distance side
     # (the ADC side itself is codes-only) — same shape as ann_topk_cosine
-    "pq_adc_topk",
+    "pq_adc_topk": "filtered",
     # non-equi range join against a 6-row banding dimension (broadcast)
-    "quantity_band_join",
+    "quantity_band_join": "dim",
     # 1-row corpus-size aggregate broadcast into every doc row
-    "tfidf_top_terms",
+    "tfidf_top_terms": "agg",
     # 1-row totals aggregate broadcast into the 10-row heavy-key list
-    "key_skew_audit",
+    "key_skew_audit": "agg",
     # 1-row max-|score| aggregate + 33-row threshold range broadcast
     # against the scored (y, s) pairs — the PR-sweep fan-out
-    "quality_classifier_pr_curve",
+    "quality_classifier_pr_curve": "agg",
     # 1-row global threshold / |sources|-row rate table broadcast
-    "q22_idle_rich_customers",
-    "mixture_resample",
-    "above_segment_average",
+    "q22_idle_rich_customers": "agg",
+    "mixture_resample": "agg",
+    "above_segment_average": "dim",  # currently plans no BNLJ
     # 1-row (N, V) LM-total broadcast into the scoring scan
-    "unigram_logprob_score",
+    "unigram_logprob_score": "agg",
     # 1-row (Nt, Nr) totals broadcast into the raw-side scoring scan
     # (the two frequency tables join as bounded equi-joins)
-    "dsir_importance_weights",
+    "dsir_importance_weights": "agg",
     # per-FK-edge 1-row aggregate pairs (orphans × total) broadcast
-    "fk_orphan_audit",
+    "fk_orphan_audit": "agg",
     # 1-row corpus stats (N, avgdl, per-term df) broadcast into the
     # per-document scoring scan — same shape as unigram_logprob_score
-    "bm25_retrieval",
+    "bm25_retrieval": "agg",
     # inherits bm25_retrieval's stats broadcast plus the 1-row query
     # embedding broadcast on the semantic side
-    "hybrid_retrieval_rrf",
+    "hybrid_retrieval_rrf": "filtered",
     # 1-row region-total threshold broadcast into the per-part HAVING
-    "q11_important_stock",
+    "q11_important_stock": "agg",
     # 1-row grand-total tokens broadcast into the R-row rank table
-    "shard_assignment_plan",
+    "shard_assignment_plan": "agg",
     # 1-row corpus-max-date broadcast into the per-customer metrics
-    "customer_rfm_segments",
+    "customer_rfm_segments": "agg",
     # 1-row order-count total broadcast for the share denominator
-    "order_dow_seasonality",
+    "order_dow_seasonality": "agg",
     # 1-row session-count aggregate broadcast next to the 1-row peak
-    "peak_concurrency",
+    "peak_concurrency": "agg",
     # 1-row (lo, hi) range broadcast feeding bucketed_rank's bucket
     # assignment (operators/prefixscan.py) — same 1-row-stat shape
-    "gini_revenue_concentration",
+    "gini_revenue_concentration": "agg",
     # same bucketed_rank (lo, hi) 1-row broadcast, ranking the
     # vocabulary frequency table for the Zipf fit
-    "zipf_slope_fit",
+    "zipf_slope_fit": "agg",
     # same bucketed-rank shape as zipf: 1-row bounds + 1-row corpus
     # total broadcasts into the tercile test
-    "ccnet_perplexity_buckets",
+    "ccnet_perplexity_buckets": "agg",
     # 10-query broadcast against the corpus scan on a non-equi
     # (vec_id != query_id) condition — ann_topk_cosine's exact shape
-    "embedding_binary_hamming_recall",
+    "embedding_binary_hamming_recall": "filtered",
     # 1-row unigram/bigram grand totals broadcast into the PMI scan
-    "pmi_collocations",
+    "pmi_collocations": "agg",
     # 1-row weighted-corpus-total broadcast into the domain-loss scan
     # (doc_surprisal_quality's N-broadcast shape, once per DRO round)
-    "doremi_mixture_weights",
+    "doremi_mixture_weights": "agg",
     # five 1-row count aggregates composed into the single stats row
-    "batch_bloom_pushdown_stats",
+    "batch_bloom_pushdown_stats": "agg",
     # 1-row corpus-token-total broadcast into the surprisal scoring scan
-    "doc_surprisal_quality",
+    "doc_surprisal_quality": "agg",
     # 8-row coarse-centroid codebook broadcast against the corpus for
-    # IVF cell assignment — same bounded shape as ivf_assign
-    "ivf_pq_search",
+    # IVF cell assignment (codebook behind a cache, bounding filter
+    # above it — same for the whole IVF/PQ family below)
+    "ivf_pq_search": "filtered",
     # 1-row best-pair broadcasts into the vocab relation (merge apply)
     # and the 1-row × 1-row expansion joins — all bounded by design
-    "bpe_merge_steps",
+    "bpe_merge_steps": "dim",
     # 10-query broadcast against the corpus for the exact-baseline side
     # of the recall measurement — same shape as ann_topk_cosine
-    "ann_lsh_recall",
-    "ann_multiprobe_recall",
+    "ann_lsh_recall": "filtered",
+    "ann_multiprobe_recall": "filtered",
     # 8-row coarse codebook broadcast for residual cell assignment —
     # same bounded shape as ivf_pq_search
-    "ivf_pq_residual_search",
+    "ivf_pq_residual_search": "filtered",
     # ivf_pq_search's coarse broadcast + pq_adc_topk's 10-query truth
     # broadcast + a 3-row nprobe dimension on a non-equi (probe_rn <=
     # nprobe) join — every BNLJ side bounded by design
-    "ivf_pq_recall_curve",
+    "ivf_pq_recall_curve": "filtered",
     # phase-2 dominance confirm: broadcast non-equi anti-join over the
     # local-skyline candidate UNION (output-sized, not corpus-sized)
-    "skyline3d_lineitem",
+    "skyline3d_lineitem": "agg",
     # 1-row range and totals broadcasts into the 10-row bin table
-    "value_psi_drift",
+    "value_psi_drift": "agg",
     # ivf_pq_search's coarse/truth broadcasts plus the exact re-rank's
     # |queries|xR shortlist join — every BNLJ side bounded by design
-    "ivf_pq_rerank",
+    "ivf_pq_rerank": "filtered",
     # same, plus a 4-row shortlist-depth dimension on a non-equi
     # (srn <= R) join — same bounded-dimension shape as the nprobe curve
-    "ivf_pq_rerank_r_curve",
+    "ivf_pq_rerank_r_curve": "filtered",
     # the composed production stack (residual encoding + exact rerank):
     # ivf_pq_residual_search's coarse broadcast + the rerank tail's
     # 10-query truth broadcast + the 4-row R dimension — all bounded
-    "ivf_pq_residual_rerank_r_curve",
+    "ivf_pq_residual_rerank_r_curve": "filtered",
     # ~12-row corpus band histogram + 1-row (N, m) totals broadcast
     # into the |classes|x|bands| EMD grid — dimension-bounded by design
-    "t_closeness_audit",
+    "t_closeness_audit": "agg",
     # 10-query broadcast against the corpus scan (ann_topk_cosine's
     # exact-baseline shape) + a 4-row dimension sweep riding the pair
     # scan — every BNLJ side bounded by design
-    "embedding_dim_truncation_recall",
+    "embedding_dim_truncation_recall": "filtered",
     # 1-row weight-total broadcast into the |sources|-row plan table
-    "mixture_token_plan",
+    "mixture_token_plan": "dim",
     # bm25_retrieval's 1-row stats broadcast plus the 1-row query
-    # embedding broadcast into the 20-row lexical shortlist — every
-    # BNLJ side ≤ 1 row by design
-    "bm25_semantic_rerank",
+    # embedding broadcast into the 20-row lexical shortlist
+    "bm25_semantic_rerank": "filtered",
 }
 
 _OPS = (
@@ -203,6 +223,9 @@ def main() -> None:
     rows, shadow_rows, problems = [], [], []
     from kafkastreamsproject_spark.plans.registry import shadow_queries
 
+    from kafkastreamsproject_spark.testing.bnljbounds import (
+        bnlj_bound_violations,
+    )
     from kafkastreamsproject_spark.testing.planaudit import (
         ALLOWED_UNBOUNDED_GLOBAL_WINDOW,
         global_window_findings,
@@ -219,8 +242,17 @@ def main() -> None:
             bucket.append(r)
             if r["CartesianProduct"]:
                 problems.append(f"{name}: CartesianProduct")
-            if r["BroadcastNestedLoopJoin"] and name not in SANCTIONED_BNLJ:
-                problems.append(f"{name}: unsanctioned BroadcastNestedLoopJoin")
+            if r["BroadcastNestedLoopJoin"]:
+                if name not in SANCTIONED_BNLJ:
+                    problems.append(
+                        f"{name}: unsanctioned BroadcastNestedLoopJoin"
+                    )
+                else:
+                    # the sanction is a checkable claim, not prose: the
+                    # declared bound kind must hold on every BNLJ build
+                    # side the plan contains
+                    for v in bnlj_bound_violations(df, SANCTIONED_BNLJ[name]):
+                        problems.append(f"{name}: {v}")
             unbounded = [
                 f for f in global_window_findings(df) if f == "unbounded"
             ]
