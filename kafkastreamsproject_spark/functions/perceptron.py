@@ -44,20 +44,18 @@ def hashed_bigram_features(
     computed entirely in-row.  Docs with fewer than 2 tokens get an
     all-zero feature block (bias still 1)."""
     toks = TX.tokens(text)
-    bks = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
+    # zip_with over two slices, not element_at(toks, i) inside a
+    # transform lambda: higher-order functions evaluate interpreted
+    # (no codegen subexpression elimination), so an indexed lambda
+    # re-runs the tokenizing split per element — O(L²) per doc; the
+    # slice pair evaluates it O(1) times per row.  For < 2 tokens the
+    # slices are empty — the size-gate below zeroes those rows anyway
+    # (identical to the old greatest(size-1, 1) construction's output).
+    bks = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", a, b)), 1, 8), 16, 10
         ).cast("long")
         % n_buckets,
     )

@@ -431,6 +431,12 @@ def curate_corpus(
                     > F.lit(tau_applied)
                 )
             quality = quality.filter(~pred_drop)
+            # the literal-folded scoring expression (33 weight
+            # literals x the hashed-bigram feature tree) is by far the
+            # largest expression in the funnel: truncate here so the
+            # four later stages don't re-analyze it per reference
+            # (same lineage discipline as the stage-5 boundary below)
+            quality = quality.localCheckpoint(eager=True)
         n_classifier = (
             quality.count() if classifier_seed is not None else n_repetition
         )
@@ -487,7 +493,16 @@ def curate_corpus(
                 .select("doc_id")
             )
             quality = quality.join(contained, "doc_id", "left_anti")
-        clean = scoped_persist(quality)
+        # truncate lineage at the stage-5 boundary, not just persist:
+        # by here the plan carries every earlier gate's expression tree
+        # (the literal-folded classifier alone is hundreds of nodes),
+        # and the DSIR stage below references `clean` THREE times —
+        # re-analyzing the composed tree per reference OOMed the
+        # driver at sf0.1 with all stages on (r11).  The count on the
+        # next line materializes anyway, so the eager localCheckpoint
+        # costs nothing extra; on a multi-executor cluster prefer
+        # reliable checkpointing if executor loss must be survivable.
+        clean = quality.localCheckpoint(eager=True)
         n_clean = clean.count()
 
         # 5b. optional DSIR importance resample toward a target domain
@@ -516,13 +531,15 @@ def curate_corpus(
             fhash = lambda s: (  # noqa: E731
                 F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % _B
             )
-            fcol = F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: fhash(
-                    F.concat_ws(
-                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                    )
-                ),
+            # zip_with over two slices, NOT element_at(toks, i) inside a
+            # transform lambda: higher-order functions evaluate
+            # interpreted (no codegen subexpression elimination), so an
+            # indexed lambda re-runs split(text) per element — O(L²)
+            # per doc; the slice pair evaluates it O(1) times per row
+            fcol = F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: fhash(F.concat_ws(" ", a, b)),
             )
 
             def _feats(df: DataFrame) -> DataFrame:

@@ -1270,13 +1270,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     fhash = lambda s: (  # noqa: E731
         F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % _DSIR_B
     )
-    fcol = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: fhash(
-            F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            )
-        ),
+    # zip_with over slices, not element_at(toks, i) in a transform
+    # lambda: interpreted HOF eval re-runs split(text) per element —
+    # O(L²)/doc; the slice pair evaluates it O(1) times per row
+    fcol = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: fhash(F.concat_ws(" ", a, b)),
     )
     feats = (
         docs.filter(F.size(toks) >= 2)

@@ -598,14 +598,15 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
     nu = uni.agg(F.sum("c").alias("n_uni"))
+    # zip_with over slices, not element_at(toks, i) in a transform
+    # lambda: interpreted HOF eval re-runs split(text) per element —
+    # O(L²)/doc; the slice pair evaluates it O(1) times per row
     bigrams = docs.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.struct(
-                    F.element_at(toks, i).alias("a"),
-                    F.element_at(toks, i + 1).alias("b"),
-                ),
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
             )
         ).alias("p")
     ).select("p.a", "p.b")
