@@ -59,13 +59,19 @@ def hashed_bigram_features(
         ).cast("long")
         % n_buckets,
     )
+    # bks is itself let-bound (TX.let1) before the per-bucket count
+    # loop: the transform below references it once per bucket, which
+    # would otherwise re-run the whole bigram-hash pass n_buckets times
     counts = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-            lambda j: F.size(
-                F.filter(bks, lambda b: b == j.cast("long"))
-            ).cast("long"),
+        TX.let1(
+            bks,
+            lambda bk: F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda j: F.size(
+                    F.filter(bk, lambda b: b == j.cast("long"))
+                ).cast("long"),
+            ),
         ),
     ).otherwise(
         F.array_repeat(F.lit(0).cast("long"), n_buckets)

@@ -34,6 +34,22 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), TOKEN_SEP)
 
 
+def let1(expr: Column, body) -> Column:
+    """Bind ``expr`` ONCE per row and evaluate ``body`` over it — the
+    single-element-array transform idiom.
+
+    Catalyst evaluates higher-order-function lambdas interpreted, with
+    no subexpression elimination: an expression referenced inside a
+    per-element lambda re-evaluates per element, so building an
+    L-element array of shingles/bigrams/lines over ``split(text)``
+    re-runs the split L times — O(L²) per document (measured 6× wall
+    on the sf0.1 shingle scan, r11).  Wrapping the expression as the
+    lambda VARIABLE of an outer one-element ``transform`` evaluates it
+    exactly once per row; the body sees a materialized value.  Works
+    for any expression type an array can hold."""
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def n_tokens(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -103,13 +119,17 @@ def quality_score(text: Column) -> Column:
 
 def shingles(text: Column, width: int = 5) -> Column:
     """Distinct w-word shingles (the near-dup signature unit: token sets
-    are degenerate on small vocabularies; shingles discriminate)."""
-    toks = tokens(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (width - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, width)),
-        )
+    are degenerate on small vocabularies; shingles discriminate).
+    The token array is let-bound (:func:`let1`) so the tokenizing
+    split runs once per row, not once per shingle."""
+    return let1(
+        tokens(text),
+        lambda ts: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - (width - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ts, i, width)),
+            )
+        ),
     )
 
 

@@ -316,13 +316,24 @@ def curate_corpus(
                     f"repetition_max must be in [0, 1), got {repetition_max}"
                 )
             toks = TX.tokens(F.col("text"))
-            tris = F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+            # double let-binding (TX.let1): the token array evaluates
+            # once (not once per trigram) and the trigram array once
+            # (not once per reference in the ratio) — interpreted HOF
+            # eval has no subexpression elimination
+            tris = TX.let1(
+                toks,
+                lambda ts: F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(ts) - 2, F.lit(1))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(ts, i, 3)),
+                ),
             )
-            dup_frac = (
-                F.size(tris) - F.size(F.array_distinct(tris))
-            ) / F.size(tris).cast("double")
+            dup_frac = TX.let1(
+                tris,
+                lambda tr: (F.size(tr) - F.size(F.array_distinct(tr)))
+                / F.size(tr).cast("double"),
+            )
             quality = quality.filter(
                 (F.size(toks) < 3) | (dup_frac <= repetition_max)
             )

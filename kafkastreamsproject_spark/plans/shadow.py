@@ -1431,11 +1431,16 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     same scaling argument as exact dedup, one granularity finer."""
     c2 = _corpus2(spark, sf_dir)
     toks = TX.tokens(F.col("text"))
-    chunk_hashes = F.transform(
-        F.sequence(
-            F.lit(1), F.size(toks) - (_CHUNK_W - 1), F.lit(_CHUNK_W)
+    # let-bound (TX.let1): interpreted HOF eval would otherwise re-run
+    # the tokenizing split per chunk — O(L²)/doc
+    chunk_hashes = TX.let1(
+        toks,
+        lambda ts: F.transform(
+            F.sequence(
+                F.lit(1), F.size(ts) - (_CHUNK_W - 1), F.lit(_CHUNK_W)
+            ),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, _CHUNK_W))),
         ),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _CHUNK_W))),
     )
     chunked = (
         c2.filter(F.size(toks) >= _CHUNK_W)
@@ -1513,11 +1518,16 @@ def stride_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades detection granularity against explode volume linearly."""
     c2 = _corpus2(spark, sf_dir)
     toks = TX.tokens(F.col("text"))
-    window_hashes = F.transform(
-        F.sequence(
-            F.lit(1), F.size(toks) - (_CHUNK_W - 1), F.lit(_CHUNK_STRIDE)
+    # let-bound (TX.let1): interpreted HOF eval would otherwise re-run
+    # the tokenizing split per chunk — O(L²)/doc
+    window_hashes = TX.let1(
+        toks,
+        lambda ts: F.transform(
+            F.sequence(
+                F.lit(1), F.size(ts) - (_CHUNK_W - 1), F.lit(_CHUNK_STRIDE)
+            ),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, _CHUNK_W))),
         ),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _CHUNK_W))),
     )
     chunked = (
         c2.filter(F.size(toks) >= _CHUNK_W)
@@ -1733,9 +1743,14 @@ def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact."""
     c2 = _corpus2(spark, sf_dir)
     toks = TX.tokens(F.col("text"))
-    window_hashes = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (_CHUNK_W - 1), F.lit(1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _CHUNK_W))),
+    # let-bound (TX.let1): interpreted HOF eval would otherwise re-run
+    # the tokenizing split per window — O(L²)/doc
+    window_hashes = TX.let1(
+        toks,
+        lambda ts: F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (_CHUNK_W - 1), F.lit(1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, _CHUNK_W))),
+        ),
     )
     sel = (
         c2.filter(F.size(toks) >= _CHUNK_W)
@@ -1950,9 +1965,14 @@ def chunk_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toks = TX.tokens(F.col("text"))
-    chunk_hashes = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (_CHUNK_W - 1), F.lit(_CHUNK_W)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _CHUNK_W))),
+    # let-bound (TX.let1): interpreted HOF eval would otherwise re-run
+    # the tokenizing split per chunk — O(L²)/doc
+    chunk_hashes = TX.let1(
+        toks,
+        lambda ts: F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (_CHUNK_W - 1), F.lit(_CHUNK_W)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, _CHUNK_W))),
+        ),
     )
     base = scoped_persist(
         c0.filter(F.size(toks) >= _CHUNK_W).select(

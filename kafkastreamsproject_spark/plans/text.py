@@ -796,10 +796,14 @@ def bigram_lm_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-heavy stage and must not serialize on one core locally
     docs = fan_out(load_table(spark, "documents", sf_dir))
     ts = TX.tokens(F.col("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(ts) - 2),
-        lambda i: F.struct(
-            F.get(ts, i).alias("w1"), F.get(ts, i + 1).alias("w2")
+    # let-bound (TX.let1): interpreted HOF eval would otherwise re-run
+    # the tokenizing split per bigram — O(L²)/doc
+    bigrams = TX.let1(
+        ts,
+        lambda t: F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     )
     from kafkastreamsproject_spark.operators.cache import scoped_persist

@@ -51,11 +51,15 @@ N_BUCKETS = 8
 def lines_expr(toks: Column, w: int = LINE_W) -> Column:
     """``array<string>`` of consecutive ``w``-token lines (row-major,
     tail partial line included) over a token-array column — the shared
-    line construction of the batch and ingest operators."""
-    n_last = ((F.size(toks) - 1) / w).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_last),
-        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+    line construction of the batch and ingest operators.  The token
+    array is let-bound (functions/text.py:let1) so a split-expression
+    argument evaluates once per row, not once per line."""
+    return TX.let1(
+        toks,
+        lambda ts: F.transform(
+            F.sequence(F.lit(0), ((F.size(ts) - 1) / w).cast("int")),
+            lambda i: F.array_join(F.slice(ts, i * w + 1, w), " "),
+        ),
     )
 
 

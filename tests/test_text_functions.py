@@ -295,3 +295,48 @@ def test_commit_prefix_r10_counterexample():
     got, seq = _batched_vs_sequential(words, batch_k=2)
     assert seq[:2] == [("ee", 4), ("Āe", 2)]
     assert got == seq, (got, seq)
+
+
+def test_let1_preserves_values_across_types(spark):
+    """let1 (the single-element-array transform let-binding) is an
+    identity wrapper: body(bound) equals body(expr) for array and
+    scalar payloads — the perf idiom must never change values."""
+    from kafkastreamsproject_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("x",), ("",)], ["text"]
+    )
+    toks = TX.tokens(F.col("text"))
+    direct = F.size(toks) + F.size(toks)
+    bound = TX.let1(toks, lambda t: F.size(t) + F.size(t))
+    rows = df.select(direct.alias("d"), bound.alias("b")).collect()
+    assert all(r.d == r.b for r in rows), rows
+    # scalar payloads bind too
+    got = df.select(
+        TX.let1(F.length("text"), lambda n: n * 2).alias("v")
+    ).collect()
+    assert [r.v for r in got] == [9 * 2, 1 * 2, 0]
+
+
+def test_shingles_match_reference_python(spark):
+    """shingles() after the let1 rewrite still equals a plain Python
+    sliding-window reference on varied lengths (incl. below-width)."""
+    from kafkastreamsproject_spark.functions import text as TX
+
+    texts = [
+        "a b c d e f g",
+        "one two three four five",
+        "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10",
+        "a a a a a a",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {
+        r.text: sorted(r.sh)
+        for r in df.select(
+            "text", TX.shingles(F.col("text"), 5).alias("sh")
+        ).collect()
+    }
+    for t in texts:
+        ws = t.split()
+        want = sorted({" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)})
+        assert got[t] == want, t
