@@ -2414,3 +2414,106 @@ def packing_ffd_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fill_ppm"),
         F.max("overflow").alias("overflow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: the padding-waste knob (r11)
+# ---------------------------------------------------------------------------
+
+_PAD_TILES = (1, 2, 4, 8)
+
+
+@register(
+    "padding_waste_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), ' +')) AS n_toks
+      FROM documents
+    ),
+    legs AS (
+      {" UNION ALL ".join(
+          f'''SELECT {b} AS n_len_buckets,
+                 NTILE({b}) OVER (ORDER BY n_toks, doc_id) AS tile,
+                 n_toks
+          FROM toks'''
+          for b in _PAD_TILES
+      )}
+    ),
+    per_tile AS (
+      SELECT n_len_buckets, tile,
+             MAX(n_toks) AS pad_len,
+             COUNT(*) AS n_docs,
+             SUM(n_toks) AS real_toks
+      FROM legs GROUP BY 1, 2
+    )
+    SELECT n_len_buckets,
+           SUM(pad_len * n_docs) AS padded_tokens,
+           SUM(real_toks) AS real_tokens,
+           ROUND(1.0 - SUM(real_toks) / CAST(SUM(pad_len * n_docs) AS DOUBLE),
+                 6) AS waste_frac
+    FROM per_tile GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llmdata", "packing", "curve"),
+    tier="shadow",
+)
+def padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste vs length-bucket count — the sorted-batching knob
+    every training pipeline tunes (bucket sequences by length, pad each
+    bucket to its max): one row per B ∈ {1, 2, 4, 8} quantile buckets
+    with the padded/real token totals and the waste fraction.  B=1 is
+    the no-bucketing baseline (pad everything to the corpus max); the
+    curve shows how fast waste collapses as buckets narrow, i.e. how
+    much a dynamic-batching loader saves over fixed-shape batches.
+
+    Quantile assignment is NTILE over (n_tokens, doc_id) — computed
+    WITHOUT a single-task global sort via the bucketed two-level rank
+    (operators/prefixscan.py:bucketed_rank + ntile_from_rank, the
+    ccnet-terciles device), so the plan scales: one bucket-key shuffle,
+    a |buckets|-row offset scan, and a ≤(4·B)-row final aggregate.  The
+    1-row count and (lo, hi) bounds broadcasts are the sanctioned 'agg'
+    BNLJ shape.  Exactly NTILE's contract on a deterministic total
+    order, so the DuckDB window formulation matches hash-for-hash.
+    """
+    from kafkastreamsproject_spark.operators.prefixscan import (
+        bucketed_rank,
+        ntile_from_rank,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    n_total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = bucketed_rank(toks, "n_toks", "doc_id").join(
+        F.broadcast(n_total)
+    )
+
+    legs = None
+    for b in _PAD_TILES:
+        leg = ranked.select(
+            F.lit(b).alias("n_len_buckets"),
+            ntile_from_rank(F.col("rk"), F.col("__n"), b).alias("tile"),
+            "n_toks",
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    per_tile = legs.groupBy("n_len_buckets", "tile").agg(
+        F.max("n_toks").alias("pad_len"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("real_toks"),
+    )
+    return (
+        per_tile.groupBy("n_len_buckets")
+        .agg(
+            F.sum(F.col("pad_len") * F.col("n_docs")).alias("padded_tokens"),
+            F.sum("real_toks").alias("real_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("real_toks")
+                / F.sum(F.col("pad_len") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+        .orderBy("n_len_buckets")
+    )

@@ -168,6 +168,9 @@ SANCTIONED_BNLJ = {
     "embedding_dim_truncation_recall": "filtered",
     # 1-row weight-total broadcast into the |sources|-row plan table
     "mixture_token_plan": "dim",
+    # 1-row corpus-count + bucketed_rank's 1-row (lo, hi) bounds
+    # broadcasts into the NTILE padding-waste legs
+    "padding_waste_curve": "agg",
     # bm25_retrieval's 1-row stats broadcast plus the 1-row query
     # embedding broadcast into the 20-row lexical shortlist
     "bm25_semantic_rerank": "filtered",
