@@ -52,8 +52,17 @@ _OUT_SCHEMA = (
 )
 
 
-def _ffd_pack(pdf_iter_key: tuple, pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
-    """Pack one shard's (doc_id, n_tokens) rows with first-fit-decreasing."""
+def _ffd_pack(
+    pdf_iter_key: tuple,
+    pdf: pd.DataFrame,
+    budget: int,
+    best_fit: bool = False,
+) -> pd.DataFrame:
+    """Pack one shard's (doc_id, n_tokens) rows with first-fit-decreasing
+    (default) or best-fit-decreasing (``best_fit=True``: place each doc
+    in the open pack with the SMALLEST remaining capacity that fits,
+    ties to the lowest pack index — trades a second comparison pass for
+    tighter packs on adversarial size mixes)."""
     shard = int(pdf_iter_key[0])
     pdf = pdf.sort_values(
         ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
@@ -81,7 +90,13 @@ def _ffd_pack(pdf_iter_key: tuple, pdf: pd.DataFrame, budget: int) -> pd.DataFra
             continue
         fits = remaining[:n_packs] >= t
         if fits.any():
-            p = int(np.argmax(fits))
+            if best_fit:
+                # smallest fitting remainder, ties to the lowest index
+                # (np.argmin returns the first minimum)
+                cand = np.where(fits, remaining[:n_packs], np.iinfo(np.int64).max)
+                p = int(np.argmin(cand))
+            else:
+                p = int(np.argmax(fits))
             remaining[p] -= t
             assign[i] = p
         else:
@@ -113,6 +128,7 @@ def pack_documents(
     docs_per_shard: int = 100_000,
     n_shards: int | None = None,
     shard_col: str | None = None,
+    policy: str = "ffd",
 ) -> DataFrame:
     """Assign every document to a token-budgeted pack.
 
@@ -121,9 +137,16 @@ def pack_documents(
     shuffle never carries text.  Returns one row per document:
     (doc_id, n_tokens, shard_id, pack_id, pack_tokens, overflow) with
     ``pack_tokens <= budget`` for every non-overflow pack.
+
+    ``policy``: ``"ffd"`` (first-fit-decreasing, default) or ``"bfd"``
+    (best-fit-decreasing) — identical distributed shape, different
+    within-shard placement rule.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if policy not in ("ffd", "bfd"):
+        raise ValueError(f"policy must be 'ffd' or 'bfd', got {policy!r}")
+    best_fit = policy == "bfd"
     if shard_col is not None:
         # caller-supplied sharding (e.g. an md5-derived column when the
         # packing must be replayable in an engine without xxhash64);
@@ -134,7 +157,8 @@ def pack_documents(
             F.col(shard_col).cast("int").alias("shard_id"),
         )
         return shards.groupBy("shard_id").applyInPandas(
-            lambda key, pdf: _ffd_pack(key, pdf, budget), schema=_OUT_SCHEMA
+            lambda key, pdf: _ffd_pack(key, pdf, budget, best_fit),
+            schema=_OUT_SCHEMA,
         )
     meta = docs_with_tokens.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -148,7 +172,8 @@ def pack_documents(
         F.pmod(F.xxhash64("doc_id", F.lit(0x5E9)), F.lit(n_shards)).cast("int"),
     )
     return shards.groupBy("shard_id").applyInPandas(
-        lambda key, pdf: _ffd_pack(key, pdf, budget), schema=_OUT_SCHEMA
+        lambda key, pdf: _ffd_pack(key, pdf, budget, best_fit),
+        schema=_OUT_SCHEMA,
     )
 
 

@@ -2517,3 +2517,123 @@ def padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_len_buckets")
     )
+
+
+# ---------------------------------------------------------------------------
+# Best-fit-decreasing packing — the FFD replay's policy twin (r11)
+# ---------------------------------------------------------------------------
+
+#: the 1-based index BFD picks from the remaining-capacity list ``rem``
+#: for an item of size ``t``: among packs that fit, the smallest
+#: remaining capacity, ties to the lowest index.  Inlined (SQL has no
+#: let-binding); NULL when nothing fits.
+def _sql_bfd_pick(rem: str, t: str) -> str:
+    fits = f"list_filter(range(1, len({rem}) + 1), j -> {rem}[j] >= {t})"
+    min_rem = f"list_min(list_transform({fits}, j -> {rem}[j]))"
+    return (
+        f"list_min(list_filter(range(1, len({rem}) + 1), "
+        f"i -> {rem}[i] >= {t} AND {rem}[i] = {min_rem}))"
+    )
+
+
+_BFD_PICK = _sql_bfd_pick("f.rem", "s.n_tokens")
+
+
+@register(
+    "packing_bfd_replay",
+    oracle=f"""
+    WITH RECURSIVE meta AS MATERIALIZED (
+      SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             CAST({_PK_SHARD} AS INT) AS shard_id
+      FROM documents
+    ),
+    seq AS MATERIALIZED (
+      SELECT shard_id, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY shard_id
+                                ORDER BY n_tokens DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY shard_id) AS n_docs
+      FROM meta
+    ),
+    bfd AS (
+      SELECT shard_id, 0 AS rn,
+             CAST([] AS BIGINT[]) AS rem, CAST([] AS BIGINT[]) AS asg
+      FROM (SELECT DISTINCT shard_id FROM seq)
+      UNION ALL
+      SELECT f.shard_id, f.rn + 1,
+        CASE
+          WHEN s.n_tokens > {_PK_BUDGET}
+            THEN list_append(f.rem, CAST(-1 AS BIGINT))
+          WHEN {_BFD_PICK} IS NOT NULL
+            THEN list_transform(range(1, len(f.rem) + 1),
+                 i -> CASE WHEN i = {_BFD_PICK}
+                      THEN f.rem[i] - s.n_tokens ELSE f.rem[i] END)
+          ELSE list_append(f.rem, CAST({_PK_BUDGET} AS BIGINT) - s.n_tokens)
+        END,
+        list_append(f.asg, CAST(
+          CASE
+            WHEN s.n_tokens > {_PK_BUDGET} THEN len(f.rem)
+            WHEN {_BFD_PICK} IS NOT NULL THEN {_BFD_PICK} - 1
+            ELSE len(f.rem)
+          END AS BIGINT))
+      FROM bfd f JOIN seq s
+        ON s.shard_id = f.shard_id AND s.rn = f.rn + 1
+    ),
+    final AS (
+      SELECT f.shard_id, f.asg
+      FROM bfd f JOIN (SELECT shard_id, MAX(n_docs) AS n FROM seq
+                       GROUP BY shard_id) t
+        ON t.shard_id = f.shard_id AND f.rn = t.n
+    ),
+    assigned AS (
+      SELECT s.shard_id, s.doc_id, s.n_tokens,
+             fin.asg[s.rn] AS pack_idx
+      FROM seq s JOIN final fin ON fin.shard_id = s.shard_id
+    )
+    SELECT shard_id,
+           CAST(shard_id AS VARCHAR) || '-' || CAST(pack_idx AS VARCHAR)
+             AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST((1000000 * SUM(n_tokens)) // {_PK_BUDGET} AS BIGINT)
+             AS fill_ppm,
+           MAX(n_tokens > {_PK_BUDGET}) AS overflow
+    FROM assigned
+    GROUP BY shard_id, pack_id
+    """,
+    tags=("llmdata", "packing"),
+    tier="shadow",
+)
+def packing_bfd_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing packing, oracle-replayed: identical
+    distributed shape to packing_ffd_replay (hash-sharded independent
+    per-task packing over (id, n_tokens) metadata) with the BEST-fit
+    placement rule — each doc goes to the open pack with the smallest
+    remaining capacity that fits, ties to the lowest index.  The
+    DuckDB oracle replays the same sequential fold in a recursive CTE
+    with the pick rule swapped, so the engine's ``policy="bfd"``
+    kernel (property-tested against a sequential simulation in
+    tests/test_exactness_properties.py) is verified end-to-end on real
+    data too.  BFD packs at least as tightly as FFD on adversarial
+    mixes; both share the 11/9-OPT family bound."""
+    from kafkastreamsproject_spark.functions import hashing as _H
+    from kafkastreamsproject_spark.operators.packing import pack_documents
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    meta = docs.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (
+            _H.token_hash32(F.col("doc_id").cast("string")) % _PK_SHARDS
+        ).cast("int").alias("shard"),
+    )
+    packed = pack_documents(
+        meta, _PK_BUDGET, shard_col="shard", policy="bfd"
+    )
+    return packed.groupBy("shard_id", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("pack_tokens").alias("pack_tokens"),
+        F.expr(
+            f"cast((1000000 * max(pack_tokens)) div {_PK_BUDGET} as bigint)"
+        ).alias("fill_ppm"),
+        F.max("overflow").alias("overflow"),
+    )

@@ -216,3 +216,53 @@ def test_prefix_filtering_completeness_wide(a, del_frac, adds, seed):
     assert prefix(a) & prefix(b), (
         f"pair at jaccard {inter}/{union} missed by wide prefix filter"
     )
+
+
+def _sequential_bfd(rows: list[tuple[int, int]], budget: int):
+    """Textbook best-fit-decreasing: place each doc in the open pack
+    with the SMALLEST remaining capacity that fits (ties to the lowest
+    index); oversize docs own a closed pack."""
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    remaining: list[int] = []
+    assign: dict[int, int] = {}
+    for doc, t in order:
+        if t > budget:
+            assign[doc] = len(remaining)
+            remaining.append(-1)
+            continue
+        fits = [(r, i) for i, r in enumerate(remaining) if r >= t]
+        if fits:
+            _, i = min(fits)
+            remaining[i] -= t
+            assign[doc] = i
+        else:
+            assign[doc] = len(remaining)
+            remaining.append(budget - t)
+    return assign
+
+
+@given(
+    toks=st.lists(_tok_sizes, min_size=1, max_size=80),
+    budget=st.integers(min_value=1, max_value=100),
+)
+@settings(max_examples=300, deadline=None)
+def test_bfd_pack_matches_sequential_simulation(toks, budget):
+    """The best_fit=True branch of operators/packing.py:_ffd_pack (the
+    REAL vectorized kernel) assigns every doc to exactly the pack the
+    sequential best-fit-decreasing loop would."""
+    from kafkastreamsproject_spark.operators.packing import _ffd_pack
+
+    rows = list(enumerate(toks))
+    got = _ffd_pack(
+        (3,),
+        pd.DataFrame({"doc_id": [d for d, _ in rows],
+                      "n_tokens": [t for _, t in rows]}),
+        budget,
+        best_fit=True,
+    )
+    assign = _sequential_bfd(rows, budget)
+    got_assign = {int(r.doc_id): r.pack_id for r in got.itertuples()}
+    assert got_assign == {d: f"3-{p}" for d, p in assign.items()}
+    for r in got.itertuples():
+        if not r.overflow:
+            assert int(r.pack_tokens) <= budget
