@@ -2145,3 +2145,160 @@ def bbit_minhash_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_abs_err_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS scheme) — r11
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # k-gram width (tokens)
+_WIN_W = 4  # winnowing window (k-gram positions)
+_WIN_MIN_TOKS = _WIN_K + _WIN_W - 1  # shortest doc with >= 1 window
+_WIN_SHARED = 3  # shared-fingerprint threshold for a candidate pair
+_WIN_DF_MAX = 32  # fingerprint doc-frequency cap (boilerplate cut)
+
+_SQL_WIN_TOKS = "string_split_regex(trim(text), ' +')"
+_SQL_WIN_KGRAMS = (
+    f"list_transform(range(1, len({_SQL_WIN_TOKS}) - {_WIN_K} + 2), "
+    f"i -> ('0x' || substr(md5(array_to_string("
+    f"({_SQL_WIN_TOKS})[i:i+{_WIN_K - 1}], ' ')), 1, 8))::BIGINT)"
+)
+# per-window minima over the ordered k-gram hash list, dedup'd
+_SQL_WIN_FPS = (
+    f"list_distinct(list_transform("
+    f"range(1, len({_SQL_WIN_KGRAMS}) - {_WIN_W} + 2), "
+    f"i -> list_min(({_SQL_WIN_KGRAMS})[i:i+{_WIN_W - 1}])))"
+)
+
+
+def _winnow_fps(text):
+    """Distinct winnowed fingerprints of a text column: hash every
+    ORDERED token k-gram (overlaps and repeats kept — winnowing needs
+    positions, unlike the distinct shingle set), then take the minimum
+    hash of every w-long window of k-gram positions.  Both arrays are
+    let-bound so the split and the k-gram pass each run once per row."""
+    return TX.let1(
+        TX.let1(
+            TX.tokens(text),
+            lambda ts: F.transform(
+                F.sequence(F.lit(1), F.size(ts) - (_WIN_K - 1)),
+                lambda i: H.token_hash32(
+                    F.concat_ws(" ", F.slice(ts, i, _WIN_K))
+                ),
+            ),
+        ),
+        lambda hs: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hs) - (_WIN_W - 1)),
+                lambda i: F.array_min(F.slice(hs, i, _WIN_W)),
+            )
+        ),
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len({_SQL_WIN_KGRAMS}) AS BIGINT) AS n_kgrams,
+           CAST(len({_SQL_WIN_FPS}) AS BIGINT) AS n_fingerprints,
+           CAST((1000000 * len({_SQL_WIN_FPS}))
+                // (len({_SQL_WIN_KGRAMS}) - {_WIN_W} + 1) AS BIGINT)
+             AS density_ppm
+    FROM documents
+    WHERE len({_SQL_WIN_TOKS}) >= {_WIN_MIN_TOKS}
+    """,
+    tags=("dedup", "fingerprint", "winnowing"),
+    tier="shadow",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint audit (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS local document fingerprinting scheme): hash every ordered
+    token k-gram, slide a w-window over the hash sequence, keep each
+    window's MINIMUM.  Guarantee: any substring match of at least
+    w + k − 1 tokens between two documents shares at least one selected
+    fingerprint — a detection floor no random sampling gives — while
+    storing only ~2/(w+1) of the k-gram hashes (the density this query
+    reads out per doc, in exact ppm integers).
+
+    Scale shape: entirely row-local column math (two let-bound
+    higher-order passes, zero shuffle before the final projection);
+    the fingerprint set is the compact per-doc sketch a 100 TB plagiarism
+    /overlap index would store instead of full k-gram postings."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens(F.col("text"))
+    fps = _winnow_fps(F.col("text"))
+    n_kgrams = (F.size(toks) - (_WIN_K - 1)).cast("long")
+    n_windows = n_kgrams - (_WIN_W - 1)
+    return docs.filter(F.size(toks) >= _WIN_MIN_TOKS).select(
+        "doc_id",
+        n_kgrams.alias("n_kgrams"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.floor((F.lit(1_000_000) * F.size(fps)) / n_windows)
+        .cast("long")
+        .alias("density_ppm"),
+    )
+
+
+@register(
+    "winnowing_shared_pairs",
+    oracle=f"""
+    WITH corpus2 AS ({_SQL_CORPUS2}),
+    fps AS (
+      SELECT doc_id, unnest({_SQL_WIN_FPS}) AS fp
+      FROM corpus2 WHERE len({_SQL_WIN_TOKS}) >= {_WIN_MIN_TOKS}
+    ),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_WIN_DF_MAX}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      WHERE a.fp IN (SELECT fp FROM rare)
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_shared
+    FROM pairs GROUP BY 1, 2
+    HAVING COUNT(DISTINCT fp) >= {_WIN_SHARED}
+    """,
+    tags=("dedup", "fingerprint", "winnowing"),
+    tier="shadow",
+)
+def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap candidates from winnowed fingerprints: pairs
+    of documents sharing >= 3 selected fingerprints, with the shared
+    count.  By the winnowing guarantee every >= (w+k-1)-token verbatim
+    overlap contributes a shared fingerprint, so long copied passages
+    cannot hide; fingerprints carried by more than {df} documents are
+    dropped first (boilerplate — the same rarity blocking as the
+    stride/CDC chunk families), bounding every join key's fan-out at
+    32² while only forfeiting content too common to attribute anyway.
+
+    Scale shape: one row-local fingerprint pass, a hash equi-join on
+    the fingerprint value over the rarity-filtered postings, one
+    grouped count — work ∝ true shared-content volume, never corpus².
+    """
+    c2 = _corpus2(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    fps = (
+        c2.filter(F.size(toks) >= _WIN_MIN_TOKS)
+        .select("doc_id", F.explode(_winnow_fps(F.col("text"))).alias("fp"))
+    )
+    fps = scoped_persist(fps)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_DF_MAX))
+        .select("fp")
+    )
+    pruned = fps.join(rare, "fp", "left_semi")
+    a = pruned.select(F.col("doc_id").alias("id_a"), "fp")
+    b = pruned.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_SHARED)
+    )
