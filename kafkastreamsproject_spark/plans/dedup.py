@@ -2302,3 +2302,151 @@ def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("fp").alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle-width curve — pricing the near-dup granularity knob (r11)
+# ---------------------------------------------------------------------------
+
+_SWC_WIDTHS = (3, 5, 8)
+
+
+def _sql_swc_leg(w: int) -> str:
+    hs = H.sql_hash_list(TX.sql_shingles(w))
+    return f"""
+      SELECT {w} AS shingle_w, doc_id,
+             list_distinct({hs}) AS hset
+      FROM corpus2
+      WHERE len(string_split_regex(trim(text), ' +')) >= {w}
+    """
+
+
+@register(
+    "shingle_width_curve",
+    oracle=f"""
+    WITH corpus2 AS ({_SQL_CORPUS2}),
+    shingled AS ({" UNION ALL ".join(_sql_swc_leg(w) for w in _SWC_WIDTHS)}),
+    ex AS (
+      SELECT shingle_w, doc_id, unnest(hset) AS h FROM shingled
+    ),
+    cands AS (
+      SELECT DISTINCT a.shingle_w, a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b
+        ON a.shingle_w = b.shingle_w AND a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    confirmed AS (
+      SELECT c.shingle_w,
+             (1000000 * len(list_intersect(sa.hset, sb.hset)))
+               // (len(sa.hset) + len(sb.hset)
+                   - len(list_intersect(sa.hset, sb.hset))) AS jac_ppm
+      FROM cands c
+      JOIN shingled sa ON sa.shingle_w = c.shingle_w AND sa.doc_id = c.id_a
+      JOIN shingled sb ON sb.shingle_w = c.shingle_w AND sb.doc_id = c.id_b
+      WHERE 2 * len(list_intersect(sa.hset, sb.hset))
+            >= len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset))
+    )
+    SELECT s.shingle_w,
+           CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM confirmed c
+                 WHERE c.shingle_w = s.shingle_w) AS BIGINT) AS n_pairs,
+           CAST(COALESCE((SELECT SUM(jac_ppm) // COUNT(*) FROM confirmed c
+                 WHERE c.shingle_w = s.shingle_w), 0) AS BIGINT)
+             AS mean_jaccard_ppm
+    FROM shingled s GROUP BY s.shingle_w ORDER BY s.shingle_w
+    """,
+    tags=("dedup", "ngram", "curve"),
+    tier="shadow",
+)
+def shingle_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle-WIDTH knob priced: for w ∈ {3, 5, 8}, the exact
+    near-dup detection readout over the doubled corpus — eligible docs,
+    confirmed pairs at Jaccard ≥ 1/2 (2·i ≥ u in pure integers), and
+    the mean confirmed Jaccard as an integer-ppm floor.  Narrow
+    shingles admit topical overlap as "duplication" (more, looser
+    pairs); wide shingles detect only long verbatim runs (fewer,
+    tighter pairs) — this curve is the number a deployment consults
+    before fixing w corpus-wide, the dedup twin of the
+    minhash_perm_error_curve / padding_waste_curve knob series.
+
+    Scale shape per leg: shared-hash blocking (complete for any
+    threshold > 0 — a confirmed pair shares a shingle by definition),
+    8-byte hash shuffles only, candidate volume ∝ true overlap; the
+    three legs are one unioned plan, scanned once each.  Every emitted
+    statistic is exact integer arithmetic — cross-engine hash-safe."""
+    legs = None
+    for w in _SWC_WIDTHS:
+        sh = TX.shingles(F.col("text"), w)
+        leg = (
+            _corpus2(spark, sf_dir)
+            .filter(F.size(TX.tokens(F.col("text"))) >= w)
+            .select(
+                F.lit(w).alias("shingle_w"),
+                "doc_id",
+                F.array_distinct(H.hash_list(sh)).alias("hset"),
+            )
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    shingled = scoped_persist(legs)
+
+    ex = shingled.select("shingle_w", "doc_id", F.explode("hset").alias("h"))
+    a = ex.select("shingle_w", F.col("doc_id").alias("id_a"), "h")
+    b = ex.select(
+        F.col("shingle_w").alias("w_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("h").alias("h_b"),
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("shingle_w") == F.col("w_b"))
+            & (F.col("h") == F.col("h_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("shingle_w", "id_a", "id_b")
+        .distinct()
+    )
+    sa = shingled.select(
+        "shingle_w", F.col("doc_id").alias("id_a"), F.col("hset").alias("h_a")
+    )
+    sb = shingled.select(
+        F.col("shingle_w").alias("w_s"),
+        F.col("doc_id").alias("id_b"),
+        F.col("hset").alias("h_b2"),
+    )
+    inter = F.size(F.array_intersect("h_a", "h_b2"))
+    union = F.size("h_a") + F.size("h_b2") - inter
+    confirmed = (
+        cands.join(sa, ["shingle_w", "id_a"])
+        .join(
+            sb,
+            (F.col("shingle_w") == F.col("w_s")) & (sb.id_b == cands.id_b),
+        )
+        .filter(2 * inter >= union)
+        .select(
+            "shingle_w",
+            F.floor((F.lit(1_000_000) * inter) / union)
+            .cast("long")
+            .alias("jac_ppm"),
+        )
+    )
+    pair_stats = confirmed.groupBy("shingle_w").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.floor(F.sum("jac_ppm") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_jaccard_ppm"),
+    )
+    doc_counts = shingled.groupBy("shingle_w").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        doc_counts.join(pair_stats, "shingle_w", "left")
+        .select(
+            "shingle_w",
+            "n_docs",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("mean_jaccard_ppm", F.lit(0))
+            .cast("long")
+            .alias("mean_jaccard_ppm"),
+        )
+        .orderBy("shingle_w")
+    )
