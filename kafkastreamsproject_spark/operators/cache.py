@@ -72,6 +72,23 @@ def release_persisted() -> None:
             pass
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the RDD blocks behind a ``localCheckpoint(eager=True)``
+    handle (best-effort, never raises).
+
+    ``unpersist()`` on a checkpointed DataFrame is a no-op — the blocks
+    live on the checkpointed RDD captured by the plan's LogicalRDD
+    node, not in the CacheManager — so without this, every checkpoint
+    taken on a long-lived session accumulates block-manager memory
+    until the DataFrame is GC'd (r11 ADVICE on pipelines/curation.py).
+    The handle (and anything derived from it that was not itself
+    materialized) must NOT be used after release: its data is gone."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 @contextmanager
 def cache_scope():
     """Deterministic release for non-registry callers.

@@ -37,6 +37,36 @@ def hadoop_touch(spark: SparkSession, path: str) -> None:
     out.close()
 
 
+def hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write ``text`` (UTF-8, overwrite) at ``path`` on its own
+    filesystem — used for store sidecar metadata, so the sidecar lives
+    wherever the store lives (local, HDFS, S3A …)."""
+    fs, hpath = _fs_and_path(spark, path)
+    parent = hpath.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def hadoop_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read ``path`` as UTF-8 text; None if it does not exist."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        jvm = spark._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def hadoop_has_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> bool:
     """True iff ``path`` is a directory containing at least one
     ``suffix`` file (non-recursive) — the 'store already initialized'

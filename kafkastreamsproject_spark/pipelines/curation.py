@@ -68,7 +68,11 @@ from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.functions import text as TX
 from kafkastreamsproject_spark.functions.clustering import connected_components
-from kafkastreamsproject_spark.operators.cache import cache_scope, scoped_persist
+from kafkastreamsproject_spark.operators.cache import (
+    cache_scope,
+    release_local_checkpoint,
+    scoped_persist,
+)
 from kafkastreamsproject_spark.operators.packing import pack_documents
 from kafkastreamsproject_spark.streaming.neardup import (
     _confirmed_pairs,
@@ -212,6 +216,13 @@ def curate_corpus(
         .drop("_rn")
     )
 
+    # intermediate localCheckpoint handles: their blocks bypass the
+    # cache_scope/scoped_persist machinery (release_local_checkpoint
+    # doc), so they are tracked here and freed once `packed` — the only
+    # DataFrame that survives this function — has materialized its OWN
+    # checkpoint blocks (r11 ADVICE: repeated curate_corpus calls on a
+    # long-lived session otherwise grow block-manager memory)
+    _stage_ckpts: list[DataFrame] = []
     with cache_scope():
         exact = scoped_persist(exact)
         n_exact = exact.count()
@@ -448,6 +459,7 @@ def curate_corpus(
             # four later stages don't re-analyze it per reference
             # (same lineage discipline as the stage-5 boundary below)
             quality = quality.localCheckpoint(eager=True)
+            _stage_ckpts.append(quality)
         n_classifier = (
             quality.count() if classifier_seed is not None else n_repetition
         )
@@ -514,6 +526,7 @@ def curate_corpus(
         # costs nothing extra; on a multi-executor cluster prefer
         # reliable checkpointing if executor loss must be survivable.
         clean = quality.localCheckpoint(eager=True)
+        _stage_ckpts.append(clean)
         n_clean = clean.count()
 
         # 5b. optional DSIR importance resample toward a target domain
@@ -637,6 +650,13 @@ def curate_corpus(
         # materialize before the scope closes: packed reads `clean`
         packed = packed.localCheckpoint(eager=True)
         n_packs = packed.select("shard_id", "pack_id").distinct().count()
+        # packed's own blocks now hold everything the caller needs —
+        # free the intermediate stage checkpoints (packed's checkpoint
+        # blocks stay live; the caller owns that handle and can free it
+        # with operators/cache.py:release_local_checkpoint when done)
+        for _h in _stage_ckpts:
+            release_local_checkpoint(_h)
+        _stage_ckpts.clear()
 
     return packed, CurationStats(
         input=n_input,

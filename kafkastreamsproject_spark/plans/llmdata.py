@@ -2446,13 +2446,19 @@ _PAD_TILES = (1, 2, 4, 8)
              COUNT(*) AS n_docs,
              SUM(n_toks) AS real_toks
       FROM legs GROUP BY 1, 2
+    ),
+    totals AS (
+      -- CAST: DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders
+      -- as float64 — BIGINT keeps the frame integer-clean like Spark's
+      SELECT n_len_buckets,
+             CAST(SUM(pad_len * n_docs) AS BIGINT) AS padded_tokens,
+             CAST(SUM(real_toks) AS BIGINT) AS real_tokens
+      FROM per_tile GROUP BY 1
     )
-    SELECT n_len_buckets,
-           SUM(pad_len * n_docs) AS padded_tokens,
-           SUM(real_toks) AS real_tokens,
-           ROUND(1.0 - SUM(real_toks) / CAST(SUM(pad_len * n_docs) AS DOUBLE),
-                 6) AS waste_frac
-    FROM per_tile GROUP BY 1 ORDER BY 1
+    SELECT n_len_buckets, padded_tokens, real_tokens,
+           (1000000 * (padded_tokens - real_tokens)) // padded_tokens
+               AS waste_ppm
+    FROM totals ORDER BY 1
     """,
     tags=("llmdata", "packing", "curve"),
     tier="shadow",
@@ -2461,7 +2467,10 @@ def padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padding waste vs length-bucket count — the sorted-batching knob
     every training pipeline tunes (bucket sequences by length, pad each
     bucket to its max): one row per B ∈ {1, 2, 4, 8} quantile buckets
-    with the padded/real token totals and the waste fraction.  B=1 is
+    with the padded/real token totals and the waste in exact parts per
+    million (integer floor-division on both engines — a ROUND(double)
+    here would expose Spark's HALF_UP vs DuckDB's C-style rounding at
+    boundary values, a latent cross-engine hash flake).  B=1 is
     the no-bucketing baseline (pad everything to the corpus max); the
     curve shows how fast waste collapses as buckets narrow, i.e. how
     much a dynamic-batching loader saves over fixed-shape batches.
@@ -2508,12 +2517,17 @@ def padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("pad_len") * F.col("n_docs")).alias("padded_tokens"),
             F.sum("real_toks").alias("real_tokens"),
-            F.round(
-                F.lit(1.0)
-                - F.sum("real_toks")
-                / F.sum(F.col("pad_len") * F.col("n_docs")).cast("double"),
-                6,
-            ).alias("waste_frac"),
+        )
+        .select(
+            "n_len_buckets",
+            "padded_tokens",
+            "real_tokens",
+            # exact long arithmetic end-to-end (`div` is Spark's
+            # integer floor-division, DuckDB's `//` twin) — never a
+            # double, so the hash compare can't flake on rounding mode
+            F.expr(
+                "(1000000 * (padded_tokens - real_tokens)) div padded_tokens"
+            ).alias("waste_ppm"),
         )
         .orderBy("n_len_buckets")
     )

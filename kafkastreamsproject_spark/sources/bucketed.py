@@ -80,6 +80,63 @@ def shuffle_scoped_to_buckets(spark: SparkSession, n_buckets: int):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+#: sidecar file recording the bucket spec a store was CREATED with.
+#: The bucket count lives only in file names + the catalog entry; a
+#: fresh session re-opening an existing store declares the table with
+#: the CALLER's width, so a mismatched ``n_buckets`` would make Spark
+#: trust wrong bucket metadata — silently co-locating joins on buckets
+#: that don't line up (wrong dedup verdicts, not an error).  Every
+#: read/append/compact/forget asserts the caller's spec against this
+#: sidecar (r11 ADVICE).  Leading underscore: Spark's file listing
+#: treats it as hidden, so scans never read it as data.
+_META_FILE = "_store_meta.json"
+
+
+def write_store_meta(
+    spark: SparkSession, path: str, bucket_cols: list[str], n_buckets: int
+) -> None:
+    import json
+
+    from kafkastreamsproject_spark.operators.fs import hadoop_write_text
+
+    hadoop_write_text(
+        spark,
+        f"{path}/{_META_FILE}",
+        json.dumps({"n_buckets": n_buckets, "bucket_cols": list(bucket_cols)}),
+    )
+
+
+def read_store_meta(spark: SparkSession, path: str) -> dict | None:
+    import json
+
+    from kafkastreamsproject_spark.operators.fs import hadoop_read_text
+
+    text = hadoop_read_text(spark, f"{path}/{_META_FILE}")
+    return json.loads(text) if text else None
+
+
+def check_store_meta(
+    spark: SparkSession, path: str, bucket_cols: list[str], n_buckets: int
+) -> None:
+    """Assert the caller's bucket spec matches the one the store at
+    ``path`` was created with; raises ValueError on mismatch.  A store
+    predating the sidecar (no meta file) is stamped with the caller's
+    spec on first touch — the documented migration assumption is that
+    the first post-upgrade open uses the original width."""
+    meta = read_store_meta(spark, path)
+    if meta is None:
+        write_store_meta(spark, path, bucket_cols, n_buckets)
+        return
+    if meta["n_buckets"] != n_buckets or meta["bucket_cols"] != list(bucket_cols):
+        raise ValueError(
+            f"bucketed store at {path} was created with "
+            f"n_buckets={meta['n_buckets']} bucket_cols={meta['bucket_cols']}; "
+            f"caller supplied n_buckets={n_buckets} bucket_cols="
+            f"{list(bucket_cols)} — all folds against one store must use "
+            "the width it was created with (sources/bucketed.py)"
+        )
+
+
 def store_table_name(prefix: str, path: str) -> str:
     """Deterministic catalog name for the store at ``path`` — the same
     store re-opened in a new session maps back to the same table."""
@@ -105,6 +162,8 @@ def read_bucketed_store(
     from kafkastreamsproject_spark.operators.fs import hadoop_has_files
 
     has_files = hadoop_has_files(spark, path)
+    if has_files:
+        check_store_meta(spark, path, bucket_cols, n_buckets)
     if spark.catalog.tableExists(table_name):
         if has_files:
             return spark.table(table_name)
@@ -133,6 +192,10 @@ def append_bucketed_store(
     at ``path`` on first write.  Idempotency under epoch replay is the
     CALLER's contract (anti-join the append set against the store
     before calling), same as the plain-parquet folds."""
+    from kafkastreamsproject_spark.operators.fs import hadoop_has_files
+
+    if hadoop_has_files(spark, path):
+        check_store_meta(spark, path, bucket_cols, n_buckets)
     writer = (
         df.write.mode("append")
         .format("parquet")
@@ -142,6 +205,10 @@ def append_bucketed_store(
     if not spark.catalog.tableExists(table_name):
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+    # stamp the spec the store now physically has (first write creates
+    # the sidecar; later appends re-assert above, so this is a no-op
+    # rewrite of identical bytes)
+    write_store_meta(spark, path, bucket_cols, n_buckets)
 
 
 def compact_bucketed_store(
@@ -174,6 +241,7 @@ def compact_bucketed_store(
 
     if not hadoop_has_files(spark, path):
         return 0
+    check_store_meta(spark, path, bucket_cols, n_buckets)
     store = spark.read.schema(schema).parquet(path)
     tmp_path = f"{path}_compacting"
     tmp_name = f"{table_name}_compacting"
@@ -197,6 +265,9 @@ def compact_bucketed_store(
     fs.rename(src, old_p)
     fs.rename(tmp_p, src)
     fs.delete(old_p, True)
+    # the rename swap moved the old sidecar away with the old files;
+    # re-stamp the (unchanged) spec on the compacted directory
+    write_store_meta(spark, path, bucket_cols, n_buckets)
     if spark.catalog.tableExists(table_name):
         spark.sql(f"REFRESH TABLE {table_name}")
     return sum(
@@ -244,6 +315,7 @@ def forget_keys_in_store(
 
     if not hadoop_has_files(spark, path):
         return {"affected_buckets": 0, "files_rewritten": 0, "rows_deleted": 0}
+    check_store_meta(spark, path, bucket_cols, n_buckets)
     key_col = bucket_cols[0]
     # bounded: at most n_buckets ids come back (one collect_list row,
     # the perceptron-trainer driver-state device)

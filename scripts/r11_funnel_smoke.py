@@ -139,7 +139,13 @@ def main() -> None:
     with open(root / "PROGRESS.jsonl", "a") as f:
         f.write(line + "\n")
     (root / "smokes").mkdir(exist_ok=True)
-    (root / "smokes" / "r11.json").write_text(json.dumps(out, indent=2) + "\n")
+    # merge-not-overwrite (r11 ADVICE): the committed file also carries
+    # manually merged sections (funnel_history, windowed_counts_study);
+    # a re-run must not silently drop them
+    target = root / "smokes" / "r11.json"
+    existing = json.loads(target.read_text()) if target.exists() else {}
+    existing.update(out)
+    target.write_text(json.dumps(existing, indent=2) + "\n")
 
 
 if __name__ == "__main__":

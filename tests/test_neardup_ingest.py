@@ -772,3 +772,78 @@ def test_line_store_compaction_bounds_files_and_preserves_probes(
     s_p = line_dedup_ingest_batch(nxt, stores["plain"]).toPandas()
     assert s_c.to_dict("records") == s_p.to_dict("records")
     assert int(s_c.n_kept.sum()) == 0  # fully deduplicated
+
+
+def test_store_width_mismatch_is_rejected(spark, tmp_path):
+    """r11 ADVICE: the store records the bucket width it was created
+    with; folding, probing, compacting, or erasing with a mismatched
+    n_buckets must raise (Spark would otherwise trust wrong bucket
+    metadata and silently co-locate joins on misaligned buckets)."""
+    import json
+
+    import pytest
+
+    from kafkastreamsproject_spark.sources.bucketed import (
+        compact_bucketed_store,
+        forget_keys_in_store,
+        read_bucketed_store,
+        read_store_meta,
+        store_table_name,
+    )
+    from kafkastreamsproject_spark.streaming.linededup import (
+        line_dedup_ingest_batch,
+    )
+
+    store = str(tmp_path / "lstore_meta")
+    line_dedup_ingest_batch(
+        _docs(spark, [(1, "w " * 24)]), store, n_buckets=8
+    )
+    lines = f"{store}/lines"
+    meta = read_store_meta(spark, lines)
+    assert meta == {"n_buckets": 8, "bucket_cols": ["lh"]}
+
+    # every entry point refuses the wrong width
+    with pytest.raises(ValueError, match="created with"):
+        line_dedup_ingest_batch(
+            _docs(spark, [(2, "w " * 24)]), store, n_buckets=32
+        )
+    with pytest.raises(ValueError, match="created with"):
+        read_bucketed_store(
+            spark, lines, store_table_name("line_store", lines),
+            "lh string", ["lh"], 32,
+        )
+    with pytest.raises(ValueError, match="created with"):
+        compact_bucketed_store(
+            spark, lines, store_table_name("line_store", lines),
+            "lh string", ["lh"], 32,
+        )
+    with pytest.raises(ValueError, match="created with"):
+        forget_keys_in_store(
+            spark, _docs(spark, [(1, "x")]).selectExpr("text as lh"),
+            lines, store_table_name("line_store", lines),
+            "lh string", ["lh"], 32,
+        )
+
+    # the right width still works, and compaction re-stamps the sidecar
+    # (the rename swap moves the old one away with the old files)
+    s = {
+        r.doc_id: r.n_kept
+        for r in line_dedup_ingest_batch(
+            _docs(spark, [(3, "w " * 24)]), store, n_buckets=8
+        ).collect()
+    }
+    assert s[3] == 0
+    from kafkastreamsproject_spark.streaming.linededup import compact_store
+
+    compact_store(spark, store, n_buckets=8)
+    assert read_store_meta(spark, lines) == {
+        "n_buckets": 8,
+        "bucket_cols": ["lh"],
+    }
+
+    # a legacy store (sidecar missing) is stamped on first touch
+    import os
+
+    os.remove(f"{lines}/_store_meta.json")
+    line_dedup_ingest_batch(_docs(spark, [(4, "q " * 24)]), store, n_buckets=8)
+    assert read_store_meta(spark, lines)["n_buckets"] == 8
