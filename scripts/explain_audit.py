@@ -264,6 +264,15 @@ def main() -> None:
                     f"{name}: {len(unbounded)} unallowlisted unpartitioned "
                     "Window(s) over an unbounded input"
                 )
+            elif unbounded:
+                # allowlisted: verify the declared bound kind per plan
+                from kafkastreamsproject_spark.testing.planaudit import (
+                    global_window_bound_violations,
+                )
+
+                kind, _ = ALLOWED_UNBOUNDED_GLOBAL_WINDOW[name]
+                for v in global_window_bound_violations(df, kind):
+                    problems.append(f"{name}: {v}")
 
     lines = [
         "# PLANS — physical-plan inventory (generated by scripts/explain_audit.py)",

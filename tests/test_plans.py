@@ -191,13 +191,22 @@ def test_no_unpartitioned_window_over_growing_input(spark, sf_dir, name):
 
     if name == "streaming_daily_agg":
         pytest.skip("building it starts a real stream; memory-sink plan")
-    findings = global_window_findings(_SPECS[name].spark(spark, sf_dir))
+    from kafkastreamsproject_spark.testing.planaudit import (
+        global_window_bound_violations,
+    )
+
+    df = _SPECS[name].spark(spark, sf_dir)
+    findings = global_window_findings(df)
     unbounded = [f for f in findings if f == "unbounded"]
     if name in ALLOWED_UNBOUNDED_GLOBAL_WINDOW:
         assert unbounded, (
             f"{name} no longer plans an unbounded global window — remove "
             "its stale ALLOWED_UNBOUNDED_GLOBAL_WINDOW entry"
         )
+        # the allowlist entry is a checkable claim, not prose: the
+        # declared bound kind must hold on the physical plan
+        kind, _reason = ALLOWED_UNBOUNDED_GLOBAL_WINDOW[name]
+        assert not global_window_bound_violations(df, kind)
     else:
         assert not unbounded, (
             f"{name} plans {len(unbounded)} unpartitioned Window(s) over "

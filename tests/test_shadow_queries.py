@@ -57,10 +57,16 @@ def test_shadow_query_plans_no_cartesian(spark, sf_dir, name):
 
     unbounded = [f for f in global_window_findings(df) if f == "unbounded"]
     if name in ALLOWED_UNBOUNDED_GLOBAL_WINDOW:
+        from kafkastreamsproject_spark.testing.planaudit import (
+            global_window_bound_violations,
+        )
+
         assert unbounded, (
             f"{name} no longer plans an unbounded global window — remove "
             "its stale ALLOWED_UNBOUNDED_GLOBAL_WINDOW entry"
         )
+        kind, _reason = ALLOWED_UNBOUNDED_GLOBAL_WINDOW[name]
+        assert not global_window_bound_violations(df, kind)
     else:
         assert not unbounded, (
             f"{name} plans {len(unbounded)} unpartitioned Window(s) over "
