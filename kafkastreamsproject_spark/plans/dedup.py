@@ -2304,6 +2304,216 @@ def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WRC_DFS = (8, 32, 128)  # rarity caps priced by the recall staircase
+
+#: planted boilerplate tiers: every corpus2 doc gets one 12-token
+#: template phrase per tier, with the template chosen by doc_id % m —
+#: so each template's doc frequency is ≈ |corpus2| / m, and the three
+#: tiers straddle the df caps at the oracle SFs (at sf0.01, |corpus2|
+#: = 1000: df ≈ 2 / 16 / 125).  Without planting, the synthetic corpus
+#: has no pair-relevant fingerprint above df 8 and the staircase reads
+#: a degenerate 100% at every cap (measured before this device landed).
+_WRC_TIERS = (512, 64, 8)
+_WRC_BP_TOKS = 12
+
+
+def _wrc_bp_col(m: int):
+    g = (F.col("doc_id") % m).cast("string")
+    return F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(f"bp{m}g"), g, F.lit(f"t{j}"))
+            for j in range(1, _WRC_BP_TOKS + 1)
+        ],
+    )
+
+
+def _sql_wrc_bp(m: int) -> str:
+    # flat variadic concat_ws: a ||-chain this long exceeds DuckDB's
+    # binder recursion limit (128)
+    toks = ", ".join(
+        f"'bp{m}g' || CAST(doc_id % {m} AS VARCHAR) || 't{j}'"
+        for j in range(1, _WRC_BP_TOKS + 1)
+    )
+    return f"concat_ws(' ', {toks})"
+
+
+_SQL_WRC_PLANTED = (
+    "SELECT doc_id, concat_ws(' ', text, "
+    + ", ".join(_sql_wrc_bp(m) for m in _WRC_TIERS)
+    + ") AS text FROM corpus2"
+)
+
+
+@register(
+    "winnowing_recall_curve",
+    oracle=f"""
+    WITH corpus2 AS ({_SQL_CORPUS2}),
+    planted AS MATERIALIZED ({_SQL_WRC_PLANTED}),
+    fps AS MATERIALIZED (
+      SELECT doc_id, unnest({_SQL_WIN_FPS}) AS fp
+      FROM planted WHERE len({_SQL_WIN_TOKS}) >= {_WIN_MIN_TOKS}
+    ),
+    dfreq AS MATERIALIZED (
+      SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp
+    ),
+    posted AS MATERIALIZED (
+      SELECT f.doc_id, f.fp, d.df
+      FROM fps f JOIN dfreq d ON d.fp = f.fp WHERE d.df >= 2
+    ),
+    pair_fp AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.df
+      FROM posted a JOIN posted b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    per_pair AS MATERIALIZED (
+      SELECT id_a, id_b,
+             SUM(CASE WHEN df <= 8 THEN 1 ELSE 0 END) AS c8,
+             SUM(CASE WHEN df <= 32 THEN 1 ELSE 0 END) AS c32,
+             SUM(CASE WHEN df <= 128 THEN 1 ELSE 0 END) AS c128,
+             COUNT(*) AS ct
+      FROM pair_fp GROUP BY 1, 2
+    ),
+    counts AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN c8 >= {_WIN_SHARED} THEN 1 ELSE 0 END),
+                      0) AS BIGINT) AS p8,
+        CAST(COALESCE(SUM(CASE WHEN c32 >= {_WIN_SHARED} THEN 1 ELSE 0 END),
+                      0) AS BIGINT) AS p32,
+        CAST(COALESCE(SUM(CASE WHEN c128 >= {_WIN_SHARED} THEN 1 ELSE 0 END),
+                      0) AS BIGINT) AS p128,
+        CAST(COALESCE(SUM(CASE WHEN ct >= {_WIN_SHARED} THEN 1 ELSE 0 END),
+                      0) AS BIGINT) AS pt
+      FROM per_pair
+    ),
+    kept AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN df <= 8 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS k8,
+        CAST(COALESCE(SUM(CASE WHEN df <= 32 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS k32,
+        CAST(COALESCE(SUM(CASE WHEN df <= 128 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS k128
+      FROM posted
+    )
+    SELECT * FROM (
+      SELECT 8 AS df_max, k8 AS postings_kept, p8 AS n_pairs,
+             pt AS n_pairs_unblocked,
+             CASE WHEN pt = 0 THEN 0 ELSE (1000000 * p8) // pt END
+               AS recall_ppm
+      FROM counts, kept
+      UNION ALL
+      SELECT 32, k32, p32, pt,
+             CASE WHEN pt = 0 THEN 0 ELSE (1000000 * p32) // pt END
+      FROM counts, kept
+      UNION ALL
+      SELECT 128, k128, p128, pt,
+             CASE WHEN pt = 0 THEN 0 ELSE (1000000 * p128) // pt END
+      FROM counts, kept
+    ) ORDER BY df_max
+    """,
+    tags=("dedup", "fingerprint", "winnowing", "curve"),
+    tier="shadow",
+)
+def winnowing_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-blocking knob of ``winnowing_shared_pairs`` priced as a
+    recall staircase (VERDICT r11 #4): the per-fingerprint detection
+    guarantee does NOT survive rarity blocking — a heavily-duplicated
+    fingerprint is exactly the one the df cap drops — so this measures
+    PAIR recall against the UNBLOCKED truth for df ∈ {8, 32, 128}:
+    postings kept, candidate pairs found at the ≥3-shared threshold,
+    the unblocked pair count, and recall in exact integer ppm.  The
+    corpus2 twins are the planted offenders (every doc has a
+    same-prefix near-copy — the stride/CDC staircase's device), and
+    blocked pairs are a SUBSET of unblocked ones by construction (a
+    fingerprint counted under df ≤ D is counted under no cap), so the
+    ratio is a true recall.
+
+    Planted offenders are GRADED: beyond the corpus2 twins, every doc
+    carries one 12-token template phrase per tier m ∈ {512, 64, 8}
+    (template = doc_id % m), so template fingerprints exist at doc
+    frequencies ≈ |corpus2|/m — straddling the caps.  Pairs whose
+    only shared content is a common template are exactly the ones a
+    low cap forfeits; the staircase prices that loss (the plain
+    corpus has nothing above df 8 and read a degenerate 100%
+    everywhere).
+
+    Scale shape: ONE fingerprint self-join at the widest relevant df
+    (the unblocked truth leg — this is the diagnostic a deployment
+    runs on a sample to pick its cap, not the production pairing; the
+    production query stays ``winnowing_shared_pairs``), with all three
+    staircase steps derived from that single join by conditional
+    aggregation over the per-pair (df-banded) shared counts — never
+    three self-joins.  The final assembly is two 1-row aggregates
+    (pair counts × postings kept) broadcast together — the sanctioned
+    'agg' BNLJ shape — fanned out to 3 literal rows."""
+    c2 = _corpus2(spark, sf_dir)
+    planted = c2.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"), *[_wrc_bp_col(m) for m in _WRC_TIERS]
+        ).alias("text"),
+    )
+    toks = TX.tokens(F.col("text"))
+    fps = planted.filter(F.size(toks) >= _WIN_MIN_TOKS).select(
+        "doc_id", F.explode(_winnow_fps(F.col("text"))).alias("fp")
+    )
+    fps = scoped_persist(fps)
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    posted = scoped_persist(fps.join(dfreq, "fp").filter(F.col("df") >= 2))
+
+    a = posted.select(F.col("doc_id").alias("id_a"), "fp", "df")
+    b = posted.select(
+        F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b")
+    )
+    pair_fp = a.join(
+        b, (F.col("fp") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b", "df")
+
+    banded = lambda cap: F.sum(  # noqa: E731
+        F.when(F.col("df") <= cap, 1).otherwise(0)
+    )
+    per_pair = pair_fp.groupBy("id_a", "id_b").agg(
+        banded(8).alias("c8"),
+        banded(32).alias("c32"),
+        banded(128).alias("c128"),
+        F.count(F.lit(1)).alias("ct"),
+    )
+    hit = lambda c: (  # noqa: E731
+        F.coalesce(
+            F.sum(F.when(F.col(c) >= _WIN_SHARED, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+    )
+    counts = per_pair.agg(
+        hit("c8").alias("p8"),
+        hit("c32").alias("p32"),
+        hit("c128").alias("p128"),
+        hit("ct").alias("pt"),
+    )
+    keepn = lambda cap: (  # noqa: E731
+        F.coalesce(banded(cap), F.lit(0)).cast("long")
+    )
+    kept = posted.agg(
+        keepn(8).alias("k8"), keepn(32).alias("k32"), keepn(128).alias("k128")
+    )
+    # 1-row x 1-row assembly; persisted so the three staircase legs
+    # below re-read one cached row instead of re-running the self-join
+    stats = scoped_persist(counts.crossJoin(F.broadcast(kept)))
+
+    legs = None
+    for d in _WRC_DFS:
+        leg = stats.select(
+            F.lit(d).alias("df_max"),
+            F.col(f"k{d}").alias("postings_kept"),
+            F.col(f"p{d}").alias("n_pairs"),
+            F.col("pt").alias("n_pairs_unblocked"),
+            F.when(F.col("pt") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr(f"(1000000 * p{d}) div pt"))
+            .alias("recall_ppm"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return legs.orderBy("df_max")
+
+
 # ---------------------------------------------------------------------------
 # Shingle-width curve — pricing the near-dup granularity knob (r11)
 # ---------------------------------------------------------------------------

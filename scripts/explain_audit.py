@@ -124,6 +124,9 @@ SANCTIONED_BNLJ = {
     "doremi_mixture_weights": "agg",
     # five 1-row count aggregates composed into the single stats row
     "batch_bloom_pushdown_stats": "agg",
+    # 1-row pair-count aggregate x 1-row postings-kept aggregate
+    # assembled for the 3-row df staircase (r12)
+    "winnowing_recall_curve": "agg",
     # 1-row corpus-token-total broadcast into the surprisal scoring scan
     "doc_surprisal_quality": "agg",
     # 8-row coarse-centroid codebook broadcast against the corpus for
