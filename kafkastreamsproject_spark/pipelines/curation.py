@@ -61,6 +61,7 @@ writer partitions straight to parquet.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window as W
@@ -159,6 +160,7 @@ def curate_corpus(
     dsir_base_m: int = 500,
     mixture_rates_m: dict[str, int] | None = None,
     pack_budget: int = 2048,
+    stage_walls: dict[str, float] | None = None,
 ) -> tuple[DataFrame, CurationStats]:
     """Run the full curation funnel over ``docs`` (doc_id, text, ...).
 
@@ -206,7 +208,23 @@ def curate_corpus(
     a pure single-pass plan, call with ``stats=False`` semantics by
     composing the stages yourself.
     """
+    # optional per-stage wall attribution (VERDICT r11 #3): each
+    # stage already ends in a count that materializes it, so timing the
+    # interval between consecutive counts attributes that stage's
+    # materialization cost.  Caveat (documented, inherent to lazy
+    # eval): work a stage defers past its own persist/checkpoint
+    # boundary lands in the NEXT stage's interval.
+    _t_prev = time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t_prev
+        if stage_walls is not None:
+            now = time.perf_counter()
+            stage_walls[stage] = round(now - _t_prev, 3)
+            _t_prev = now
+
     n_input = docs.count()
+    _mark("input")
 
     # 1. exact dedup, keep-first (deterministic survivor)
     w = W.partitionBy(TX.exact_fingerprint(F.col("text"))).orderBy("doc_id")
@@ -226,6 +244,7 @@ def curate_corpus(
     with cache_scope():
         exact = scoped_persist(exact)
         n_exact = exact.count()
+        _mark("exact_dedup")
 
         # 2. near-dup dedup: confirmed pairs → components → keep minimum
         sigs = scoped_persist(doc_signatures(exact))
@@ -238,8 +257,17 @@ def curate_corpus(
             F.col("node").alias("doc_id")
         )
         neardup = exact.join(losers, "doc_id", "left_anti")
-        neardup = scoped_persist(neardup)
+        # eager localCheckpoint, NOT persist: the r12 scale smoke's
+        # stage-wall attribution caught the persisted anti-join's cache
+        # not being reused at 50k docs (its cached AQE plan stays
+        # unfinalized above the CC-derived build side), so EVERY
+        # downstream stage count re-executed the join from its cached
+        # children — measured ~5 s per action vs ~0.4 s over pinned
+        # rows.  Tracked for release once `packed` materializes.
+        neardup = neardup.localCheckpoint(eager=True)
+        _stage_ckpts.append(neardup)
         n_neardup = neardup.count()
+        _mark("neardup_dedup")
 
         # 2b. optional source blocklist AHEAD of the per-doc gates —
         # the UT1/blocklist move (plans/text.py:source_quality_blocklist
@@ -281,14 +309,19 @@ def curate_corpus(
             neardup = neardup.join(
                 F.broadcast(blocked), "source", "left_anti"
             )
-            neardup = scoped_persist(neardup)
+            # same checkpoint-not-persist reasoning as the near-dup
+            # boundary above: this output feeds every later gate's count
+            neardup = neardup.localCheckpoint(eager=True)
+            _stage_ckpts.append(neardup)
         n_blocklist = (
             neardup.count() if source_blocklist is not None else n_neardup
         )
+        _mark("blocklist")
 
         # 3–4. row-local filters (one scan each over the cached survivors)
         quality = neardup.filter(TX.quality_score(F.col("text")) >= quality_min)
         n_quality = quality.count()
+        _mark("quality")
 
         # 3b. optional RELATIVE quality gate: keep the best top_p
         # fraction of each source by rounded quality score (the
@@ -313,6 +346,7 @@ def curate_corpus(
                 .drop("_rq", "_ns")
             )
         n_top_p = quality.count() if quality_top_p is not None else n_quality
+        _mark("quality_top_p")
 
         # 3c. optional repetition gate: drop docs whose duplicate-
         # trigram fraction exceeds the cap — the Gopher/MassiveText
@@ -351,6 +385,7 @@ def curate_corpus(
         n_repetition = (
             quality.count() if repetition_max is not None else n_top_p
         )
+        _mark("repetition")
 
         # 3d. optional TRAINED quality gate: fit a full-batch
         # perceptron over hashed-bigram features on the caller's
@@ -463,10 +498,12 @@ def curate_corpus(
         n_classifier = (
             quality.count() if classifier_seed is not None else n_repetition
         )
+        _mark("classifier")
 
         if langs is not None:
             quality = quality.filter(TX.lang_id(F.col("text")).isin(*langs))
         n_lang = quality.count()
+        _mark("lang")
 
         # 4b. optional surprisal gate: drop docs whose mean dyadic
         # surprisal against the SURVIVOR corpus' unigram table exceeds
@@ -497,6 +534,7 @@ def curate_corpus(
             )
             quality = quality.join(high, "doc_id", "left_anti")
         n_surprisal = quality.count() if surprisal_max is not None else n_lang
+        _mark("surprisal")
 
         # 5. decontamination vs the holdout's shingle-hash universe
         if holdout is not None:
@@ -528,6 +566,7 @@ def curate_corpus(
         clean = quality.localCheckpoint(eager=True)
         _stage_ckpts.append(clean)
         n_clean = clean.count()
+        _mark("decontamination")
 
         # 5b. optional DSIR importance resample toward a target domain
         # (Xie et al. 2023; the plans/llmdata.py:dsir_importance_weights
@@ -625,6 +664,7 @@ def curate_corpus(
             )
             clean = scoped_persist(clean)
         n_dsir = clean.count() if dsir_target is not None else n_clean
+        _mark("dsir")
 
         # 6. configured mixture: per-source deterministic keep-rates
         if mixture_rates_m is not None:
@@ -641,6 +681,7 @@ def curate_corpus(
                 .drop("rate_m")
             )
         n_mixture = clean.count() if mixture_rates_m is not None else n_clean
+        _mark("mixture")
 
         # 7. token counts → budgeted packs (metadata-only shuffle)
         with_tokens = clean.select(
@@ -650,6 +691,7 @@ def curate_corpus(
         # materialize before the scope closes: packed reads `clean`
         packed = packed.localCheckpoint(eager=True)
         n_packs = packed.select("shard_id", "pack_id").distinct().count()
+        _mark("packing")
         # packed's own blocks now hold everything the caller needs —
         # free the intermediate stage checkpoints (packed's checkpoint
         # blocks stay live; the caller owns that handle and can free it
