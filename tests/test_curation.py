@@ -642,3 +642,48 @@ def test_curation_classifier_auto_tau_matches_hand_tuned(spark):
             classifier_tau="max-f1",
             pack_budget=512,
         )
+
+
+def test_stage_walls_hook_covers_every_stage(spark):
+    """curate_corpus(stage_walls=...) fills one wall per funnel stage
+    (the r12 attribution hook that caught the cache-reuse defect)."""
+    from kafkastreamsproject_spark.pipelines.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog number {i} today", "s0")
+         for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    walls: dict[str, float] = {}
+    packed, stats = curate_corpus(docs, quality_min=0.0, stage_walls=walls)
+    assert set(walls) == {
+        "input", "exact_dedup", "neardup_dedup", "blocklist", "quality",
+        "quality_top_p", "repetition", "classifier", "lang", "surprisal",
+        "decontamination", "dsir", "mixture", "packing",
+    }
+    assert all(w >= 0.0 for w in walls.values())
+    # disabled optional stages attribute ~zero wall (no count forced)
+    assert walls["classifier"] < 0.5
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    """operators/cache.py:release_local_checkpoint really frees the
+    checkpoint's RDD blocks (plain unpersist() is a no-op there): the
+    released handle can no longer be evaluated, and releasing a
+    non-checkpointed DataFrame is a safe no-op."""
+    import pytest
+
+    from kafkastreamsproject_spark.operators.cache import (
+        release_local_checkpoint,
+    )
+
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS x")
+    ck = df.localCheckpoint(eager=True)
+    assert ck.count() == 10_000
+    release_local_checkpoint(ck)
+    with pytest.raises(Exception):
+        ck.count()  # blocks gone — release was real, not cosmetic
+
+    plain = spark.range(10).selectExpr("id")
+    release_local_checkpoint(plain)  # no checkpoint behind it: no-op
+    assert plain.count() == 10
