@@ -847,3 +847,26 @@ def test_store_width_mismatch_is_rejected(spark, tmp_path):
     os.remove(f"{lines}/_store_meta.json")
     line_dedup_ingest_batch(_docs(spark, [(4, "q " * 24)]), store, n_buckets=8)
     assert read_store_meta(spark, lines)["n_buckets"] == 8
+
+
+def test_novelty_store_width_mismatch_is_rejected(spark, tmp_path):
+    """The width sidecar guards the novelty store too (r11 ADVICE named
+    both stores; the enforcement is central in sources/bucketed.py but
+    each store's fold path must actually route through it)."""
+    import pytest
+
+    from kafkastreamsproject_spark.sources.bucketed import read_store_meta
+    from kafkastreamsproject_spark.streaming.novelty import (
+        novelty_ingest_batch,
+    )
+
+    store = str(tmp_path / "nstore_meta")
+    novelty_ingest_batch(_docs(spark, [(1, "a b c d e f")]), store, n_buckets=8)
+    assert read_store_meta(spark, f"{store}/trigrams") == {
+        "n_buckets": 8,
+        "bucket_cols": ["h"],
+    }
+    with pytest.raises(ValueError, match="created with"):
+        novelty_ingest_batch(
+            _docs(spark, [(2, "g h i j k l")]), store, n_buckets=16
+        )
