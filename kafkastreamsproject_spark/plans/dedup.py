@@ -2515,6 +2515,322 @@ def winnowing_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact arbitrary-alignment duplicated-span scrub (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better": the
+# ExactSubstr policy) — r12.  Distinct from plans/shadow.py's
+# chunk_scrub_text (fixed 20-token GRID, removes ALL occurrences):
+# here duplication is detected at EVERY token offset (stride-1 grams,
+# so a copied passage is caught at any alignment) and the FIRST
+# occurrence in (doc_id, position) order is kept — remove-the-copy,
+# keep-the-original.
+# ---------------------------------------------------------------------------
+
+_ESS_W = 20  # the Lee et al. threshold: spans >= 50 BPE tokens there;
+#              20 word tokens here, scaled to the synthetic doc length
+_ESS_Q = 30  # quoter-planted duplicated prefix length (> _ESS_W)
+
+_SQL_ESS_TOKS = "string_split_regex(trim(text), ' +')"
+#: corpus3: originals + verbatim twins (whole-doc duplication) +
+#: "quoters" — docs that copy the first 30 tokens of an original and
+#: continue with unique text (partial-span duplication, exercising the
+#: interval-merge path mid-document)
+_SQL_ESS_CORPUS3 = f"""
+      SELECT doc_id, text, 'orig' AS role FROM documents
+      UNION ALL
+      SELECT doc_id + {_SHIFT}, text, 'twin' FROM documents
+      UNION ALL
+      SELECT doc_id + {2 * _SHIFT},
+             concat_ws(' ',
+               array_to_string(({_SQL_ESS_TOKS})[1:{_ESS_Q}], ' '),
+               array_to_string(list_transform(range(1, 31),
+                 j -> 'uq' || CAST(doc_id AS VARCHAR) || 'x'
+                      || CAST(j AS VARCHAR)), ' ')),
+             'quoter'
+      FROM documents WHERE len({_SQL_ESS_TOKS}) >= {_ESS_Q}
+"""
+
+#: shared oracle CTE chain: stride-1 gram occurrences → per-gram count
+#: + first occurrence → per-doc sorted victim/duplicated start lists
+_SQL_ESS_CTES = f"""
+    corpus3 AS MATERIALIZED ({_SQL_ESS_CORPUS3}),
+    occ AS MATERIALIZED (
+      SELECT doc_id, role,
+             unnest(list_transform(
+               range(1, len({_SQL_ESS_TOKS}) - {_ESS_W} + 2),
+               i -> struct_pack(pos := i,
+                 gh := md5(array_to_string(
+                   ({_SQL_ESS_TOKS})[i:i + {_ESS_W} - 1], ' ')))),
+               recursive := true) AS o
+      FROM corpus3 WHERE len({_SQL_ESS_TOKS}) >= {_ESS_W}
+    ),
+    ranked AS MATERIALIZED (
+      SELECT doc_id, role, pos, gh,
+             COUNT(*) OVER (PARTITION BY gh) AS cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY gh ORDER BY doc_id, pos) AS rn
+      FROM occ
+    ),
+    perdoc AS MATERIALIZED (
+      SELECT doc_id,
+             list_sort(list(pos) FILTER (cnt >= 2 AND rn > 1))
+               AS victim_starts,
+             list_sort(list(pos) FILTER (cnt >= 2)) AS dup_starts
+      FROM ranked GROUP BY doc_id
+    )
+"""
+
+
+def _sql_ess_coverage(starts: str) -> str:
+    """Merged-interval coverage of fixed-length-{_ESS_W} spans over a
+    SORTED start list: L for the first span plus min(L, gap) per
+    successor (overlap-aware), in pure integers."""
+    return f"""CASE WHEN {starts} IS NULL OR len({starts}) = 0 THEN 0
+      ELSE {_ESS_W} + COALESCE(list_sum(list_transform(
+             range(2, len({starts}) + 1),
+             i -> least({_ESS_W}, ({starts})[i] - ({starts})[i - 1]))), 0)
+      END"""
+
+
+def _ess_corpus3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    quoter_text = F.concat_ws(
+        " ",
+        F.array_join(F.slice(toks, 1, _ESS_Q), " "),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda j: F.concat(
+                    F.lit("uq"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("x"),
+                    j.cast("string"),
+                ),
+            ),
+            " ",
+        ),
+    )
+    return (
+        docs.select("doc_id", "text", F.lit("orig").alias("role"))
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + _SHIFT).alias("doc_id"),
+                "text",
+                F.lit("twin").alias("role"),
+            )
+        )
+        .unionByName(
+            # two-step projection: building the salted tail in the same
+            # SELECT that re-aliases doc_id would let Spark's lateral
+            # column alias resolution bind the salt to the SHIFTED id
+            # (caught by the DuckDB oracle: 'uq2000001x1' vs 'uq1x1')
+            docs.filter(F.size(toks) >= _ESS_Q)
+            .select("doc_id", quoter_text.alias("text"))
+            .select(
+                (F.col("doc_id") + 2 * _SHIFT).alias("doc_id"),
+                "text",
+                F.lit("quoter").alias("role"),
+            )
+        )
+    )
+
+
+def _ess_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, role, n_tokens, victim_starts, dup_starts) over corpus3:
+    victim = a stride-1 {_ESS_W}-gram occurrence that is duplicated and
+    NOT the corpus-wide first occurrence of its gram; dup = duplicated
+    at all.  Start lists come back sorted; docs below the gram width
+    carry empty lists."""
+    c3 = _ess_corpus3(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    grams = TX.let1(
+        toks,
+        lambda ts: F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (_ESS_W - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, _ESS_W))),
+        ),
+    )
+    base = scoped_persist(
+        c3.select("doc_id", "role", F.size(toks).alias("n_tokens"), "text")
+    )
+    ex = (
+        base.filter(F.col("n_tokens") >= _ESS_W)
+        .select("doc_id", F.posexplode(grams).alias("p0", "gh"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh")
+    )
+    g = ex.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("keeper"),
+    )
+    j = ex.join(g, "gh")
+    is_victim = (F.col("cnt") >= 2) & ~(
+        (F.col("doc_id") == F.col("keeper.doc_id"))
+        & (F.col("pos") == F.col("keeper.pos"))
+    )
+    lists = j.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.when(is_victim, F.col("pos")))
+        ).alias("victim_starts"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("cnt") >= 2, F.col("pos")))
+        ).alias("dup_starts"),
+    )
+    empty = F.array().cast("array<int>")
+    return base.join(lists, "doc_id", "left").select(
+        "doc_id",
+        "role",
+        "n_tokens",
+        "text",
+        F.coalesce("victim_starts", empty).alias("victim_starts"),
+        F.coalesce("dup_starts", empty).alias("dup_starts"),
+    )
+
+
+def _ess_coverage(starts) -> F.Column:
+    """Spark twin of :func:`_sql_ess_coverage` (let-bound)."""
+    return TX.let1(
+        starts,
+        lambda vs: F.when(F.size(vs) == 0, F.lit(0).cast("long")).otherwise(
+            F.lit(_ESS_W)
+            + F.aggregate(
+                F.zip_with(
+                    F.slice(vs, 2, F.size(vs) - 1),
+                    F.slice(vs, 1, F.size(vs) - 1),
+                    lambda a, b: F.least(F.lit(_ESS_W), a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+
+@register(
+    "exact_substring_scrub",
+    oracle=f"""
+    WITH {_SQL_ESS_CTES}
+    SELECT c.doc_id,
+           CAST(len({_SQL_ESS_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(p.victim_starts), 0) AS BIGINT)
+             AS n_victim_spans,
+           CAST({_sql_ess_coverage("p.victim_starts")} AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(array_to_string(
+             list_transform(
+               list_filter(range(1, len({_SQL_ESS_TOKS}) + 1),
+                 p -> COALESCE(len(list_filter(p.victim_starts,
+                        s -> s <= p AND p < s + {_ESS_W})), 0) = 0),
+               p -> ({_SQL_ESS_TOKS})[p]),
+             ' '), '')) AS scrubbed_fp
+    FROM corpus3 c LEFT JOIN perdoc p USING (doc_id)
+    """,
+    tags=("dedup", "substring", "scrub"),
+    tier="shadow",
+)
+def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022) — remove every NON-FIRST
+    occurrence of every duplicated >= {_ESS_W}-token span, at ANY token
+    alignment, keeping the corpus-wide first occurrence intact.  A
+    position is removed iff some duplicated stride-1 {_ESS_W}-gram
+    whose occurrence is not its gram's (doc_id, pos)-minimal one covers
+    it.  Per doc: token count, victim-span count, removed-token count
+    (merged-interval arithmetic, exact), and the md5 fingerprint of the
+    scrubbed text.  Planted structure: verbatim twins scrub to empty,
+    "quoter" docs (a copied 30-token prefix + unique continuation)
+    scrub exactly their prefix, originals are untouched.  Documented
+    edge: a PERIODIC self-repeat keeps only its first period-aligned
+    tokens (the overlapping later occurrences are victims) — the same
+    collapse the reference tooling exhibits on self-overlapping
+    repeats.
+
+    Scale shape (the Lee et al. cost, Spark-first): stride-1 hashing is
+    one row-local let-bound pass (O(tokens) 16-byte hashes — the exact
+    variant of the strided chunk families' explode); the only shuffles
+    move (gh, doc_id, pos) for the count+first-occurrence aggregate and
+    (doc_id, int) start lists back to their rows; the TEXT never
+    shuffles — the scrub re-reads tokens in place with two let-bound
+    higher-order passes.  No suffix array needed at a fixed threshold:
+    any >= L-token duplicated span IS a run of duplicated L-grams, so
+    the hash aggregate finds every span at every alignment exactly."""
+    perdoc = _ess_perdoc(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    kept_tokens = TX.let1(
+        toks,
+        lambda ts: TX.let1(
+            F.col("victim_starts"),
+            lambda vs: F.filter(
+                ts,
+                lambda t, i: ~F.exists(
+                    vs,
+                    lambda s: (s <= i + 1) & (i + 1 < s + _ESS_W),
+                ),
+            ),
+        ),
+    )
+    return perdoc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("victim_starts").cast("long").alias("n_victim_spans"),
+        _ess_coverage(F.col("victim_starts")).alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept_tokens)).alias("scrubbed_fp"),
+    )
+
+
+@register(
+    "exact_substring_coverage",
+    oracle=f"""
+    WITH {_SQL_ESS_CTES}
+    SELECT c.role,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN COALESCE(len(p.dup_starts), 0) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS affected_docs,
+           CAST(SUM(len({_SQL_ESS_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM({_sql_ess_coverage("p.dup_starts")}) AS BIGINT)
+             AS covered_tokens,
+           CAST((1000000 * SUM({_sql_ess_coverage("p.dup_starts")}))
+                // SUM(len({_SQL_ESS_TOKS})) AS BIGINT) AS coverage_ppm
+    FROM corpus3 c LEFT JOIN perdoc p USING (doc_id)
+    GROUP BY c.role ORDER BY c.role
+    """,
+    tags=("dedup", "substring", "diagnostics"),
+    tier="shadow",
+)
+def exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. corpus diagnostic: what fraction of each corpus
+    slice sits inside a duplicated >= {_ESS_W}-token span (ANY
+    occurrence, keeper included — duplication is symmetric even though
+    the scrub is keep-first)?  One row per planted role (orig / twin /
+    quoter): docs, affected docs, token totals, covered tokens, and
+    exact integer coverage ppm — the number a deployment reads before
+    deciding whether ExactSubstr scrubbing is worth the stride-1 pass
+    over a strided approximation (stride_chunk_dedup_stats /
+    cdc_chunk_dedup_stats price the cheap end of that trade).
+
+    Scale shape: identical to exact_substring_scrub minus the text
+    re-read — one hash aggregate, one start-list join-back, a
+    |roles|-row rollup of pure integers."""
+    perdoc = _ess_perdoc(spark, sf_dir)
+    cov = _ess_coverage(F.col("dup_starts"))
+    return (
+        perdoc.select(
+            "role",
+            F.col("n_tokens").cast("long").alias("nt"),
+            cov.alias("cv"),
+            (F.size("dup_starts") > 0).cast("int").alias("aff"),
+        )
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("aff").cast("long").alias("affected_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.sum("cv").cast("long").alias("covered_tokens"),
+            F.expr("(1000000 * sum(cv)) div sum(nt)").alias("coverage_ppm"),
+        )
+        .orderBy("role")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Shingle-width curve — pricing the near-dup granularity knob (r11)
 # ---------------------------------------------------------------------------
 
