@@ -2831,6 +2831,231 @@ def exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Substring-dedup policy curve — pricing exact stride-1 against the
+# grid / strided / content-defined approximations on one corpus (r12)
+# ---------------------------------------------------------------------------
+
+#: corpus4 = corpus3 + "shifters": docs that copy tokens 4..33 of an
+#: original behind a 7-token unique head, so the duplicated run sits at
+#: positions 8..37 against the original's 4..33 — relative alignment 4,
+#: NOT congruent mod 10 or 20.  Grid and strided windowing provably
+#: miss it; content-defined selection and exact stride-1 catch it.
+_SQL_ESS_CORPUS4 = (
+    _SQL_ESS_CORPUS3
+    + f"""
+      UNION ALL
+      SELECT doc_id + {3 * _SHIFT},
+             concat_ws(' ',
+               array_to_string(list_transform(range(1, 8),
+                 j -> 'sh' || CAST(doc_id AS VARCHAR) || 'x'
+                      || CAST(j AS VARCHAR)), ' '),
+               array_to_string(({_SQL_ESS_TOKS})[4:33], ' ')),
+             'shifter'
+      FROM documents WHERE len({_SQL_ESS_TOKS}) >= 33
+"""
+)
+
+#: the four policies: selection predicate over (pos, gh) of the
+#: stride-1 window universe.  Window width is _ESS_W everywhere; only
+#: WHICH starts are indexed differs — exactly the knob the chunk
+#: family's separate queries each fix.
+_SPC_POLICIES_SQL = {
+    "cdc_p4": f"('0x' || substr(gh, 1, 8))::BIGINT % {4} = 0",
+    "exact_s1": "TRUE",
+    "grid_w20": f"(pos - 1) % {_ESS_W} = 0",
+    "stride_s10": f"(pos - 1) % {_ESS_W // 2} = 0",
+}
+
+
+def _sql_spc_leg(p: str, cond: str) -> str:
+    return f"""
+    sel_{p} AS MATERIALIZED (
+      SELECT doc_id, pos, gh FROM occ4 WHERE {cond}
+    ),
+    dupg_{p} AS MATERIALIZED (
+      SELECT gh FROM sel_{p} GROUP BY gh HAVING COUNT(*) >= 2
+    ),
+    pd_{p} AS MATERIALIZED (
+      SELECT doc_id, list_sort(list(pos)) AS starts
+      FROM sel_{p} WHERE gh IN (SELECT gh FROM dupg_{p})
+      GROUP BY doc_id
+    ),
+    roll_{p} AS (
+      SELECT '{p}' AS policy,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sel_{p})
+               AS index_entries,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sel_{p}
+              WHERE gh IN (SELECT gh FROM dupg_{p})) AS dup_occurrences,
+             CAST(SUM({_sql_ess_coverage("p.starts")}) AS BIGINT)
+               AS covered_tokens,
+             CAST(SUM(CASE WHEN d.role = 'shifter'
+                  THEN {_sql_ess_coverage("p.starts")} ELSE 0 END)
+               AS BIGINT) AS shifter_covered
+      FROM docstats d LEFT JOIN pd_{p} p USING (doc_id)
+    )"""
+
+
+@register(
+    "substring_policy_curve",
+    oracle=f"""
+    WITH corpus4 AS MATERIALIZED ({_SQL_ESS_CORPUS4}),
+    occ4 AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len({_SQL_ESS_TOKS}) - {_ESS_W} + 2),
+               i -> struct_pack(pos := i,
+                 gh := md5(array_to_string(
+                   ({_SQL_ESS_TOKS})[i:i + {_ESS_W} - 1], ' ')))),
+               recursive := true) AS o
+      FROM corpus4 WHERE len({_SQL_ESS_TOKS}) >= {_ESS_W}
+    ),
+    docstats AS MATERIALIZED (
+      SELECT doc_id, role,
+             CAST(len({_SQL_ESS_TOKS}) AS BIGINT) AS n FROM corpus4
+    ),
+    {", ".join(_sql_spc_leg(p, c) for p, c in _SPC_POLICIES_SQL.items())}
+    SELECT r.policy, r.index_entries, r.dup_occurrences,
+           r.covered_tokens, r.shifter_covered,
+           -- CAST: DuckDB SUM(BIGINT) is HUGEINT (pandas float64)
+           CAST((1000000 * r.covered_tokens)
+             // CAST((SELECT SUM(n) FROM docstats) AS BIGINT)
+             AS BIGINT) AS covered_ppm
+    FROM ({" UNION ALL ".join(f"SELECT * FROM roll_{p}" for p in _SPC_POLICIES_SQL)}) r
+    ORDER BY r.policy
+    """,
+    tags=("dedup", "substring", "curve"),
+    tier="shadow",
+)
+def substring_policy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup POLICY knob priced on one corpus: for each
+    window-selection policy over the same width-{_ESS_W} window
+    universe — ``exact_s1`` (every start: the Lee et al. exact pass),
+    ``grid_w20`` (disjoint chunk grid), ``stride_s10`` (half-width
+    stride), ``cdc_p4`` (content-defined mod-4 hash selection) — the
+    index size (explode volume = cost), duplicated occurrences, tokens
+    covered by duplicated windows, and specifically the coverage of the
+    planted SHIFTERS, whose copied run sits at relative alignment 4:
+    not congruent mod 10 or 20, so the grid and strided rows read ~0
+    shifter coverage while cdc (selection depends on content, which is
+    shared) and exact (all alignments) read the run — the
+    alignment-blindness of positional grids made one integer, next to
+    the 20×/10×/4× index-size savings they buy.  Twins and quoters
+    (alignment 0) are covered by every policy, so the curve prices
+    exactly the arbitrary-alignment tail.
+
+    Scale shape: ONE stride-1 hashing pass and ONE explode shared by
+    all four legs (persisted (doc_id, pos, 16-byte gh)); each leg is a
+    filter + hash-count + per-doc int-list rollup over it, and the
+    final assembly is 1-row aggregates broadcast together (the
+    sanctioned 'agg' BNLJ shape).  Cost model on the curve itself:
+    index_entries IS each policy's shuffle volume at 100 TB."""
+    c4 = _ess_corpus3(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    shifter_text = F.concat_ws(
+        " ",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(7)),
+                lambda j: F.concat(
+                    F.lit("sh"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("x"),
+                    j.cast("string"),
+                ),
+            ),
+            " ",
+        ),
+        F.array_join(F.slice(toks, 4, 30), " "),
+    )
+    c4 = c4.unionByName(
+        docs.filter(F.size(toks) >= 33)
+        .select("doc_id", shifter_text.alias("text"))
+        .select(
+            (F.col("doc_id") + 3 * _SHIFT).alias("doc_id"),
+            "text",
+            F.lit("shifter").alias("role"),
+        )
+    )
+    grams = TX.let1(
+        toks,
+        lambda ts: F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (_ESS_W - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, _ESS_W))),
+        ),
+    )
+    docstats = scoped_persist(
+        c4.select("doc_id", "role", F.size(toks).cast("long").alias("n"))
+    )
+    ex = scoped_persist(
+        c4.filter(F.size(toks) >= _ESS_W)
+        .select("doc_id", F.posexplode(grams).alias("p0", "gh"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh")
+    )
+    total = docstats.agg(F.sum("n").alias("total_tokens"))
+
+    conds = {
+        "cdc_p4": F.conv(F.substring("gh", 1, 8), 16, 10).cast("long") % 4
+        == 0,
+        "exact_s1": F.lit(True),
+        "grid_w20": (F.col("pos") - 1) % _ESS_W == 0,
+        "stride_s10": (F.col("pos") - 1) % (_ESS_W // 2) == 0,
+    }
+    legs = None
+    for p, cond in conds.items():
+        sel = ex.filter(cond)
+        dupg = (
+            sel.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("gh")
+        )
+        seld = sel.join(dupg, "gh", "left_semi")
+        pd = seld.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("pos")).alias("starts")
+        )
+        cov = _ess_coverage(
+            F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+        )
+        cov_roll = (
+            docstats.join(pd, "doc_id", "left")
+            .select(
+                cov.alias("cv"),
+                F.when(F.col("role") == "shifter", cov)
+                .otherwise(F.lit(0))
+                .alias("scv"),
+            )
+            .agg(
+                F.sum("cv").cast("long").alias("covered_tokens"),
+                F.sum("scv").cast("long").alias("shifter_covered"),
+            )
+        )
+        counts = sel.agg(
+            F.count(F.lit(1)).cast("long").alias("index_entries")
+        )
+        dup_counts = seld.agg(
+            F.count(F.lit(1)).cast("long").alias("dup_occurrences")
+        )
+        leg = (
+            cov_roll.crossJoin(F.broadcast(counts))
+            .crossJoin(F.broadcast(dup_counts))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(p).alias("policy"),
+                "index_entries",
+                "dup_occurrences",
+                "covered_tokens",
+                "shifter_covered",
+                F.expr(
+                    "(1000000 * covered_tokens) div total_tokens"
+                ).alias("covered_ppm"),
+            )
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return legs.orderBy("policy")
+
+
+# ---------------------------------------------------------------------------
 # Shingle-width curve — pricing the near-dup granularity knob (r11)
 # ---------------------------------------------------------------------------
 

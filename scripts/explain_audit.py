@@ -127,6 +127,9 @@ SANCTIONED_BNLJ = {
     # 1-row pair-count aggregate x 1-row postings-kept aggregate
     # assembled for the 3-row df staircase (r12)
     "winnowing_recall_curve": "agg",
+    # per-policy 1-row coverage/index/dup-count aggregates assembled
+    # into the 4-row policy table (r12)
+    "substring_policy_curve": "agg",
     # 1-row corpus-token-total broadcast into the surprisal scoring scan
     "doc_surprisal_quality": "agg",
     # 8-row coarse-centroid codebook broadcast against the corpus for
