@@ -1008,3 +1008,109 @@ def line_store_forget_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+_MERGE_INS_SHIFT = 100_000_000  # insert keys live far above real custkeys
+
+
+@register(
+    "store_merge_upsert_replay",
+    oracle=f"""
+    WITH upd AS (
+      SELECT c_custkey, c_name || '#upd' AS c_name,
+             'MERGED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 != 3
+    ),
+    dead AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 3),
+    ins AS (
+      SELECT c_custkey + {_MERGE_INS_SHIFT} AS c_custkey,
+             'new_' || CAST(c_custkey AS VARCHAR) AS c_name,
+             'INSERTED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 11 = 0
+    ),
+    kept AS (
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        AND c_custkey NOT IN (SELECT c_custkey FROM dead)
+    )
+    SELECT * FROM kept
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+    """,
+    tags=("ingest", "storage"),
+    tier="shadow",
+)
+def store_merge_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse ``MERGE INTO`` replay on the bucketed store
+    (sources/bucketed.py:merge_upsert_in_store): fold the customer
+    relation into a bucketed store, then apply one deterministic CDC
+    batch — updates (custkey % 5 = 0: name suffixed, segment rewritten),
+    tombstone deletes (custkey % 7 = 3; tombstone wins the one key
+    class that matches both rules, so the batch is one-row-per-key as
+    the operator requires), and inserts (custkey % 11 = 0, shifted far
+    above the live key range) — and emit the final store content.  The
+    oracle states MERGE's end state relationally: anti-join the
+    touched keys out of the base, union the update and insert images.
+
+    Scale shape: the store never rewrites wholesale — the change keys
+    map to a bounded set of bucket ids (one collect_list row), only
+    those buckets' files are read and rewritten, and the untouched
+    buckets' file identity is pytest-asserted
+    (tests/test_bucketed_merge.py).  At 100 TB a CDC batch against a
+    corpus-sized store costs |affected buckets| · bucket size, not a
+    full-store pass."""
+    from kafkastreamsproject_spark.sources.bucketed import (
+        append_bucketed_store,
+        merge_upsert_in_store,
+        read_bucketed_store,
+        store_table_name,
+    )
+
+    schema = "c_custkey bigint, c_name string, c_mktsegment string"
+    n_buckets = 8
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    store = tempfile.mkdtemp(prefix="merge_store_")
+    path = f"{store}/customers"
+    table = store_table_name("merge_cust", path)
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        append_bucketed_store(spark, cust, path, table, ["c_custkey"], n_buckets)
+        k = F.col("c_custkey")
+        upd = cust.filter((k % 5 == 0) & (k % 7 != 3)).select(
+            k.alias("c_custkey"),
+            F.concat(F.col("c_name"), F.lit("#upd")).alias("c_name"),
+            F.lit("MERGED").alias("c_mktsegment"),
+            F.lit(False).alias("deleted"),
+        )
+        dead = cust.filter(k % 7 == 3).select(
+            k.alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+            F.lit(True).alias("deleted"),
+        )
+        ins = cust.filter(k % 11 == 0).select(
+            (k + _MERGE_INS_SHIFT).alias("c_custkey"),
+            F.concat(F.lit("new_"), k.cast("string")).alias("c_name"),
+            F.lit("INSERTED").alias("c_mktsegment"),
+            F.lit(False).alias("deleted"),
+        )
+        changes = upd.unionByName(dead).unionByName(ins)
+        merge_upsert_in_store(
+            spark,
+            changes,
+            path,
+            table,
+            schema,
+            ["c_custkey"],
+            n_buckets,
+            tombstone_col="deleted",
+        )
+        out = read_bucketed_store(
+            spark, path, table, schema, ["c_custkey"], n_buckets
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)

@@ -2651,3 +2651,110 @@ def packing_bfd_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fill_ppm"),
         F.max("overflow").alias("overflow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted inverse-CDF sampling: k EXACT weight-proportional draws
+# (with replacement) via cumulative-weight inversion — the alias-table
+# sampler's distributed form.  Complements the Bernoulli-thinning
+# family (mixture_sample / mixture_resample keep each doc
+# independently): a fixed-size draw needs the global CDF, and at scale
+# the CDF is the interesting part — a prefix sum over the corpus that
+# must NOT be a single-task window.
+# ---------------------------------------------------------------------------
+
+_ICDF_K = 64  # draws per sample
+_ICDF_BUCKETS = 64  # monotone doc_id ranges for the two-level scan
+
+
+@register(
+    "weighted_inverse_cdf_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             greatest(coalesce(n_chars, 0), 1) AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, w,
+             CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS hi
+      FROM w
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+    t AS (
+      SELECT r.j AS draw,
+             ('0x' || substr(md5(CAST(r.j AS VARCHAR)), 1, 8))::BIGINT
+               % (SELECT tw FROM tot) AS target
+      FROM range({_ICDF_K}) r(j)
+    )
+    SELECT t.draw, c.doc_id, c.source, c.w AS weight, t.target
+    FROM t JOIN c ON t.target >= c.hi - c.w AND t.target < c.hi
+    """,
+    tags=("llmdata", "sampling"),
+    tier="shadow",
+)
+def weighted_inverse_cdf_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k = 64 EXACTLY weight-proportional draws (with replacement) from
+    the corpus, weight = max(n_chars, 1): each draw j maps a portable
+    target ``md5(j) mod total_weight`` through the inverse of the
+    corpus's cumulative-weight CDF — the doc whose half-open interval
+    [hi − w, hi) contains the target is selected, so P(doc) = w/Σw
+    exactly, in pure integers, deterministically across engines and
+    repartitionings.  This is the fixed-size companion to the
+    hash-Bernoulli mixture family: epoch composition ("draw N docs
+    proportional to quality weight") needs k draws, not a keep-rate.
+
+    Scale shape: the cumulative sum is the two-level scan
+    (operators/prefixscan.py:bucketed_running_sum over monotone doc_id
+    range buckets — per-bucket windows in parallel, one
+    |buckets|-row cross-bucket carry, never a single-task global
+    window).  The k targets (range → 1-row total-weight aggregate
+    broadcast) are the build side of the interval-match BNLJ — a
+    machine-checked 'agg' sanction (scripts/explain_audit.py): the
+    only scaling-table scan under the broadcast sits below the 1-row
+    SUM aggregate.  One corpus scan, one bucket-key shuffle, k·|docs|
+    interval tests map-side."""
+    from kafkastreamsproject_spark.operators.prefixscan import (
+        bucketed_running_sum,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1)).alias("w"),
+    )
+    bounds = docs.agg(F.max("doc_id").alias("__maxid"))
+    rows = (
+        docs.join(F.broadcast(bounds))
+        .withColumn(
+            "__cdf_bucket",
+            F.floor(
+                F.col("doc_id") * _ICDF_BUCKETS / (F.col("__maxid") + 1)
+            ).cast("long"),
+        )
+        .drop("__maxid")
+    )
+    cdf = bucketed_running_sum(
+        rows, "__cdf_bucket", [F.col("doc_id")], "w", out_col="hi"
+    ).drop("__cdf_bucket")
+
+    tot = docs.agg(F.sum("w").alias("tw"))
+    h = F.conv(
+        F.substring(F.md5(F.col("draw").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    targets = (
+        spark.range(_ICDF_K)
+        .select(F.col("id").alias("draw"))
+        .join(F.broadcast(tot))
+        .select("draw", (h % F.col("tw")).alias("target"))
+    )
+    hit = (F.col("target") >= F.col("hi") - F.col("w")) & (
+        F.col("target") < F.col("hi")
+    )
+    return (
+        F.broadcast(targets)
+        .join(cdf, hit)
+        .select(
+            "draw", "doc_id", "source", F.col("w").alias("weight"), "target"
+        )
+    )

@@ -277,6 +277,172 @@ def compact_bucketed_store(
     )
 
 
+def _affected_bucket_files(
+    spark: SparkSession, keys: DataFrame, key_col: str, n_buckets: int, path: str
+) -> tuple[list[int], list]:
+    """(bucket ids, data-file Paths) the distinct ``key_col`` values in
+    ``keys`` hash-route to — the shared locality step of
+    :func:`forget_keys_in_store` and :func:`merge_upsert_in_store`.
+    The bucket id is ``pmod(murmur3(key), n)`` — the same expression
+    ``bucketBy`` routes writes with (and ``F.hash`` exposes) — so any
+    store row that could match a key lives in one of these files.
+    Driver state is bounded: at most ``n_buckets`` ids come back (one
+    collect_list row, the perceptron-trainer device)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path
+
+    row = (
+        keys.select(F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).alias("b"))
+        .distinct()
+        .groupBy()
+        .agg(F.collect_list("b").alias("bs"))
+        .first()
+    )
+    bucket_ids = sorted(row.bs) if row and row.bs else []
+    if not bucket_ids:
+        return [], []
+    fs, root = _fs_and_path(spark, path)
+    pat = re.compile(r"_(\d{5})(?:\.|$)")
+    wanted = set(bucket_ids)
+    files = []
+    for status in fs.listStatus(root):
+        fname = status.getPath().getName()
+        if not fname.endswith(".parquet"):
+            continue
+        m = pat.search(fname)
+        if m and int(m.group(1)) in wanted:
+            files.append(status.getPath())
+    return bucket_ids, files
+
+
+def merge_upsert_in_store(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    table_name: str,
+    schema: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    tombstone_col: str | None = None,
+) -> dict[str, int]:
+    """MERGE a CDC batch into a bucketed store, touching ONLY the
+    buckets the change keys hash to (the lakehouse ``MERGE INTO``:
+    matched → the change row replaces the store row, not matched →
+    insert; a true ``tombstone_col`` marks a delete instead).
+
+    ``changes`` must carry the store columns (plus the optional
+    tombstone flag) with AT MOST ONE row per ``bucket_cols[0]`` key —
+    a CDC batch is compacted to last-writer-wins BEFORE merging
+    (asserted; resolving intra-batch order is the upstream log's
+    contract, not a hash store's).
+
+    At 100 TB this is the update path the append-only folds lack: a
+    full-store rewrite per CDC batch is as untenable as one per
+    erasure.  Bucketing makes the merge local — the change set maps to
+    a bounded set of bucket ids (same collect_list device as
+    :func:`forget_keys_in_store`), only THOSE buckets' files are read,
+    anti-joined, unioned with the change rows, and rewritten; every
+    other bucket's files are untouched bytes (file-identity asserted
+    in tests/test_bucketed_merge.py).  Cost ∝ |affected buckets| ·
+    bucket size, independent of store size for localized change sets.
+
+    Single-writer maintenance op (the compaction contract): run
+    between epochs; delete-then-append is not atomic under concurrent
+    probes.  Returns counts: affected_buckets, files_rewritten,
+    rows_updated (matched, replaced), rows_inserted (unmatched),
+    rows_deleted (matched tombstones)."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsproject_spark.operators.fs import (
+        _fs_and_path,
+        hadoop_has_files,
+    )
+
+    key_col = bucket_cols[0]
+    n_changes = changes.count()
+    n_keys = changes.select(key_col).distinct().count()
+    if n_changes != n_keys:
+        raise ValueError(
+            f"merge_upsert_in_store: {n_changes} change rows over "
+            f"{n_keys} distinct {key_col} keys — compact the CDC batch "
+            "to one row per key (last-writer-wins) before merging"
+        )
+    store_cols = [f.split()[0] for f in schema.split(",")]
+    ts = (
+        F.col(tombstone_col).cast("boolean")
+        if tombstone_col is not None
+        else F.lit(False)
+    )
+    upserts = changes.filter(~F.coalesce(ts, F.lit(False))).select(*store_cols)
+    tombstones = changes.filter(F.coalesce(ts, F.lit(False))).select(key_col)
+
+    if not hadoop_has_files(spark, path):
+        n_ins = upserts.count()
+        if n_ins:
+            append_bucketed_store(
+                spark, upserts, path, table_name, bucket_cols, n_buckets
+            )
+        return {
+            "affected_buckets": 0,
+            "files_rewritten": 0,
+            "rows_updated": 0,
+            "rows_inserted": n_ins,
+            "rows_deleted": 0,
+        }
+    check_store_meta(spark, path, bucket_cols, n_buckets)
+    bucket_ids, affected_files = _affected_bucket_files(
+        spark, changes, key_col, n_buckets, path
+    )
+    fs, _root = _fs_and_path(spark, path)
+    paths = [p.toString() for p in affected_files]
+    old_rows = (
+        spark.read.schema(schema).parquet(*paths)
+        if paths
+        else spark.createDataFrame([], schema)
+    )
+    change_keys = changes.select(key_col).distinct()
+    # matched counts BEFORE touching files (the change set is the CDC
+    # batch — the broadcast side, same as the erasure's victim list)
+    n_upd = old_rows.join(
+        F.broadcast(upserts.select(key_col)), key_col, "left_semi"
+    ).count()
+    n_del = old_rows.join(
+        F.broadcast(tombstones), key_col, "left_semi"
+    ).count()
+    n_ins = upserts.count() - n_upd
+    kept = old_rows.join(
+        F.broadcast(change_keys), key_col, "left_anti"
+    ).unionByName(upserts)
+    # pin the merged rows before deleting their source files
+    kept = kept.localCheckpoint(eager=True)
+    n_kept = kept.count()
+    for p in affected_files:
+        fs.delete(p, False)
+    if n_kept > 0:
+        writer = (
+            kept.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+        )
+        if not spark.catalog.tableExists(table_name):
+            writer = writer.option("path", path)
+        writer.saveAsTable(table_name)
+    if spark.catalog.tableExists(table_name):
+        spark.sql(f"REFRESH TABLE {table_name}")
+    return {
+        "affected_buckets": len(bucket_ids),
+        "files_rewritten": len(affected_files),
+        "rows_updated": n_upd,
+        "rows_inserted": n_ins,
+        "rows_deleted": n_del,
+    }
+
+
 def forget_keys_in_store(
     spark: SparkSession,
     keys: DataFrame,
@@ -304,8 +470,6 @@ def forget_keys_in_store(
     between epochs; delete-then-append is not atomic under concurrent
     probes.  Returns counts: affected_buckets, files_rewritten,
     rows_deleted."""
-    import re
-
     from pyspark.sql import functions as F
 
     from kafkastreamsproject_spark.operators.fs import (
@@ -317,30 +481,12 @@ def forget_keys_in_store(
         return {"affected_buckets": 0, "files_rewritten": 0, "rows_deleted": 0}
     check_store_meta(spark, path, bucket_cols, n_buckets)
     key_col = bucket_cols[0]
-    # bounded: at most n_buckets ids come back (one collect_list row,
-    # the perceptron-trainer driver-state device)
-    row = (
-        keys.select(
-            F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).alias("b")
-        )
-        .distinct()
-        .groupBy()
-        .agg(F.collect_list("b").alias("bs"))
-        .first()
+    bucket_ids, affected_files = _affected_bucket_files(
+        spark, keys, key_col, n_buckets, path
     )
-    bucket_ids = sorted(row.bs) if row and row.bs else []
     if not bucket_ids:
         return {"affected_buckets": 0, "files_rewritten": 0, "rows_deleted": 0}
-    fs, root = _fs_and_path(spark, path)
-    pat = re.compile(r"_(\d{5})(?:\.|$)")
-    affected_files = []
-    for status in fs.listStatus(root):
-        fname = status.getPath().getName()
-        if not fname.endswith(".parquet"):
-            continue
-        m = pat.search(fname)
-        if m and int(m.group(1)) in set(bucket_ids):
-            affected_files.append(status.getPath())
+    fs, _root = _fs_and_path(spark, path)
     if not affected_files:
         return {
             "affected_buckets": len(bucket_ids),

@@ -87,6 +87,9 @@ SANCTIONED_BNLJ = {
     # 1-row (Nt, Nr) totals broadcast into the raw-side scoring scan
     # (the two frequency tables join as bounded equi-joins)
     "dsir_importance_weights": "agg",
+    # 64 draw targets (range × 1-row total-weight aggregate) broadcast
+    # against the corpus-CDF interval match
+    "weighted_inverse_cdf_sample": "agg",
     # per-FK-edge 1-row aggregate pairs (orphans × total) broadcast
     "fk_orphan_audit": "agg",
     # 1-row corpus stats (N, avgdl, per-term df) broadcast into the

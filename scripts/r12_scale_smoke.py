@@ -103,7 +103,7 @@ def _epochs(docs, n_epochs: int):
     ]
 
 
-def smoke_line_store(spark, docs, root: str, label: str) -> dict:
+def smoke_line_store(spark, docs, root: str, label: str, width: int = WIDTH, epochs: int = EPOCHS) -> dict:
     from kafkastreamsproject_spark.streaming.linededup import (
         _read_store,
         fresh_against_store,
@@ -114,9 +114,9 @@ def smoke_line_store(spark, docs, root: str, label: str) -> dict:
 
     store = f"{root}/line_{label}"
     walls, kept = [], 0
-    for batch in _epochs(docs, EPOCHS):
+    for batch in _epochs(docs, epochs):
         t0 = time.perf_counter()
-        stats = line_dedup_ingest_batch(batch, store, n_buckets=WIDTH)
+        stats = line_dedup_ingest_batch(batch, store, n_buckets=width)
         kept += int(
             stats.agg(F.coalesce(F.sum("n_kept"), F.lit(0))).first()[0]
         )
@@ -140,9 +140,9 @@ def smoke_line_store(spark, docs, root: str, label: str) -> dict:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         probe = fresh_against_store(
-            batch_first, _read_store(spark, f"{store}/lines", WIDTH)
+            batch_first, _read_store(spark, f"{store}/lines", width)
         )
-        with shuffle_scoped_to_buckets(spark, WIDTH):
+        with shuffle_scoped_to_buckets(spark, width):
             plan = _plan_of(probe)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -157,7 +157,7 @@ def smoke_line_store(spark, docs, root: str, label: str) -> dict:
     }
 
 
-def smoke_novelty_store(spark, docs, root: str, label: str) -> dict:
+def smoke_novelty_store(spark, docs, root: str, label: str, width: int = WIDTH, epochs: int = EPOCHS) -> dict:
     from kafkastreamsproject_spark.streaming.novelty import (
         _read_store,
         doc_trigram_hashes,
@@ -167,9 +167,9 @@ def smoke_novelty_store(spark, docs, root: str, label: str) -> dict:
 
     store = f"{root}/nov_{label}"
     walls, novel = [], 0
-    for batch in _epochs(docs, EPOCHS):
+    for batch in _epochs(docs, epochs):
         t0 = time.perf_counter()
-        stats = novelty_ingest_batch(batch, store, n_buckets=WIDTH)
+        stats = novelty_ingest_batch(batch, store, n_buckets=width)
         novel += int(
             stats.agg(F.coalesce(F.sum("n_novel"), F.lit(0))).first()[0]
         )
@@ -184,9 +184,9 @@ def smoke_novelty_store(spark, docs, root: str, label: str) -> dict:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         probe = fresh_against_store(
-            batch_first, _read_store(spark, f"{store}/trigrams", WIDTH)
+            batch_first, _read_store(spark, f"{store}/trigrams", width)
         )
-        with shuffle_scoped_to_buckets(spark, WIDTH):
+        with shuffle_scoped_to_buckets(spark, width):
             plan = _plan_of(probe)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -201,7 +201,7 @@ def smoke_novelty_store(spark, docs, root: str, label: str) -> dict:
     }
 
 
-def smoke_neardup_store(spark, docs, root: str, label: str) -> dict:
+def smoke_neardup_store(spark, docs, root: str, label: str, width: int = WIDTH, epochs: int = EPOCHS) -> dict:
     from kafkastreamsproject_spark.streaming.neardup import (
         doc_signatures,
         ingest_batch,
@@ -212,7 +212,7 @@ def smoke_neardup_store(spark, docs, root: str, label: str) -> dict:
     store = f"{root}/nd_{label}"
     table = f"r12_banded_{label}"
     walls, admitted = [], 0
-    for batch in _epochs(docs, EPOCHS):
+    for batch in _epochs(docs, epochs):
         t0 = time.perf_counter()
         _m, acc = ingest_batch(batch, store)
         admitted += acc.count()
@@ -220,7 +220,7 @@ def smoke_neardup_store(spark, docs, root: str, label: str) -> dict:
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     t0 = time.perf_counter()
-    materialize_banded_store(spark, store, table, n_buckets=WIDTH)
+    materialize_banded_store(spark, store, table, n_buckets=width)
     t_band = round(time.perf_counter() - t0, 2)
 
     batch = doc_signatures(docs.filter(F.col("doc_id") < 200))
@@ -228,7 +228,7 @@ def smoke_neardup_store(spark, docs, root: str, label: str) -> dict:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         cands = probe_banded_store(batch, spark, table)
-        with shuffle_scoped_to_buckets(spark, WIDTH):
+        with shuffle_scoped_to_buckets(spark, width):
             plan = _plan_of(cands)
         t0 = time.perf_counter()
         n_cands = cands.count()
@@ -252,8 +252,8 @@ def smoke_neardup_store(spark, docs, root: str, label: str) -> dict:
     }
 
 
-def run_funnel(spark) -> dict:
-    docs = _funnel_corpus(spark, SF_DIR, N)
+def run_funnel(spark, n: int = N) -> dict:
+    docs = _funnel_corpus(spark, SF_DIR, n)
     full = load_table(spark, "documents", SF_DIR)
     # classifier seed labeled by an independent rule (char length) —
     # the r11 smoke's construction, over the base corpus
