@@ -1114,3 +1114,90 @@ def store_merge_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(store, ignore_errors=True)
+
+
+@register(
+    "streaming_cdc_merge_replay",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey % 1000 AS k,
+             o_orderkey % 3 AS batch,
+             o_orderkey AS seq,
+             o_orderstatus AS status,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c,
+             (o_orderkey % 13 = 5) AS deleted
+      FROM orders
+    ),
+    win AS (
+      SELECT k, status, total_c, deleted,
+             row_number() OVER (
+               PARTITION BY k ORDER BY batch DESC, seq DESC) AS rn
+      FROM ev
+    )
+    SELECT k, status, total_c FROM win WHERE rn = 1 AND NOT deleted
+    """,
+    tags=("ingest", "streaming", "storage"),
+    tier="shadow",
+)
+def streaming_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three CDC micro-batches folded into the bucketed store
+    (streaming/cdcmerge.py): orders become change events — key =
+    o_orderkey mod 1000 (so keys are hit repeatedly), seq = the order
+    key (the log offset), batch = o_orderkey mod 3 applied in order,
+    payload = (status, total cents), tombstones where o_orderkey mod
+    13 = 5 — and the final store content is emitted.  The oracle
+    states the CDC-apply contract in one window: each key's final row
+    is the winning event (max seq) of the LAST batch that touched it,
+    absent if that event is a tombstone — (batch, seq) lexicographic
+    last-writer-wins, including re-insert-after-delete and
+    delete-reappearing-later sequences, which the replay exercises for
+    real (every batch both inserts, updates, and deletes against keys
+    the earlier batches wrote).
+
+    Scale shape: per batch, one key-partitioned window over the BATCH
+    (never the store) for compaction, then the bucket-local merge —
+    store cost ∝ affected buckets, and the store never re-shuffles.
+    ``floor(price·100)`` keeps the payload in exact integer cents on
+    both engines."""
+    from kafkastreamsproject_spark.streaming.cdcmerge import (
+        cdc_merge_ingest_batch,
+    )
+
+    schema = "k bigint, status string, total_c bigint"
+    n_buckets = 8
+    orders = load_table(spark, "orders", sf_dir)
+    ev = orders.select(
+        (F.col("o_orderkey") % 1000).alias("k"),
+        (F.col("o_orderkey") % 3).alias("batch"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).alias("total_c"),
+        (F.col("o_orderkey") % 13 == 5).alias("deleted"),
+    )
+    store = tempfile.mkdtemp(prefix="cdc_store_")
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+
+    table = store_table_name("cdc_store", f"{store}/rows")
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        for b in range(3):
+            cdc_merge_ingest_batch(
+                ev.filter(F.col("batch") == b).drop("batch"),
+                store,
+                schema,
+                "k",
+                "seq",
+                n_buckets,
+                tombstone_col="deleted",
+            )
+        from kafkastreamsproject_spark.sources.bucketed import (
+            read_bucketed_store,
+        )
+
+        out = read_bucketed_store(
+            spark, f"{store}/rows", table, schema, ["k"], n_buckets
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)
