@@ -52,18 +52,18 @@ def compact_cdc_batch(batch: DataFrame, key_col: str, seq_col: str) -> DataFrame
     is on the key — the same partitioning the merge's bucket routing
     needs downstream.
 
-    A duplicated (key, seq) pair would make the winner's PAYLOAD
-    arbitrary (row_number's tie order is partition-layout-dependent —
-    exactly the nondeterminism this repo bans), and with a real log
-    offset as seq it cannot happen — so it is treated as upstream
-    corruption and raised executor-side (the joins.py assert_true
-    device: ``lead(seq)`` over the SAME window spec costs no extra
-    shuffle, and the guard sits in the filter predicate where Catalyst
-    cannot prune it)."""
+    A (key, seq) duplicated AT THE TOP of a key's order would make the
+    winner's PAYLOAD arbitrary (row_number's tie order is
+    partition-layout-dependent — exactly the nondeterminism this repo
+    bans), and with a real log offset as seq it cannot happen — so it
+    is treated as upstream corruption and raised executor-side (the
+    joins.py assert_true device: ``lead(seq)`` over the SAME window
+    spec costs no extra shuffle, and the guard sits in the filter
+    predicate where Catalyst cannot prune it).  Ties strictly below
+    the winner don't affect the output and are not checked."""
     w = W.partitionBy(key_col).orderBy(F.col(seq_col).desc())
     guard = F.assert_true(
-        F.lead(seq_col).over(w).isNull()
-        | (F.lead(seq_col).over(w) != F.col(seq_col)),
+        F.col("__nxt").isNull() | (F.col("__nxt") != F.col(seq_col)),
         F.concat(
             F.lit(f"duplicate ({key_col}, {seq_col}) in CDC batch at key "),
             F.col(key_col).cast("string"),
@@ -71,8 +71,9 @@ def compact_cdc_batch(batch: DataFrame, key_col: str, seq_col: str) -> DataFrame
     )
     return (
         batch.withColumn("__lww", F.row_number().over(w))
+        .withColumn("__nxt", F.lead(seq_col).over(w))
         .filter((F.col("__lww") == 1) & guard.isNull())
-        .drop("__lww")
+        .drop("__lww", "__nxt")
     )
 
 
