@@ -117,11 +117,19 @@ def py_window_hashes(s: str, w: int, stride: int) -> list[str]:
 # runs), and a pinned set of known-nasty shapes
 # ---------------------------------------------------------------------------
 
+# Exclude the surrogate category (Cs): a LONE surrogate is legal in a
+# Python str but not encodable as UTF-8, so the JVM round-trip maps it
+# to U+FFFD and the comparison fails on an input that can never reach
+# these expressions from parquet-decoded text.  Paired surrogates are
+# covered anyway — hypothesis emits astral-plane codepoints directly.
+_CHARS = st.characters(exclude_categories=("Cs",))
 _WORD = st.text(
-    alphabet=st.characters(exclude_characters=" "), min_size=0, max_size=6
+    alphabet=st.characters(exclude_characters=" ", exclude_categories=("Cs",)),
+    min_size=0,
+    max_size=6,
 )
 TEXTS = st.one_of(
-    st.text(max_size=60),
+    st.text(alphabet=_CHARS, max_size=60),
     st.lists(_WORD, min_size=0, max_size=14).map(" ".join),
     st.sampled_from(
         [
