@@ -242,7 +242,17 @@ def curate_corpus(
     # long-lived session otherwise grow block-manager memory)
     _stage_ckpts: list[DataFrame] = []
     with cache_scope():
-        exact = scoped_persist(exact)
+        # eager localCheckpoint, NOT persist — the same unfinalized-
+        # cached-AQE-plan pathology the r12 scale smoke caught on the
+        # anti-join below, this time on the window output: with
+        # scoped_persist(exact) the near-dup stage's consumers (the
+        # signature build and the anti-join) re-execute work above the
+        # cache instead of reading it, measured at the 100× corpus as
+        # 96.7 s for the near-dup stage vs 36.9 s over pinned rows
+        # (survivor counts byte-identical).  Tracked for release once
+        # `packed` materializes.
+        exact = exact.localCheckpoint(eager=True)
+        _stage_ckpts.append(exact)
         n_exact = exact.count()
         _mark("exact_dedup")
 
