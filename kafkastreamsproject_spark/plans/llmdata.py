@@ -2758,3 +2758,64 @@ def weighted_inverse_cdf_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "draw", "doc_id", "source", F.col("w").alias("weight"), "target"
         )
     )
+
+
+@register(
+    "training_order_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
+               AS hpos
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, hpos,
+             row_number() OVER (ORDER BY hpos, doc_id) AS pos
+      FROM h
+    )
+    SELECT doc_id, hpos, pos,
+           CAST((pos - 1) % {_N_RANKS} AS INT) AS shard,
+           (pos - 1) // {_N_RANKS} AS step
+    FROM p
+    """,
+    tags=("llmdata", "sharding", "sampling"),
+    tier="shadow",
+)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-order last mile: a DETERMINISTIC global shuffle of
+    the corpus — every doc gets a dense 1..N position by portable hash
+    (md5 chars 25–32: independent of the split (9–16), sample (1–8)
+    and shard (17–24) windows), then round-robin over the shuffled
+    order assigns (shard, step): each rank reads its docs in step
+    order and the interleaved global order is the hash permutation.
+    shard_assignment_plan balances WHO gets each doc; this fixes WHEN
+    every doc is seen — the property that makes a run's data order
+    reproducible and auditable from the corpus alone (no RNG state),
+    resumable mid-epoch from a (shard, step) cursor.
+
+    Scale shape: the permutation is the two-level bucketed rank
+    (operators/prefixscan.py — range-bucket on the hash, rank within
+    buckets in parallel, |buckets|-row offset scan), never a
+    single-task global sort; text never moves, only (doc_id, hash)
+    pairs shuffle once."""
+    from kafkastreamsproject_spark.operators.prefixscan import bucketed_rank
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    hpos = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 25, 8), 16, 10
+    ).cast("long")
+    ranked = bucketed_rank(
+        docs.select("doc_id", hpos.alias("hpos")),
+        "hpos",
+        "doc_id",
+        out_col="pos",
+    )
+    pos = F.col("pos").cast("long")
+    return ranked.select(
+        "doc_id",
+        "hpos",
+        pos.alias("pos"),
+        ((pos - 1) % _N_RANKS).cast("int").alias("shard"),
+        F.expr(f"(cast(pos as bigint) - 1) div {_N_RANKS}").alias("step"),
+    )

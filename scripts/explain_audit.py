@@ -90,6 +90,9 @@ SANCTIONED_BNLJ = {
     # 64 draw targets (range × 1-row total-weight aggregate) broadcast
     # against the corpus-CDF interval match
     "weighted_inverse_cdf_sample": "agg",
+    # bucketed_rank's 1-row (lo, hi) bounds broadcast — the gini/zipf
+    # shape, ranking the hash permutation
+    "training_order_shuffle": "agg",
     # per-FK-edge 1-row aggregate pairs (orphans × total) broadcast
     "fk_orphan_audit": "agg",
     # 1-row corpus stats (N, avgdl, per-term df) broadcast into the
