@@ -202,3 +202,20 @@ def test_merge_replay_is_idempotent(spark, tmp_path):
     assert stats["rows_inserted"] == 0
     assert stats["rows_deleted"] == 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_merge_rejects_mismatched_store_width(spark, tmp_path):
+    """The _store_meta.json sidecar guards the merge like every other
+    store op: merging with a different n_buckets than the store was
+    created with must raise, not silently co-locate on wrong buckets."""
+    path = str(tmp_path / "mstore_w")
+    table = "t_merge_w"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    base = spark.createDataFrame([("a", 1)], SCHEMA)
+    append_bucketed_store(spark, base, path, table, ["k"], N_BUCKETS)
+    changes = spark.createDataFrame([("a", 2)], SCHEMA)
+    with pytest.raises(ValueError, match="n_buckets"):
+        merge_upsert_in_store(
+            spark, changes, path, table, SCHEMA, ["k"], N_BUCKETS * 2
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
