@@ -370,7 +370,9 @@ def merge_upsert_in_store(
             f"{n_keys} distinct {key_col} keys — compact the CDC batch "
             "to one row per key (last-writer-wins) before merging"
         )
-    store_cols = [f.split()[0] for f in schema.split(",")]
+    # parse the DDL properly — a naive comma-split breaks on nested
+    # types like decimal(10,2) or map<string,int>
+    store_cols = spark.createDataFrame([], schema).columns
     ts = (
         F.col(tombstone_col).cast("boolean")
         if tombstone_col is not None

@@ -93,7 +93,9 @@ def cdc_merge_ingest_batch(
     spark = batch.sparkSession
     path = f"{store_root}/rows"
     compacted = compact_cdc_batch(batch, key_col, seq_col)
-    keep = [f.split()[0] for f in schema.split(",")]
+    # parse the DDL properly — a naive comma-split breaks on nested
+    # types like decimal(10,2) or map<string,int>
+    keep = spark.createDataFrame([], schema).columns
     if tombstone_col is not None:
         keep = keep + [tombstone_col]
     return merge_upsert_in_store(

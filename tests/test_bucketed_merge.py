@@ -219,3 +219,37 @@ def test_merge_rejects_mismatched_store_width(spark, tmp_path):
             spark, changes, path, table, SCHEMA, ["k"], N_BUCKETS * 2
         )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_merge_handles_nested_type_schemas(spark, tmp_path):
+    """Column-name extraction must survive DDL with commas inside
+    types (decimal(10,2), map<string,int>) — a naive comma-split
+    would shred these."""
+    schema = "k string, v decimal(10,2), m map<string,int>"
+    path = str(tmp_path / "mstore_nested")
+    table = "t_merge_nested"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    from decimal import Decimal
+
+    base = spark.createDataFrame(
+        [("a", Decimal("1.50"), {"x": 1})], schema
+    )
+    append_bucketed_store(spark, base, path, table, ["k"], N_BUCKETS)
+    changes = spark.createDataFrame(
+        [("a", Decimal("2.25"), {"y": 2}, False),
+         ("b", Decimal("9.99"), {"z": 3}, False)],
+        schema + ", deleted boolean",
+    )
+    stats = merge_upsert_in_store(
+        spark, changes, path, table, schema, ["k"], N_BUCKETS,
+        tombstone_col="deleted",
+    )
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    rows = sorted(
+        (r.k, str(r.v), dict(r.m))
+        for r in read_bucketed_store(
+            spark, path, table, schema, ["k"], N_BUCKETS
+        ).collect()
+    )
+    assert rows == [("a", "2.25", {"y": 2}), ("b", "9.99", {"z": 3})]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
