@@ -2819,3 +2819,161 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((pos - 1) % _N_RANKS).cast("int").alias("shard"),
         F.expr(f"(cast(pos as bigint) - 1) div {_N_RANKS}").alias("step"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield–Lund–Thorup, JACM 2007): k weight-biased
+# draws WITHOUT replacement plus the threshold estimator that makes the
+# sample answer subset-sum queries unbiasedly.  Complements
+# weighted_inverse_cdf_sample (with replacement): an epoch-composition
+# draw tolerates repeats; an audit sample ("estimate total tokens from
+# 64 docs") must not double-count, and DLT is the scheme with
+# near-optimal subset-sum variance for that regime.
+# ---------------------------------------------------------------------------
+
+_DLT_K = 64
+_DLT_SCALE = 4294967296  # 2^32: u = h/2^32 ∈ (0,1], priority = w/u
+
+
+@register(
+    "priority_sample_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             greatest(coalesce(n_chars, 0), 1) AS w,
+             1 + ('0x' || substr(
+                    md5('prio-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, w, (w * {_DLT_SCALE}) // h AS priority
+      FROM w
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+      FROM p
+    ),
+    tau AS (
+      SELECT CAST(min(priority) AS BIGINT) AS tau
+      FROM r WHERE rk <= {_DLT_K} + 1
+    )
+    SELECT r.doc_id, r.source, CAST(r.w AS BIGINT) AS weight,
+           CAST(r.priority AS BIGINT) AS priority,
+           CAST(greatest(r.w, t.tau) AS BIGINT) AS w_hat
+    FROM r, tau t
+    WHERE r.rk <= {_DLT_K}
+    """,
+    tags=("llmdata", "sampling"),
+    tier="shadow",
+)
+def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k = 64 weight-biased draws WITHOUT replacement by priority
+    sampling (Duffield, Lund & Thorup 2007): each doc gets a portable
+    uniform u = h/2^32 from a salted hash (md5('prio-'||doc_id) chars
+    1-8, +1 so u ∈ (0,1]), priority q = w·2^32 // h in exact integers,
+    and the sample is the k highest priorities (ties broken by doc_id).
+    τ is the (k+1)-th priority; each sampled doc carries the threshold
+    estimator ŵ = max(w, τ), whose sum is an unbiased estimate of the
+    corpus's total weight — and of any subset's weight, restricted to
+    the subset — with near-optimal variance among k-sample schemes
+    (property-tested over salts in tests/test_priority_sample.py).
+    Weight = max(n_chars, 1), the mixture family's convention.
+
+    Scale shape: the k+1 survivors come from ONE TakeOrdered over the
+    corpus scan — per-partition top-(k+1) heaps, a (k+1)·|partitions|
+    driver merge, never a global sort Exchange.  τ (a 1-row aggregate
+    of the 65 cached rows) broadcasts back over the 64-row sample — a
+    machine-checked 'agg'-bounded BNLJ (testing/bnljbounds.py).  Only
+    (id, source, two longs) ever leave the scan; text stays put.
+    Overflow bound: exact while w < 2^31 (w·2^32 < 2^63), i.e. docs
+    under 2 GiB of chars — any real corpus row."""
+    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id",
+        "source",
+        F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1)).alias("w"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("prio-"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    )
+    p = (
+        docs.withColumn("h", h)
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            F.expr(f"(w * cast({_DLT_SCALE} as bigint)) div h").alias(
+                "priority"
+            ),
+        )
+    )
+    survivors = scoped_persist(
+        p.orderBy(F.desc("priority"), "doc_id").limit(_DLT_K + 1)
+    )
+    tau = survivors.agg(F.min("priority").cast("long").alias("tau"))
+    sample = survivors.orderBy(F.desc("priority"), "doc_id").limit(_DLT_K)
+    return sample.join(F.broadcast(tau)).select(
+        "doc_id",
+        "source",
+        F.col("w").cast("long").alias("weight"),
+        F.col("priority").cast("long").alias("priority"),
+        F.greatest(F.col("w"), F.col("tau")).cast("long").alias("w_hat"),
+    )
+
+
+@register(
+    "sketch_distinct_trigrams_by_source",
+    oracle=f"""
+    WITH tri AS (
+      SELECT source, unnest({_SQL_TRI_HASHES}) AS h
+      FROM documents
+      WHERE len({_SQL_TOKENS}) >= 3
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct_trigrams,
+           TRUE AS within_3sigma
+    FROM tri
+    GROUP BY source
+    """,
+    tags=("llmdata", "approx", "diagnostic"),
+    tier="shadow",
+)
+def sketch_distinct_trigrams_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source distinct-trigram vocabulary size — the batch twin of
+    the mergeable-sketch ingest store (streaming/distinctsketch.py),
+    verified the approx_distinct_users way: DataSketches HLL values are
+    engine-specific, so the oracle-hashed columns are the EXACT
+    distinct count (DuckDB reproduces it) plus a Spark-computed
+    ``within_3sigma`` flag asserting the store's own estimation path
+    (hll_sketch_agg at lg_k=12 → hll_sketch_estimate, rse ≈ 1.6%)
+    lands within ±5% (~3σ) of exact.  The exact side is the one-shot
+    cost the store amortizes away: at 100 TB the countDistinct shuffles
+    every distinct (source, h) pair once, while the sketch path
+    shuffles |sources|·|partitions| fixed-size register blocks — the
+    readout a dashboard polls per epoch without touching the corpus.
+
+    Trigram hashes build in-row before the explode (text never
+    shuffles), the repetition/novelty discipline."""
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    toks = TX.tokens(F.col("text"))
+    tri = docs.filter(F.size(toks) >= 3).select(
+        "source",
+        F.explode(H.hash_list(TX.shingles(F.col("text"), 3))).alias("h"),
+    )
+    exact = F.countDistinct("h")
+    est = F.hll_sketch_estimate(F.hll_sketch_agg("h", F.lit(12)))
+    return tri.groupBy("source").agg(
+        exact.alias("exact_distinct_trigrams"),
+        ((F.abs(est - exact) / exact) <= F.lit(0.05)).alias("within_3sigma"),
+    )

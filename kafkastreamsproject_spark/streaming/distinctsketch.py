@@ -1,0 +1,146 @@
+"""Incremental distinct counting at ingest — mergeable HyperLogLog
+sketches per group, maintained as shards arrive.
+
+A curation deployment tracks "how many DISTINCT trigram hashes / users /
+urls has each source contributed so far" continuously; at 100 TB the
+exact answer needs either a corpus-wide recount per epoch or a
+corpus-sized distinct store.  The mergeable-sketch answer is neither:
+each batch folds into one fixed-size Apache DataSketches HLL sketch per
+group (Spark ships these as built-in JVM aggregates —
+``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate`` — with
+map-side partial aggregation), and the persisted state is a few KB per
+group at ANY corpus size.  Sketch union is a register-wise max:
+associative, commutative, and IDEMPOTENT — replaying a crashed epoch
+unions the same registers again and changes nothing, so exactly-once
+accounting needs no dedup ledger (tests/test_distinct_sketch.py pins
+all three properties plus the error envelope).
+
+Exactness fine print: estimates are identical across epoch-fold ORDERS
+and across replays (same registers), but a split fold is not
+bit-identical to a one-shot build — the union gadget's target
+representation (HLL_8 with rebuilt curMin/exception state) differs
+from the direct HLL_4 build, shifting the readout by well under 1σ
+(measured 0.6% at ~1.7k distinct/group, lg_k=12).  Accuracy claims
+therefore go through the 3σ envelope, never through cross-path
+equality.
+
+Store species: SNAPSHOT store (streaming/centroids.py discipline, the
+opposite of the bucketed append stores): |groups| rows of
+(g, sketch binary), overwritten whole under ``epoch=<n>/`` — replay
+rebuilds from the predecessor's unchanged snapshot and rewrites the
+same registers.  The batch side aggregates before anything shuffles
+(partial sketches per partition, one |groups|-row merge); the store is
+read whole and written whole, never shuffled.
+
+Reference scope: the reference's stateful aggregations
+(processing/src/main logic re-expressed in plans/reference.py) keep
+exact per-key state; this module is the scale extension for the
+distinct-counting family where exact state is corpus-sized
+(plans/relational.py:approx_distinct_users is the one-shot batch twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SKETCH_SCHEMA = "g string, sketch binary"
+#: 2^12 registers → relative standard error ≈ 1.04/√4096 ≈ 1.6%; the
+#: 3σ envelope the tests assert is ±5%.  One sketch ≈ 2-4 KB.
+LG_K = 12
+
+
+def batch_group_sketches(
+    batch: DataFrame, group_col: str, key_col: str, lg_k: int = LG_K
+) -> DataFrame:
+    """|groups| rows of (g, sketch) for ONE batch: partial sketches
+    build map-side per partition (the aggregate's partial-merge path),
+    so only |groups|·|partitions| fixed-size register blocks shuffle —
+    never the keys themselves."""
+    return batch.groupBy(F.col(group_col).cast("string").alias("g")).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch")
+    )
+
+
+def _epoch_dir(store_path: str, epoch: int) -> str:
+    return f"{store_path}/epoch={epoch}"
+
+
+def read_sketch_store(
+    spark: SparkSession, store_path: str, epoch: int
+) -> DataFrame | None:
+    """The snapshot written by ``epoch``'s predecessor (None before the
+    first fold)."""
+    from kafkastreamsproject_spark.operators.fs import hadoop_has_files
+
+    prev = _epoch_dir(store_path, epoch - 1)
+    if epoch <= 0 or not hadoop_has_files(spark, prev):
+        return None
+    return spark.read.schema(_SKETCH_SCHEMA).parquet(prev)
+
+
+def sketch_estimates(store: DataFrame) -> DataFrame:
+    """(g, n_distinct_est) — the readout; estimation is a pure function
+    of the registers, so equal-register stores read out identically."""
+    return store.select(
+        "g", F.hll_sketch_estimate("sketch").alias("n_distinct_est")
+    ).orderBy("g")
+
+
+def sketch_ingest_batch(
+    batch: DataFrame,
+    store_path: str,
+    epoch: int,
+    group_col: str,
+    key_col: str,
+    lg_k: int = LG_K,
+) -> DataFrame:
+    """Fold one micro-batch into the per-group sketch store and return
+    the post-fold estimates (g, n_distinct_est).
+
+    Union discipline: the previous snapshot's |groups| rows union with
+    the batch's |groups| rows through ``hll_union_agg`` — register max,
+    so a replayed epoch t rebuilds from epoch t−1's (unchanged)
+    snapshot and overwrites epoch t with identical registers."""
+    spark = batch.sparkSession
+    cur = batch_group_sketches(batch, group_col, key_col, lg_k)
+    prev = read_sketch_store(spark, store_path, epoch)
+    merged = (
+        cur
+        if prev is None
+        else prev.unionByName(cur)
+        .groupBy("g")
+        .agg(F.hll_union_agg("sketch", F.lit(True)).alias("sketch"))
+    )
+    # pin the snapshot before writing: the merged plan reads epoch-1,
+    # never the directory being written
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(_epoch_dir(store_path, epoch))
+    return sketch_estimates(merged)
+
+
+def to_sketch_ingest_sink(
+    rows: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    out_table: str,
+    group_col: str,
+    key_col: str,
+    lg_k: int = LG_K,
+):
+    """Streaming form: fold each micro-batch through
+    :func:`sketch_ingest_batch` and publish the running per-group
+    estimates to a global temp view (test double for a metrics sink)."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        est = sketch_ingest_batch(
+            batch_df, store_path, int(epoch_id), group_col, key_col, lg_k
+        )
+        est.createOrReplaceGlobalTempView(out_table)
+
+    return (
+        rows.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -90,6 +90,9 @@ SANCTIONED_BNLJ = {
     # 64 draw targets (range × 1-row total-weight aggregate) broadcast
     # against the corpus-CDF interval match
     "weighted_inverse_cdf_sample": "agg",
+    # 1-row τ aggregate over the cached TakeOrdered(k+1) survivors,
+    # broadcast back over the 64-row sample
+    "priority_sample_topk": "agg",
     # bucketed_rank's 1-row (lo, hi) bounds broadcast — the gini/zipf
     # shape, ranking the hash permutation
     "training_order_shuffle": "agg",

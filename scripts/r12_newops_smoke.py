@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Scale smoke for the round-12 additions: priority_sample_topk and
+the mergeable-HLL distinct-sketch family, each at sf0.01 vs sf0.1
+(10x data) with a discarded warm-up pass so the ratio is signal, not
+JVM warm-up (VERDICT r11 "what's wrong" #2).  Also folds the sketch
+store over a 10x batch series to show per-epoch cost is flat as the
+store grows (the whole point of a KB-sized snapshot state).
+
+Results merge into smokes/r12.json under ``new_ops``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.plans.registry import shadow_queries
+from kafkastreamsproject_spark.session import get_spark
+from kafkastreamsproject_spark.streaming.distinctsketch import (
+    sketch_ingest_batch,
+)
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+
+
+def _wall(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def query_leg(spark, name: str) -> dict:
+    spec = shadow_queries()[name]
+    _wall(lambda: spec.spark(spark, SF_SMALL).count())  # warm-up, discarded
+    small = _wall(lambda: spec.spark(spark, SF_SMALL).count())
+    big = _wall(lambda: spec.spark(spark, SF_BIG).count())
+    return {"sf001_s": small, "sf01_s": big, "ratio_10x": round(big / small, 2)}
+
+
+def sketch_fold_leg(spark) -> dict:
+    """Per-epoch sketch-fold wall as the covered corpus grows 10x:
+    epoch k folds an equal-sized slice; flat walls = store-size
+    independence (the snapshot is KB regardless of history)."""
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 8).cast("string").alias("g"),
+            (F.col("id") / 3).cast("long").alias("k"),
+        )
+
+    n = 2_000_000  # per-epoch slice
+    with tempfile.TemporaryDirectory(prefix="r12_sketch_") as td:
+        sketch_ingest_batch(rows(0, n), td + "/warm", 0, "g", "k")  # warm-up
+        walls = []
+        for e in range(10):
+            est = None
+
+            def fold(e=e):
+                nonlocal est
+                est = sketch_ingest_batch(
+                    rows(e * n, (e + 1) * n), td + "/s", e, "g", "k"
+                ).collect()
+
+            walls.append(_wall(fold))
+        total_est = sum(r.n_distinct_est for r in est)
+    return {
+        "epoch_rows": n,
+        "epoch_walls_s": walls,
+        "wall_ratio_last_vs_first": round(walls[-1] / walls[0], 2),
+        "final_total_estimate": int(total_est),
+    }
+
+
+def main() -> None:
+    spark = get_spark(app_name="r12-newops-smoke")
+    out = {
+        "warmup": "per-leg discarded warm-up pass (same query, small SF)",
+        "priority_sample_topk": query_leg(spark, "priority_sample_topk"),
+        "sketch_distinct_trigrams_by_source": query_leg(
+            spark, "sketch_distinct_trigrams_by_source"
+        ),
+        "sketch_store_fold_flatness": sketch_fold_leg(spark),
+    }
+    print(json.dumps(out, indent=2), flush=True)
+    repo = Path(__file__).resolve().parent.parent
+    target = repo / "smokes" / "r12.json"
+    existing = json.loads(target.read_text())
+    existing["new_ops"] = out
+    target.write_text(json.dumps(existing, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Mergeable HLL sketch store (streaming/distinctsketch.py): the three
+properties the module's exactly-once story rests on — fold-order
+invariance (associativity), replay idempotency (register max), and the
+3σ error envelope — plus the streaming foreachBatch form end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.streaming.distinctsketch import (
+    batch_group_sketches,
+    read_sketch_store,
+    sketch_estimates,
+    sketch_ingest_batch,
+    to_sketch_ingest_sink,
+)
+
+
+def _rows(spark, lo, hi):
+    """Synthetic (g, k) slice: group = id % 3, key = id // 7 — groups
+    interleave and keys repeat both within and across slices."""
+    return spark.range(lo, hi).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") / 7).cast("long").alias("k"),
+    )
+
+
+def _est(df):
+    return {r.g: r.n_distinct_est for r in df.collect()}
+
+
+def _exact(spark, lo, hi):
+    return {
+        r.g: r.n
+        for r in _rows(spark, lo, hi)
+        .groupBy("g")
+        .agg(F.countDistinct("k").alias("n"))
+        .collect()
+    }
+
+
+def test_epoch_folds_are_permutation_invariant(spark, tmp_path):
+    """Folding the same three slices in ANY epoch order reads out
+    IDENTICAL estimates (register max is commutative+associative), and
+    the split path lands within 1σ of the one-shot build.  The two
+    paths are NOT bit-identical — the union gadget's target
+    representation differs from the direct build's, shifting registers
+    by <1σ (module docstring) — so exactness is claimed only across
+    fold orders, accuracy only against the envelope."""
+    slices = [(0, 4000), (4000, 8000), (8000, 12000)]
+    outs = []
+    for tag, perm in [("a", (0, 1, 2)), ("b", (2, 0, 1)), ("c", (1, 2, 0))]:
+        sp = str(tmp_path / f"s3{tag}")
+        for e, si in enumerate(perm):
+            final = sketch_ingest_batch(_rows(spark, *slices[si]), sp, e, "g", "k")
+        outs.append(_est(final))
+    assert outs[0] == outs[1] == outs[2]
+    one = _est(
+        sketch_ingest_batch(_rows(spark, 0, 12000), str(tmp_path / "s1"), 0, "g", "k")
+    )
+    for g, n in one.items():
+        assert abs(outs[0][g] - n) / n <= 0.02, (g, outs[0][g], n)
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Re-running a crashed epoch rebuilds from the predecessor's
+    unchanged snapshot: estimates after the replay equal the first
+    run's exactly."""
+    sp = str(tmp_path / "replay")
+    sketch_ingest_batch(_rows(spark, 0, 5000), sp, 0, "g", "k")
+    first = _est(sketch_ingest_batch(_rows(spark, 5000, 9000), sp, 1, "g", "k"))
+    replay = _est(sketch_ingest_batch(_rows(spark, 5000, 9000), sp, 1, "g", "k"))
+    assert replay == first
+    # and self-union inside one fold changes nothing either
+    doubled = _est(
+        sketch_ingest_batch(
+            _rows(spark, 5000, 9000).unionAll(_rows(spark, 5000, 9000)),
+            sp,
+            1,
+            "g",
+            "k",
+        )
+    )
+    assert doubled == first
+
+
+def test_estimates_within_3sigma_envelope(spark, tmp_path):
+    """lg_k=12 → rse ≈ 1.04/√4096 ≈ 1.6%; assert every per-group
+    estimate lands within ±5% (~3σ) of the exact distinct count."""
+    sp = str(tmp_path / "env")
+    est = _est(sketch_ingest_batch(_rows(spark, 0, 30000), sp, 0, "g", "k"))
+    exact = _exact(spark, 0, 30000)
+    assert set(est) == set(exact)
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n <= 0.05, (g, est[g], n)
+
+
+def test_cross_group_union_estimates_global_distinct(spark, tmp_path):
+    """Mergeability across GROUPS too: union-aggregating all group
+    sketches estimates the global distinct count — the rollup a
+    dashboard computes from the store without touching the corpus."""
+    sketches = batch_group_sketches(_rows(spark, 0, 30000), "g", "k")
+    glob = sketches.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sketch", F.lit(True))
+        ).alias("n")
+    ).collect()[0].n
+    exact = _rows(spark, 0, 30000).select("k").distinct().count()
+    assert abs(glob - exact) / exact <= 0.05
+
+
+def test_streaming_sink_folds_per_microbatch(spark, tmp_path):
+    """The foreachBatch form over a file stream: per-epoch folds land
+    in the snapshot store and the published view carries the final
+    running estimates (same numbers as one batch fold)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, 6000), (6000, 12000)]):
+        _rows(spark, lo, hi).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("g string, k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    sp = str(tmp_path / "stream_store")
+    q = to_sketch_ingest_sink(
+        stream, sp, str(tmp_path / "ckpt"), "sketch_est_t", "g", "k"
+    )
+    q.processAllAvailable()
+    q.stop()
+    # the store's last snapshot reads out exactly like a manual fold of
+    # the same two slices (any order — permutation invariance)
+    store = read_sketch_store(spark, sp, epoch=2)
+    assert store is not None
+    got = _est(sketch_estimates(store))
+    manual = str(tmp_path / "manual")
+    for e, (lo, hi) in enumerate([(0, 6000), (6000, 12000)]):
+        want_df = sketch_ingest_batch(_rows(spark, lo, hi), manual, e, "g", "k")
+    want = _est(want_df)
+    assert got == want
+    view = _est(spark.table("global_temp.sketch_est_t"))
+    assert view == want
