@@ -1201,3 +1201,67 @@ def streaming_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(store, ignore_errors=True)
+
+
+def _bm25_index_oracle() -> str:
+    # the incremental index's final state IS the batch answer: reuse
+    # the batch scorer's oracle verbatim (plans/text.py)
+    from kafkastreamsproject_spark.plans.text import _bm25_sql
+
+    return _bm25_sql()
+
+
+@register(
+    "streaming_bm25_index",
+    oracle_fn=_bm25_index_oracle,
+    tags=("text", "retrieval", "streaming"),
+    tier="shadow",
+)
+def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch replay of INCREMENTAL inverted-index maintenance
+    (streaming/bm25index.py): the corpus split by doc_id parity folds
+    through the bucketed postings + seen-ledger stores as two
+    micro-batches, then the fixed three-term query is answered FROM
+    THE STORES — per-term postings probe (pushed ``t IN`` filter),
+    1-row df aggregate, N/avgdl from the seen ledger — and the result
+    must score bit-identically to the batch bm25_retrieval rescan of
+    the union corpus, which is exactly what the DuckDB oracle
+    computes.  tf/dl/df/dl_sum stay integers across any epoch split,
+    so the equality is exact, not approximate; the scorer re-creates
+    the batch expression with pinned literals and term order (6-dp
+    round).
+
+    Scale shape: the fold probes only the doc_id-bucketed seen ledger
+    (bucket-key anti-join, zero store-side Exchange) and appends
+    postings blindly — ingest never reads the postings store; the
+    query touches only the query terms' rows (shuffle ∝ matching
+    postings, never ∝ corpus) — the serving decomposition
+    bm25_retrieval's full-scan plan cannot give you.  Replay
+    idempotency, duplicate-doc drops, compaction, and the probe plan
+    are pytest-pinned (tests/test_bm25_index.py)."""
+    from kafkastreamsproject_spark.plans.text import _BM25_TERMS
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        index_ingest_batch,
+        query_index,
+    )
+
+    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "text"
+    )
+    store = tempfile.mkdtemp(prefix="bm25_index_store_")
+    tables = [
+        store_table_name("bm25_postings", f"{store}/postings"),
+        store_table_name("bm25_seen", f"{store}/seen"),
+    ]
+    try:
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), store)
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), store)
+        out = query_index(spark, store, _BM25_TERMS).localCheckpoint(
+            eager=True
+        )
+        return out
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)

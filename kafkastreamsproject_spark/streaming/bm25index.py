@@ -1,0 +1,314 @@
+"""Incremental BM25 inverted-index maintenance at ingest — the
+retrieval index kept fresh as shards arrive.
+
+``plans/text.py:bm25_retrieval`` scores a query by RESCANNING the
+corpus: one pass computes per-document term frequencies, a 1-row stats
+aggregate broadcasts back, scoring is row-local.  That is the right
+plan for one-off analytics, and exactly the wrong one for a serving
+index — at 100 TB every query would re-read every document.  This
+module maintains the classic inverted-index decomposition instead, as
+two persistent stores folded per micro-batch:
+
+- **seen** (bucketed append store keyed on doc_id): one row
+  ``(doc_id, dl)`` per indexed document.  The per-batch freshness
+  probe anti-joins the batch against it ON THE BUCKET KEY, so the
+  store side plans ZERO Exchange (the streaming/novelty.py
+  discipline) — per-epoch probe cost ∝ batch, never ∝ corpus.  It is
+  also the corpus-stats ledger: N and avgdl derive from it by a
+  shuffle-free partial aggregate, so they can never double-count a
+  replayed or re-crawled document.
+- **postings** (bucketed append store keyed on the term): one row
+  ``(t, doc_id, tf, dl)`` per distinct (term, doc) of each FRESH
+  document.  Ingest never reads this store at all — freshness is
+  doc-granular via ``seen`` — so appends cost ∝ batch postings.  A
+  query probe reads only its terms' rows through a pushed
+  ``t IN (...)`` filter; the scoring shuffle is ∝ matching postings.
+
+Idempotency & crash windows (the to_rollup_store_sink /
+streaming/neardup.py contract): a fully-applied epoch replayed through
+:func:`index_ingest_batch` is a no-op — the seen probe yields nothing,
+postings append nothing, and stats re-derive identically because they
+aggregate the (unchanged) seen store rather than folding a snapshot.
+The streaming form additionally skips replayed epochs via
+``_applied_epochs`` markers, so the one non-atomic window — a crash
+AFTER the postings append and BEFORE the seen append, where a
+batch-level replay would re-append the same postings — is reachable
+only through the batch API; postings are written first because seen
+is the commit point (a doc not yet marked seen is fully re-indexed on
+replay; the reverse order would mark docs seen whose postings were
+never written — silent index loss).  A transactional table format
+would close the window; duplicate-doc ARRIVALS (same doc_id in a
+later batch, even with different text) are dropped at the seen probe
+— first-writer-wins at document granularity.
+
+Exactness: the maintained index scores BIT-IDENTICALLY to the batch
+scorer.  tf/dl/df are exact integers however the corpus is split into
+epochs, dl sums in longs, and :func:`query_index` re-creates the batch
+scorer's pinned expression (same literals, same left-to-right term
+order, same 6-dp round) — so the DuckDB batch-BM25 oracle verifies
+the incremental path end-to-end
+(``plans/ingest.py:streaming_bm25_index``) and replay/growth/
+compaction behavior is pytest-pinned (tests/test_bm25_index.py).
+
+Production note (100 TB): posting lists are term-skewed — stopword
+rows concentrate in their term's buckets.  The standard
+countermeasures compose with this layout unchanged: a df-cap/stopword
+blocklist at append time, or impact-ordered posting truncation;
+neither changes the probe plan.  Store widths follow the sizing rule
+in sources/bucketed.py; all folds against one store must use the
+width it was created with (enforced by the ``_store_meta.json``
+sidecar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.functions import text as TX
+from kafkastreamsproject_spark.sources.bucketed import (
+    append_bucketed_store,
+    compact_bucketed_store,
+    read_bucketed_store,
+    shuffle_scoped_to_buckets,
+    store_table_name,
+)
+
+_POSTINGS_SCHEMA = "t string, doc_id long, tf long, dl long"
+_SEEN_SCHEMA = "doc_id long, dl long"
+#: default store width, sized for the test SF (sizing rule:
+#: sources/bucketed.py — at least the ingest parallelism, 128-512 MB
+#: per bucket).
+N_BUCKETS = 8
+_K1 = 1.2
+_B = 0.75
+
+
+def doc_postings(docs: DataFrame) -> DataFrame:
+    """(t, doc_id, tf, dl) — one row per distinct (term, doc): term
+    frequency plus the doc's token length (constant per doc,
+    denormalized into the posting so scoring never rejoins a lengths
+    table).  Tokenization is the engine-wide TX.tokens split; docs
+    whose token list is empty contribute no postings (they still count
+    in the seen ledger)."""
+    toks = TX.tokens(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("t"),
+        )
+        .groupBy("t", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
+def _postings_path(store_path: str) -> str:
+    return f"{store_path}/postings"
+
+
+def _seen_path(store_path: str) -> str:
+    return f"{store_path}/seen"
+
+
+def read_postings(
+    spark: SparkSession, store_path: str, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    path = _postings_path(store_path)
+    return read_bucketed_store(
+        spark, path, store_table_name("bm25_postings", path),
+        _POSTINGS_SCHEMA, ["t"], n_buckets,
+    )
+
+
+def read_seen(
+    spark: SparkSession, store_path: str, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    path = _seen_path(store_path)
+    return read_bucketed_store(
+        spark, path, store_table_name("bm25_seen", path),
+        _SEEN_SCHEMA, ["doc_id"], n_buckets,
+    )
+
+
+def corpus_stats(spark: SparkSession, store_path: str,
+                 n_buckets: int = N_BUCKETS) -> DataFrame:
+    """1-row (n_docs, dl_sum) from the seen ledger — a shuffle-free
+    partial aggregate over 16 B/doc, idempotent by construction
+    because it reads state rather than folding a snapshot."""
+    return read_seen(spark, store_path, n_buckets).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0).cast("long")).alias("dl_sum"),
+    )
+
+
+def index_ingest_batch(
+    batch: DataFrame,
+    store_path: str,
+    n_buckets: int = N_BUCKETS,
+) -> dict:
+    """Fold one micro-batch of documents ``(doc_id, text)`` into the
+    index (the foreachBatch body).  Returns
+    ``{"docs_indexed": n, "postings_appended": m}``.  See the module
+    docstring for the idempotency contract and write order."""
+    spark = batch.sparkSession
+
+    with shuffle_scoped_to_buckets(spark, n_buckets):
+        toks = TX.tokens(F.col("text"))
+        docs = batch.select(
+            "doc_id", "text", F.size(toks).cast("long").alias("dl")
+        )
+        seen = read_seen(spark, store_path, n_buckets)
+        # doc-granular freshness: bucket-key anti-join, zero store-side
+        # Exchange; pins to the pre-append snapshot
+        fresh = docs.join(
+            seen.select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+
+        posts = doc_postings(fresh).localCheckpoint(eager=True)
+
+        # postings FIRST, seen second (the commit point) — module
+        # docstring has the crash-window analysis
+        p_path = _postings_path(store_path)
+        append_bucketed_store(
+            spark, posts, p_path, store_table_name("bm25_postings", p_path),
+            ["t"], n_buckets,
+        )
+        s_path = _seen_path(store_path)
+        append_bucketed_store(
+            spark, fresh.select("doc_id", "dl"), s_path,
+            store_table_name("bm25_seen", s_path), ["doc_id"], n_buckets,
+        )
+    return {
+        "docs_indexed": fresh.count(),
+        "postings_appended": posts.count(),
+    }
+
+
+def compact_postings(
+    spark: SparkSession, store_path: str, n_buckets: int = N_BUCKETS
+) -> int:
+    """Bound per-epoch small files in both stores (~1 file per bucket
+    after); run between epochs (single-writer window).  Returns the
+    postings store's data-file count after compaction."""
+    s_path = _seen_path(store_path)
+    compact_bucketed_store(
+        spark, s_path, store_table_name("bm25_seen", s_path),
+        _SEEN_SCHEMA, ["doc_id"], n_buckets,
+    )
+    p_path = _postings_path(store_path)
+    return compact_bucketed_store(
+        spark, p_path, store_table_name("bm25_postings", p_path),
+        _POSTINGS_SCHEMA, ["t"], n_buckets,
+    )
+
+
+def _score_expr(n_terms: int) -> Column:
+    """The batch scorer's pinned left-to-right score sum
+    (plans/text.py:bm25_retrieval) over columns tf{i}/df{i}/dl/n_docs/
+    avgdl — identical literals, identical order, so the incremental
+    path rounds to the same 6 decimals on both engines."""
+    score = None
+    for i in range(n_terms):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        s_i = (
+            idf
+            * (F.col(f"tf{i}") * F.lit(_K1 + 1.0))
+            / (
+                F.col(f"tf{i}")
+                + F.lit(_K1)
+                * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = s_i if score is None else score + s_i
+    return score
+
+
+def query_index(
+    spark: SparkSession,
+    store_path: str,
+    terms: tuple[str, ...],
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Score every indexed document matching ≥1 query term — from the
+    STORES alone, never the corpus: the postings probe pushes
+    ``t IN terms`` into the bucketed scan, df per term is a 1-row
+    aggregate of the same probe, and N/avgdl aggregate the seen
+    ledger.  Returns (doc_id, bm25), bit-identical to the batch
+    scorer over the union of every folded batch.  Single-writer
+    contract: run between folds (a query racing an in-flight fold
+    could see a posting whose doc is not yet in the ledger)."""
+    hits = read_postings(spark, store_path, n_buckets).filter(
+        F.col("t").isin(list(terms))
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.max("dl").cast("double").alias("dl"),
+        *[
+            F.sum(F.when(F.col("t") == w, F.col("tf")).otherwise(0))
+            .cast("double")
+            .alias(f"tf{i}")
+            for i, w in enumerate(terms)
+        ],
+    )
+    dfs = hits.agg(
+        *[
+            F.sum((F.col("t") == w).cast("long")).cast("double").alias(f"df{i}")
+            for i, w in enumerate(terms)
+        ]
+    )
+    corpus = corpus_stats(spark, store_path, n_buckets).select(
+        F.col("n_docs").cast("double").alias("n_docs"),
+        (F.col("dl_sum").cast("double") / F.col("n_docs").cast("double"))
+        .alias("avgdl"),
+    )
+    return (
+        per_doc.join(F.broadcast(dfs))
+        .join(F.broadcast(corpus))
+        .select(
+            "doc_id", F.round(_score_expr(len(terms)), 6).alias("bm25")
+        )
+    )
+
+
+def to_index_ingest_sink(
+    docs: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
+    n_buckets: int = N_BUCKETS,
+):
+    """Streaming form: fold each micro-batch through
+    :func:`index_ingest_batch`, skipping replayed epochs via
+    ``_applied_epochs`` markers (the to_rollup_store_sink idiom — this
+    is what keeps the batch API's one crash window unreachable in
+    streaming operation); with ``compact_every=k`` the stores compact
+    after every k-th applied epoch (between folds)."""
+    from kafkastreamsproject_spark.operators.fs import (
+        hadoop_exists,
+        hadoop_touch,
+    )
+
+    markers = f"{store_path}/_applied_epochs"
+    applied = {"n": 0}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{markers}/{epoch_id}.done"
+        if hadoop_exists(spark, marker):
+            return  # replayed epoch: already folded
+        index_ingest_batch(batch_df, store_path, n_buckets)
+        hadoop_touch(spark, marker)
+        applied["n"] += 1
+        if compact_every and applied["n"] % compact_every == 0:
+            compact_postings(spark, store_path, n_buckets)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

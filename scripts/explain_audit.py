@@ -93,6 +93,10 @@ SANCTIONED_BNLJ = {
     # 1-row τ aggregate over the cached TakeOrdered(k+1) survivors,
     # broadcast back over the 64-row sample
     "priority_sample_topk": "agg",
+    # 1-row df aggregate of the postings probe + 1-row N/avgdl
+    # aggregate of the seen ledger, broadcast into the per-doc scoring
+    # rollup (store scans, both below aggregates)
+    "streaming_bm25_index": "agg",
     # bucketed_rank's 1-row (lo, hi) bounds broadcast — the gini/zipf
     # shape, ranking the hash permutation
     "training_order_shuffle": "agg",

@@ -1,0 +1,155 @@
+"""Incremental BM25 inverted index (streaming/bm25index.py): exact
+agreement with the batch scorer, replay idempotency, duplicate-doc
+drops, living scores as the corpus grows, compaction safety, and the
+store plan shapes.  The cross-engine check runs in
+tests/test_shadow_queries.py (streaming_bm25_index vs the DuckDB
+batch-BM25 oracle)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from kafkastreamsproject_spark.plans.text import _BM25_TERMS, bm25_retrieval
+from kafkastreamsproject_spark.streaming.bm25index import (
+    compact_postings,
+    index_ingest_batch,
+    query_index,
+    read_postings,
+    read_seen,
+)
+
+TERMS = ("alpha", "beta", "gamma")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _scores(df):
+    return {r.doc_id: r.bm25 for r in df.collect()}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+B1 = [
+    (1, "alpha beta beta filler one"),
+    (2, "gamma filler two three"),
+    (3, "no match here at all"),
+]
+B2 = [
+    (4, "alpha alpha gamma"),
+    (5, "beta"),
+    (6, "filler only document"),
+]
+
+
+def test_incremental_index_matches_batch_scorer(spark, sf_dir, tmp_path):
+    """Folding the real corpus in two epochs then querying the stores
+    scores EXACTLY like the batch full-scan scorer — same floats, same
+    rows."""
+    store = str(tmp_path / "corpus_idx")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), store)
+    index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), store)
+    got = _scores(query_index(spark, store, _BM25_TERMS))
+    want = _scores(bm25_retrieval(spark, sf_dir))
+    assert got == want
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Re-folding a fully-applied batch is a no-op at every layer:
+    nothing indexed, nothing appended, scores (and the seen-derived
+    corpus stats under them) unchanged."""
+    store = str(tmp_path / "replay_idx")
+    index_ingest_batch(_docs(spark, B1), store)
+    first = index_ingest_batch(_docs(spark, B2), store)
+    assert first["docs_indexed"] == 3
+    assert first["postings_appended"] > 0
+    before = _scores(query_index(spark, store, TERMS))
+    replay = index_ingest_batch(_docs(spark, B2), store)
+    assert replay == {"docs_indexed": 0, "postings_appended": 0}
+    assert _scores(query_index(spark, store, TERMS)) == before
+
+
+def test_duplicate_doc_arrivals_are_dropped(spark, tmp_path):
+    """A doc_id that re-arrives in a LATER batch (re-crawl, even with
+    different text) is dropped at the seen probe — first-writer-wins
+    at document granularity, so tf/df/N never double-count."""
+    store = str(tmp_path / "dup_idx")
+    index_ingest_batch(_docs(spark, B1), store)
+    before = _scores(query_index(spark, store, TERMS))
+    res = index_ingest_batch(
+        _docs(spark, [(1, "alpha alpha alpha rewritten")]), store
+    )
+    assert res == {"docs_indexed": 0, "postings_appended": 0}
+    assert _scores(query_index(spark, store, TERMS)) == before
+    assert read_seen(spark, store).count() == 3
+
+
+def test_scores_are_corpus_relative_and_docs_persist(spark, tmp_path):
+    """A doc indexed in epoch 0 stays retrievable after epoch 1, and
+    its score MOVES — df/N/avgdl are corpus statistics, so new data
+    re-prices old documents without re-indexing them."""
+    store = str(tmp_path / "grow_idx")
+    index_ingest_batch(_docs(spark, B1), store)
+    e0 = _scores(query_index(spark, store, TERMS))
+    index_ingest_batch(_docs(spark, B2), store)
+    e1 = _scores(query_index(spark, store, TERMS))
+    assert set(e0) == {1, 2}
+    assert set(e1) == {1, 2, 4, 5}
+    assert e1[1] != e0[1]
+
+
+def test_compaction_preserves_scores(spark, tmp_path):
+    store = str(tmp_path / "compact_idx")
+    index_ingest_batch(_docs(spark, B1), store)
+    index_ingest_batch(_docs(spark, B2), store)
+    before = _scores(query_index(spark, store, TERMS))
+    n_files = compact_postings(spark, store)
+    assert n_files > 0
+    assert _scores(query_index(spark, store, TERMS)) == before
+
+
+def test_store_plan_shapes(spark, tmp_path):
+    """The two store disciplines, plan-asserted: (a) the query-side
+    postings probe pushes the term filter into the scan with zero
+    Exchange — the corpus-sized store never re-shuffles for a query;
+    (b) the ingest-side seen probe anti-joins ON THE BUCKET KEY, so
+    the store side scans its buckets in place (Bucketed: true, ≤1
+    Exchange — the batch side's only)."""
+    from kafkastreamsproject_spark.sources.bucketed import (
+        shuffle_scoped_to_buckets,
+    )
+    from kafkastreamsproject_spark.streaming.bm25index import N_BUCKETS
+
+    store = str(tmp_path / "plan_idx")
+    index_ingest_batch(_docs(spark, B1), store)
+
+    hits = read_postings(spark, store).filter(F.col("t").isin(list(TERMS)))
+    plan = _plan(hits)
+    assert re.search(r"PushedFilters: \[.*In\(t, ", plan), plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = _docs(spark, B2).join(
+            read_seen(spark, store).select("doc_id"), "doc_id", "left_anti"
+        )
+        with shuffle_scoped_to_buckets(spark, N_BUCKETS):
+            j_plan = _plan(probe)
+        assert "Bucketed: true" in j_plan, j_plan
+        assert len(re.findall(r"\(\d+\) Exchange", j_plan)) <= 1, j_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
