@@ -66,6 +66,34 @@ def _epoch_dir(store_path: str, epoch: int) -> str:
     return f"{store_path}/epoch={epoch}"
 
 
+def _check_lg_k(spark: SparkSession, store_path: str, lg_k: int) -> None:
+    """Sidecar guard (the sources/bucketed.py n_buckets discipline):
+    every fold against one store must use the lg_k it was created
+    with.  Without this, ``hll_union_agg(..., allowDifferentLgConfigK
+    =True)`` would ABSORB a mismatched width by silently downsampling
+    every sketch to the smaller register count — estimates would
+    degrade with no error anywhere."""
+    import json
+
+    from kafkastreamsproject_spark.operators.fs import (
+        hadoop_read_text,
+        hadoop_write_text,
+    )
+
+    meta_path = f"{store_path}/_sketch_meta.json"
+    text = hadoop_read_text(spark, meta_path)
+    if not text:
+        hadoop_write_text(spark, meta_path, json.dumps({"lg_k": lg_k}))
+        return
+    stored = json.loads(text)["lg_k"]
+    if stored != lg_k:
+        raise ValueError(
+            f"sketch store at {store_path} was created with lg_k={stored}; "
+            f"caller supplied lg_k={lg_k} — all folds against one store "
+            "must use the width it was created with"
+        )
+
+
 def read_sketch_store(
     spark: SparkSession, store_path: str, epoch: int
 ) -> DataFrame | None:
@@ -103,6 +131,7 @@ def sketch_ingest_batch(
     so a replayed epoch t rebuilds from epoch t−1's (unchanged)
     snapshot and overwrites epoch t with identical registers."""
     spark = batch.sparkSession
+    _check_lg_k(spark, store_path, lg_k)
     cur = batch_group_sketches(batch, group_col, key_col, lg_k)
     prev = read_sketch_store(spark, store_path, epoch)
     merged = (

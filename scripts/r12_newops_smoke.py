@@ -79,6 +79,82 @@ def sketch_fold_leg(spark) -> dict:
     }
 
 
+def bm25_fold_leg(spark) -> dict:
+    """Per-epoch BM25 index-fold wall as the indexed corpus grows 10x
+    (20k docs x ~50 tokens per epoch): flat walls = ingest cost is
+    batch-proportional (the seen probe is bucket-local and postings
+    are pure append); plus the query wall after 1 vs 10 epochs."""
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        index_ingest_batch,
+        query_index,
+    )
+
+    def docs(lo, hi):
+        body = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(50)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.hash(F.col("id") * 53 + i), F.lit(997)),
+                ),
+            ),
+        )
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"), body.alias("text")
+        )
+
+    n = 20_000
+    terms = ("w1", "w2", "w3")
+    td = tempfile.mkdtemp(prefix="r12_bm25_")
+    store = td + "/s"
+    try:
+        from kafkastreamsproject_spark.streaming.bm25index import (
+            compact_postings,
+        )
+
+        index_ingest_batch(docs(0, 2000), td + "/warm")  # warm-up
+        walls = []
+        q_after_1 = None
+        for e in range(10):
+            t0 = time.perf_counter()
+            index_ingest_batch(docs(e * n, (e + 1) * n), store)
+            walls.append(round(time.perf_counter() - t0, 2))
+            if e == 0:
+                q_after_1 = _wall(
+                    lambda: query_index(spark, store, terms).count()
+                )
+            # the production cadence (compact_every=3): without it the
+            # fold wall climbs with the append-log file count
+            # (measured 3.3 -> 8.3 s over 10 epochs); with it the
+            # series is flat
+            if (e + 1) % 3 == 0:
+                compact_postings(spark, store)
+        q_after_10 = _wall(lambda: query_index(spark, store, terms).count())
+        n_hits = query_index(spark, store, terms).count()
+    finally:
+        for prefix, sub in [
+            ("bm25_postings", "postings"), ("bm25_seen", "seen"),
+        ]:
+            for root in (store, td + "/warm"):
+                spark.sql(
+                    "DROP TABLE IF EXISTS "
+                    + store_table_name(prefix, f"{root}/{sub}")
+                )
+        import shutil
+
+        shutil.rmtree(td, ignore_errors=True)
+    return {
+        "epoch_docs": n,
+        "epoch_walls_s": walls,
+        "fold_wall_ratio_last_vs_first": round(walls[-1] / walls[0], 2),
+        "query_after_1_epoch_s": q_after_1,
+        "query_after_10_epochs_s": q_after_10,
+        "query_matched_docs": n_hits,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="r12-newops-smoke")
     out = {
@@ -88,6 +164,7 @@ def main() -> None:
             spark, "sketch_distinct_trigrams_by_source"
         ),
         "sketch_store_fold_flatness": sketch_fold_leg(spark),
+        "bm25_index_fold_flatness": bm25_fold_leg(spark),
     }
     print(json.dumps(out, indent=2), flush=True)
     repo = Path(__file__).resolve().parent.parent

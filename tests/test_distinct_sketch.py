@@ -143,3 +143,17 @@ def test_streaming_sink_folds_per_microbatch(spark, tmp_path):
     assert got == want
     view = _est(spark.table("global_temp.sketch_est_t"))
     assert view == want
+
+
+def test_mismatched_lg_k_fold_is_rejected(spark, tmp_path):
+    """The _sketch_meta.json sidecar guard: folding an existing store
+    with a different lg_k must raise instead of letting
+    allowDifferentLgConfigK silently downsample every sketch."""
+    import pytest
+
+    sp = str(tmp_path / "widths")
+    sketch_ingest_batch(_rows(spark, 0, 2000), sp, 0, "g", "k", lg_k=12)
+    with pytest.raises(ValueError, match="lg_k=12"):
+        sketch_ingest_batch(_rows(spark, 2000, 4000), sp, 1, "g", "k", lg_k=10)
+    # the matching width still folds
+    sketch_ingest_batch(_rows(spark, 2000, 4000), sp, 1, "g", "k", lg_k=12)
