@@ -1265,3 +1265,77 @@ def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         for table in tables:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(store, ignore_errors=True)
+
+
+_PHRASE = ("table", "hash")  # 46 docs / 48 occurrences at sf0.01
+
+
+@register(
+    "streaming_phrase_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ts
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(ts)),
+                 i -> ts[i] = '{_PHRASE[0]}' AND ts[i+1] = '{_PHRASE[1]}'))
+               AS n_occurrences
+      FROM toks
+    )
+    SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM occ WHERE n_occurrences > 0
+    """,
+    tags=("text", "retrieval", "streaming"),
+    tier="shadow",
+)
+def streaming_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search from the POSITIONAL index leg
+    (streaming/bm25index.py): the corpus folds through the store in
+    two epochs with ``positional=True`` (per-(term, doc) sorted
+    position lists, Lucene-style), then the fixed two-token phrase is
+    answered from the store — probe the phrase's terms (pushed ``t
+    IN`` scan filter), pivot each doc's position lists onto one row,
+    count in-row the positions x with term 1 at x+1.  The DuckDB
+    oracle counts the same phrase straight off the text with a
+    sliding window, so the store path is verified occurrence-exact —
+    including overlapping matches, which both sides count
+    individually.
+
+    Scale shape: the query shuffles only the two terms' postings
+    (position arrays ride along); the intersection is row-local.  The
+    fold inherits the index module's store discipline (doc-granular
+    freshness, zero-Exchange seen probe, pure-append posting stores);
+    phrase edge cases (overlaps, cross-epoch docs, replay) are
+    pytest-pinned in tests/test_bm25_index.py."""
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        index_ingest_batch,
+        phrase_query_index,
+    )
+
+    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "text"
+    )
+    store = tempfile.mkdtemp(prefix="phrase_index_store_")
+    tables = [
+        store_table_name("bm25_postings", f"{store}/postings"),
+        store_table_name("bm25_positions", f"{store}/positions"),
+        store_table_name("bm25_seen", f"{store}/seen"),
+    ]
+    try:
+        index_ingest_batch(
+            docs.filter(F.col("doc_id") % 2 == 0), store, positional=True
+        )
+        index_ingest_batch(
+            docs.filter(F.col("doc_id") % 2 == 1), store, positional=True
+        )
+        out = phrase_query_index(spark, store, _PHRASE).localCheckpoint(
+            eager=True
+        )
+        return out
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)

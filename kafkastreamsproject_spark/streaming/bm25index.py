@@ -146,11 +146,16 @@ def index_ingest_batch(
     batch: DataFrame,
     store_path: str,
     n_buckets: int = N_BUCKETS,
+    positional: bool = False,
 ) -> dict:
     """Fold one micro-batch of documents ``(doc_id, text)`` into the
     index (the foreachBatch body).  Returns
-    ``{"docs_indexed": n, "postings_appended": m}``.  See the module
-    docstring for the idempotency contract and write order."""
+    ``{"docs_indexed": n, "postings_appended": m}``.  With
+    ``positional=True`` the fold also appends the fresh docs'
+    positional postings (phrase-query support) — a third append
+    BEFORE the seen commit point, extending the same crash-window
+    analysis.  See the module docstring for the idempotency
+    contract and write order."""
     spark = batch.sparkSession
 
     with shuffle_scoped_to_buckets(spark, n_buckets):
@@ -174,6 +179,14 @@ def index_ingest_batch(
             spark, posts, p_path, store_table_name("bm25_postings", p_path),
             ["t"], n_buckets,
         )
+        if positional:
+            pos = doc_positional_postings(fresh).localCheckpoint(eager=True)
+            x_path = _positions_path(store_path)
+            append_bucketed_store(
+                spark, pos, x_path,
+                store_table_name("bm25_positions", x_path),
+                ["t"], n_buckets,
+            )
         s_path = _seen_path(store_path)
         append_bucketed_store(
             spark, fresh.select("doc_id", "dl"), s_path,
@@ -311,4 +324,94 @@ def to_index_ingest_sink(
         .foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional leg: exact phrase queries from the index.  The positional
+# postings store carries each (term, doc)'s sorted position list —
+# the classic Lucene-style positional index, ~1 int per corpus token —
+# so "w0 w1 ... wk" answers from k term probes and an in-row position
+# intersection, never a text rescan.
+# ---------------------------------------------------------------------------
+
+_POSITIONS_SCHEMA = "t string, doc_id long, ps array<bigint>"
+
+
+def doc_positional_postings(docs: DataFrame) -> DataFrame:
+    """(t, doc_id, ps) — sorted 0-based token positions per distinct
+    (term, doc).  sort_array pins collect_list's arrival order, so the
+    store's bytes are deterministic under any partitioning."""
+    toks = TX.tokens(F.col("text"))
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "t"))
+        .groupBy("t", "doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.col("pos").cast("long"))
+            ).alias("ps")
+        )
+    )
+
+
+def _positions_path(store_path: str) -> str:
+    return f"{store_path}/positions"
+
+
+def read_positions(
+    spark: SparkSession, store_path: str, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    path = _positions_path(store_path)
+    return read_bucketed_store(
+        spark, path, store_table_name("bm25_positions", path),
+        _POSITIONS_SCHEMA, ["t"], n_buckets,
+    )
+
+
+def phrase_query_index(
+    spark: SparkSession,
+    store_path: str,
+    phrase: tuple[str, ...],
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Exact-phrase search FROM THE POSITIONAL STORE: probe the
+    phrase's terms (pushed ``t IN`` scan filter), pivot each doc's k
+    position lists onto one row, and count in-row the positions x
+    where term i sits at x+i for every i — overlapping occurrences
+    count individually ("a a a" contains "a a" twice).  Returns
+    (doc_id, n_occurrences) for matching docs only.
+
+    Scale shape: shuffle ∝ the phrase terms' postings (position lists
+    ride along as arrays); the intersection is row-local.  The in-row
+    scan is O(|P0|·k·|Pi|) per doc via array_contains — fine for
+    document-sized lists; a production engine would gallop/merge the
+    sorted lists, same plan shape."""
+    k = len(phrase)
+    hits = read_positions(spark, store_path, n_buckets).filter(
+        F.col("t").isin(list(phrase))
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        *[
+            F.first(F.when(F.col("t") == w, F.col("ps")), ignorenulls=True)
+            .alias(f"p{i}")
+            for i, w in enumerate(phrase)
+        ]
+    )
+    have_all = None
+    for i in range(k):
+        c = F.col(f"p{i}").isNotNull()
+        have_all = c if have_all is None else have_all & c
+
+    def _at_offsets(x):
+        cond = None
+        for i in range(1, k):
+            c = F.array_contains(F.col(f"p{i}"), x + F.lit(i))
+            cond = c if cond is None else cond & c
+        return cond if cond is not None else F.lit(True)
+
+    occ = F.size(F.filter(F.col("p0"), _at_offsets))
+    return (
+        per_doc.filter(have_all)
+        .select("doc_id", occ.cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
     )

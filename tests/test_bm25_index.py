@@ -153,3 +153,44 @@ def test_store_plan_shapes(spark, tmp_path):
         assert len(re.findall(r"\(\d+\) Exchange", j_plan)) <= 1, j_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_phrase_query_counts_overlaps_and_spans_epochs(spark, tmp_path):
+    """Positional leg edges: overlapping matches count individually
+    ("a a a" contains "a a" twice), phrase matches assemble across
+    docs folded in DIFFERENT epochs, non-adjacent term pairs don't
+    match, and a replayed fold changes nothing."""
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        phrase_query_index,
+    )
+
+    store = str(tmp_path / "phrase_idx")
+    p1 = [
+        (1, "a a a"),            # overlap: "a a" twice
+        (2, "a b a a b"),        # "a a" once (positions 2,3)
+        (3, "a x a"),            # never adjacent: no match
+    ]
+    p2 = [
+        (4, "z a a z a a"),      # two occurrences, folded later
+        (5, "b b b"),            # wrong terms entirely
+    ]
+    index_ingest_batch(_docs(spark, p1), store, positional=True)
+    index_ingest_batch(_docs(spark, p2), store, positional=True)
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_query_index(spark, store, ("a", "a")).collect()
+    }
+    assert got == {1: 2, 2: 1, 4: 2}
+    # replayed fold: no change
+    index_ingest_batch(_docs(spark, p2), store, positional=True)
+    again = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_query_index(spark, store, ("a", "a")).collect()
+    }
+    assert again == got
+    # three-term phrase over the same store
+    tri = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_query_index(spark, store, ("a", "a", "a")).collect()
+    }
+    assert tri == {1: 1}
