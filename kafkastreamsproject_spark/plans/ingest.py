@@ -1339,3 +1339,67 @@ def streaming_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         for table in tables:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(store, ignore_errors=True)
+
+
+def _ann_index_oracle() -> str:
+    # the incrementally-built index's answer IS the batch IVF-PQ
+    # search: reuse its oracle verbatim (plans/similarity.py).  Read
+    # the raw registry map — going through shadow_queries() here would
+    # recurse (it materializes THIS lazy oracle while resolving all).
+    import kafkastreamsproject_spark.plans.similarity  # noqa: F401
+    from kafkastreamsproject_spark.plans.registry import _SHADOW
+
+    return _SHADOW["ivf_pq_search"].oracle
+
+
+@register(
+    "streaming_ann_index",
+    oracle_fn=_ann_index_oracle,
+    tags=("similarity", "ann", "streaming"),
+    tier="shadow",
+)
+def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch replay of INCREMENTAL IVF-PQ index maintenance
+    (streaming/annindex.py): codebooks freeze at store creation (the
+    batch family's deterministic first-C/first-K convention, so the
+    comparison is exact), the embeddings corpus folds through the
+    cell-bucketed codes store + vec_id-bucketed seen ledger by
+    arrival parity, and the standard 10 query vectors are answered
+    FROM THE STORE — nprobe=2 coarse cells per query, probe equi-join
+    on the store's bucket key, integer ADC, top-5 — producing
+    IDENTICAL rows to plans/similarity.py:ivf_pq_search's full batch
+    re-derivation, which is exactly what the (reused) DuckDB oracle
+    asserts.
+
+    Scale shape: ingest probes only the seen ledger (bucket-key
+    anti-join, zero store-side Exchange) and appends codes ∝ batch;
+    the query reads the inverted file through its bucket key and
+    ships (query, vec, long) triples after pruning.  Store behavior
+    (replay idempotency, duplicate-vector drops, compaction, frozen
+    codebooks) is pytest-pinned in tests/test_ann_index.py."""
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_ingest_batch,
+        ann_query_index,
+        create_ann_store,
+    )
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    store = tempfile.mkdtemp(prefix="ann_index_store_")
+    tables = [
+        store_table_name("ann_codes", f"{store}/codes"),
+        store_table_name("ann_seen", f"{store}/seen"),
+    ]
+    try:
+        create_ann_store(spark, store, emb)
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), store)
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), store)
+        return ann_query_index(
+            spark, store, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2
+        )
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)
