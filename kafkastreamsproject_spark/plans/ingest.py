@@ -1403,3 +1403,75 @@ def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         for table in tables:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(store, ignore_errors=True)
+
+
+_FORGET_MOD = 37  # victims: doc_id % 37 == 3 (~2.7% of the corpus)
+
+
+def _index_forget_oracle() -> str:
+    # batch BM25 over the SURVIVING corpus: the batch oracle with the
+    # erasure predicate applied at its one corpus read (the base CTE —
+    # stats derive from base, so N/avgdl shrink with it)
+    from kafkastreamsproject_spark.plans.text import _bm25_sql
+
+    sql = _bm25_sql()
+    needle = "FROM documents"
+    assert sql.count(needle) == 1, "oracle surgery expects one corpus read"
+    return sql.replace(
+        needle,
+        f"FROM documents WHERE doc_id % {_FORGET_MOD} != 3",
+    )
+
+
+@register(
+    "index_forget_replay",
+    oracle_fn=_index_forget_oracle,
+    tags=("text", "retrieval", "privacy", "streaming"),
+    tier="shadow",
+)
+def index_forget_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten REACHING INTO THE SERVING INDEX
+    (streaming/bm25index.py:forget_docs_in_index): fold the corpus in
+    two epochs, erase every doc_id % 37 == 3 — their postings leave
+    the term-bucketed store via the bucket-local (t, doc_id) row-level
+    forget, their ledger rows via the key-level forget (which is what
+    shrinks N/avgdl) — then answer the standard three-term query.
+    The DuckDB oracle is the batch BM25 over the SURVIVING corpus, so
+    the check asserts true erasure semantics: not just that victims
+    vanish from results, but that every survivor's score re-prices
+    under the post-erasure corpus statistics exactly.
+
+    Scale shape: erasure cost ∝ the victims' terms' buckets (bucket
+    ids bound the rewrite, untouched buckets byte-identical —
+    pytest-asserted in tests/test_bm25_index.py); the victims' posting
+    keys come from one column-pruned 16 B/row store scan."""
+    from kafkastreamsproject_spark.plans.text import _BM25_TERMS
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        forget_docs_in_index,
+        index_ingest_batch,
+        query_index,
+    )
+
+    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "text"
+    )
+    store = tempfile.mkdtemp(prefix="bm25_forget_store_")
+    tables = [
+        store_table_name("bm25_postings", f"{store}/postings"),
+        store_table_name("bm25_seen", f"{store}/seen"),
+    ]
+    try:
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), store)
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), store)
+        victims = docs.filter(
+            F.col("doc_id") % _FORGET_MOD == 3
+        ).select("doc_id")
+        forget_docs_in_index(spark, victims, store)
+        return query_index(spark, store, _BM25_TERMS).localCheckpoint(
+            eager=True
+        )
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)

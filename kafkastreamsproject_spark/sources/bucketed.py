@@ -522,3 +522,86 @@ def forget_keys_in_store(
         "files_rewritten": len(affected_files),
         "rows_deleted": n_old - n_kept,
     }
+
+
+def forget_rows_in_store(
+    spark: SparkSession,
+    keys: DataFrame,
+    path: str,
+    table_name: str,
+    schema: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    match_cols: list[str],
+) -> dict[str, int]:
+    """Row-level targeted deletion: remove every store row whose
+    ``match_cols`` tuple appears in ``keys`` — the generalization of
+    :func:`forget_keys_in_store` for stores where the erasure
+    predicate is FINER than the bucket key (e.g. a postings store
+    bucketed on the term, erased by (term, doc): many rows share the
+    bucket key and only the victim doc's must go).
+
+    ``match_cols`` must contain ``bucket_cols[0]`` — that is what
+    makes the deletion bucket-local: the keys' bucket-key values bound
+    the affected buckets exactly as in the key-level form, only those
+    buckets' files are read, anti-joined ON THE FULL TUPLE, and
+    rewritten; every other bucket's files are untouched bytes.
+
+    Single-writer maintenance op (the compaction contract).  Returns
+    counts: affected_buckets, files_rewritten, rows_deleted."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsproject_spark.operators.fs import (
+        _fs_and_path,
+        hadoop_has_files,
+    )
+
+    key_col = bucket_cols[0]
+    if key_col not in match_cols:
+        raise ValueError(
+            f"match_cols {match_cols} must include the bucket key "
+            f"{key_col!r} — without it the delete set cannot be "
+            "bucket-localized"
+        )
+    if not hadoop_has_files(spark, path):
+        return {"affected_buckets": 0, "files_rewritten": 0, "rows_deleted": 0}
+    check_store_meta(spark, path, bucket_cols, n_buckets)
+    bucket_ids, affected_files = _affected_bucket_files(
+        spark, keys, key_col, n_buckets, path
+    )
+    if not bucket_ids or not affected_files:
+        return {
+            "affected_buckets": len(bucket_ids),
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+        }
+    fs, _root = _fs_and_path(spark, path)
+    paths = [p.toString() for p in affected_files]
+    old_rows = spark.read.schema(schema).parquet(*paths)
+    kept = old_rows.join(
+        F.broadcast(keys.select(*match_cols).distinct()),
+        match_cols,
+        "left_anti",
+    ).localCheckpoint(eager=True)  # pin before deleting source files
+    n_old = spark.read.schema(schema).parquet(*paths).count()
+    n_kept = kept.count()
+    for p in affected_files:
+        fs.delete(p, False)
+    if n_kept > 0:
+        writer = (
+            kept.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+        )
+        if not spark.catalog.tableExists(table_name):
+            writer = writer.option("path", path)
+        writer.saveAsTable(table_name)
+    if spark.catalog.tableExists(table_name):
+        spark.sql(f"REFRESH TABLE {table_name}")
+    return {
+        "affected_buckets": len(bucket_ids),
+        "files_rewritten": len(affected_files),
+        "rows_deleted": n_old - n_kept,
+    }

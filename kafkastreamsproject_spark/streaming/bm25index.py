@@ -415,3 +415,81 @@ def phrase_query_index(
         .select("doc_id", occ.cast("long").alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten: erase documents FROM THE INDEX.  A GDPR
+# deletion that scrubs the corpus but leaves the serving index intact
+# still serves the content; this reaches into all three stores.
+# ---------------------------------------------------------------------------
+
+
+def forget_docs_in_index(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    store_path: str,
+    n_buckets: int = N_BUCKETS,
+    positional: bool = False,
+) -> dict:
+    """Erase ``doc_ids`` (one column, ``doc_id``) from the index: their
+    postings rows (and positional rows with ``positional=True``) leave
+    the term-bucketed stores via a bucket-local (t, doc_id) row-level
+    forget, and their seen-ledger rows via the key-level forget — which
+    is also what shrinks N/avgdl, since corpus stats derive from the
+    ledger.  Afterward the index scores EXACTLY like one built from
+    the surviving corpus (the index_forget_replay oracle), and the
+    erased doc_ids become re-indexable (first-writer-wins restarts).
+
+    The victims' (t, doc_id) keys come from a column-pruned scan of
+    the postings store itself (16 B/row, no text needed) — the price
+    of not keeping a forward doc→terms index; an erasure-heavy
+    deployment would maintain one (same bucketed machinery, keyed on
+    doc_id).  Write order mirrors ingest in reverse: postings leave
+    FIRST, the seen row last — a crash mid-erasure leaves the doc
+    counted but unsearchable (an empty doc, consistent), never
+    searchable but uncounted.  Replaying a completed or partial
+    erasure is a no-op.  Single-writer maintenance op: run between
+    epochs.  Returns per-store deletion counts."""
+    from kafkastreamsproject_spark.sources.bucketed import (
+        forget_keys_in_store,
+        forget_rows_in_store,
+    )
+
+    victims = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+
+    p_path = _postings_path(store_path)
+    victim_keys = (
+        read_postings(spark, store_path, n_buckets)
+        .select("t", "doc_id")
+        .join(F.broadcast(victims), "doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = {
+        "postings": forget_rows_in_store(
+            spark, victim_keys, p_path,
+            store_table_name("bm25_postings", p_path),
+            _POSTINGS_SCHEMA, ["t"], n_buckets, match_cols=["t", "doc_id"],
+        )
+    }
+    if positional:
+        x_path = _positions_path(store_path)
+        pos_keys = (
+            read_positions(spark, store_path, n_buckets)
+            .select("t", "doc_id")
+            .join(F.broadcast(victims), "doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        out["positions"] = forget_rows_in_store(
+            spark, pos_keys, x_path,
+            store_table_name("bm25_positions", x_path),
+            _POSITIONS_SCHEMA, ["t"], n_buckets,
+            match_cols=["t", "doc_id"],
+        )
+    s_path = _seen_path(store_path)
+    out["seen"] = forget_keys_in_store(
+        spark, victims, s_path, store_table_name("bm25_seen", s_path),
+        _SEEN_SCHEMA, ["doc_id"], n_buckets,
+    )
+    return out

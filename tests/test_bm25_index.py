@@ -194,3 +194,103 @@ def test_phrase_query_counts_overlaps_and_spans_epochs(spark, tmp_path):
         for r in phrase_query_index(spark, store, ("a", "a", "a")).collect()
     }
     assert tri == {1: 1}
+
+
+def test_forget_docs_is_bucket_local_and_reindexable(spark, tmp_path):
+    """Erasure discipline: (a) postings buckets the victims' terms
+    don't hash to keep byte-identical files; (b) after erasure the
+    index scores exactly like one built from the survivors (incl.
+    positional phrase counts); (c) the erased doc_id is re-indexable
+    (first-writer-wins restarts); (d) replaying the erasure is a
+    no-op."""
+    import os
+
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        forget_docs_in_index,
+        phrase_query_index,
+    )
+
+    def files(store, sub):
+        root = f"{store}/{sub}"
+        return {
+            f: os.path.getmtime(os.path.join(root, f))
+            for f in os.listdir(root)
+            if f.endswith(".parquet")
+        }
+
+    docs = [
+        (1, "alpha beta alpha"),
+        (2, "beta gamma"),
+        (3, "victim victim beta victim"),
+        (4, "gamma gamma alpha"),
+    ]
+    store = str(tmp_path / "forget_idx")
+    index_ingest_batch(_docs(spark, docs), store, positional=True)
+    victims = spark.createDataFrame([(3,)], "doc_id long")
+    before_files = files(store, "postings")
+
+    res = forget_docs_in_index(
+        spark, victims, store, positional=True
+    )
+    assert res["postings"]["rows_deleted"] == 2  # victim, beta
+    assert res["seen"]["rows_deleted"] == 1
+
+    # (a) untouched buckets byte-identical: every parquet file not
+    # rewritten still has its original mtime, and at least one
+    # survives (alpha/gamma buckets differ from victim/beta's)
+    after_files = files(store, "postings")
+    untouched = {
+        f for f in after_files
+        if f in before_files and after_files[f] == before_files[f]
+    }
+    assert untouched, (before_files, after_files)
+
+    # (b) scores == a fresh index over the survivors
+    surv = [d for d in docs if d[0] != 3]
+    fresh_store = str(tmp_path / "fresh_idx")
+    index_ingest_batch(_docs(spark, surv), fresh_store, positional=True)
+    assert _scores(query_index(spark, store, TERMS)) == _scores(
+        query_index(spark, fresh_store, TERMS)
+    )
+    got_phrase = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_query_index(spark, store, ("victim", "victim")).collect()
+    }
+    assert got_phrase == {}
+
+    # (d) replay: no-op
+    res2 = forget_docs_in_index(spark, victims, store, positional=True)
+    assert res2["postings"]["rows_deleted"] == 0
+    assert res2["seen"]["rows_deleted"] == 0
+
+    # (c) re-indexable afterwards
+    back = index_ingest_batch(
+        _docs(spark, [(3, "victim victim beta victim")]), store,
+        positional=True,
+    )
+    assert back["docs_indexed"] == 1
+    got_phrase2 = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_query_index(spark, store, ("victim", "victim")).collect()
+    }
+    assert got_phrase2 == {3: 1}
+
+
+def test_forget_rows_requires_bucket_key_in_match_cols(spark, tmp_path):
+    import pytest
+
+    from kafkastreamsproject_spark.sources.bucketed import (
+        forget_rows_in_store,
+    )
+
+    with pytest.raises(ValueError, match="must include the bucket key"):
+        forget_rows_in_store(
+            spark,
+            spark.createDataFrame([(1,)], "doc_id long"),
+            str(tmp_path / "nope"),
+            "nope_table",
+            "t string, doc_id long",
+            ["t"],
+            8,
+            match_cols=["doc_id"],
+        )
