@@ -155,6 +155,75 @@ def bm25_fold_leg(spark) -> dict:
     }
 
 
+def ann_fold_leg(spark) -> dict:
+    """Per-epoch IVF-PQ index-fold wall as the indexed corpus grows
+    10x (50k synthetic vectors, dim 16, per epoch): flat walls =
+    ingest cost is batch-proportional; plus the 10-query wall after
+    1 vs 10 epochs (candidates grow ~10x — nprobe/C of the corpus —
+    so the query wall may grow with REAL work, reported honestly)."""
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_ingest_batch,
+        ann_query_index,
+        compact_codes,
+        create_ann_store,
+    )
+
+    def emb(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: (
+                    F.pmod(F.hash(F.col("id") * 31 + i), F.lit(1000))
+                    / 1000.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+
+    n = 50_000
+    td = tempfile.mkdtemp(prefix="r12_ann_")
+    store = td + "/s"
+    try:
+        create_ann_store(spark, td + "/warm", emb(0, 5000))
+        ann_ingest_batch(emb(0, 5000), td + "/warm")  # warm-up
+        create_ann_store(spark, store, emb(0, n))
+        walls = []
+        q_after_1 = None
+        for e in range(10):
+            t0 = time.perf_counter()
+            ann_ingest_batch(emb(e * n, (e + 1) * n), store)
+            walls.append(round(time.perf_counter() - t0, 2))
+            if e == 0:
+                q_after_1 = _wall(
+                    lambda: ann_query_index(
+                        spark, store, emb(0, 10)
+                    ).count()
+                )
+            if (e + 1) % 3 == 0:
+                compact_codes(spark, store)
+        q_after_10 = _wall(
+            lambda: ann_query_index(spark, store, emb(0, 10)).count()
+        )
+    finally:
+        for prefix, sub in [("ann_codes", "codes"), ("ann_seen", "seen")]:
+            for root in (store, td + "/warm"):
+                spark.sql(
+                    "DROP TABLE IF EXISTS "
+                    + store_table_name(prefix, f"{root}/{sub}")
+                )
+        import shutil
+
+        shutil.rmtree(td, ignore_errors=True)
+    return {
+        "epoch_vectors": n,
+        "epoch_walls_s": walls,
+        "fold_wall_ratio_last_vs_first": round(walls[-1] / walls[0], 2),
+        "query_after_1_epoch_s": q_after_1,
+        "query_after_10_epochs_s": q_after_10,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="r12-newops-smoke")
     out = {
@@ -165,6 +234,7 @@ def main() -> None:
         ),
         "sketch_store_fold_flatness": sketch_fold_leg(spark),
         "bm25_index_fold_flatness": bm25_fold_leg(spark),
+        "ann_index_fold_flatness": ann_fold_leg(spark),
     }
     print(json.dumps(out, indent=2), flush=True)
     repo = Path(__file__).resolve().parent.parent
