@@ -380,3 +380,47 @@ def to_ann_ingest_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def forget_vectors_in_index(
+    spark: SparkSession,
+    vec_ids: DataFrame,
+    store_path: str,
+    n_buckets: int = N_BUCKETS,
+) -> dict:
+    """Erase ``vec_ids`` (one column, ``vec_id``) from the index — the
+    bm25index erasure contract applied to the vector side: the
+    victims' code rows leave the cell-bucketed store via a
+    bucket-local (cell, vec_id) row-level forget (each vector lives in
+    exactly ONE cell, so the rewrite touches at most |victims| buckets
+    — tighter than the text case), and their ledger rows via the
+    key-level forget.  Codes first, ledger last; replay is a no-op;
+    erased ids are re-indexable.  Returns per-store deletion counts."""
+    from kafkastreamsproject_spark.sources.bucketed import (
+        forget_keys_in_store,
+        forget_rows_in_store,
+    )
+
+    victims = vec_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+    c_path = _codes_path(store_path)
+    victim_keys = (
+        read_codes(spark, store_path, n_buckets)
+        .select("cell", "vec_id")
+        .join(F.broadcast(victims), "vec_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = {
+        "codes": forget_rows_in_store(
+            spark, victim_keys, c_path,
+            store_table_name("ann_codes", c_path),
+            _CODES_SCHEMA, ["cell"], n_buckets,
+            match_cols=["cell", "vec_id"],
+        ),
+        "seen": forget_keys_in_store(
+            spark, victims, _seen_path(store_path),
+            store_table_name("ann_seen", _seen_path(store_path)),
+            _SEEN_SCHEMA, ["vec_id"], n_buckets,
+        ),
+    }
+    return out

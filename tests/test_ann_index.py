@@ -128,3 +128,38 @@ def test_store_plan_shapes(spark, tmp_path):
     c_plan = _plan(cand)
     assert "BroadcastHashJoin" in c_plan, c_plan
     assert len(re.findall(r"\(\d+\) Exchange", c_plan)) == 0, c_plan
+
+
+def test_forget_vectors_is_exact_and_reindexable(spark, tmp_path):
+    """Vector erasure: after forgetting, queries equal a fresh index
+    built from the survivors; replay is a no-op; the erased id is
+    re-indexable."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        forget_vectors_in_index,
+    )
+
+    store = _fresh_store(spark, tmp_path, "forget")
+    ann_ingest_batch(_emb(spark, 0, 40), store)
+    victims = spark.createDataFrame([(25,), (33,)], "vec_id long")
+    res = forget_vectors_in_index(spark, victims, store)
+    assert res["codes"]["rows_deleted"] == 8  # 2 vectors x 4 subspaces
+    assert res["seen"]["rows_deleted"] == 2
+
+    fresh = str(tmp_path / "survivors")
+    create_ann_store(spark, fresh, _emb(spark, 0, 40))
+    ann_ingest_batch(
+        _emb(spark, 0, 40).filter(~F.col("vec_id").isin([25, 33])), fresh
+    )
+    q = _emb(spark, 0, 3)
+    assert _res(ann_query_index(spark, store, q)) == _res(
+        ann_query_index(spark, fresh, q)
+    )
+
+    replay = forget_vectors_in_index(spark, victims, store)
+    assert replay["codes"]["rows_deleted"] == 0
+    assert replay["seen"]["rows_deleted"] == 0
+
+    back = ann_ingest_batch(
+        _emb(spark, 0, 40).filter(F.col("vec_id") == 25), store
+    )
+    assert back["vecs_indexed"] == 1
