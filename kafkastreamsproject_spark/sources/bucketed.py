@@ -166,6 +166,16 @@ def read_bucketed_store(
         check_store_meta(spark, path, bucket_cols, n_buckets)
     if spark.catalog.tableExists(table_name):
         if has_files:
+            # Always re-list: appends may have happened in ANOTHER
+            # session sharing this catalog — foreachBatch hands the
+            # fold a CLONED SparkSession, so a fold's append refreshes
+            # the clone's relation cache, not this session's.  Without
+            # this, a reader outside the stream serves the file
+            # listing from before the stream started (observed: a
+            # fresh epoch's rows on disk but invisible to the main
+            # session).  The listing is work the scan would do anyway
+            # on a cold cache.
+            spark.sql(f"REFRESH TABLE {table_name}")
             return spark.table(table_name)
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         return spark.createDataFrame([], schema)

@@ -294,3 +294,55 @@ def test_forget_rows_requires_bucket_key_in_match_cols(spark, tmp_path):
             8,
             match_cols=["doc_id"],
         )
+
+
+def test_streaming_sink_applies_markers_and_skips_replays(spark, tmp_path):
+    """The foreachBatch wrapper: epochs fold through the store with
+    _applied_epochs markers; re-running the stream over the same
+    checkpoint (plus a new file) folds ONLY the new epoch — marked
+    epochs are skipped, which is what keeps the batch API's crash
+    window unreachable in streaming operation."""
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        to_index_ingest_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(i, rows):
+        _docs(spark, rows).coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = to_index_ingest_sink(
+            stream, str(tmp_path / "store"), str(tmp_path / "ckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write_batch(0, B1)
+    write_batch(1, B2)
+    run_stream()
+    after_two = _scores(query_index(spark, str(tmp_path / "store"), TERMS))
+    assert set(after_two) == {1, 2, 4, 5}
+    import os
+
+    def _markers():
+        return [
+            f
+            for f in os.listdir(str(tmp_path / "store" / "_applied_epochs"))
+            if not f.startswith(".")
+        ]
+
+    assert len(_markers()) == 2
+
+    # restart with one NEW file: only the new epoch folds
+    write_batch(2, [(7, "alpha gamma fresh")])
+    run_stream()
+    after_three = _scores(query_index(spark, str(tmp_path / "store"), TERMS))
+    assert set(after_three) == {1, 2, 4, 5, 7}
+    assert len(_markers()) == 3
