@@ -507,10 +507,13 @@ def forget_keys_in_store(
         }
     paths = [p.toString() for p in affected_files]
     old_rows = spark.read.schema(schema).parquet(*paths)
+    # count BEFORE deleting the files, off the one reader — a second
+    # spark.read of the same paths doubled the rewrite's read cost
+    # (r12 ADVICE); a bare count() reads only parquet footers anyway
+    n_old = old_rows.count()
     kept = old_rows.join(
         F.broadcast(keys.select(key_col).distinct()), key_col, "left_anti"
     ).localCheckpoint(eager=True)  # pin before deleting source files
-    n_old = spark.read.schema(schema).parquet(*paths).count()
     n_kept = kept.count()
     for p in affected_files:
         fs.delete(p, False)
@@ -588,12 +591,14 @@ def forget_rows_in_store(
     fs, _root = _fs_and_path(spark, path)
     paths = [p.toString() for p in affected_files]
     old_rows = spark.read.schema(schema).parquet(*paths)
+    # count off the one reader before deletion (r12 ADVICE; see
+    # forget_keys_in_store)
+    n_old = old_rows.count()
     kept = old_rows.join(
         F.broadcast(keys.select(*match_cols).distinct()),
         match_cols,
         "left_anti",
     ).localCheckpoint(eager=True)  # pin before deleting source files
-    n_old = spark.read.schema(schema).parquet(*paths).count()
     n_kept = kept.count()
     for p in affected_files:
         fs.delete(p, False)

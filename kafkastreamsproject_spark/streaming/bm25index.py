@@ -37,9 +37,11 @@ only through the batch API; postings are written first because seen
 is the commit point (a doc not yet marked seen is fully re-indexed on
 replay; the reverse order would mark docs seen whose postings were
 never written — silent index loss).  A transactional table format
-would close the window; duplicate-doc ARRIVALS (same doc_id in a
-later batch, even with different text) are dropped at the seen probe
-— first-writer-wins at document granularity.
+would close the window; duplicate-doc ARRIVALS are dropped at
+document granularity — same doc_id in a later batch at the seen
+probe (first-writer-wins across batches), same doc_id twice in ONE
+batch at an intra-batch dropDuplicates before the probe (one
+arbitrary representative — an unordered batch has no "first").
 
 Exactness: the maintained index scores BIT-IDENTICALLY to the batch
 scorer.  tf/dl/df are exact integers however the corpus is split into
@@ -160,7 +162,14 @@ def index_ingest_batch(
 
     with shuffle_scoped_to_buckets(spark, n_buckets):
         toks = TX.tokens(F.col("text"))
-        docs = batch.select(
+        # intra-batch dedup FIRST: two rows sharing a doc_id inside one
+        # micro-batch would both pass the (store-side) freshness probe
+        # and double-count the seen ledger + postings (r12 ADVICE).
+        # One representative per doc_id survives — arbitrary but
+        # single, matching the cross-batch first-writer-wins contract
+        # (a batch carrying two texts under one id has no defined
+        # order to prefer anyway).
+        docs = batch.dropDuplicates(["doc_id"]).select(
             "doc_id", "text", F.size(toks).cast("long").alias("dl")
         )
         seen = read_seen(spark, store_path, n_buckets)

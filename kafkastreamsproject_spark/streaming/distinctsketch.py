@@ -66,32 +66,118 @@ def _epoch_dir(store_path: str, epoch: int) -> str:
     return f"{store_path}/epoch={epoch}"
 
 
-def _check_lg_k(spark: SparkSession, store_path: str, lg_k: int) -> None:
-    """Sidecar guard (the sources/bucketed.py n_buckets discipline):
-    every fold against one store must use the lg_k it was created
-    with.  Without this, ``hll_union_agg(..., allowDifferentLgConfigK
-    =True)`` would ABSORB a mismatched width by silently downsampling
-    every sketch to the smaller register count — estimates would
-    degrade with no error anywhere."""
+def _meta_path(store_path: str) -> str:
+    return f"{store_path}/_sketch_meta.json"
+
+
+def _read_meta(spark: SparkSession, store_path: str) -> dict | None:
     import json
 
-    from kafkastreamsproject_spark.operators.fs import (
-        hadoop_read_text,
-        hadoop_write_text,
-    )
+    from kafkastreamsproject_spark.operators.fs import hadoop_read_text
 
-    meta_path = f"{store_path}/_sketch_meta.json"
-    text = hadoop_read_text(spark, meta_path)
-    if not text:
-        hadoop_write_text(spark, meta_path, json.dumps({"lg_k": lg_k}))
-        return
-    stored = json.loads(text)["lg_k"]
-    if stored != lg_k:
+    text = hadoop_read_text(spark, _meta_path(store_path))
+    return json.loads(text) if text else None
+
+
+def _write_meta(spark: SparkSession, store_path: str, meta: dict) -> None:
+    import json
+
+    from kafkastreamsproject_spark.operators.fs import hadoop_write_text
+
+    hadoop_write_text(spark, _meta_path(store_path), json.dumps(meta))
+
+
+def _check_meta(
+    spark: SparkSession, store_path: str, lg_k: int, epoch: int
+) -> dict | None:
+    """Sidecar guard (the sources/bucketed.py discipline), two checks:
+
+    - **lg_k**: every fold against one store must use the width it was
+      created with.  Without this, ``hll_union_agg(...,
+      allowDifferentLgConfigK=True)`` would ABSORB a mismatched width
+      by silently downsampling every sketch to the smaller register
+      count — estimates would degrade with no error anywhere.
+    - **epoch chain**: the sidecar tracks ``latest_epoch`` so a fold
+      whose predecessor snapshot cannot exist FAILS instead of
+      silently rebuilding from nothing.  Before this guard,
+      ``read_sketch_store`` returned None on ANY missing
+      epoch−1 dir — so restarting a stream with a fresh checkpoint
+      (epoch counter reset to 0) over a non-empty store, or an
+      epoch-number gap, discarded all accumulated registers without
+      any error (r12 ADVICE).  Allowed folds: epoch == latest+1 (the
+      next fold) or epoch <= latest with the predecessor snapshot
+      still on disk (a crashed-epoch replay).
+
+    A store predating the sidecar is stamped on first touch with the
+    caller's lg_k and ``epoch - 1`` as latest (the bucketed.py
+    migration assumption: the first post-upgrade fold continues the
+    original chain)."""
+    from kafkastreamsproject_spark.operators.fs import hadoop_has_files
+
+    meta = _read_meta(spark, store_path)
+    if meta is None:
+        return None
+    if meta["lg_k"] != lg_k:
         raise ValueError(
-            f"sketch store at {store_path} was created with lg_k={stored}; "
-            f"caller supplied lg_k={lg_k} — all folds against one store "
-            "must use the width it was created with"
+            f"sketch store at {store_path} was created with "
+            f"lg_k={meta['lg_k']}; caller supplied lg_k={lg_k} — all "
+            "folds against one store must use the width it was created "
+            "with"
         )
+    latest = meta["latest_epoch"]
+    if epoch > latest + 1:
+        raise ValueError(
+            f"sketch store at {store_path} has latest_epoch={latest}; "
+            f"fold of epoch={epoch} would leave a chain gap — epochs "
+            "must fold contiguously (replay the missing epochs or "
+            "rebuild the store)"
+        )
+    if epoch == 0 and latest > 0:
+        raise ValueError(
+            f"sketch store at {store_path} has latest_epoch={latest}; "
+            "an epoch-0 fold means the stream restarted with a FRESH "
+            "checkpoint over accumulated state — it would silently "
+            "rebuild from nothing.  Point the restart at a new "
+            "store_path (or delete the old store deliberately)"
+        )
+    if epoch > 0 and not hadoop_has_files(
+        spark, _epoch_dir(store_path, epoch - 1)
+    ):
+        raise ValueError(
+            f"sketch store at {store_path}: replay of epoch={epoch} "
+            f"needs the epoch={epoch - 1} snapshot, which is missing "
+            f"(pruned? latest_epoch={latest}) — the fold would "
+            "silently drop all state before this epoch"
+        )
+    return meta
+
+
+def _prune_epochs(
+    spark: SparkSession, store_path: str, latest: int, retain: int
+) -> int:
+    """Delete snapshot dirs superseded beyond the retention window
+    (keep ``retain`` newest: the current snapshot plus enough
+    predecessors for a crashed-epoch replay).  Returns dirs deleted.
+    Without this, every epoch's |groups|-row snapshot accumulates
+    forever (r12 ADVICE)."""
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path
+
+    fs, root = _fs_and_path(spark, store_path)
+    if not fs.exists(root):
+        return 0
+    n = 0
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith("epoch="):
+            continue
+        try:
+            e = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if e <= latest - retain:
+            fs.delete(status.getPath(), True)
+            n += 1
+    return n
 
 
 def read_sketch_store(
@@ -122,6 +208,7 @@ def sketch_ingest_batch(
     group_col: str,
     key_col: str,
     lg_k: int = LG_K,
+    retain_epochs: int = 2,
 ) -> DataFrame:
     """Fold one micro-batch into the per-group sketch store and return
     the post-fold estimates (g, n_distinct_est).
@@ -129,9 +216,14 @@ def sketch_ingest_batch(
     Union discipline: the previous snapshot's |groups| rows union with
     the batch's |groups| rows through ``hll_union_agg`` — register max,
     so a replayed epoch t rebuilds from epoch t−1's (unchanged)
-    snapshot and overwrites epoch t with identical registers."""
+    snapshot and overwrites epoch t with identical registers.  The
+    sidecar guard (:func:`_check_meta`) rejects lg_k mismatches, chain
+    gaps, and epoch-0 folds over accumulated state; snapshots older
+    than ``retain_epochs`` are pruned after each fold (the newest
+    ``retain_epochs`` dirs stay: the current snapshot plus the
+    predecessor a crashed-epoch replay rebuilds from)."""
     spark = batch.sparkSession
-    _check_lg_k(spark, store_path, lg_k)
+    meta = _check_meta(spark, store_path, lg_k, epoch)
     cur = batch_group_sketches(batch, group_col, key_col, lg_k)
     prev = read_sketch_store(spark, store_path, epoch)
     merged = (
@@ -145,6 +237,9 @@ def sketch_ingest_batch(
     # never the directory being written
     merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(_epoch_dir(store_path, epoch))
+    latest = max(meta["latest_epoch"], epoch) if meta else epoch
+    _write_meta(spark, store_path, {"lg_k": lg_k, "latest_epoch": latest})
+    _prune_epochs(spark, store_path, latest, retain_epochs)
     return sketch_estimates(merged)
 
 

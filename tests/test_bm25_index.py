@@ -97,6 +97,31 @@ def test_duplicate_doc_arrivals_are_dropped(spark, tmp_path):
     assert read_seen(spark, store).count() == 3
 
 
+def test_duplicate_docs_within_one_batch_are_dropped(spark, tmp_path):
+    """A doc_id appearing TWICE inside one micro-batch indexes once:
+    before the intra-batch dedup, both copies passed the store-side
+    freshness probe — duplicate seen-ledger rows (N and dl_sum
+    double-counted, skewing every score) and doubled tf in postings
+    (r12 ADVICE)."""
+    store = str(tmp_path / "intradup_idx")
+    doubled = B1 + [(1, "alpha beta beta filler one")]
+    res = index_ingest_batch(_docs(spark, doubled), store)
+    assert res["docs_indexed"] == 3
+    assert read_seen(spark, store).count() == 3
+    # postings carry ONE (t, doc) row per distinct pair, tf not doubled
+    tf = {
+        (r.t, r.doc_id): r.tf
+        for r in read_postings(spark, store).collect()
+    }
+    assert tf[("beta", 1)] == 2
+    # and the scores equal a clean single-copy build exactly
+    clean = str(tmp_path / "intradup_clean")
+    index_ingest_batch(_docs(spark, B1), clean)
+    assert _scores(query_index(spark, store, TERMS)) == _scores(
+        query_index(spark, clean, TERMS)
+    )
+
+
 def test_scores_are_corpus_relative_and_docs_persist(spark, tmp_path):
     """A doc indexed in epoch 0 stays retrievable after epoch 1, and
     its score MOVES — df/N/avgdl are corpus statistics, so new data

@@ -145,6 +145,49 @@ def test_streaming_sink_folds_per_microbatch(spark, tmp_path):
     assert view == want
 
 
+def test_epoch_chain_guard_rejects_gaps_and_resets(spark, tmp_path):
+    """The sidecar's latest_epoch guard (r12 ADVICE): before it, ANY
+    missing epoch−1 dir made read_sketch_store return None and the
+    fold silently rebuilt from nothing — a fresh-checkpoint restart
+    (epoch counter reset to 0) over accumulated state, or an epoch
+    gap, discarded every register with no error anywhere."""
+    import pytest
+
+    sp = str(tmp_path / "chain")
+    sketch_ingest_batch(_rows(spark, 0, 2000), sp, 0, "g", "k")
+    sketch_ingest_batch(_rows(spark, 2000, 4000), sp, 1, "g", "k")
+    with pytest.raises(ValueError, match="chain gap"):
+        sketch_ingest_batch(_rows(spark, 4000, 6000), sp, 3, "g", "k")
+    with pytest.raises(ValueError, match="FRESH"):
+        sketch_ingest_batch(_rows(spark, 4000, 6000), sp, 0, "g", "k")
+    # the contiguous fold still lands
+    sketch_ingest_batch(_rows(spark, 4000, 6000), sp, 2, "g", "k")
+
+
+def test_superseded_epoch_snapshots_are_pruned(spark, tmp_path):
+    """Retention: after each fold only the newest retain_epochs
+    snapshot dirs remain (current + the predecessor a replay rebuilds
+    from); a replay older than the window raises instead of silently
+    rebuilding from a missing predecessor."""
+    import os
+
+    import pytest
+
+    sp = str(tmp_path / "prune")
+    for e, (lo, hi) in enumerate(
+        [(0, 2000), (2000, 4000), (4000, 6000), (6000, 8000)]
+    ):
+        final = sketch_ingest_batch(_rows(spark, lo, hi), sp, e, "g", "k")
+    dirs = sorted(d for d in os.listdir(sp) if d.startswith("epoch="))
+    assert dirs == ["epoch=2", "epoch=3"]
+    # replay of the LATEST epoch still works (predecessor retained) …
+    replay = _est(sketch_ingest_batch(_rows(spark, 6000, 8000), sp, 3, "g", "k"))
+    assert replay == _est(final)
+    # … but a replay beyond the retention window fails loudly
+    with pytest.raises(ValueError, match="missing"):
+        sketch_ingest_batch(_rows(spark, 2000, 4000), sp, 1, "g", "k")
+
+
 def test_mismatched_lg_k_fold_is_rejected(spark, tmp_path):
     """The _sketch_meta.json sidecar guard: folding an existing store
     with a different lg_k must raise instead of letting
