@@ -67,6 +67,24 @@ def hadoop_read_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+def hadoop_count_files(
+    spark: SparkSession, path: str, suffix: str = ".parquet"
+) -> int:
+    """Number of ``suffix`` files directly under ``path`` (0 if the
+    directory is absent) — the adaptive-compaction trigger input for
+    PLAIN parquet append stores, where no bucket id is encoded in the
+    file names (bucketed stores use
+    sources/bucketed.py:max_files_per_bucket instead)."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return 0
+    return sum(
+        1
+        for status in fs.listStatus(hpath)
+        if status.getPath().getName().endswith(suffix)
+    )
+
+
 def hadoop_has_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> bool:
     """True iff ``path`` is a directory containing at least one
     ``suffix`` file (non-recursive) — the 'store already initialized'

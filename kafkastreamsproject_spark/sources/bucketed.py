@@ -287,6 +287,37 @@ def compact_bucketed_store(
     )
 
 
+def max_files_per_bucket(spark: SparkSession, path: str) -> int:
+    """Largest data-file count any single bucket of the store at
+    ``path`` has accumulated (0 if the store is absent).  This is the
+    quantity compaction exists to bound — every epoch appends one
+    bucket-encoded file per task, and the per-batch probe goes
+    metadata-bound as files pile up — so the streaming sinks use it
+    as their ADAPTIVE compaction trigger (r12 verdict #6: the
+    hand-tuned ``compact_every=3`` cadence was load-bearing; a
+    file-count trigger compacts exactly when the store needs it,
+    whatever the epoch pattern).  One directory listing, driver-side
+    and bounded by the file count the trigger itself keeps small."""
+    import re
+    from collections import Counter
+
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path
+
+    fs, root = _fs_and_path(spark, path)
+    if not fs.exists(root):
+        return 0
+    pat = re.compile(r"_(\d{5})(?:\.|$)")
+    counts: Counter[int] = Counter()
+    for status in fs.listStatus(root):
+        fname = status.getPath().getName()
+        if not fname.endswith(".parquet"):
+            continue
+        m = pat.search(fname)
+        if m:
+            counts[int(m.group(1))] += 1
+    return max(counts.values(), default=0)
+
+
 def _affected_bucket_files(
     spark: SparkSession, keys: DataFrame, key_col: str, n_buckets: int, path: str
 ) -> tuple[list[int], list]:

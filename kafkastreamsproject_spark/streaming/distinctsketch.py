@@ -44,10 +44,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafkastreamsproject_spark.storeconfig import DEFAULTS
+
 _SKETCH_SCHEMA = "g string, sketch binary"
 #: 2^12 registers → relative standard error ≈ 1.04/√4096 ≈ 1.6%; the
-#: 3σ envelope the tests assert is ±5%.  One sketch ≈ 2-4 KB.
-LG_K = 12
+#: 3σ envelope the tests assert is ±5%.  One sketch ≈ 2-4 KB.  Value
+#: owned by storeconfig.py (the shared store-config surface).
+LG_K = DEFAULTS.hll_lg_k
 
 
 def batch_group_sketches(
@@ -208,7 +211,7 @@ def sketch_ingest_batch(
     group_col: str,
     key_col: str,
     lg_k: int = LG_K,
-    retain_epochs: int = 2,
+    retain_epochs: int = DEFAULTS.sketch_retain_epochs,
 ) -> DataFrame:
     """Fold one micro-batch into the per-group sketch store and return
     the post-fold estimates (g, n_distinct_est).

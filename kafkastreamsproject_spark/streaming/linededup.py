@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafkastreamsproject_spark.storeconfig import DEFAULTS
 from kafkastreamsproject_spark.functions import text as TX
 from kafkastreamsproject_spark.sources.bucketed import (
     append_bucketed_store,
@@ -45,7 +46,7 @@ _STORE_SCHEMA = "lh string"
 #: ``n_buckets``; production sizing rule (sources/bucketed.py:61-74):
 #: at least the ingest parallelism, targeting 128-512 MB per bucket.
 #: All folds against one store MUST use the width it was created with.
-N_BUCKETS = 8
+N_BUCKETS = DEFAULTS.n_buckets
 
 
 def lines_expr(toks: Column, w: int = LINE_W) -> Column:
@@ -177,18 +178,29 @@ def to_line_dedup_ingest_sink(
     out_table: str,
     compact_every: int | None = None,
     n_buckets: int = N_BUCKETS,
+    compact_files_per_bucket: int | None = DEFAULTS.compact_files_per_bucket,
 ):
     """Streaming form: fold each micro-batch through
     :func:`line_dedup_ingest_batch` and surface per-doc stats in a
-    global temp view (test double for a metrics sink).  With
-    ``compact_every=k`` the store is compacted after every k-th epoch
-    (between folds — the single-writer window)."""
+    global temp view (test double for a metrics sink).  Compaction
+    cadence is ADAPTIVE by default (r12 verdict #6): when any bucket
+    of the line store exceeds ``compact_files_per_bucket`` data
+    files, the store compacts between folds; ``compact_every=k``
+    remains as an explicit fixed cadence (either trigger fires)."""
+    from kafkastreamsproject_spark.sources.bucketed import (
+        max_files_per_bucket,
+    )
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         stats = line_dedup_ingest_batch(batch_df, store_path, n_buckets)
         stats.createOrReplaceGlobalTempView(out_table)
-        if compact_every and (epoch_id + 1) % compact_every == 0:
-            compact_store(batch_df.sparkSession, store_path, n_buckets)
+        spark = batch_df.sparkSession
+        if (compact_every and (epoch_id + 1) % compact_every == 0) or (
+            compact_files_per_bucket
+            and max_files_per_bucket(spark, f"{store_path}/lines")
+            > compact_files_per_bucket
+        ):
+            compact_store(spark, store_path, n_buckets)
 
     return (
         docs.writeStream.outputMode("append")
