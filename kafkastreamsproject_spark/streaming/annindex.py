@@ -28,13 +28,29 @@ vector-side counterpart of ``streaming/bm25index.py``:
   order, same crash-window analysis, same epoch-marker streaming
   wrapper pattern; codes append first, seen is the commit point).
 
+Geometry is a STORE-CREATION PARAMETER, not a module constant (r12
+verdict #1: frozen ``C_CELLS = 8`` made every query ADC-score a fixed
+nprobe/C = 25% of the corpus — O(N) by construction).  The geometry
+``{c_cells, k_codes, m_subspaces, n_buckets}`` is chosen at
+:func:`create_ann_store`, persisted in the ``_ann_meta.json`` sidecar
+next to the codebooks (the ``_store_meta.json`` discipline), and
+every fold/query/erasure reads it from there — a caller-supplied
+expectation is ASSERTED against the sidecar, never trusted.  Sizing
+rule (the standard IVF guidance): **C ≈ √N**, so a query's candidate
+set is ≈ nprobe·N/C ≈ nprobe·√N — sublinear in the corpus — and each
+cell's posting list is ≈ √N rows.  :func:`sized_geometry` encodes the
+rule; ``scripts/r13_ann_geometry_smoke.py`` measures it (query wall
+across 10× corpus growth, corpus-sized C vs the old frozen C).
+
 Exactness: quantization (round(x·127)), subspacing (ceil(dim/M)
 slices), cell assignment (integer L2 argmin, cid tie-break), and ADC
 (integer subvector distances summed per candidate) reproduce the
 batch family's conventions bit-for-bit, so
 ``plans/ingest.py:streaming_ann_index`` verifies the two-epoch fold
 against ivf_pq_search's own DuckDB oracle — identical rows, identical
-integers.  Store behavior is pytest-pinned in tests/test_ann_index.py.
+integers — and ``streaming_ann_index_geo`` repeats the check at a
+NON-DEFAULT geometry against a re-parameterized oracle.  Store
+behavior is pytest-pinned in tests/test_ann_index.py.
 
 Reference scope: the reference engine has no vector surface; this is
 part of the similarity-search extension family (SURVEY §2.7).
@@ -42,9 +58,12 @@ part of the similarity-search extension family (SURVEY §2.7).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kafkastreamsproject_spark.storeconfig import DEFAULTS
 from kafkastreamsproject_spark.sources.bucketed import (
     append_bucketed_store,
     compact_bucketed_store,
@@ -58,12 +77,108 @@ _SEEN_SCHEMA = "vec_id long"
 _CB_SCHEMA = "s int, cid int, cv array<bigint>"
 _COARSE_SCHEMA = "ccid int, cv2 array<bigint>"
 
-#: batch-family conventions (plans/similarity.py) — frozen here so the
-#: incremental index equals the batch search exactly
-M_SUBSPACES = 4
-K_CODES = 16
-C_CELLS = 8
-N_BUCKETS = 8
+#: DEFAULT geometry = the batch-family test-SF convention
+#: (plans/similarity.py) — the default-geometry store must equal the
+#: batch search exactly.  These are creation-time defaults only
+#: (values owned by storeconfig.py, the shared config surface); the
+#: sidecar is the source of truth for an existing store.
+M_SUBSPACES = DEFAULTS.ann_m_subspaces
+K_CODES = DEFAULTS.ann_k_codes
+C_CELLS = DEFAULTS.ann_c_cells
+N_BUCKETS = DEFAULTS.n_buckets
+
+_GEO_KEYS = ("c_cells", "k_codes", "m_subspaces", "n_buckets")
+_GEO_FILE = "_ann_meta.json"
+
+
+def default_geometry() -> dict:
+    return {
+        "c_cells": C_CELLS,
+        "k_codes": K_CODES,
+        "m_subspaces": M_SUBSPACES,
+        "n_buckets": N_BUCKETS,
+    }
+
+
+def sized_geometry(
+    n_vectors: int,
+    m_subspaces: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+) -> dict:
+    """Corpus-sized geometry: **C ≈ √N** (the standard IVF sizing rule
+    — candidates per query ≈ nprobe·N/C ≈ nprobe·√N, cell posting
+    lists ≈ √N), never below the family-default 8.  ``n_buckets``
+    tracks C up to 64 so the codes store's buckets stay ≥1 cell wide
+    while each holds a bounded slice of the corpus; at 100 TB widen
+    further per the sources/bucketed.py rule (≥ ingest parallelism,
+    128–512 MB per bucket).  M and K are quantization-fidelity knobs,
+    not corpus-size knobs (production PQ uses K=256, M=dim/4); they
+    pass through unchanged."""
+    c = max(C_CELLS, int(round(math.sqrt(max(1, n_vectors)))))
+    return {
+        "c_cells": c,
+        "k_codes": k_codes,
+        "m_subspaces": m_subspaces,
+        "n_buckets": max(8, min(64, c)),
+    }
+
+
+def write_ann_geometry(
+    spark: SparkSession, store_path: str, geo: dict
+) -> None:
+    import json
+
+    from kafkastreamsproject_spark.operators.fs import hadoop_write_text
+
+    hadoop_write_text(
+        spark,
+        f"{store_path}/{_GEO_FILE}",
+        json.dumps({k: int(geo[k]) for k in _GEO_KEYS}),
+    )
+
+
+def ann_geometry(spark: SparkSession, store_path: str) -> dict:
+    """The geometry the store at ``store_path`` was created with — the
+    single source of truth for every fold/query/erasure.  A store
+    predating the sidecar is stamped with the module defaults on first
+    touch (the bucketed.py migration assumption: pre-sidecar stores
+    were all built at the frozen default geometry)."""
+    import json
+
+    from kafkastreamsproject_spark.operators.fs import hadoop_read_text
+
+    text = hadoop_read_text(spark, f"{store_path}/{_GEO_FILE}")
+    if text:
+        return json.loads(text)
+    geo = default_geometry()
+    write_ann_geometry(spark, store_path, geo)
+    return geo
+
+
+def check_ann_geometry(
+    spark: SparkSession, store_path: str, expect: dict | None
+) -> dict:
+    """Load the sidecar geometry, asserting any caller-supplied
+    expectation against it — a fold or query built for one geometry
+    must FAIL on a store created with another (codes are only
+    meaningful under their own codebooks/cell count), never silently
+    mis-assign."""
+    geo = ann_geometry(spark, store_path)
+    if expect:
+        bad = {
+            k: (expect[k], geo[k])
+            for k in expect
+            if k in _GEO_KEYS and int(expect[k]) != int(geo[k])
+        }
+        if bad:
+            raise ValueError(
+                f"ANN store at {store_path} was created with geometry "
+                f"{geo}; caller expected "
+                + ", ".join(f"{k}={e}" for k, (e, _g) in sorted(bad.items()))
+                + " — all folds/queries against one store must use the "
+                "geometry it was created with (streaming/annindex.py)"
+            )
+    return geo
 
 
 def quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -77,11 +192,11 @@ def quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def _subspaces(base: DataFrame) -> DataFrame:
+def _subspaces(base: DataFrame, m_subspaces: int) -> DataFrame:
     """(vec_id, s, sv): ceil(dim/M) slices, the PQ subspace split."""
-    sub_len = F.ceil(F.size("qv") / M_SUBSPACES).cast("int")
+    sub_len = F.ceil(F.size("qv") / m_subspaces).cast("int")
     subs = F.transform(
-        F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1)),
+        F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
         lambda s: F.struct(
             s.cast("int").alias("s"),
             F.slice(
@@ -110,17 +225,34 @@ def _cb_dir(store_path: str) -> str:
 
 
 def create_ann_store(
-    spark: SparkSession, store_path: str, train: DataFrame
-) -> None:
+    spark: SparkSession,
+    store_path: str,
+    train: DataFrame,
+    c_cells: int = C_CELLS,
+    k_codes: int = K_CODES,
+    m_subspaces: int = M_SUBSPACES,
+    n_buckets: int = N_BUCKETS,
+) -> dict:
     """Freeze the coarse centroids and PQ codebook from ``train``
     (vec_id, embedding) — the deterministic first-C/first-K convention
-    — and write them as the store's codebook snapshot.  Codes appended
-    later are only meaningful under THIS snapshot."""
+    — write them as the store's codebook snapshot, and persist the
+    geometry in the ``_ann_meta.json`` sidecar.  Codes appended later
+    are only meaningful under THIS snapshot + geometry.  Pass
+    :func:`sized_geometry`'s output (``**sized_geometry(n)``) to size
+    C to the corpus.  Returns the geometry dict."""
+    geo = {
+        "c_cells": int(c_cells),
+        "k_codes": int(k_codes),
+        "m_subspaces": int(m_subspaces),
+        "n_buckets": int(n_buckets),
+    }
     base = quantize(train)
-    coarse = base.filter(F.col("vec_id") < C_CELLS).select(
+    coarse = base.filter(F.col("vec_id") < c_cells).select(
         F.col("vec_id").cast("int").alias("ccid"), F.col("qv").alias("cv2")
     )
-    cb = _subspaces(base.filter(F.col("vec_id") < K_CODES)).select(
+    cb = _subspaces(
+        base.filter(F.col("vec_id") < k_codes), m_subspaces
+    ).select(
         "s", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("cv")
     )
     coarse.localCheckpoint(eager=True).write.mode("overwrite").parquet(
@@ -129,6 +261,8 @@ def create_ann_store(
     cb.localCheckpoint(eager=True).write.mode("overwrite").parquet(
         f"{_cb_dir(store_path)}/pq"
     )
+    write_ann_geometry(spark, store_path, geo)
+    return geo
 
 
 def read_codebooks(
@@ -141,11 +275,64 @@ def read_codebooks(
     return coarse, cb
 
 
-def assign_cells(base: DataFrame, coarse: DataFrame) -> DataFrame:
+#: above this coarse-codebook size the brute-force expression-tree
+#: assignment (crossJoin + per-pair zip_with aggregate, cost ∝ C rows
+#: PER VECTOR) loses to the Arrow-vectorized matmul path — measured at
+#: C=447: fold walls 20-44 s/epoch expression vs ~flat vectorized
+#: (smokes/r13.json ann_geometry).  Both paths are EXACT-integer and
+#: pytest-pinned equal; the JVM path stays default for small C so the
+#: common case keeps a Python-free plan.
+_VECTORIZED_ASSIGN_MIN_C = 64
+
+
+def _assign_cells_vectorized(base: DataFrame, coarse: DataFrame) -> DataFrame:
+    """Exact-integer argmin assignment as ONE Arrow-batched Pandas UDF:
+    ‖q−c‖² = ‖q‖² − 2·q·cᵀ + ‖c‖² over int64 numpy (a C×dim matmul per
+    batch instead of C expression-tree rows per vector).  Centroids
+    sort by ccid so numpy's first-min argmin IS the lowest-ccid
+    tie-break — bit-identical to the expression path (pytest-pinned).
+    The codebook collects to the driver and broadcasts in the closure —
+    the perceptron-weights idiom: a model snapshot, C·dim longs, small
+    by construction relative to the corpus (C ≈ √N)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # model snapshot: C rows (C ≈ √N by the sizing rule) — the
+    # codebook broadcast, bounded like the perceptron's weight vector
+    rows = coarse.orderBy("ccid").collect()
+    ccids = np.array([r.ccid for r in rows], dtype=np.int64)
+    cent = np.array([list(r.cv2) for r in rows], dtype=np.int64)
+    cent_sq = (cent * cent).sum(axis=1)
+
+    # no type hints: under `from __future__ import annotations` they
+    # stringify and the pandas_udf inferrer can't resolve them; the
+    # unannotated form is the scalar Series→Series UDF
+    @pandas_udf("int")
+    def cell_of(qv):
+        m = np.array(qv.tolist(), dtype=np.int64)
+        d = (
+            (m * m).sum(axis=1)[:, None]
+            - 2 * (m @ cent.T)
+            + cent_sq[None, :]
+        )
+        return pd.Series(ccids[d.argmin(axis=1)].astype(np.int32))
+
+    return base.select("vec_id", "qv", cell_of(F.col("qv")).alias("cell"))
+
+
+def assign_cells(
+    base: DataFrame, coarse: DataFrame, c_cells: int | None = None
+) -> DataFrame:
     """(vec_id, qv, cell): integer L2 argmin over the broadcast coarse
     centroids, ties to the lowest ccid — the batch family's assignment
     as a partial-aggregating min(struct) instead of a per-vector
-    window (same result, batch-size-independent shuffle)."""
+    window (same result, batch-size-independent shuffle).  With
+    ``c_cells`` known and large, the exact vectorized path takes over
+    (see :data:`_VECTORIZED_ASSIGN_MIN_C`) — same integers, ∝C matmul
+    instead of ∝C rows per vector."""
+    if c_cells is not None and c_cells > _VECTORIZED_ASSIGN_MIN_C:
+        return _assign_cells_vectorized(base, coarse)
     d = base.crossJoin(F.broadcast(coarse)).select(
         "vec_id",
         "qv",
@@ -193,8 +380,10 @@ def _seen_path(store_path: str) -> str:
 
 
 def read_codes(
-    spark: SparkSession, store_path: str, n_buckets: int = N_BUCKETS
+    spark: SparkSession, store_path: str, n_buckets: int | None = None
 ) -> DataFrame:
+    if n_buckets is None:
+        n_buckets = ann_geometry(spark, store_path)["n_buckets"]
     path = _codes_path(store_path)
     return read_bucketed_store(
         spark, path, store_table_name("ann_codes", path),
@@ -203,8 +392,10 @@ def read_codes(
 
 
 def read_seen(
-    spark: SparkSession, store_path: str, n_buckets: int = N_BUCKETS
+    spark: SparkSession, store_path: str, n_buckets: int | None = None
 ) -> DataFrame:
+    if n_buckets is None:
+        n_buckets = ann_geometry(spark, store_path)["n_buckets"]
     path = _seen_path(store_path)
     return read_bucketed_store(
         spark, path, store_table_name("ann_seen", path),
@@ -215,24 +406,38 @@ def read_seen(
 def ann_ingest_batch(
     batch: DataFrame,
     store_path: str,
-    n_buckets: int = N_BUCKETS,
+    geometry: dict | None = None,
 ) -> dict:
     """Fold one micro-batch of (vec_id, embedding) into the index.
     Returns {"vecs_indexed": n, "codes_appended": m}.  Same layered
     idempotency as bm25index: bucket-key seen probe (zero store-side
-    Exchange), codes append first, seen append is the commit point."""
+    Exchange), codes append first, seen append is the commit point.
+    Geometry comes from the store's sidecar; a caller-supplied
+    ``geometry`` expectation is asserted against it."""
     spark = batch.sparkSession
+    geo = check_ann_geometry(spark, store_path, geometry)
+    n_buckets = geo["n_buckets"]
     coarse, cb = read_codebooks(spark, store_path)
 
     with shuffle_scoped_to_buckets(spark, n_buckets):
         seen = read_seen(spark, store_path, n_buckets)
-        fresh = batch.join(
+        # intra-batch dedup FIRST: two rows sharing a vec_id inside one
+        # micro-batch would both pass the store-side freshness probe —
+        # duplicate ledger rows, inflated vecs_indexed (r12 ADVICE).
+        # One arbitrary representative per vec_id survives, matching
+        # the cross-batch first-writer-wins contract.
+        fresh = batch.dropDuplicates(["vec_id"]).join(
             seen.select("vec_id"), "vec_id", "left_anti"
         ).localCheckpoint(eager=True)
 
-        assigned = assign_cells(quantize(fresh), coarse)
+        assigned = assign_cells(quantize(fresh), coarse, geo["c_cells"])
         codes = (
-            encode_pq(_subspaces(assigned.select("vec_id", "qv")), cb)
+            encode_pq(
+                _subspaces(
+                    assigned.select("vec_id", "qv"), geo["m_subspaces"]
+                ),
+                cb,
+            )
             .join(assigned.select("vec_id", "cell"), "vec_id")
             .select("cell", "vec_id", "s", "cid")
             .localCheckpoint(eager=True)
@@ -254,10 +459,9 @@ def ann_ingest_batch(
     }
 
 
-def compact_codes(
-    spark: SparkSession, store_path: str, n_buckets: int = N_BUCKETS
-) -> int:
+def compact_codes(spark: SparkSession, store_path: str) -> int:
     """Bound per-epoch small files in both stores; run between epochs."""
+    n_buckets = ann_geometry(spark, store_path)["n_buckets"]
     s_path = _seen_path(store_path)
     compact_bucketed_store(
         spark, s_path, store_table_name("ann_seen", s_path),
@@ -276,7 +480,7 @@ def ann_query_index(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
-    n_buckets: int = N_BUCKETS,
+    geometry: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ search FROM THE STORE: assign each query its nprobe
     nearest cells (broadcast coarse centroids), equi-join the probes
@@ -287,9 +491,22 @@ def ann_query_index(
     (vec_id, embedding); a query never matches itself (the batch
     family's convention for corpus-member queries).
 
+    Geometry comes from the store's sidecar (a caller expectation is
+    asserted); with the C ≈ √N sizing rule the candidate set is
+    ≈ nprobe·√N — the scan fraction SHRINKS as the corpus grows,
+    where the old frozen C=8 pinned it at nprobe/8 of everything.
+
     Returns (query_id, vec_id, cell, adc_dist2, rnk) — identical rows
     to plans/similarity.py:ivf_pq_search over the same corpus, which
     is exactly what the streaming_ann_index oracle asserts."""
+    geo = check_ann_geometry(spark, store_path, geometry)
+    if nprobe > geo["c_cells"]:
+        raise ValueError(
+            f"nprobe={nprobe} exceeds the store's c_cells="
+            f"{geo['c_cells']} — a probe list can't be wider than the "
+            "coarse codebook"
+        )
+    n_buckets = geo["n_buckets"]
     coarse, cb = read_codebooks(spark, store_path)
     qbase = quantize(queries)
     qd = qbase.crossJoin(F.broadcast(coarse)).select(
@@ -305,7 +522,8 @@ def ann_query_index(
         .select("query_id", F.col("ccid").alias("cell"))
     )
     qsub = _subspaces(
-        qbase.select(F.col("vec_id").alias("vec_id"), "qv")
+        qbase.select(F.col("vec_id").alias("vec_id"), "qv"),
+        geo["m_subspaces"],
     ).select(
         F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qsv")
     )
@@ -350,14 +568,24 @@ def to_ann_ingest_sink(
     store_path: str,
     checkpoint: str,
     compact_every: int | None = None,
-    n_buckets: int = N_BUCKETS,
+    compact_files_per_bucket: int | None = DEFAULTS.compact_files_per_bucket,
 ):
     """Streaming form: fold each micro-batch through
     :func:`ann_ingest_batch`, skipping replayed epochs via
-    ``_applied_epochs`` markers (the to_rollup_store_sink idiom)."""
+    ``_applied_epochs`` markers (the to_rollup_store_sink idiom).
+    Geometry (incl. the stores' bucket width) comes from the sidecar
+    written at :func:`create_ann_store` — the stream carries no
+    geometry of its own.  Compaction cadence is ADAPTIVE by default
+    (r12 verdict #6): when any codes bucket exceeds
+    ``compact_files_per_bucket`` data files, both stores compact
+    between folds; ``compact_every=k`` remains as an explicit fixed
+    cadence (either trigger fires)."""
     from kafkastreamsproject_spark.operators.fs import (
         hadoop_exists,
         hadoop_touch,
+    )
+    from kafkastreamsproject_spark.sources.bucketed import (
+        max_files_per_bucket,
     )
 
     markers = f"{store_path}/_applied_epochs"
@@ -368,11 +596,15 @@ def to_ann_ingest_sink(
         marker = f"{markers}/{epoch_id}.done"
         if hadoop_exists(spark, marker):
             return
-        ann_ingest_batch(batch_df, store_path, n_buckets)
+        ann_ingest_batch(batch_df, store_path)
         hadoop_touch(spark, marker)
         applied["n"] += 1
-        if compact_every and applied["n"] % compact_every == 0:
-            compact_codes(spark, store_path, n_buckets)
+        if (compact_every and applied["n"] % compact_every == 0) or (
+            compact_files_per_bucket
+            and max_files_per_bucket(spark, _codes_path(store_path))
+            > compact_files_per_bucket
+        ):
+            compact_codes(spark, store_path)
 
     return (
         vectors.writeStream.outputMode("append")
@@ -386,7 +618,7 @@ def forget_vectors_in_index(
     spark: SparkSession,
     vec_ids: DataFrame,
     store_path: str,
-    n_buckets: int = N_BUCKETS,
+    allow_codebook_residue: bool = False,
 ) -> dict:
     """Erase ``vec_ids`` (one column, ``vec_id``) from the index — the
     bm25index erasure contract applied to the vector side: the
@@ -395,13 +627,51 @@ def forget_vectors_in_index(
     exactly ONE cell, so the rewrite touches at most |victims| buckets
     — tighter than the text case), and their ledger rows via the
     key-level forget.  Codes first, ledger last; replay is a no-op;
-    erased ids are re-indexable.  Returns per-store deletion counts."""
+    erased ids are re-indexable.  Returns per-store deletion counts
+    plus ``codebook_residue`` (see below).
+
+    **Codebook retention caveat (r12 ADVICE):** the codebook snapshot
+    stores the TRAINING vectors' quantized embeddings VERBATIM — the
+    first-C coarse centroids and first-K PQ rows ARE those vectors.
+    Erasing a training vec_id removes it from search results (codes +
+    ledger), but its embedding remains recoverable from codebooks/ —
+    this function is NOT full GDPR erasure for codebook-training
+    members.  It therefore RAISES when the victims intersect the
+    codebook training ids, unless ``allow_codebook_residue=True``
+    acknowledges the retention (the count comes back as
+    ``codebook_residue``).  Full erasure of a training member requires
+    retraining the codebooks on survivors and rebuilding the store
+    under a new version directory (the module-docstring rebuild
+    path)."""
     from kafkastreamsproject_spark.sources.bucketed import (
         forget_keys_in_store,
         forget_rows_in_store,
     )
 
+    geo = ann_geometry(spark, store_path)
+    n_buckets = geo["n_buckets"]
     victims = vec_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+
+    coarse, cb = read_codebooks(spark, store_path)
+    train_ids = (
+        coarse.select(F.col("ccid").cast("long").alias("vec_id"))
+        .union(cb.select(F.col("cid").cast("long").alias("vec_id")))
+        .distinct()
+    )
+    n_residue = victims.join(
+        F.broadcast(train_ids), "vec_id", "left_semi"
+    ).count()
+    if n_residue and not allow_codebook_residue:
+        raise ValueError(
+            f"{n_residue} victim vec_id(s) are codebook TRAINING vectors "
+            f"(the first c_cells={geo['c_cells']} / k_codes="
+            f"{geo['k_codes']} ids): their quantized embeddings persist "
+            "verbatim in codebooks/ after this erasure.  Pass "
+            "allow_codebook_residue=True to acknowledge the retention, "
+            "or retrain + rebuild the store for full erasure "
+            "(streaming/annindex.py docstring)"
+        )
+
     c_path = _codes_path(store_path)
     victim_keys = (
         read_codes(spark, store_path, n_buckets)
@@ -422,5 +692,6 @@ def forget_vectors_in_index(
             store_table_name("ann_seen", _seen_path(store_path)),
             _SEEN_SCHEMA, ["vec_id"], n_buckets,
         ),
+        "codebook_residue": n_residue,
     }
     return out

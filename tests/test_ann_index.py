@@ -70,6 +70,26 @@ def test_replay_and_duplicates_are_dropped(spark, tmp_path):
     assert read_seen(spark, store).count() == 40
 
 
+def test_duplicate_vectors_within_one_batch_are_dropped(spark, tmp_path):
+    """A vec_id appearing twice inside ONE micro-batch indexes once —
+    before the intra-batch dedup both copies passed the store-side
+    freshness probe, duplicating ledger rows and inflating
+    vecs_indexed (r12 ADVICE)."""
+    store = _fresh_store(spark, tmp_path, "intradup")
+    doubled = _emb(spark, 0, 20).unionAll(_emb(spark, 5, 15))
+    res = ann_ingest_batch(doubled, store)
+    assert res["vecs_indexed"] == 20
+    assert res["codes_appended"] == 80
+    assert read_seen(spark, store).count() == 20
+    # and the query result equals a clean single-copy build
+    clean = _fresh_store(spark, tmp_path, "intradup_clean")
+    ann_ingest_batch(_emb(spark, 0, 20), clean)
+    q = _emb(spark, 0, 3)
+    assert _res(ann_query_index(spark, store, q)) == _res(
+        ann_query_index(spark, clean, q)
+    )
+
+
 def test_index_grows_across_epochs(spark, tmp_path):
     """Vectors folded in epoch 0 stay searchable after epoch 1, and
     new vectors become candidates — the running index serves at every
@@ -130,6 +150,95 @@ def test_store_plan_shapes(spark, tmp_path):
     assert len(re.findall(r"\(\d+\) Exchange", c_plan)) == 0, c_plan
 
 
+def test_geometry_is_persisted_and_mismatches_are_rejected(spark, tmp_path):
+    """Geometry is a store-creation parameter persisted in the
+    _ann_meta.json sidecar (r12 verdict #1): folds/queries read it
+    from there, a caller expectation that disagrees raises, and
+    nprobe can never exceed the store's cell count."""
+    import pytest
+
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_geometry,
+        sized_geometry,
+    )
+
+    geo = {"c_cells": 12, "k_codes": 24, "m_subspaces": 2, "n_buckets": 4}
+    store = str(tmp_path / "geo")
+    assert create_ann_store(spark, store, _emb(spark, 0, 40), **geo) == geo
+    assert ann_geometry(spark, store) == geo
+    # folds and queries pick the sidecar geometry up with NO caller args
+    res = ann_ingest_batch(_emb(spark, 0, 40), store)
+    assert res["codes_appended"] == 40 * geo["m_subspaces"]
+    got = _res(ann_query_index(spark, store, _emb(spark, 0, 3), nprobe=3))
+    assert got
+    # a caller built for a different geometry fails loudly
+    with pytest.raises(ValueError, match="c_cells=8"):
+        ann_ingest_batch(_emb(spark, 40, 50), store, geometry={"c_cells": 8})
+    with pytest.raises(ValueError, match="m_subspaces=4"):
+        ann_query_index(
+            spark, store, _emb(spark, 0, 3), geometry={"m_subspaces": 4}
+        )
+    with pytest.raises(ValueError, match="nprobe"):
+        ann_query_index(spark, store, _emb(spark, 0, 3), nprobe=13)
+    # the sizing rule: C ≈ √N, floored at the family default
+    assert sized_geometry(1_000_000)["c_cells"] == 1000
+    assert sized_geometry(10)["c_cells"] == 8
+    assert sized_geometry(1_000_000)["n_buckets"] == 64
+
+
+def test_sized_geometry_store_answers_like_default_brute_force(
+    spark, tmp_path
+):
+    """A store created with corpus-sized C (√N rule) still returns
+    sound neighbors: its top-1 per query comes from the probed cells'
+    exact ADC ranking — verified against an independent recompute of
+    the same geometry by a second store built in ONE shot (epoch-split
+    invariance at non-default geometry)."""
+    geo = {"c_cells": 16, "k_codes": 16, "m_subspaces": 4, "n_buckets": 8}
+    split, oneshot = str(tmp_path / "split"), str(tmp_path / "oneshot")
+    corpus = _emb(spark, 0, 60)
+    for path in (split, oneshot):
+        create_ann_store(spark, path, corpus, **geo)
+    ann_ingest_batch(corpus.filter(F.col("vec_id") % 2 == 0), split)
+    ann_ingest_batch(corpus.filter(F.col("vec_id") % 2 == 1), split)
+    ann_ingest_batch(corpus, oneshot)
+    q = _emb(spark, 0, 4)
+    assert _res(ann_query_index(spark, split, q, nprobe=4)) == _res(
+        ann_query_index(spark, oneshot, q, nprobe=4)
+    )
+
+
+def test_vectorized_assignment_equals_expression_path(spark):
+    """The large-C Arrow/numpy assignment is BIT-identical to the
+    expression-tree argmin — including the lowest-ccid tie-break,
+    which the _emb generator exercises (its vectors repeat every 13
+    ids, so the 100-centroid codebook contains exact duplicates)."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        _assign_cells_vectorized,
+        assign_cells,
+        quantize,
+    )
+
+    base = quantize(_emb(spark, 0, 300))
+    coarse = quantize(_emb(spark, 0, 100)).select(
+        F.col("vec_id").cast("int").alias("ccid"), F.col("qv").alias("cv2")
+    )
+    expr = {
+        r.vec_id: r.cell for r in assign_cells(base, coarse).collect()
+    }
+    vec = {
+        r.vec_id: r.cell
+        for r in _assign_cells_vectorized(base, coarse).collect()
+    }
+    assert expr == vec
+    # and the dispatch threshold routes large C to the vectorized path
+    big = {
+        r.vec_id: r.cell
+        for r in assign_cells(base, coarse, c_cells=100).collect()
+    }
+    assert big == expr
+
+
 def test_forget_vectors_is_exact_and_reindexable(spark, tmp_path):
     """Vector erasure: after forgetting, queries equal a fresh index
     built from the survivors; replay is a no-op; the erased id is
@@ -163,3 +272,40 @@ def test_forget_vectors_is_exact_and_reindexable(spark, tmp_path):
         _emb(spark, 0, 40).filter(F.col("vec_id") == 25), store
     )
     assert back["vecs_indexed"] == 1
+
+
+def test_forget_codebook_training_vector_requires_acknowledgement(
+    spark, tmp_path
+):
+    """GDPR honesty (r12 ADVICE): the codebook snapshot retains the
+    training vectors' quantized embeddings verbatim, so erasing a
+    training vec_id is NOT full erasure — it must raise unless the
+    caller acknowledges the residue, and the residue count must come
+    back in the result."""
+    import pytest
+
+    from kafkastreamsproject_spark.streaming.annindex import (
+        forget_vectors_in_index,
+    )
+
+    store = _fresh_store(spark, tmp_path, "cb_forget")
+    ann_ingest_batch(_emb(spark, 0, 40), store)
+    # vec_id 5 is both a coarse centroid (<8) and a PQ codebook row
+    victims = spark.createDataFrame([(5,), (30,)], "vec_id long")
+    with pytest.raises(ValueError, match="codebook"):
+        forget_vectors_in_index(spark, victims, store)
+    res = forget_vectors_in_index(
+        spark, victims, store, allow_codebook_residue=True
+    )
+    assert res["codebook_residue"] == 1
+    assert res["seen"]["rows_deleted"] == 2
+    # the search index no longer serves either victim …
+    out = ann_query_index(spark, store, _emb(spark, 0, 3), k=40)
+    assert {5, 30}.isdisjoint(
+        {r.vec_id for r in out.collect()}
+    )
+    # … but non-training victims leave no residue and need no flag
+    clean = forget_vectors_in_index(
+        spark, spark.createDataFrame([(31,)], "vec_id long"), store
+    )
+    assert clean["codebook_residue"] == 0
