@@ -1267,6 +1267,315 @@ def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store, ignore_errors=True)
 
 
+#: append-time df-cap settings (r12 verdict #2).  At the test SF the
+#: three standard terms have df ≈ 380-394 over 500 docs, so 64 and 256
+#: bind hard and 1024 is a no-op — the staircase brackets the knob.
+_DFCAP = 256
+_DFCAP_CURVE = (64, 256, 1024)
+_DFCAP_TOPK = 10
+
+
+def _dfcap_capped_score_sql(cap: int, tag: str) -> str:
+    """CTE block scoring the CAPPED index at ``cap`` (names suffixed
+    ``tag``; expects a ``base`` CTE in scope): per query term, the
+    kept postings are the first ``cap`` docs containing it in
+    (epoch, doc_id) order — epoch = doc_id % 2, the fold split — which
+    is EXACTLY the state the append-time gate leaves in the store.
+    Stats N/avgdl stay corpus-wide (the seen ledger is uncapped);
+    df_i = |kept_i| = min(df_i, cap)."""
+    from kafkastreamsproject_spark.plans.text import (
+        _BM25_TERMS,
+        _bm25_score_sql,
+    )
+
+    n = len(_BM25_TERMS)
+    kept = ",\n    ".join(
+        f"kept{i}{tag} AS (SELECT doc_id, tf{i} FROM ("
+        f"SELECT doc_id, tf{i}, ROW_NUMBER() OVER "
+        f"(ORDER BY doc_id % 2, doc_id) AS rnk FROM base WHERE tf{i} > 0"
+        f") WHERE rnk <= {cap})"
+        for i in range(n)
+    )
+    b_cols = ",\n      ".join(
+        f"COALESCE(k{i}.tf{i}, 0) AS tf{i}" for i in range(n)
+    )
+    joins = "\n      ".join(
+        f"LEFT JOIN kept{i}{tag} k{i} ON k{i}.doc_id = base.doc_id"
+        for i in range(n)
+    )
+    df_cols = ",\n      ".join(
+        f"(SELECT CAST(COUNT(*) AS DOUBLE) FROM kept{i}{tag}) AS df{i}"
+        for i in range(n)
+    )
+    tf_any = " + ".join(f"b.tf{i}" for i in range(n))
+    return f"""{kept},
+    b{tag} AS (
+      SELECT base.doc_id, base.dl,
+      {b_cols}
+      FROM base
+      {joins}
+    ),
+    s{tag} AS (
+      SELECT CAST((SELECT COUNT(*) FROM base) AS DOUBLE) AS n_docs,
+             (SELECT SUM(dl) / COUNT(*) FROM base) AS avgdl,
+      {df_cols}
+    ),
+    c{tag} AS (
+      SELECT b.doc_id, ROUND({_bm25_score_sql()}, 6) AS bm25
+      FROM b{tag} b, s{tag} s
+      WHERE {tf_any} > 0
+    )"""
+
+
+def _dfcap_base_sql() -> str:
+    from kafkastreamsproject_spark.plans.text import _BM25_TERMS
+
+    toks = "string_split_regex(trim(text), ' +')"
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter({toks}, t -> t = '{w}')) AS DOUBLE) AS tf{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    return f"""base AS (
+      SELECT doc_id,
+             CAST(len({toks}) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM documents
+    )"""
+
+
+def _bm25_dfcap_oracle() -> str:
+    return f"""
+    WITH {_dfcap_base_sql()},
+    {_dfcap_capped_score_sql(_DFCAP, "x")}
+    SELECT doc_id, bm25 FROM cx
+    """
+
+
+@register(
+    "streaming_bm25_dfcap",
+    oracle_fn=_bm25_dfcap_oracle,
+    tags=("text", "retrieval", "streaming"),
+    tier="shadow",
+)
+def streaming_bm25_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_bm25_index with the APPEND-TIME df cap on (r12
+    verdict #2: the term-skew countermeasure the module docstring
+    promised).  The corpus folds in two epochs with ``df_cap=256`` —
+    a term's posting list stops growing at 256 rows,
+    first-cap-writers-win by (epoch, doc_id) — and the standard
+    three-term query is answered from the capped stores.  The DuckDB
+    oracle recomputes the capped index's scores INDEPENDENTLY (kept =
+    first-256 rank over (doc_id % 2, doc_id); df = min(df, 256);
+    N/avgdl corpus-wide from the uncapped ledger), so the gate's
+    exact semantics — not just "fewer rows" — are cross-engine
+    verified.
+
+    Scale shape: the gate bounds every posting list at df_cap rows,
+    which bounds BOTH the hot-term bucket (the ``the``-bucket
+    straggler at 100 TB) and the gate's own store probe (≤ df_cap ·
+    |batch terms| rows through a broadcast semi-join on the bucket
+    key).  The recall price of the knob is the bm25_dfcap_curve
+    staircase."""
+    from kafkastreamsproject_spark.plans.text import _BM25_TERMS
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        index_ingest_batch,
+        query_index,
+    )
+
+    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "text"
+    )
+    store = tempfile.mkdtemp(prefix="bm25_dfcap_store_")
+    tables = [
+        store_table_name("bm25_postings", f"{store}/postings"),
+        store_table_name("bm25_seen", f"{store}/seen"),
+    ]
+    try:
+        for parity in (0, 1):
+            index_ingest_batch(
+                docs.filter(F.col("doc_id") % 2 == parity),
+                store,
+                df_cap=_DFCAP,
+            )
+        return query_index(spark, store, _BM25_TERMS).localCheckpoint(
+            eager=True
+        )
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _bm25_dfcap_curve_oracle() -> str:
+    from kafkastreamsproject_spark.plans.text import (
+        _BM25_TERMS,
+        _bm25_score_sql,
+    )
+
+    n = len(_BM25_TERMS)
+    df_cols = ",\n      ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(n)
+    )
+    tf_any = " + ".join(f"b.tf{i}" for i in range(n))
+    capped = ",\n    ".join(
+        _dfcap_capped_score_sql(cap, f"c{cap}") for cap in _DFCAP_CURVE
+    )
+    rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({cap} AS BIGINT) AS df_cap,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cc{cap}) AS n_scored,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM topu
+            WHERE doc_id IN (SELECT doc_id FROM (
+              SELECT doc_id, ROW_NUMBER() OVER
+                (ORDER BY bm25 DESC, doc_id) AS rn FROM cc{cap}
+            ) WHERE rn <= {_DFCAP_TOPK})) AS recall_at_{_DFCAP_TOPK},
+           (SELECT COALESCE(MAX(ROUND(ABS(c.bm25 - u.bm25), 6)), 0.0)
+            FROM cc{cap} c JOIN u ON u.doc_id = c.doc_id)
+             AS max_abs_delta"""
+        for cap in _DFCAP_CURVE
+    )
+    return f"""
+    WITH {_dfcap_base_sql()},
+    su AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             SUM(dl) / COUNT(*) AS avgdl,
+      {df_cols}
+      FROM base
+    ),
+    u AS (
+      SELECT b.doc_id, ROUND({_bm25_score_sql()}, 6) AS bm25
+      FROM base b, su s
+      WHERE {tf_any} > 0
+    ),
+    topu AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        FROM u
+      ) WHERE rn <= {_DFCAP_TOPK}
+    ),
+    {capped}
+    SELECT * FROM (
+    {rows}
+    ) ORDER BY df_cap
+    """
+
+
+@register(
+    "bm25_dfcap_curve",
+    oracle_fn=_bm25_dfcap_curve_oracle,
+    tags=("text", "retrieval", "streaming", "curve"),
+    tier="shadow",
+)
+def bm25_dfcap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-cap knob priced as a recall/score-fidelity staircase
+    (the winnowing_recall_curve precedent, applied to the serving
+    index): four REAL store builds — uncapped plus df ∈ {64, 256,
+    1024} — each folded in two epochs through the append-time gate,
+    then per cap: how many docs the capped index still scores
+    (n_scored), how many of the uncapped top-10 it keeps in ITS
+    top-10 (recall_at_10), and the worst score shift over co-scored
+    docs (max_abs_delta, 6-dp).  The DuckDB oracle recomputes all
+    three columns per cap from first principles, so the staircase
+    itself is cross-engine exact — the knob's price is a verified
+    number, not a claim.  Expected shape at the test SF (terms' true
+    df ≈ 380-394): 1024 reads identical to uncapped (delta 0),
+    256 binds mildly, 64 binds hard — pick the cap where the
+    staircase flattens."""
+    from kafkastreamsproject_spark.plans.text import _BM25_TERMS
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        index_ingest_batch,
+        query_index,
+    )
+    from pyspark.sql import Window as W
+
+    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "text"
+    )
+    stores, tables = [], []
+
+    def _build(cap):
+        store = tempfile.mkdtemp(prefix=f"bm25_curve_{cap}_")
+        stores.append(store)
+        tables.extend(
+            store_table_name(p, f"{store}/{d}")
+            for p, d in (("bm25_postings", "postings"), ("bm25_seen", "seen"))
+        )
+        for parity in (0, 1):
+            index_ingest_batch(
+                docs.filter(F.col("doc_id") % 2 == parity), store, df_cap=cap
+            )
+        return query_index(spark, store, _BM25_TERMS).localCheckpoint(
+            eager=True
+        )
+
+    try:
+        u = _build(None)
+        capped = None
+        for cap in _DFCAP_CURVE:
+            leg = _build(cap).withColumn("df_cap", F.lit(cap).cast("long"))
+            capped = leg if capped is None else capped.unionByName(leg)
+
+        rn = F.row_number().over(
+            W.partitionBy("df_cap").orderBy(F.desc("bm25"), "doc_id")
+        )
+        # global top-k via sort+limit → TakeOrderedAndProject
+        # (per-partition heaps), never an unpartitioned Window
+        topu = (
+            u.orderBy(F.desc("bm25"), "doc_id")
+            .limit(_DFCAP_TOPK)
+            .select("doc_id")
+        )
+        topc = (
+            capped.withColumn("rn", rn)
+            .filter(F.col("rn") <= _DFCAP_TOPK)
+            .select("df_cap", "doc_id")
+        )
+        n_scored = capped.groupBy("df_cap").agg(
+            F.count(F.lit(1)).alias("n_scored")
+        )
+        recall = (
+            topc.join(F.broadcast(topu), "doc_id", "left_semi")
+            .groupBy("df_cap")
+            .agg(F.count(F.lit(1)).alias(f"recall_at_{_DFCAP_TOPK}"))
+        )
+        delta = (
+            capped.join(
+                F.broadcast(u.select("doc_id", F.col("bm25").alias("ubm25"))),
+                "doc_id",
+            )
+            .groupBy("df_cap")
+            .agg(
+                F.max(
+                    F.round(F.abs(F.col("bm25") - F.col("ubm25")), 6)
+                ).alias("max_abs_delta")
+            )
+        )
+        out = (
+            n_scored.join(recall, "df_cap", "left")
+            .join(delta, "df_cap", "left")
+            .select(
+                "df_cap",
+                "n_scored",
+                F.coalesce(
+                    F.col(f"recall_at_{_DFCAP_TOPK}"), F.lit(0)
+                ).cast("long").alias(f"recall_at_{_DFCAP_TOPK}"),
+                F.coalesce(F.col("max_abs_delta"), F.lit(0.0)).alias(
+                    "max_abs_delta"
+                ),
+            )
+            .orderBy("df_cap")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        for store in stores:
+            shutil.rmtree(store, ignore_errors=True)
+
+
 _PHRASE = ("table", "hash")  # 46 docs / 48 occurrences at sf0.01
 
 
@@ -1398,6 +1707,157 @@ def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), store)
         return ann_query_index(
             spark, store, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2
+        )
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)
+
+
+#: NON-DEFAULT geometry for the parameterization check (r12 verdict
+#: #1): every knob differs from the module defaults (C 8→12, K 16→24,
+#: M 4→2, buckets 8→4) and the query probes 3 cells instead of 2.
+_ANN_GEO = {"c_cells": 12, "k_codes": 24, "m_subspaces": 2, "n_buckets": 4}
+_ANN_GEO_NPROBE = 3
+
+
+def _ann_geo_oracle() -> str:
+    """The ivf_pq_search oracle RE-PARAMETERIZED at _ANN_GEO — same
+    CTE structure as plans/similarity.py's, with the geometry
+    interpolated, so the non-default store is checked against an
+    independent DuckDB recompute at ITS geometry (not the default
+    one's)."""
+    from kafkastreamsproject_spark.plans.similarity import _SQL_KM_Q
+
+    c = _ANN_GEO["c_cells"]
+    k = _ANN_GEO["k_codes"]
+    m = _ANN_GEO["m_subspaces"]
+    nprobe, nq, topk = _ANN_GEO_NPROBE, 10, 5
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id,
+             unnest(range(0, {m})) AS s,
+             unnest(list_transform(range(0, {m}), s ->
+               qv[(s * CAST(ceil(len(qv) / {m}.0) AS BIGINT) + 1):
+                  least((s + 1) * CAST(ceil(len(qv) / {m}.0) AS BIGINT),
+                        len(qv))])) AS sv
+      FROM q
+    ),
+    cb AS (
+      SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {k}
+    ),
+    d AS (
+      SELECT sub.vec_id, sub.s, cb.cid,
+             ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY CAST(list_sum(list_transform(range(1, len(sub.sv) + 1),
+                     i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
+                   AS BIGINT), cb.cid) AS rn
+      FROM sub JOIN cb ON sub.s = cb.s
+    ),
+    codes AS (SELECT vec_id, s, cid FROM d WHERE rn = 1),
+    coarse AS (SELECT vec_id AS ccid, qv AS cv2 FROM q WHERE vec_id < {c}),
+    ad AS (
+      SELECT q.vec_id, c.ccid,
+             CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c.cv2[i]) * (q.qv[i] - c.cv2[i])))
+               AS BIGINT) AS dist2
+      FROM q CROSS JOIN coarse c
+    ),
+    ranked AS (
+      SELECT vec_id, ccid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, ccid) AS rn
+      FROM ad
+    ),
+    cells AS (SELECT vec_id, ccid AS cell FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, ccid AS cell FROM ranked
+      WHERE vec_id < {nq} AND rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, cl.vec_id, cl.cell
+      FROM probes p JOIN cells cl ON cl.cell = p.cell
+      WHERE cl.vec_id != p.query_id
+    ),
+    qsub AS (SELECT vec_id AS query_id, s, sv AS qsv FROM sub
+             WHERE vec_id < {nq}),
+    adc_parts AS (
+      SELECT ca.query_id, ca.vec_id, ca.cell,
+             CAST(list_sum(list_transform(range(1, len(qs.qsv) + 1),
+                 i -> (qs.qsv[i] - cb.cv[i]) * (qs.qsv[i] - cb.cv[i])))
+               AS BIGINT) AS part
+      FROM cand ca
+      JOIN codes co ON co.vec_id = ca.vec_id
+      JOIN cb ON cb.s = co.s AND cb.cid = co.cid
+      JOIN qsub qs ON qs.query_id = ca.query_id AND qs.s = co.s
+    ),
+    adc AS (
+      SELECT query_id, vec_id, cell,
+             CAST(SUM(part) AS BIGINT) AS adc_dist2
+      FROM adc_parts GROUP BY 1, 2, 3
+    )
+    SELECT query_id, vec_id, cell, adc_dist2, CAST(rn AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist2, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {topk}
+    """
+
+
+@register(
+    "streaming_ann_index_geo",
+    oracle_fn=_ann_geo_oracle,
+    tags=("similarity", "ann", "streaming"),
+    tier="shadow",
+)
+def streaming_ann_index_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_ann_index at a NON-DEFAULT geometry (r12 verdict #1):
+    the store is created with every knob off its default (C=12, K=24,
+    M=2, 4 buckets — streaming/annindex.py persists them in the
+    ``_ann_meta.json`` sidecar), folded in THREE epochs by arrival
+    residue, and queried at nprobe=3 with the caller's geometry
+    expectation asserted against the sidecar.  The DuckDB oracle is
+    the batch IVF-PQ recompute re-parameterized at the same geometry,
+    so parameterization is verified end-to-end — not just that the
+    knobs exist, but that a store built under them scores exactly.
+
+    Scale context: the geometry sidecar is what makes the C ≈ √N
+    sizing rule deployable (create with ``**sized_geometry(N)``, every
+    later fold/query reads the sidecar); the fold smoke
+    (scripts/r13_ann_geometry_smoke.py) measures the query-wall
+    consequence at 10× growth."""
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_ingest_batch,
+        ann_query_index,
+        create_ann_store,
+    )
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    store = tempfile.mkdtemp(prefix="ann_index_geo_store_")
+    tables = [
+        store_table_name("ann_codes", f"{store}/codes"),
+        store_table_name("ann_seen", f"{store}/seen"),
+    ]
+    try:
+        create_ann_store(spark, store, emb, **_ANN_GEO)
+        for residue in (0, 1, 2):
+            ann_ingest_batch(
+                emb.filter(F.col("vec_id") % 3 == residue), store
+            )
+        return ann_query_index(
+            spark,
+            store,
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+            nprobe=_ANN_GEO_NPROBE,
+            geometry=_ANN_GEO,
         )
     finally:
         for table in tables:

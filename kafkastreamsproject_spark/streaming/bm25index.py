@@ -52,22 +52,37 @@ the incremental path end-to-end
 (``plans/ingest.py:streaming_bm25_index``) and replay/growth/
 compaction behavior is pytest-pinned (tests/test_bm25_index.py).
 
-Production note (100 TB): posting lists are term-skewed — stopword
-rows concentrate in their term's buckets.  The standard
-countermeasures compose with this layout unchanged: a df-cap/stopword
-blocklist at append time, or impact-ordered posting truncation;
-neither changes the probe plan.  Store widths follow the sizing rule
-in sources/bucketed.py; all folds against one store must use the
-width it was created with (enforced by the ``_store_meta.json``
-sidecar).
+Term skew at 100 TB: posting lists are Zipf-skewed — stopword rows
+concentrate in their term's buckets, and the ``the``-bucket straggles
+on every probe that includes a stopword.  The countermeasure is the
+**append-time df cap** (``df_cap=`` at ingest, persisted in the
+``_bm25_meta.json`` sidecar): once a term's posting list holds
+``df_cap`` rows, later docs' postings for that term are DROPPED at
+the gate — first-``df_cap``-writers-win, ordered by (epoch, doc_id),
+so the capped index is a deterministic function of the corpus and the
+DuckDB oracle can recompute it exactly
+(``plans/ingest.py:streaming_bm25_dfcap``).  Consequences, priced
+honestly by the ``bm25_dfcap_curve`` staircase (the
+winnowing_recall_curve precedent): every posting list — hence every
+per-probe bucket read and the gate's own store probe — is bounded by
+``df_cap`` rows; capped terms score with df = min(df, cap) and
+post-cap docs don't match on that term (stats N/avgdl still count
+every doc via the seen ledger, which the cap never touches).  This is
+the classic static-pruning trade: common terms carry little idf
+anyway, so recall\@k degrades slowly while the hot buckets become
+flat.  Store widths follow the sizing rule in sources/bucketed.py;
+all folds against one store must use the width (and df_cap) it was
+created with (enforced by the ``_store_meta.json`` /
+``_bm25_meta.json`` sidecars).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.functions import text as TX
+from kafkastreamsproject_spark.storeconfig import DEFAULTS
 from kafkastreamsproject_spark.sources.bucketed import (
     append_bucketed_store,
     compact_bucketed_store,
@@ -78,10 +93,10 @@ from kafkastreamsproject_spark.sources.bucketed import (
 
 _POSTINGS_SCHEMA = "t string, doc_id long, tf long, dl long"
 _SEEN_SCHEMA = "doc_id long, dl long"
-#: default store width, sized for the test SF (sizing rule:
-#: sources/bucketed.py — at least the ingest parallelism, 128-512 MB
-#: per bucket).
-N_BUCKETS = 8
+#: default store width, sized for the test SF — the shared store
+#: config (storeconfig.py) holds the value and the sizing rule
+#: (at least the ingest parallelism, 128-512 MB per bucket).
+N_BUCKETS = DEFAULTS.n_buckets
 _K1 = 1.2
 _B = 0.75
 
@@ -102,6 +117,71 @@ def doc_postings(docs: DataFrame) -> DataFrame:
         )
         .groupBy("t", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
+_INDEX_META_FILE = "_bm25_meta.json"
+
+
+def _check_df_cap(
+    spark: SparkSession, store_path: str, df_cap: int | None
+) -> None:
+    """Sidecar guard (the distinctsketch lg_k discipline): the df cap
+    is a STORE property — an uncapped fold against a capped store (or
+    a different cap) would silently break the first-cap-writers-win
+    invariant that makes the capped index deterministic, so the first
+    fold stamps the cap and every later fold must match it."""
+    import json
+
+    from kafkastreamsproject_spark.operators.fs import (
+        hadoop_read_text,
+        hadoop_write_text,
+    )
+
+    meta_path = f"{store_path}/{_INDEX_META_FILE}"
+    text = hadoop_read_text(spark, meta_path)
+    if not text:
+        hadoop_write_text(spark, meta_path, json.dumps({"df_cap": df_cap}))
+        return
+    stored = json.loads(text)["df_cap"]
+    if stored != df_cap:
+        raise ValueError(
+            f"bm25 index at {store_path} was created with df_cap="
+            f"{stored}; caller supplied df_cap={df_cap} — all folds "
+            "against one index must use the cap it was created with"
+        )
+
+
+def _apply_df_cap(
+    spark: SparkSession,
+    posts: DataFrame,
+    store_path: str,
+    n_buckets: int,
+    df_cap: int,
+) -> DataFrame:
+    """The append-time gate: keep a batch posting (t, doc_id) iff the
+    term's STORE posting count plus the doc's within-batch rank (by
+    doc_id — the deterministic arrival order inside one epoch) fits
+    under the cap.  The store probe is bounded by the cap's own
+    invariant: every existing list holds ≤ df_cap rows, so counting
+    the batch terms' current dfs reads ≤ df_cap · |batch terms| rows
+    through a broadcast semi-join on the store's bucket key (zero
+    store-side Exchange)."""
+    batch_terms = posts.select("t").distinct()
+    df_now = (
+        read_postings(spark, store_path, n_buckets)
+        .join(F.broadcast(batch_terms), "t", "left_semi")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df_now"))
+    )
+    w = W.partitionBy("t").orderBy("doc_id")
+    return (
+        posts.withColumn("rnk", F.row_number().over(w))
+        .join(df_now, "t", "left")
+        .filter(
+            F.col("rnk") + F.coalesce(F.col("df_now"), F.lit(0)) <= df_cap
+        )
+        .drop("rnk", "df_now")
     )
 
 
@@ -149,6 +229,7 @@ def index_ingest_batch(
     store_path: str,
     n_buckets: int = N_BUCKETS,
     positional: bool = False,
+    df_cap: int | None = None,
 ) -> dict:
     """Fold one micro-batch of documents ``(doc_id, text)`` into the
     index (the foreachBatch body).  Returns
@@ -156,9 +237,15 @@ def index_ingest_batch(
     ``positional=True`` the fold also appends the fresh docs'
     positional postings (phrase-query support) — a third append
     BEFORE the seen commit point, extending the same crash-window
-    analysis.  See the module docstring for the idempotency
-    contract and write order."""
+    analysis.  With ``df_cap=k`` the append-time term-skew gate is on
+    (module docstring): a term's posting list never exceeds k rows,
+    first-k-writers-win by (epoch, doc_id); the positional store gets
+    the SAME kept set so phrase and term probes stay consistent.  The
+    cap is a store property (``_bm25_meta.json`` sidecar) — every
+    fold must pass the value the index was created with.  See the
+    module docstring for the idempotency contract and write order."""
     spark = batch.sparkSession
+    _check_df_cap(spark, store_path, df_cap)
 
     with shuffle_scoped_to_buckets(spark, n_buckets):
         toks = TX.tokens(F.col("text"))
@@ -179,7 +266,10 @@ def index_ingest_batch(
             seen.select("doc_id"), "doc_id", "left_anti"
         ).localCheckpoint(eager=True)
 
-        posts = doc_postings(fresh).localCheckpoint(eager=True)
+        posts = doc_postings(fresh)
+        if df_cap is not None:
+            posts = _apply_df_cap(spark, posts, store_path, n_buckets, df_cap)
+        posts = posts.localCheckpoint(eager=True)
 
         # postings FIRST, seen second (the commit point) — module
         # docstring has the crash-window analysis
@@ -189,7 +279,13 @@ def index_ingest_batch(
             ["t"], n_buckets,
         )
         if positional:
-            pos = doc_positional_postings(fresh).localCheckpoint(eager=True)
+            pos = doc_positional_postings(fresh)
+            if df_cap is not None:
+                # the phrase store keeps exactly the capped term set
+                pos = pos.join(
+                    posts.select("t", "doc_id"), ["t", "doc_id"], "left_semi"
+                )
+            pos = pos.localCheckpoint(eager=True)
             x_path = _positions_path(store_path)
             append_bucketed_store(
                 spark, pos, x_path,
@@ -302,16 +398,26 @@ def to_index_ingest_sink(
     checkpoint: str,
     compact_every: int | None = None,
     n_buckets: int = N_BUCKETS,
+    df_cap: int | None = None,
+    compact_files_per_bucket: int | None = DEFAULTS.compact_files_per_bucket,
 ):
     """Streaming form: fold each micro-batch through
     :func:`index_ingest_batch`, skipping replayed epochs via
     ``_applied_epochs`` markers (the to_rollup_store_sink idiom — this
     is what keeps the batch API's one crash window unreachable in
-    streaming operation); with ``compact_every=k`` the stores compact
-    after every k-th applied epoch (between folds)."""
+    streaming operation).  Compaction cadence is ADAPTIVE by default
+    (r12 verdict #6): after each applied fold, if any postings bucket
+    has accumulated more than ``compact_files_per_bucket`` data files
+    the stores compact (between folds — single-writer window), so the
+    probe never goes metadata-bound no matter the epoch pattern and
+    nothing is hand-tuned.  ``compact_every=k`` remains as an explicit
+    fixed cadence (either trigger fires compaction)."""
     from kafkastreamsproject_spark.operators.fs import (
         hadoop_exists,
         hadoop_touch,
+    )
+    from kafkastreamsproject_spark.sources.bucketed import (
+        max_files_per_bucket,
     )
 
     markers = f"{store_path}/_applied_epochs"
@@ -322,10 +428,14 @@ def to_index_ingest_sink(
         marker = f"{markers}/{epoch_id}.done"
         if hadoop_exists(spark, marker):
             return  # replayed epoch: already folded
-        index_ingest_batch(batch_df, store_path, n_buckets)
+        index_ingest_batch(batch_df, store_path, n_buckets, df_cap=df_cap)
         hadoop_touch(spark, marker)
         applied["n"] += 1
-        if compact_every and applied["n"] % compact_every == 0:
+        if (compact_every and applied["n"] % compact_every == 0) or (
+            compact_files_per_bucket
+            and max_files_per_bucket(spark, _postings_path(store_path))
+            > compact_files_per_bucket
+        ):
             compact_postings(spark, store_path, n_buckets)
 
     return (

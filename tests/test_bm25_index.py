@@ -122,6 +122,66 @@ def test_duplicate_docs_within_one_batch_are_dropped(spark, tmp_path):
     )
 
 
+def test_df_cap_bounds_posting_lists_first_writers_win(spark, tmp_path):
+    """The append-time term-skew gate: a term's posting list never
+    exceeds df_cap rows, the keepers are the first-cap docs in
+    (epoch, doc_id) order, the seen ledger still counts EVERY doc
+    (stats are uncapped), and the cap is a store property — a fold
+    with a different cap is rejected at the sidecar."""
+    import pytest
+
+    store = str(tmp_path / "cap_idx")
+    mk = lambda lo, hi: _docs(  # noqa: E731
+        spark, [(i, f"hot rare{i}") for i in range(lo, hi)]
+    )
+    index_ingest_batch(mk(0, 4), store, df_cap=5)
+    index_ingest_batch(mk(4, 10), store, df_cap=5)
+    hot = {
+        r.doc_id
+        for r in read_postings(spark, store)
+        .filter(F.col("t") == "hot")
+        .collect()
+    }
+    assert hot == {0, 1, 2, 3, 4}  # first-5-writers-win
+    # rare terms (df 1 each) are untouched by the gate
+    assert (
+        read_postings(spark, store).filter(F.col("t") != "hot").count() == 10
+    )
+    # the ledger still counts all 10 docs — N/avgdl are uncapped
+    assert read_seen(spark, store).count() == 10
+    # the cap is a store property: a mismatched fold fails loudly
+    with pytest.raises(ValueError, match="df_cap=5"):
+        index_ingest_batch(mk(10, 12), store, df_cap=7)
+    with pytest.raises(ValueError, match="df_cap=5"):
+        index_ingest_batch(mk(10, 12), store)
+    # replaying the capped epochs is still a no-op (seen probe first)
+    res = index_ingest_batch(mk(4, 10), store, df_cap=5)
+    assert res == {"docs_indexed": 0, "postings_appended": 0}
+
+
+def test_df_cap_gates_positional_store_consistently(spark, tmp_path):
+    """With positional=True the phrase store keeps exactly the capped
+    term set — a phrase probe can never see a (t, doc) the term probe
+    can't."""
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        read_positions,
+    )
+
+    store = str(tmp_path / "cap_pos")
+    docs = _docs(
+        spark, [(i, "hot hot filler") for i in range(6)]
+    )
+    index_ingest_batch(docs, store, positional=True, df_cap=3)
+    posts = {
+        (r.t, r.doc_id) for r in read_postings(spark, store).collect()
+    }
+    pos = {
+        (r.t, r.doc_id) for r in read_positions(spark, store).collect()
+    }
+    assert pos == posts
+    assert len({d for (t, d) in posts if t == "hot"}) == 3
+
+
 def test_scores_are_corpus_relative_and_docs_persist(spark, tmp_path):
     """A doc indexed in epoch 0 stays retrievable after epoch 1, and
     its score MOVES — df/N/avgdl are corpus statistics, so new data
@@ -371,3 +431,48 @@ def test_streaming_sink_applies_markers_and_skips_replays(spark, tmp_path):
     after_three = _scores(query_index(spark, str(tmp_path / "store"), TERMS))
     assert set(after_three) == {1, 2, 4, 5, 7}
     assert len(_markers()) == 3
+
+
+def test_adaptive_compaction_trigger_fires(spark, tmp_path):
+    """The file-count compaction trigger (r12 verdict #6): with NO
+    hand-tuned compact_every, streaming six epochs through the sink
+    leaves the postings store at ≤ compact_files_per_bucket files per
+    bucket — the trigger fired on its own — and the scores equal an
+    uncompacted build exactly."""
+    from kafkastreamsproject_spark.sources.bucketed import (
+        max_files_per_bucket,
+    )
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        to_index_ingest_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(10 * i + j, f"alpha beta doc{10 * i + j}") for j in range(3)]
+        for i in range(6)
+    ]
+    for i, rows in enumerate(batches):
+        _docs(spark, rows).coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    store = str(tmp_path / "adaptive_store")
+    q = to_index_ingest_sink(
+        stream, store, str(tmp_path / "ckpt"), compact_files_per_bucket=1
+    )
+    q.processAllAvailable()
+    q.stop()
+    # six epochs appended ≥6 files into the hot terms' bucket; the
+    # trigger must have compacted back down (≤1 per bucket + at most
+    # one post-compaction epoch's worth)
+    assert max_files_per_bucket(spark, f"{store}/postings") <= 2
+    # and compaction changed no answer
+    manual = str(tmp_path / "manual_store")
+    for rows in batches:
+        index_ingest_batch(_docs(spark, rows), manual)
+    assert _scores(query_index(spark, store, TERMS)) == _scores(
+        query_index(spark, manual, TERMS)
+    )
