@@ -33,6 +33,49 @@ from kafkastreamsproject_spark.session import get_spark
 #: for normalizing.
 SCAN_ANCHOR_S = 0.2202
 
+#: committed QUIET canary baselines for this box (r12's same-JVM A/B,
+#: smokes/r12.json bench_ab.quiet.calibration — min-of-5 on an
+#: otherwise-idle host).  These make BENCHNOTES.md's host-drift
+#: decision rule MACHINE-CHECKED (VERDICT r12 #3): the official
+#: BENCH_r12 window was degraded 1.5-2.6x on every canary and needed a
+#: judge to interpret it; the flag below lets the artifact interpret
+#: itself.
+QUIET_CANARIES = {
+    "range_sum_500m": 0.1074,
+    "lineitem_scan_agg": 0.145,
+    "shuffle_agg_30m": 1.4039,
+    "job_overhead": 0.0871,
+}
+#: degraded-window signature (BENCHNOTES.md): canaries elevated on
+#: BOTH sides of the sweep — so each kernel's ratio is min(before,
+#: after)/quiet, and the window flags when most kernels sit clearly
+#: above quiet.  1.35 splits the observed regimes: real degradations
+#: measured 1.5-5x, quiet-window jitter <=1.25x.
+DEGRADED_RATIO = 1.35
+DEGRADED_MIN_KERNELS = 3
+
+
+def drift_flags(cal_before: dict, cal_after: dict) -> dict:
+    """Compare the live canaries against the committed quiet baselines
+    and emit the host_degraded verdict + per-kernel ratios."""
+    ratios: dict[str, float] = {}
+    for k, quiet in QUIET_CANARIES.items():
+        vals = [
+            c[k]
+            for c in (cal_before, cal_after)
+            if isinstance(c.get(k), (int, float))
+        ]
+        if vals:
+            # both-sides elevation: even the BETTER side is above quiet
+            ratios[k] = round(min(vals) / quiet, 3)
+    elevated = sorted(k for k, r in ratios.items() if r >= DEGRADED_RATIO)
+    return {
+        "host_degraded": len(elevated) >= DEGRADED_MIN_KERNELS,
+        "worst_canary_ratio": max(ratios.values(), default=None),
+        "canary_ratios_vs_quiet": ratios,
+        "degraded_kernels": elevated,
+    }
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -125,11 +168,6 @@ def main() -> None:
             samples["job_overhead"].append(time.perf_counter() - t0)
         return {k: round(min(v), 4) for k, v in samples.items()}
 
-    try:
-        cal_before = calibrate()
-    except Exception as e:  # a broken probe must never cost the record
-        cal_before = {"error": f"{type(e).__name__}: {e}"[:200]}
-
     # Three timed runs per query, best-of reported: strips one-time plan
     # compilation and JIT noise so the number tracks the engine, not the
     # JVM's warm-up curve (whole-stage-codegen'd joins keep improving
@@ -137,25 +175,67 @@ def main() -> None:
     # Overridable for diagnostics (the r12 A/B uses 5 under contention,
     # where min-of-3 is scheduling luck).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    means: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in names:
-        samples: list[float] = []
-        try:
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                specs[name].spark(spark, sf_dir).count()
-                samples.append(time.perf_counter() - t0)
-            timings[name] = round(min(samples), 4)
-            means[name] = round(sum(samples) / len(samples), 4)
-        except Exception as e:  # record and keep benchmarking the rest
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
-    try:
-        cal_after = calibrate()
-    except Exception as e:
-        cal_after = {"error": f"{type(e).__name__}: {e}"[:200]}
+    def run_sweep() -> dict:
+        try:
+            cal_before = calibrate()
+        except Exception as e:  # a broken probe must never cost the record
+            cal_before = {"error": f"{type(e).__name__}: {e}"[:200]}
+        timings: dict[str, float] = {}
+        means: dict[str, float] = {}
+        errors: dict[str, str] = {}
+        for name in names:
+            samples: list[float] = []
+            try:
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    specs[name].spark(spark, sf_dir).count()
+                    samples.append(time.perf_counter() - t0)
+                timings[name] = round(min(samples), 4)
+                means[name] = round(sum(samples) / len(samples), 4)
+            except Exception as e:  # record and keep benchmarking the rest
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+        try:
+            cal_after = calibrate()
+        except Exception as e:
+            cal_after = {"error": f"{type(e).__name__}: {e}"[:200]}
+        return {
+            "timings": timings,
+            "means": means,
+            "errors": errors,
+            "cal_before": cal_before,
+            "cal_after": cal_after,
+            "flags": drift_flags(cal_before, cal_after),
+        }
+
+    # host-drift self-defense (VERDICT r12 #3): measure, flag, and —
+    # when the window is degraded and SPARK_GRAFT_BENCH_RETRY=1 —
+    # retry ONCE and keep the better-measured attempt (lower worst
+    # canary ratio).  The retry is OPT-IN: it doubles the bench wall
+    # to ~8 min, which risks a caller's timeout losing the WHOLE
+    # record — a flagged degraded reading beats no reading.  The flag
+    # travels in the JSON either way, so a degraded window is
+    # machine-annotated rather than interpreted after the fact.
+    attempt = run_sweep()
+    retried = False
+    if attempt["flags"]["host_degraded"] and os.environ.get(
+        "SPARK_GRAFT_BENCH_RETRY", "0"
+    ) == "1":
+        second = run_sweep()
+        retried = True
+        first_summary = {
+            "value": round(sum(attempt["timings"].values()), 4),
+            **attempt["flags"],
+        }
+        w1 = attempt["flags"]["worst_canary_ratio"] or float("inf")
+        w2 = second["flags"]["worst_canary_ratio"] or float("inf")
+        if w2 <= w1:
+            attempt = second
+    timings = attempt["timings"]
+    means = attempt["means"]
+    errors = attempt["errors"]
+    cal_before = attempt["cal_before"]
+    cal_after = attempt["cal_after"]
 
     # v2 calibration value per kernel: mean of the before/after
     # min-of-3s (each min strips scheduler jitter; the mean absorbs a
@@ -189,6 +269,12 @@ def main() -> None:
         "calibration": calibration,
         "calibration_before": cal_before,
         "calibration_after": cal_after,
+        # machine-checked drift verdict vs the committed quiet
+        # baselines (BENCHNOTES.md decision rule): host_degraded=true
+        # means every canary sat >=1.35x quiet on BOTH sides — the raw
+        # total is a host reading, not a code reading
+        **attempt["flags"],
+        "quiet_canaries": QUIET_CANARIES,
         "normalized_protocol": (
             "v2-anchored (r12): raw / frozen scan-kernel unit "
             f"({SCAN_ANCHOR_S} s @ sf0.1); live probes are drift "
@@ -219,6 +305,9 @@ def main() -> None:
             k: round(v / scan_probe, 3) for k, v in timings.items()
         }
         result["normalized_v1_total"] = round(total / scan_probe, 3)
+    if retried:
+        result["retried_after_degraded_window"] = True
+        result["first_attempt"] = first_summary
     if errors:
         # surfaced, not fatal — the driver still gets every good timing,
         # and the error text says exactly which query to fix
