@@ -77,6 +77,7 @@ from kafkastreamsproject_spark.operators.cache import (
 from kafkastreamsproject_spark.operators.packing import pack_documents
 from kafkastreamsproject_spark.streaming.neardup import (
     _confirmed_pairs,
+    doc_shingle_sets,
     doc_signatures,
 )
 
@@ -161,6 +162,7 @@ def curate_corpus(
     mixture_rates_m: dict[str, int] | None = None,
     pack_budget: int = 2048,
     stage_walls: dict[str, float] | None = None,
+    _decon_full_sigs: bool = False,
 ) -> tuple[DataFrame, CurationStats]:
     """Run the full curation funnel over ``docs`` (doc_id, text, ...).
 
@@ -551,17 +553,39 @@ def curate_corpus(
                 .select("doc_id")
             )
             quality = quality.join(high, "doc_id", "left_anti")
+        # NOTE (r12 verdict #4, attribution measured in r13): a
+        # lineage-recompute hypothesis — that the decontamination
+        # checkpoint re-executing this surprisal subplan was what grew
+        # its stage wall — was TESTED and REFUTED by a same-JVM 100×
+        # A/B (an extra eager checkpoint here moved decontamination
+        # 34.3 → 36.1 s: shuffle reuse already makes the re-execution
+        # cheap, so the added write only costs).  The stage's real
+        # cost was the unused 8-perm MinHash — see the stage-5 comment.
         n_surprisal = quality.count() if surprisal_max is not None else n_lang
         _mark("surprisal")
 
-        # 5. decontamination vs the holdout's shingle-hash universe
+        # 5. decontamination vs the holdout's shingle-hash universe.
+        # Shingle SETS only (doc_shingle_sets): the containment check
+        # never reads a MinHash signature, so the old doc_signatures
+        # call's 8-perm MinHash leg was waste — measured at ~6% of the
+        # stage wall (r13 same-JVM 100× A/B, 31.5 → 29.7 s) and
+        # removed.  The REMAINING wall is intrinsic: shingle
+        # construction+hashing over every survivor's full text (the
+        # same per-token work the neardup stage pays once on the whole
+        # corpus) plus the survivor checkpoint the DSIR stage's triple
+        # reference requires; r12's 26.2 → 30.8 "growth" sits inside
+        # this stage's same-code variance (three identical-code legs
+        # read 34.3 / 36.1 / 31.5 s — smokes/r13.json
+        # funnel_decon_attribution).  `_decon_full_sigs=True`
+        # reproduces the old path for the A/B — not a production knob.
         if holdout is not None:
+            _sigs = doc_signatures if _decon_full_sigs else doc_shingle_sets
             hold_hashes = (
-                doc_signatures(holdout)
+                _sigs(holdout)
                 .select(F.explode("hset").alias("h"))
                 .distinct()
             )
-            doc_hashes = doc_signatures(quality).select(
+            doc_hashes = _sigs(quality).select(
                 "doc_id", F.size("hset").alias("n_sh"), F.explode("hset").alias("h")
             )
             contained = (

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from kafkastreamsproject_spark.storeconfig import DEFAULTS
 from kafkastreamsproject_spark.functions import hashing as H
 from kafkastreamsproject_spark.functions import text as TX
 from kafkastreamsproject_spark.operators.fs import (
@@ -61,6 +62,24 @@ N_BANDS = 4  # 8 perms → 4 bands of 2 rows
 JACCARD_T = 0.5
 
 _SIG_SCHEMA = "doc_id long, hset array<bigint>, mhs array<bigint>"
+
+
+def doc_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, hset) only — :func:`doc_signatures` WITHOUT the 8-perm
+    MinHash.  For consumers that need just the Jaccard/containment
+    side (the curation funnel's decontamination gate), the MinHash leg
+    is pure waste — 8 hash-combines per shingle over every document.
+    r13's same-JVM 100× A/B priced it at ~6% of that stage's wall
+    (31.5 → 29.7 s; the bulk is the shingle construction itself —
+    smokes/r13.json funnel_decon_attribution) — kept because it is
+    free waste-removal.  Hashing is identical to doc_signatures, so
+    set semantics agree exactly."""
+    sh = TX.shingles(F.col("text"), SHINGLE_W)
+    return (
+        docs.filter(F.size(TX.tokens(F.col("text"))) >= SHINGLE_W)
+        .select("doc_id", H.hash_list(sh).alias("hs"))
+        .select("doc_id", F.array_distinct("hs").alias("hset"))
+    )
 
 
 def doc_signatures(docs: DataFrame) -> DataFrame:
@@ -375,14 +394,22 @@ def to_neardup_ingest_sink(
     store_path: str,
     checkpoint: str,
     compact_every: int | None = None,
+    compact_files: int | None = DEFAULTS.compact_files_plain,
 ) -> StreamingQuery:
     """Streaming dedup-at-ingest: fold each micro-batch of documents
     (doc_id, text, ...) through :func:`ingest_batch`.
 
-    ``compact_every=N`` runs :func:`compact_store` after every N-th
-    applied epoch — inside the sequential foreachBatch loop, so the
-    single-writer contract holds by construction and the append-log
-    file count stays bounded on a long-running ingest."""
+    Compaction cadence is ADAPTIVE by default (r12 verdict #6): after
+    each applied fold, if the signature append log has accumulated
+    more than ``compact_files`` data files, :func:`compact_store` runs
+    — inside the sequential foreachBatch loop, so the single-writer
+    contract holds by construction and the file count stays bounded
+    on a long-running ingest whatever the epoch pattern (the store is
+    a plain parquet append log, so the trigger counts files, not
+    files-per-bucket).  ``compact_every=N`` remains as an explicit
+    fixed cadence (either trigger fires)."""
+    from kafkastreamsproject_spark.operators.fs import hadoop_count_files
+
     markers = f"{store_path}/_applied_epochs"
     applied = {"n": 0}
 
@@ -394,7 +421,11 @@ def to_neardup_ingest_sink(
         ingest_batch(batch, store_path)
         hadoop_touch(spark, marker)
         applied["n"] += 1
-        if compact_every and applied["n"] % compact_every == 0:
+        if (compact_every and applied["n"] % compact_every == 0) or (
+            compact_files
+            and hadoop_count_files(spark, f"{store_path}/signatures")
+            > compact_files
+        ):
             compact_store(spark, store_path)
 
     return (

@@ -252,7 +252,7 @@ def smoke_neardup_store(spark, docs, root: str, label: str, width: int = WIDTH, 
     }
 
 
-def run_funnel(spark, n: int = N) -> dict:
+def run_funnel(spark, n: int = N, curate_overrides: dict | None = None) -> dict:
     docs = _funnel_corpus(spark, SF_DIR, n)
     full = load_table(spark, "documents", SF_DIR)
     # classifier seed labeled by an independent rule (char length) —
@@ -291,6 +291,7 @@ def run_funnel(spark, n: int = N) -> dict:
         mixture_rates_m=rates,
         pack_budget=2048,
         stage_walls=stage_walls,
+        **(curate_overrides or {}),
     )
     n_packed = packed.count()
     wall = time.perf_counter() - t0
