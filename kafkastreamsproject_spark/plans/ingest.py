@@ -1865,6 +1865,170 @@ def streaming_ann_index_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store, ignore_errors=True)
 
 
+#: rebuild-path victims: vec_id 2 is a default-geometry codebook
+#: TRAINING vector (the case in-place erasure cannot fully serve),
+#: 25 is an ordinary corpus member.
+_REBUILD_VICTIMS = (2, 25)
+
+
+def _ann_rebuild_oracle() -> str:
+    """Batch IVF-PQ over the SURVIVING corpus with codebooks
+    RETRAINED on survivors — the deterministic first-C/first-K
+    survivors by vec_id, which is what rebuild_ann_store's
+    create_ann_store does — so the oracle asserts true full-erasure
+    semantics: no victim byte participates anywhere, including the
+    codebooks."""
+    from kafkastreamsproject_spark.plans.similarity import _SQL_KM_Q
+
+    c, k, m, nprobe, nq, topk = 8, 16, 4, 2, 10, 5
+    victims = ", ".join(str(v) for v in _REBUILD_VICTIMS)
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings
+    ),
+    q_surv AS (SELECT * FROM q WHERE vec_id NOT IN ({victims})),
+    sub AS (
+      SELECT vec_id,
+             unnest(range(0, {m})) AS s,
+             unnest(list_transform(range(0, {m}), s ->
+               qv[(s * CAST(ceil(len(qv) / {m}.0) AS BIGINT) + 1):
+                  least((s + 1) * CAST(ceil(len(qv) / {m}.0) AS BIGINT),
+                        len(qv))])) AS sv
+      FROM q
+    ),
+    cb AS (
+      SELECT s, vec_id AS cid, sv AS cv FROM sub
+      WHERE vec_id IN (SELECT vec_id FROM q_surv ORDER BY vec_id LIMIT {k})
+    ),
+    sub_surv AS (
+      SELECT sub.* FROM sub
+      WHERE sub.vec_id NOT IN ({victims})
+    ),
+    d AS (
+      SELECT sub_surv.vec_id, sub_surv.s, cb.cid,
+             ROW_NUMBER() OVER (PARTITION BY sub_surv.vec_id, sub_surv.s
+                 ORDER BY CAST(list_sum(list_transform(range(1, len(sub_surv.sv) + 1),
+                     i -> (sub_surv.sv[i] - cb.cv[i]) * (sub_surv.sv[i] - cb.cv[i])))
+                   AS BIGINT), cb.cid) AS rn
+      FROM sub_surv JOIN cb ON sub_surv.s = cb.s
+    ),
+    codes AS (SELECT vec_id, s, cid FROM d WHERE rn = 1),
+    coarse AS (
+      SELECT vec_id AS ccid, qv AS cv2 FROM q_surv
+      ORDER BY vec_id LIMIT {c}
+    ),
+    ad_surv AS (
+      SELECT q_surv.vec_id, c.ccid,
+             CAST(list_sum(list_transform(range(1, len(q_surv.qv) + 1),
+                 i -> (q_surv.qv[i] - c.cv2[i]) * (q_surv.qv[i] - c.cv2[i])))
+               AS BIGINT) AS dist2
+      FROM q_surv CROSS JOIN coarse c
+    ),
+    cells AS (
+      SELECT vec_id, ccid AS cell FROM (
+        SELECT vec_id, ccid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, ccid) AS rn
+        FROM ad_surv
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, ccid AS cell FROM (
+        SELECT q.vec_id, c.ccid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                     i -> (q.qv[i] - c.cv2[i]) * (q.qv[i] - c.cv2[i])))
+                   AS BIGINT), c.ccid) AS rn
+        FROM q CROSS JOIN coarse c
+        WHERE q.vec_id < {nq}
+      ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, cl.vec_id, cl.cell
+      FROM probes p JOIN cells cl ON cl.cell = p.cell
+      WHERE cl.vec_id != p.query_id
+    ),
+    qsub AS (SELECT vec_id AS query_id, s, sv AS qsv FROM sub
+             WHERE vec_id < {nq}),
+    adc_parts AS (
+      SELECT ca.query_id, ca.vec_id, ca.cell,
+             CAST(list_sum(list_transform(range(1, len(qs.qsv) + 1),
+                 i -> (qs.qsv[i] - cb.cv[i]) * (qs.qsv[i] - cb.cv[i])))
+               AS BIGINT) AS part
+      FROM cand ca
+      JOIN codes co ON co.vec_id = ca.vec_id
+      JOIN cb ON cb.s = co.s AND cb.cid = co.cid
+      JOIN qsub qs ON qs.query_id = ca.query_id AND qs.s = co.s
+    ),
+    adc AS (
+      SELECT query_id, vec_id, cell,
+             CAST(SUM(part) AS BIGINT) AS adc_dist2
+      FROM adc_parts GROUP BY 1, 2, 3
+    )
+    SELECT query_id, vec_id, cell, adc_dist2, CAST(rn AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist2, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {topk}
+    """
+
+
+@register(
+    "ann_forget_rebuild",
+    oracle_fn=_ann_rebuild_oracle,
+    tags=("similarity", "ann", "privacy", "streaming"),
+    tier="shadow",
+)
+def ann_forget_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL vector erasure via codebook retrain + store rebuild
+    (streaming/annindex.py:rebuild_ann_store) — the path the in-place
+    erasure's codebook-residue guard points at.  Victim vec_id 2 is a
+    codebook TRAINING vector of the default geometry: in-place
+    :func:`forget_vectors_in_index` would leave its quantized
+    embedding verbatim in the codebook snapshot (and raises on it);
+    the rebuild retrains the codebooks on the deterministic
+    first-C/first-K SURVIVORS, builds a fresh store, and answers the
+    standard queries from it.  The DuckDB oracle recomputes the batch
+    IVF-PQ with the SAME survivors-only training, so the check
+    asserts that no victim byte participates anywhere — centroids,
+    codebook, codes, or ledger.
+
+    Scale shape: a rebuild is corpus-sized by design (that is what
+    full codebook erasure costs); it runs as a versioned maintenance
+    op under a new store directory while the in-place path serves the
+    common non-training-member erasures bucket-locally."""
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_query_index,
+        rebuild_ann_store,
+    )
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    victims = spark.createDataFrame(
+        [(v,) for v in _REBUILD_VICTIMS], "vec_id long"
+    )
+    store = tempfile.mkdtemp(prefix="ann_rebuild_store_")
+    tables = [
+        store_table_name("ann_codes", f"{store}/codes"),
+        store_table_name("ann_seen", f"{store}/seen"),
+    ]
+    try:
+        rebuild_ann_store(
+            spark, emb, victims, store,
+            c_cells=8, k_codes=16, m_subspaces=4, n_buckets=8,
+        )
+        return ann_query_index(
+            spark, store, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2
+        )
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)
+
+
 _FORGET_MOD = 37  # victims: doc_id % 37 == 3 (~2.7% of the corpus)
 
 

@@ -247,11 +247,21 @@ def create_ann_store(
         "n_buckets": int(n_buckets),
     }
     base = quantize(train)
-    coarse = base.filter(F.col("vec_id") < c_cells).select(
-        F.col("vec_id").cast("int").alias("ccid"), F.col("qv").alias("cv2")
+    # training set = the FIRST C/K vectors of ``train`` by vec_id —
+    # on a contiguous-id corpus this is exactly the batch family's
+    # ``vec_id < C`` convention (so the default-geometry oracle
+    # equality holds), and on a gapped corpus (a post-erasure rebuild
+    # over survivors) it stays deterministic
+    coarse = (
+        base.orderBy("vec_id")
+        .limit(c_cells)
+        .select(
+            F.col("vec_id").cast("int").alias("ccid"),
+            F.col("qv").alias("cv2"),
+        )
     )
     cb = _subspaces(
-        base.filter(F.col("vec_id") < k_codes), m_subspaces
+        base.orderBy("vec_id").limit(k_codes), m_subspaces
     ).select(
         "s", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("cv")
     )
@@ -612,6 +622,58 @@ def to_ann_ingest_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def rebuild_ann_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    vec_ids: DataFrame,
+    new_store_path: str,
+    c_cells: int | None = None,
+    k_codes: int = K_CODES,
+    m_subspaces: int = M_SUBSPACES,
+    n_buckets: int | None = None,
+) -> dict:
+    """FULL GDPR erasure for the vector index: retrain the codebooks
+    on the survivors and build a fresh store under
+    ``new_store_path`` — the rebuild path
+    :func:`forget_vectors_in_index`'s codebook-residue guard points
+    at.  In-place erasure removes a victim's code rows and ledger row
+    but cannot touch the codebook snapshot (the training vectors'
+    quantized embeddings persist there VERBATIM); this path can,
+    because the new codebooks train on ``corpus`` MINUS ``vec_ids``
+    (deterministic first-C/first-K survivors by vec_id) — no victim
+    byte reaches the new directory.
+
+    ``corpus`` is the upstream embedding source (vec_id, embedding):
+    the store holds only quantized codes, so a codebook retrain needs
+    the vectors back — the standard versioned-rebuild deployment
+    (build under a new version dir, swap readers, drop the old dir).
+    Geometry defaults to :func:`sized_geometry` of the survivor
+    count.  Returns {"survivors": n, "geometry": geo}.  Verified
+    oracle-exact against a survivors-only batch recompute by
+    ``plans/ingest.py:ann_forget_rebuild``."""
+    survivors = corpus.join(
+        F.broadcast(vec_ids.select("vec_id").distinct()),
+        "vec_id",
+        "left_anti",
+    )
+    n = survivors.count()
+    if c_cells is None or n_buckets is None:
+        sized = sized_geometry(n, m_subspaces=m_subspaces, k_codes=k_codes)
+        c_cells = c_cells if c_cells is not None else sized["c_cells"]
+        n_buckets = n_buckets if n_buckets is not None else sized["n_buckets"]
+    geo = create_ann_store(
+        spark,
+        new_store_path,
+        survivors,
+        c_cells=c_cells,
+        k_codes=k_codes,
+        m_subspaces=m_subspaces,
+        n_buckets=n_buckets,
+    )
+    ann_ingest_batch(survivors, new_store_path)
+    return {"survivors": n, "geometry": geo}
 
 
 def forget_vectors_in_index(

@@ -309,3 +309,39 @@ def test_forget_codebook_training_vector_requires_acknowledgement(
         spark, spark.createDataFrame([(31,)], "vec_id long"), store
     )
     assert clean["codebook_residue"] == 0
+
+
+def test_rebuild_erases_codebook_training_vectors(spark, tmp_path):
+    """Full erasure: rebuild_ann_store retrains the codebooks on the
+    survivors (deterministic first-C/first-K by vec_id), so a victim
+    that WAS a training vector leaves no byte anywhere — and the
+    rebuilt store answers exactly like a fresh survivors-only build."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_geometry,
+        read_codebooks,
+        rebuild_ann_store,
+    )
+
+    victims = spark.createDataFrame([(2,), (25,)], "vec_id long")
+    corpus = _emb(spark, 0, 40)
+    new = str(tmp_path / "rebuilt")
+    res = rebuild_ann_store(
+        spark, corpus, victims, new,
+        c_cells=8, k_codes=16, m_subspaces=4, n_buckets=8,
+    )
+    assert res["survivors"] == 38
+    coarse, cb = read_codebooks(spark, new)
+    ccids = {r.ccid for r in coarse.collect()}
+    cids = {r.cid for r in cb.select("cid").distinct().collect()}
+    assert 2 not in ccids and 2 not in cids  # the training victim is gone
+    assert ccids == {0, 1, 3, 4, 5, 6, 7, 8}  # first-8 survivors
+    assert ann_geometry(spark, new)["c_cells"] == 8
+    # equality with a from-scratch survivors-only build
+    fresh = str(tmp_path / "fresh")
+    surv = corpus.filter(~F.col("vec_id").isin([2, 25]))
+    create_ann_store(spark, fresh, surv)
+    ann_ingest_batch(surv, fresh)
+    q = _emb(spark, 0, 4)
+    assert _res(ann_query_index(spark, new, q)) == _res(
+        ann_query_index(spark, fresh, q)
+    )
