@@ -57,7 +57,10 @@ DEGRADED_MIN_KERNELS = 3
 
 def drift_flags(cal_before: dict, cal_after: dict) -> dict:
     """Compare the live canaries against the committed quiet baselines
-    and emit the host_degraded verdict + per-kernel ratios."""
+    and emit the host_degraded verdict + per-kernel ratios.  When NO
+    canary could be measured (both calibrations errored out) the
+    verdict is ``None`` — an unmeasurable window must read as UNKNOWN,
+    never as a clean one (r13 ADVICE)."""
     ratios: dict[str, float] = {}
     for k, quiet in QUIET_CANARIES.items():
         vals = [
@@ -70,7 +73,9 @@ def drift_flags(cal_before: dict, cal_after: dict) -> dict:
             ratios[k] = round(min(vals) / quiet, 3)
     elevated = sorted(k for k, r in ratios.items() if r >= DEGRADED_RATIO)
     return {
-        "host_degraded": len(elevated) >= DEGRADED_MIN_KERNELS,
+        "host_degraded": (
+            None if not ratios else len(elevated) >= DEGRADED_MIN_KERNELS
+        ),
         "worst_canary_ratio": max(ratios.values(), default=None),
         "canary_ratios_vs_quiet": ratios,
         "degraded_kernels": elevated,
@@ -271,8 +276,10 @@ def main() -> None:
         "calibration_after": cal_after,
         # machine-checked drift verdict vs the committed quiet
         # baselines (BENCHNOTES.md decision rule): host_degraded=true
-        # means every canary sat >=1.35x quiet on BOTH sides — the raw
-        # total is a host reading, not a code reading
+        # means >=3 of the 4 canaries sat >=1.35x quiet on BOTH sides
+        # of the sweep — the raw total is a host reading, not a code
+        # reading; null means NO canary could be measured (verdict
+        # unknown, not clean)
         **attempt["flags"],
         "quiet_canaries": QUIET_CANARIES,
         "normalized_protocol": (

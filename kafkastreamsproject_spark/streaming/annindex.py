@@ -251,7 +251,24 @@ def create_ann_store(
     # on a contiguous-id corpus this is exactly the batch family's
     # ``vec_id < C`` convention (so the default-geometry oracle
     # equality holds), and on a gapped corpus (a post-erasure rebuild
-    # over survivors) it stays deterministic
+    # over survivors) it stays deterministic.  Training ids become the
+    # int32 ccid/cid codebook keys (_COARSE_SCHEMA/_CB_SCHEMA) — a
+    # training vec_id past int32 would overflow the cast SILENTLY,
+    # corrupting every codes join and the erasure residue guard (r13
+    # ADVICE), so creation fails loudly instead.
+    max_train_id = (
+        base.orderBy("vec_id")
+        .limit(max(c_cells, k_codes))
+        .agg(F.max("vec_id"))
+        .first()[0]
+    )
+    if max_train_id is not None and max_train_id > 2**31 - 1:
+        raise ValueError(
+            f"codebook training vec_id {max_train_id} exceeds int32: "
+            "ccid/cid codebook keys are int32 — remap vec_ids below "
+            "2^31 (or train on a lower-id prefix) before creating the "
+            "store (streaming/annindex.py)"
+        )
     coarse = (
         base.orderBy("vec_id")
         .limit(c_cells)
@@ -320,6 +337,10 @@ def _assign_cells_vectorized(base: DataFrame, coarse: DataFrame) -> DataFrame:
     # unannotated form is the scalar Series→Series UDF
     @pandas_udf("int")
     def cell_of(qv):
+        # empty Arrow batch: np.array([]) is 1-D, so the axis=1
+        # reductions below would raise inside the UDF (r13 ADVICE)
+        if len(qv) == 0:
+            return pd.Series([], dtype=np.int32)
         m = np.array(qv.tolist(), dtype=np.int64)
         d = (
             (m * m).sum(axis=1)[:, None]

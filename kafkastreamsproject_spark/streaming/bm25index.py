@@ -69,7 +69,7 @@ per-probe bucket read and the gate's own store probe — is bounded by
 post-cap docs don't match on that term (stats N/avgdl still count
 every doc via the seen ledger, which the cap never touches).  This is
 the classic static-pruning trade: common terms carry little idf
-anyway, so recall\@k degrades slowly while the hot buckets become
+anyway, so recall@k degrades slowly while the hot buckets become
 flat.  Store widths follow the sizing rule in sources/bucketed.py;
 all folds against one store must use the width (and df_cap) it was
 created with (enforced by the ``_store_meta.json`` /
@@ -166,11 +166,27 @@ def _apply_df_cap(
     invariant: every existing list holds ≤ df_cap rows, so counting
     the batch terms' current dfs reads ≤ df_cap · |batch terms| rows
     through a broadcast semi-join on the store's bucket key (zero
-    store-side Exchange)."""
+    store-side Exchange).
+
+    The probe EXCLUDES store rows carrying this batch's own doc_ids
+    (r13 ADVICE): on a clean fold that anti-join removes nothing (a
+    fresh doc has no store rows by definition — it just passed the
+    seen probe), but on a crash-window replay (postings appended, seen
+    never committed) the orphaned rows are exactly this batch's, and
+    counting them would inflate df_now — permanently dropping some of
+    the batch's under-cap postings and keeping others the first run
+    rejected.  Excluding them makes the replayed gate compute the SAME
+    df_now, hence the SAME kept set, so the capped index stays the
+    deterministic first-cap-writers-win function of the corpus the
+    DuckDB oracle recomputes (replay is idempotent modulo the
+    pre-existing duplicate-postings window, which duplicates KEPT rows
+    only)."""
     batch_terms = posts.select("t").distinct()
+    batch_docs = posts.select("doc_id").distinct()
     df_now = (
         read_postings(spark, store_path, n_buckets)
         .join(F.broadcast(batch_terms), "t", "left_semi")
+        .join(F.broadcast(batch_docs), "doc_id", "left_anti")
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("df_now"))
     )

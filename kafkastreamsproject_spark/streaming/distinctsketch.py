@@ -114,11 +114,32 @@ def _check_meta(
     A store predating the sidecar is stamped on first touch with the
     caller's lg_k and ``epoch - 1`` as latest (the bucketed.py
     migration assumption: the first post-upgrade fold continues the
-    original chain)."""
+    original chain) — but ONLY when the chain is actually continuable:
+    a no-meta store that HOLDS epoch snapshots yet lacks the
+    predecessor this fold needs (a lost sidecar over a pruned chain,
+    or a resumed checkpoint pointed at a foreign/emptied store) would
+    silently rebuild from nothing, the exact loss class the sidecar
+    guard exists for (r13 ADVICE).  A no-meta store with NO epoch dirs
+    at all is a genuinely fresh path (nothing to lose) and folds
+    freely at any epoch number."""
     from kafkastreamsproject_spark.operators.fs import hadoop_has_files
 
     meta = _read_meta(spark, store_path)
     if meta is None:
+        if (
+            epoch > 0
+            and not hadoop_has_files(spark, _epoch_dir(store_path, epoch - 1))
+            and _has_epoch_dirs(spark, store_path)
+        ):
+            raise ValueError(
+                f"sketch store at {store_path} has no _sketch_meta.json "
+                f"sidecar but holds epoch snapshots, and the epoch="
+                f"{epoch - 1} predecessor this fold of epoch={epoch} "
+                "needs is missing — folding would silently rebuild from "
+                "nothing while accumulated registers sit in other epoch "
+                "dirs.  Restore the sidecar (or rebuild the store "
+                "deliberately)"
+            )
         return None
     if meta["lg_k"] != lg_k:
         raise ValueError(
@@ -153,6 +174,19 @@ def _check_meta(
             "silently drop all state before this epoch"
         )
     return meta
+
+
+def _has_epoch_dirs(spark: SparkSession, store_path: str) -> bool:
+    """Any ``epoch=<n>/`` snapshot dirs under the store root?"""
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path
+
+    fs, root = _fs_and_path(spark, store_path)
+    if not fs.exists(root):
+        return False
+    return any(
+        status.getPath().getName().startswith("epoch=")
+        for status in fs.listStatus(root)
+    )
 
 
 def _prune_epochs(

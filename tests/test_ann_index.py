@@ -345,3 +345,58 @@ def test_rebuild_erases_codebook_training_vectors(spark, tmp_path):
     assert _res(ann_query_index(spark, new, q)) == _res(
         ann_query_index(spark, fresh, q)
     )
+
+
+def test_create_store_rejects_int32_overflow_training_ids(spark, tmp_path):
+    """Codebook keys (ccid/cid) are int32: a training vec_id past 2^31
+    would overflow the cast SILENTLY, corrupting every codes join and
+    the erasure residue guard (r13 ADVICE) — creation fails loudly
+    instead.  Big ids OUTSIDE the training prefix are fine: they stay
+    long everywhere."""
+    import pytest
+
+    big = spark.createDataFrame(
+        [(int(v), [0.1 * i for i in range(8)]) for v in range(15)]
+        + [(2**31 + 5, [0.5] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="int32"):
+        create_ann_store(spark, str(tmp_path / "ovf"), big)
+    # 16+ low-id training vectors ahead of the big id: creation and
+    # ingest succeed, the big id is an ordinary (long) corpus member
+    ok = _emb(spark, 0, 20).unionAll(
+        spark.createDataFrame(
+            [(2**31 + 5, [0.5] * 8)], "vec_id long, embedding array<float>"
+        )
+    )
+    store = str(tmp_path / "ok")
+    create_ann_store(spark, store, ok)
+    res = ann_ingest_batch(ok, store)
+    assert res["vecs_indexed"] == 21
+    assert read_seen(spark, store).filter(
+        F.col("vec_id") == 2**31 + 5
+    ).count() == 1
+
+
+def test_vectorized_assignment_handles_empty_batches(spark):
+    """Zero-row Arrow batches reach the pandas UDF as empty Series —
+    np.array([]) is 1-D and the axis=1 reductions would raise (r13
+    ADVICE); the guard early-returns an empty int32 Series.  Empty
+    partitions (the repartition below makes some) and a fully empty
+    input must both come back clean."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        _assign_cells_vectorized,
+        quantize,
+    )
+
+    coarse = quantize(_emb(spark, 0, 8)).select(
+        F.col("vec_id").cast("int").alias("ccid"), F.col("qv").alias("cv2")
+    )
+    sparse = quantize(_emb(spark, 0, 3)).repartition(8)
+    got = {
+        r.vec_id: r.cell
+        for r in _assign_cells_vectorized(sparse, coarse).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    empty = quantize(_emb(spark, 0, 0))
+    assert _assign_cells_vectorized(empty, coarse).collect() == []

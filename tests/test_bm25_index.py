@@ -476,3 +476,73 @@ def test_adaptive_compaction_trigger_fires(spark, tmp_path):
     assert _scores(query_index(spark, store, TERMS)) == _scores(
         query_index(spark, manual, TERMS)
     )
+
+
+def test_df_cap_replay_in_crash_window_is_deterministic(spark, tmp_path):
+    """r13 ADVICE: the df-cap gate must compute the SAME kept set on a
+    crash-window replay (postings appended, seen never committed) as on
+    the first run — the gate's store probe excludes the batch's own
+    doc_ids, so orphaned rows can't inflate df_now.  Before the fix, a
+    PARTIAL orphan append (crash mid-write) permanently dropped
+    under-cap postings the first run kept: here the orphaned 'hot' row
+    of doc 2 would push df_now(hot) to 3, so the replayed gate rejected
+    doc 2's own posting and the store diverged from the
+    first-cap-writers-win state the DuckDB oracle recomputes."""
+    from kafkastreamsproject_spark.sources.bucketed import (
+        append_bucketed_store,
+        shuffle_scoped_to_buckets,
+        store_table_name,
+    )
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        N_BUCKETS,
+        _apply_df_cap,
+        _postings_path,
+        doc_postings,
+    )
+
+    b1 = _docs(spark, [(0, "hot filler"), (1, "hot filler")])
+    b2 = _docs(spark, [(2, "hot rare2"), (3, "hot rare3"), (4, "hot rare4")])
+
+    crash, clean = str(tmp_path / "crash"), str(tmp_path / "clean")
+    for store in (crash, clean):
+        index_ingest_batch(b1, store, df_cap=3)
+
+    # crash window on `crash`: batch 2's capped postings PARTIALLY
+    # appended (only the hot rows reached the store), seen never
+    # committed — then the full fold replays
+    with shuffle_scoped_to_buckets(spark, N_BUCKETS):
+        orphan = (
+            _apply_df_cap(
+                spark, doc_postings(b2), crash, N_BUCKETS, 3
+            )
+            .filter(F.col("t") == "hot")
+            .localCheckpoint(eager=True)
+        )
+        assert orphan.count() == 1  # doc 2: the one under-cap hot slot
+        p_path = _postings_path(crash)
+        append_bucketed_store(
+            spark, orphan, p_path,
+            store_table_name("bm25_postings", p_path), ["t"], N_BUCKETS,
+        )
+    index_ingest_batch(b2, crash, df_cap=3)
+    index_ingest_batch(b2, clean, df_cap=3)
+
+    def distinct_rows(store):
+        return {
+            (r.t, r.doc_id, r.tf, r.dl)
+            for r in read_postings(spark, store).collect()
+        }
+
+    # identical kept set — the orphan duplicated a KEPT row, never
+    # changed membership
+    assert distinct_rows(crash) == distinct_rows(clean)
+    assert ("hot", 2, 1, 2) in distinct_rows(crash)
+    # the only duplicates are exact copies of kept rows
+    dup = (
+        read_postings(spark, crash)
+        .groupBy("t", "doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .collect()
+    )
+    assert {(r.t, r.doc_id) for r in dup} == {("hot", 2)}

@@ -200,3 +200,34 @@ def test_mismatched_lg_k_fold_is_rejected(spark, tmp_path):
         sketch_ingest_batch(_rows(spark, 2000, 4000), sp, 1, "g", "k", lg_k=10)
     # the matching width still folds
     sketch_ingest_batch(_rows(spark, 2000, 4000), sp, 1, "g", "k", lg_k=12)
+
+
+def test_no_meta_store_with_orphan_epochs_is_rejected(spark, tmp_path):
+    """The no-meta hole in the chain guard (r13 ADVICE): a store whose
+    _sketch_meta.json sidecar is absent but which HOLDS epoch snapshots
+    must reject a fold whose predecessor snapshot is missing — before
+    this, read_sketch_store returned None and the fold silently rebuilt
+    from nothing while accumulated registers sat in other epoch dirs,
+    then stamped latest_epoch as if the chain were intact."""
+    import os
+
+    import pytest
+
+    sp = str(tmp_path / "nometa")
+    sketch_ingest_batch(_rows(spark, 0, 2000), sp, 0, "g", "k")
+    final = sketch_ingest_batch(_rows(spark, 2000, 4000), sp, 1, "g", "k")
+    os.remove(f"{sp}/_sketch_meta.json")
+    # epoch dirs present, epoch-4 predecessor missing: raise
+    with pytest.raises(ValueError, match="no _sketch_meta.json"):
+        sketch_ingest_batch(_rows(spark, 4000, 6000), sp, 5, "g", "k")
+    # the sidecar-predating migration path still folds: predecessor
+    # snapshot on disk, chain continuable — and re-stamps the sidecar
+    os.path.exists(f"{sp}/epoch=1")
+    cont = sketch_ingest_batch(_rows(spark, 4000, 6000), sp, 2, "g", "k")
+    assert _est(cont).keys() == _est(final).keys()
+    assert os.path.exists(f"{sp}/_sketch_meta.json")
+    # a no-meta store with NO epoch dirs is a genuinely fresh path:
+    # nothing to lose, any epoch number folds
+    fresh = str(tmp_path / "nometa_fresh")
+    out = sketch_ingest_batch(_rows(spark, 0, 2000), fresh, 7, "g", "k")
+    assert _est(out)
