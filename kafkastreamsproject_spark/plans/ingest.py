@@ -1691,6 +1691,7 @@ def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_ingest_batch,
         ann_query_index,
         create_ann_store,
+        default_geometry,
     )
 
     emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
@@ -1702,7 +1703,12 @@ def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         store_table_name("ann_seen", f"{store}/seen"),
     ]
     try:
-        create_ann_store(spark, store, emb)
+        # EXPLICIT test-SF geometry: this query's point is equality
+        # with ivf_pq_search's reused oracle, which is pinned to the
+        # batch-family convention (bare creation sizes C to the corpus
+        # since r14 — see streaming_ann_recall_curve for the sized
+        # store's pricing)
+        create_ann_store(spark, store, emb, **default_geometry())
         ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), store)
         ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), store)
         return ann_query_index(

@@ -33,8 +33,14 @@ Species and sizing rules
 - **codes stores / ANN geometry** (streaming/annindex.py): C ≈ √N
   coarse cells (candidates per query ≈ nprobe·√N), K/M are
   quantization-fidelity knobs — ``sized_geometry(n)`` encodes the
-  rule; the defaults here are the batch-family convention the
-  default-geometry oracle equality depends on.
+  rule; bare ``create_ann_store`` sizes to the training corpus, the
+  defaults here are the batch-family convention the default-geometry
+  oracle equality depends on (opt in via ``default_geometry()``).
+  Coarse-codebook memory bound: the large-C ingest path holds ONE
+  collected centroid matrix per store as a Spark broadcast —
+  C·dim·8 B ≈ √N·dim·8 B on the driver and once per executor JVM
+  (~80 MB at N=10¹⁰, dim=1024) — collected at first fold, reused for
+  the stream's lifetime, invalidated on (re)creation.
 
 Compaction cadence (all append stores) is ADAPTIVE: a store compacts
 when any bucket exceeds ``compact_files_per_bucket`` data files

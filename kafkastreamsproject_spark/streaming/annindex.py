@@ -224,22 +224,64 @@ def _cb_dir(store_path: str) -> str:
     return f"{store_path}/codebooks"
 
 
+#: an explicit C this far below the √N rule draws a warning: sized C
+#: > 4·explicit C means every query ADC-scores ≥4× the candidates the
+#: sized store would — the O(N)-query regression r12 flagged, creeping
+#: back through a hand-me-down constant.  Test-SF stores (≤1024
+#: vectors at the C=8 family default) stay under it by design.
+_SIZE_WARN_FACTOR = 4
+
+
 def create_ann_store(
     spark: SparkSession,
     store_path: str,
     train: DataFrame,
-    c_cells: int = C_CELLS,
+    c_cells: int | None = None,
     k_codes: int = K_CODES,
     m_subspaces: int = M_SUBSPACES,
-    n_buckets: int = N_BUCKETS,
+    n_buckets: int | None = None,
 ) -> dict:
     """Freeze the coarse centroids and PQ codebook from ``train``
     (vec_id, embedding) — the deterministic first-C/first-K convention
     — write them as the store's codebook snapshot, and persist the
     geometry in the ``_ann_meta.json`` sidecar.  Codes appended later
-    are only meaningful under THIS snapshot + geometry.  Pass
-    :func:`sized_geometry`'s output (``**sized_geometry(n)``) to size
-    C to the corpus.  Returns the geometry dict."""
+    are only meaningful under THIS snapshot + geometry.
+
+    Geometry defaults to **corpus-sized** (r13 verdict #1): with no
+    ``c_cells``, C and the bucket width come from
+    :func:`sized_geometry` of ``train``'s count — a bare creation can
+    no longer silently build the frozen test-SF C=8 store whose query
+    cost is O(N).  Pass ``**default_geometry()`` to opt into the
+    batch-family test-SF convention explicitly (the default-geometry
+    oracle-equality queries do); an explicit C more than
+    ``_SIZE_WARN_FACTOR``× below the √N rule draws a UserWarning.
+    Creation prices in one counting pass over ``train`` (plus the
+    codebook-prefix scans) — it is the rare, out-of-band step of the
+    store lifecycle.  Returns the geometry dict."""
+    import warnings
+
+    n_train = train.count()
+    if c_cells is None:
+        sized = sized_geometry(
+            n_train, m_subspaces=m_subspaces, k_codes=k_codes
+        )
+        c_cells = sized["c_cells"]
+        if n_buckets is None:
+            n_buckets = sized["n_buckets"]
+    elif n_train > (_SIZE_WARN_FACTOR * int(c_cells)) ** 2:
+        warnings.warn(
+            f"create_ann_store: explicit c_cells={c_cells} over a "
+            f"{n_train}-vector corpus — sized_geometry would pick "
+            f"C={sized_geometry(n_train)['c_cells']}, so every query "
+            f"will ADC-score ≥{_SIZE_WARN_FACTOR}× the candidates of a "
+            "√N-sized store (nprobe·N/C supralinear in √N).  Omit "
+            "c_cells to size to the corpus, or pass the intended "
+            "geometry deliberately",
+            UserWarning,
+            stacklevel=2,
+        )
+    if n_buckets is None:
+        n_buckets = N_BUCKETS
     geo = {
         "c_cells": int(c_cells),
         "k_codes": int(k_codes),
@@ -289,6 +331,9 @@ def create_ann_store(
         f"{_cb_dir(store_path)}/pq"
     )
     write_ann_geometry(spark, store_path, geo)
+    # new codebooks under this path: drop any cached coarse broadcast
+    # (a rebuild under a NEW version dir simply never hits its entry)
+    _invalidate_coarse_cache(store_path)
     return geo
 
 
@@ -311,32 +356,85 @@ def read_codebooks(
 #: common case keeps a Python-free plan.
 _VECTORIZED_ASSIGN_MIN_C = 64
 
+#: one collected-coarse-matrix broadcast per STORE PATH (r13 verdict
+#: #3): before this, every micro-batch fold re-collected the coarse
+#: codebook to the driver — C·dim int64 per fold, a ~10⁵-row pull per
+#: micro-batch at 10¹⁰-vector scale.  The cache holds the
+#: sc.broadcast handle; create_ann_store invalidates its path (a
+#: rebuild writes under a NEW version dir, so its fresh path simply
+#: misses).  Driver + per-executor memory bound: C·dim·8 B ≈ √N·dim·8
+#: B under the sizing rule (storeconfig.py) — ~80 MB at N=10¹⁰,
+#: dim=1024.
+_COARSE_BC_CACHE: dict[str, object] = {}
+#: test spy: driver collects of the coarse codebook (one per store
+#: lifetime, not per fold — pinned in tests/test_ann_index.py)
+_COARSE_COLLECTS = {"n": 0}
 
-def _assign_cells_vectorized(base: DataFrame, coarse: DataFrame) -> DataFrame:
+
+def _collect_coarse_mats(coarse: DataFrame):
+    """(ccids, cent, cent_sq) int64 numpy snapshot of the coarse
+    codebook, sorted by ccid (numpy's first-min argmin then IS the
+    lowest-ccid tie-break)."""
+    import numpy as np
+
+    rows = coarse.orderBy("ccid").collect()
+    _COARSE_COLLECTS["n"] += 1
+    ccids = np.array([r.ccid for r in rows], dtype=np.int64)
+    cent = np.array([list(r.cv2) for r in rows], dtype=np.int64)
+    return ccids, cent, (cent * cent).sum(axis=1)
+
+
+def coarse_broadcast(spark: SparkSession, store_path: str, coarse: DataFrame):
+    """The store's coarse codebook as a Spark broadcast variable —
+    collected ONCE per store path and reused by every later fold (the
+    stream's whole lifetime), instead of a per-micro-batch driver
+    pull.  Executors fetch the broadcast once per JVM, not once per
+    task, and the handle survives plan re-use across foreachBatch
+    invocations."""
+    bc = _COARSE_BC_CACHE.get(store_path)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(_collect_coarse_mats(coarse))
+        _COARSE_BC_CACHE[store_path] = bc
+    return bc
+
+
+def _invalidate_coarse_cache(store_path: str) -> None:
+    bc = _COARSE_BC_CACHE.pop(store_path, None)
+    if bc is not None:
+        try:
+            bc.unpersist()
+        except Exception:
+            pass  # session already gone — nothing to free
+
+
+def _assign_cells_vectorized(
+    base: DataFrame, coarse: DataFrame, mats_bc=None
+) -> DataFrame:
     """Exact-integer argmin assignment as ONE Arrow-batched Pandas UDF:
     ‖q−c‖² = ‖q‖² − 2·q·cᵀ + ‖c‖² over int64 numpy (a C×dim matmul per
     batch instead of C expression-tree rows per vector).  Centroids
     sort by ccid so numpy's first-min argmin IS the lowest-ccid
     tie-break — bit-identical to the expression path (pytest-pinned).
-    The codebook collects to the driver and broadcasts in the closure —
-    the perceptron-weights idiom: a model snapshot, C·dim longs, small
-    by construction relative to the corpus (C ≈ √N)."""
+    With ``mats_bc`` (a :func:`coarse_broadcast` handle) the UDF reads
+    the matrices from the broadcast — zero driver work here; without
+    it the codebook collects inline (ad-hoc/test path) and ships in
+    the closure — the perceptron-weights idiom: a model snapshot,
+    C·dim longs, small by construction relative to the corpus
+    (C ≈ √N)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    # model snapshot: C rows (C ≈ √N by the sizing rule) — the
-    # codebook broadcast, bounded like the perceptron's weight vector
-    rows = coarse.orderBy("ccid").collect()
-    ccids = np.array([r.ccid for r in rows], dtype=np.int64)
-    cent = np.array([list(r.cv2) for r in rows], dtype=np.int64)
-    cent_sq = (cent * cent).sum(axis=1)
+    mats_local = _collect_coarse_mats(coarse) if mats_bc is None else None
 
     # no type hints: under `from __future__ import annotations` they
     # stringify and the pandas_udf inferrer can't resolve them; the
     # unannotated form is the scalar Series→Series UDF
     @pandas_udf("int")
     def cell_of(qv):
+        ccids, cent, cent_sq = (
+            mats_local if mats_bc is None else mats_bc.value
+        )
         # empty Arrow batch: np.array([]) is 1-D, so the axis=1
         # reductions below would raise inside the UDF (r13 ADVICE)
         if len(qv) == 0:
@@ -353,7 +451,10 @@ def _assign_cells_vectorized(base: DataFrame, coarse: DataFrame) -> DataFrame:
 
 
 def assign_cells(
-    base: DataFrame, coarse: DataFrame, c_cells: int | None = None
+    base: DataFrame,
+    coarse: DataFrame,
+    c_cells: int | None = None,
+    mats_bc=None,
 ) -> DataFrame:
     """(vec_id, qv, cell): integer L2 argmin over the broadcast coarse
     centroids, ties to the lowest ccid — the batch family's assignment
@@ -361,9 +462,10 @@ def assign_cells(
     window (same result, batch-size-independent shuffle).  With
     ``c_cells`` known and large, the exact vectorized path takes over
     (see :data:`_VECTORIZED_ASSIGN_MIN_C`) — same integers, ∝C matmul
-    instead of ∝C rows per vector."""
+    instead of ∝C rows per vector; pass ``mats_bc`` to reuse a
+    per-store :func:`coarse_broadcast` instead of re-collecting."""
     if c_cells is not None and c_cells > _VECTORIZED_ASSIGN_MIN_C:
-        return _assign_cells_vectorized(base, coarse)
+        return _assign_cells_vectorized(base, coarse, mats_bc)
     d = base.crossJoin(F.broadcast(coarse)).select(
         "vec_id",
         "qv",
@@ -461,7 +563,17 @@ def ann_ingest_batch(
             seen.select("vec_id"), "vec_id", "left_anti"
         ).localCheckpoint(eager=True)
 
-        assigned = assign_cells(quantize(fresh), coarse, geo["c_cells"])
+        # large-C stores assign through the per-store codebook
+        # broadcast — ONE driver collect for the stream's lifetime,
+        # not one per micro-batch (r13 verdict #3)
+        mats_bc = (
+            coarse_broadcast(spark, store_path, coarse)
+            if geo["c_cells"] > _VECTORIZED_ASSIGN_MIN_C
+            else None
+        )
+        assigned = assign_cells(
+            quantize(fresh), coarse, geo["c_cells"], mats_bc
+        )
         codes = (
             encode_pq(
                 _subspaces(

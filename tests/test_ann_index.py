@@ -400,3 +400,87 @@ def test_vectorized_assignment_handles_empty_batches(spark):
     assert set(got) == {0, 1, 2}
     empty = quantize(_emb(spark, 0, 0))
     assert _assign_cells_vectorized(empty, coarse).collect() == []
+
+
+def test_bare_creation_sizes_geometry_to_the_corpus(spark, tmp_path):
+    """r13 verdict #1: a bare create_ann_store call sizes C ≈ √N from
+    the training corpus — the frozen test-SF C=8 is now an explicit
+    opt-in (default_geometry()), so production-N callers can't silently
+    build the O(N)-query store r12 flagged.  An explicit C more than
+    4× below the √N rule draws a UserWarning; test-SF-scale explicit
+    stores stay quiet."""
+    import warnings
+
+    import pytest
+
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_geometry,
+        default_geometry,
+        sized_geometry,
+    )
+
+    corpus = _emb(spark, 0, 2000)
+    store = str(tmp_path / "sized")
+    geo = create_ann_store(spark, store, corpus)
+    assert geo == sized_geometry(2000)
+    assert geo["c_cells"] == 45  # round(sqrt(2000))
+    assert ann_geometry(spark, store) == geo
+    # the sized store ingests and serves under its sidecar geometry
+    ann_ingest_batch(corpus.filter(F.col("vec_id") < 200), store)
+    assert _res(ann_query_index(spark, store, _emb(spark, 0, 2), k=3))
+
+    # explicit C >4x below the sqrt-N rule: warn (the footgun path)
+    with pytest.warns(UserWarning, match="sized_geometry would pick"):
+        create_ann_store(
+            spark, str(tmp_path / "warned"), corpus, **default_geometry()
+        )
+    # deliberate test-SF stores (N <= (4C)^2) stay warning-free
+    # (record=True, not simplefilter("error"): erroring filters turn
+    # GC-time py4j socket ResourceWarnings into unraisable noise)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        create_ann_store(
+            spark, str(tmp_path / "quiet"), _emb(spark, 0, 40),
+            **default_geometry(),
+        )
+    assert not [w for w in rec if w.category is UserWarning]
+
+
+def test_coarse_codebook_collects_once_per_store(spark, tmp_path):
+    """r13 verdict #3: the large-C ingest path pulls the coarse
+    codebook to the driver ONCE per store (then folds read the Spark
+    broadcast), not once per micro-batch; re-creating the store
+    invalidates the cached broadcast.  Results stay identical to the
+    small-C expression path, which needs no collect at all."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        _COARSE_COLLECTS,
+    )
+
+    geo = {"c_cells": 100, "k_codes": 16, "m_subspaces": 4, "n_buckets": 8}
+    store = str(tmp_path / "bc")
+    corpus = _emb(spark, 0, 300)
+    create_ann_store(spark, store, corpus, **geo)
+
+    before = _COARSE_COLLECTS["n"]
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        ann_ingest_batch(_emb(spark, lo, hi), store)
+    assert _COARSE_COLLECTS["n"] == before + 1  # one collect, three folds
+
+    # (re)creation invalidates: the next fold collects the NEW codebook
+    create_ann_store(spark, store, corpus, **geo)
+    ann_ingest_batch(_emb(spark, 0, 100), store)
+    assert _COARSE_COLLECTS["n"] == before + 2
+
+    # and the broadcast-fed store answers exactly like a small-C-free
+    # one-shot build at the same geometry
+    oneshot = str(tmp_path / "bc_oneshot")
+    create_ann_store(spark, oneshot, corpus, **geo)
+    ann_ingest_batch(corpus, oneshot)
+    q = _emb(spark, 0, 3)
+    store2 = str(tmp_path / "bc_refold")
+    create_ann_store(spark, store2, corpus, **geo)
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        ann_ingest_batch(_emb(spark, lo, hi), store2)
+    assert _res(ann_query_index(spark, store2, q, nprobe=8)) == _res(
+        ann_query_index(spark, oneshot, q, nprobe=8)
+    )
