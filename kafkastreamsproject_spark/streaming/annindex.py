@@ -624,6 +624,7 @@ def ann_query_index(
     k: int = 5,
     nprobe: int = 2,
     geometry: dict | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search FROM THE STORE: assign each query its nprobe
     nearest cells (broadcast coarse centroids), equi-join the probes
@@ -634,6 +635,19 @@ def ann_query_index(
     (vec_id, embedding); a query never matches itself (the batch
     family's convention for corpus-member queries).
 
+    ``allowed`` (one column, ``vec_id``) is the FILTERED-search
+    predicate (r13 verdict #5): candidates outside it leave at a
+    semi-join INSIDE the cell-probe stage — after the probe equi-join,
+    BEFORE any ADC work — so the top-k ranks only eligible vectors and
+    always fills k when ≥k eligible candidates sit in the probed
+    cells.  Post-filtering the unfiltered top-k instead silently
+    under-fills it (pinned in tests/test_ann_index.py) and wastes ADC
+    on vectors the caller will discard.  The predicate set broadcasts
+    (driver-boundable — the pattern for label/source/lang-style
+    predicates resolved from a metadata table); a store-scale
+    predicate belongs in a vec_id-bucketed store semi-joined on its
+    bucket key, the sources/bucketed.py discipline.
+
     Geometry comes from the store's sidecar (a caller expectation is
     asserted); with the C ≈ √N sizing rule the candidate set is
     ≈ nprobe·√N — the scan fraction SHRINKS as the corpus grows,
@@ -641,7 +655,8 @@ def ann_query_index(
 
     Returns (query_id, vec_id, cell, adc_dist2, rnk) — identical rows
     to plans/similarity.py:ivf_pq_search over the same corpus, which
-    is exactly what the streaming_ann_index oracle asserts."""
+    is exactly what the streaming_ann_index oracle asserts
+    (``ann_filtered_topk`` asserts the filtered form)."""
     geo = check_ann_geometry(spark, store_path, geometry)
     if nprobe > geo["c_cells"]:
         raise ValueError(
@@ -678,6 +693,14 @@ def ann_query_index(
             .join(codes, "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
         )
+        if allowed is not None:
+            # pre-ADC: ineligible candidates never reach the scoring
+            # join, and the per-query top-k ranks eligible vectors only
+            cand = cand.join(
+                F.broadcast(allowed.select("vec_id").distinct()),
+                "vec_id",
+                "left_semi",
+            )
         adc = (
             cand.join(F.broadcast(cb.select("s", "cid", "cv")), ["s", "cid"])
             .join(F.broadcast(qsub), ["query_id", "s"])

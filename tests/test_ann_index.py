@@ -484,3 +484,44 @@ def test_coarse_codebook_collects_once_per_store(spark, tmp_path):
     assert _res(ann_query_index(spark, store2, q, nprobe=8)) == _res(
         ann_query_index(spark, oneshot, q, nprobe=8)
     )
+
+
+def test_filtered_search_fills_k_where_post_filtering_cannot(
+    spark, tmp_path
+):
+    """Filtered vector search (r13 verdict #5): the ``allowed``
+    predicate applies INSIDE the cell-probe stage (a LeftSemi join
+    before any ADC), so the top-k ranks eligible vectors only and
+    fills k — post-filtering the unfiltered top-k under-fills it
+    whenever ineligible vectors held top slots (here: query 0's exact
+    duplicates 13 and 39 are odd, so the odd-excluding post-filter
+    keeps <k of the unfiltered top-5)."""
+    store = _fresh_store(spark, tmp_path, "filtered")
+    ann_ingest_batch(_emb(spark, 0, 40), store)
+    q = _emb(spark, 0, 1)
+    evens = spark.range(0, 40, 2).select(F.col("id").alias("vec_id"))
+
+    unfiltered = ann_query_index(spark, store, q, k=5, nprobe=8)
+    post = [r for r in unfiltered.collect() if r.vec_id % 2 == 0]
+    assert len(post) < 5  # the naive approach silently under-fills
+
+    filt = ann_query_index(spark, store, q, k=5, nprobe=8, allowed=evens)
+    rows = filt.collect()
+    assert len(rows) == 5 and all(r.vec_id % 2 == 0 for r in rows)
+    assert [r.rnk for r in sorted(rows, key=lambda r: r.rnk)] == [1, 2, 3, 4, 5]
+    # the predicate sits in the plan as a broadcast semi-join on the
+    # candidate side (pre-ADC, zero store-side Exchange), not a
+    # post-top-k Filter — asserted on the pre-checkpoint candidate
+    # stage (the operator's return value is pinned by localCheckpoint,
+    # so its own plan is an RDD scan)
+    probes = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id long, cell int"
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(read_codes(spark, store), "cell")
+        .join(F.broadcast(evens), "vec_id", "left_semi")
+    )
+    c_plan = _plan(cand)
+    assert "LeftSemi" in c_plan, c_plan
+    assert len(re.findall(r"\(\d+\) Exchange", c_plan)) == 0, c_plan
