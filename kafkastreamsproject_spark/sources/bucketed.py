@@ -201,13 +201,31 @@ def append_bucketed_store(
     """Append ``df`` to the bucketed store, creating the external table
     at ``path`` on first write.  Idempotency under epoch replay is the
     CALLER's contract (anti-join the append set against the store
-    before calling), same as the plain-parquet folds."""
+    before calling), same as the plain-parquet folds.
+
+    The append REPARTITIONS onto the bucket key first (r14): Spark's
+    bucketed write does not align tasks to buckets, so an unaligned
+    batch writes one file into EVERY bucket it touches per task —
+    measured at ~32 files/bucket/epoch on the ANN seen ledger, which
+    made constant-size fold walls climb with the store's directory
+    size until compaction caught up (smokes/r14.json
+    ann_ingest_slope).  ``repartition(n_buckets, keys)`` uses the same
+    Murmur3-pmod placement as the bucket-id assignment, so each write
+    task holds exactly one bucket and every append lands ≤1 file per
+    bucket — file count grows with EPOCHS, not epochs×tasks, and the
+    adaptive compaction trigger fires for real load, not write
+    amplification.  Cost: one batch-sized shuffle per append (appends
+    are batch-sized by contract; the store side still never
+    shuffles)."""
+    from pyspark.sql import functions as F
+
     from kafkastreamsproject_spark.operators.fs import hadoop_has_files
 
     if hadoop_has_files(spark, path):
         check_store_meta(spark, path, bucket_cols, n_buckets)
     writer = (
-        df.write.mode("append")
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("append")
         .format("parquet")
         .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*bucket_cols)

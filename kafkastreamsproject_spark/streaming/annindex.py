@@ -729,6 +729,72 @@ def ann_query_index(
     return out
 
 
+def ann_rerank_index(
+    spark: SparkSession,
+    store_path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    r_shortlist: int = 50,
+    geometry: dict | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-reranked store search — the standard production fix for
+    quantization loss (the batch family's ivf_pq_rerank), run FROM THE
+    STORE: :func:`ann_query_index` produces the ADC top-``r_shortlist``
+    per query, then the shortlist's ORIGINAL vectors come back from
+    ``corpus`` (the upstream embedding source — the store holds only
+    codes) and the final top-k ranks by exact integer L2 on the
+    quantized vectors, the family-wide rerank convention.  The store's
+    own recall curve (``ann_store_recall_curve``) shows why this stage
+    exists: ADC recall is quantization-bounded (flat-to-declining in
+    nprobe), while the shortlist's CANDIDATE recall rises with nprobe
+    — rerank converts candidate recall into delivered recall for
+    |queries|·R exact distances.
+
+    Scale shape: the |queries|·R shortlist BROADCASTS into one equi-
+    join against the corpus scan (shortlist side small by
+    construction), so rerank costs one corpus pass however large the
+    store is; a deployment that can't afford the pass keeps the raw
+    vectors cell-bucketed next to the codes (IVF-Flat sidecar) and
+    reads only the probed cells.  Returns
+    (query_id, vec_id, exact_dist2, rnk)."""
+    short = ann_query_index(
+        spark,
+        store_path,
+        queries,
+        k=r_shortlist,
+        nprobe=nprobe,
+        geometry=geometry,
+        allowed=allowed,
+    )
+    qa = quantize(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qav")
+    )
+    rescored = (
+        quantize(corpus)
+        .join(F.broadcast(short.select("query_id", "vec_id")), "vec_id")
+        .join(F.broadcast(qa), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _int_dist2(F.col("qv"), F.col("qav")).alias("exact_dist2"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy("exact_dist2", "vec_id")
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "exact_dist2",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def to_ann_ingest_sink(
     vectors: DataFrame,
     store_path: str,

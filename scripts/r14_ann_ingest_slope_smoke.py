@@ -129,15 +129,25 @@ def main() -> None:
     ad = legs["cached_adaptive"]["fold_walls_s"]
     un = legs["uncached_nocompact"]["fold_walls_s"]
     ca = legs["cached_nocompact"]["fold_walls_s"]
+    collect_gap = round(sum(un) / len(un) - sum(ca) / len(ca), 2)
+    seen_files = legs["cached_nocompact"]["max_files_per_bucket_seen"]
     record = {
         "kind": "r14_ann_ingest_slope_same_jvm",
         "epochs": EPOCHS,
         "vectors_per_epoch": PER_EPOCH,
         "geometry": AX.sized_geometry(TOTAL),
         "legs": legs,
-        # collect cost = mean per-fold gap uncached minus cached
-        "collect_cost_per_fold_s": round(
-            sum(un) / len(un) - sum(ca) / len(ca), 2
+        # collect cost = mean per-fold gap uncached minus cached; a
+        # value within noise (≤0 or ≈0) REFUTES the per-fold-collect
+        # hypothesis at this C — the codebook is √N rows, the collect
+        # is microseconds against multi-second folds
+        "collect_cost_per_fold_s": collect_gap,
+        # the listing hypothesis read directly off the stores: how
+        # many data files the hottest seen/codes bucket accumulates
+        # per epoch without compaction (write amplification = files
+        # growing with epochs×tasks, not epochs)
+        "seen_files_per_bucket_per_epoch": round(
+            (seen_files[-1] - seen_files[0]) / (EPOCHS - 1), 1
         ),
         # bounded = the adaptive leg's closing walls sit at/below its
         # peak (saw-tooth reset measured, not inferred)
@@ -148,7 +158,8 @@ def main() -> None:
     shutil.rmtree(td, ignore_errors=True)
     smokes = ROOT / "smokes" / "r14.json"
     existing = json.loads(smokes.read_text()) if smokes.exists() else {}
-    existing["ann_ingest_slope"] = record
+    key = sys.argv[1] if len(sys.argv) > 1 else "ann_ingest_slope"
+    existing[key] = record
     smokes.write_text(json.dumps(existing, indent=1))
     print(json.dumps({k: record[k] for k in (
         "collect_cost_per_fold_s", "adaptive_peak_s",

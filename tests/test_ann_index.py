@@ -525,3 +525,44 @@ def test_filtered_search_fills_k_where_post_filtering_cannot(
     c_plan = _plan(cand)
     assert "LeftSemi" in c_plan, c_plan
     assert len(re.findall(r"\(\d+\) Exchange", c_plan)) == 0, c_plan
+
+
+def test_rerank_index_recovers_exact_ordering(spark, tmp_path):
+    """ann_rerank_index with every cell probed and a corpus-wide
+    shortlist IS the exact integer-L2 top-k — verified against an
+    independent numpy recompute of the quantize→distance→rank chain
+    (no Spark primitives shared).  The quantization grid here never
+    lands on .5, so python round == Spark's HALF_UP round."""
+    import numpy as np
+
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_rerank_index,
+    )
+
+    store = _fresh_store(spark, tmp_path, "rerank")
+    corpus = _emb(spark, 0, 40)
+    ann_ingest_batch(corpus, store)
+    q = _emb(spark, 0, 3)
+    got = {
+        (r.query_id, r.rnk): (r.vec_id, r.exact_dist2)
+        for r in ann_rerank_index(
+            spark, store, q, corpus, k=5, nprobe=8, r_shortlist=40
+        ).collect()
+    }
+
+    vecs = {
+        v: np.round(
+            np.array([((v * 7 + i) % 13) / 13.0 for i in range(8)]) * 127
+        ).astype(np.int64)
+        for v in range(40)
+    }
+    want = {}
+    for qid in range(3):
+        dists = sorted(
+            (int(((vecs[v] - vecs[qid]) ** 2).sum()), v)
+            for v in range(40)
+            if v != qid
+        )
+        for rnk, (d, v) in enumerate(dists[:5], start=1):
+            want[(qid, rnk)] = (v, d)
+    assert got == want
