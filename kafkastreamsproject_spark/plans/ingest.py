@@ -2640,3 +2640,68 @@ def ann_store_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for table in tables:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(store, ignore_errors=True)
+
+
+@register(
+    "ann_rerank_sidecar",
+    oracle_fn=_ann_rerank_oracle,
+    tags=("similarity", "ann", "streaming"),
+    tier="shadow",
+)
+def ann_rerank_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_store_rerank_topk answered from the IVF-Flat SIDECAR
+    (r14): the store is created with ``store_vectors=True``, so every
+    fold also persists the fresh vectors' quantized embeddings
+    cell-bucketed next to the codes, and the exact-rerank stage reads
+    the shortlist's vectors from the PROBED CELLS (a pushed
+    ``cell IN (...)`` parquet filter — the bm25 term-probe
+    discipline) instead of re-scanning the upstream corpus.  The
+    oracle is ann_store_rerank_topk's VERBATIM — the sidecar holds
+    the same quantized vectors, so the two rerank paths must produce
+    identical rows, which is exactly what reusing the oracle asserts
+    cross-engine.
+
+    Scale shape: this closes the rerank story's last corpus pass —
+    candidates ≈ nprobe·√N (sized geometry), ADC on codes, exact
+    rerank on ≈ nprobe·√N sidecar vectors; nothing in the query path
+    scans the corpus.  The sidecar prices in ~dim·8 B per vector of
+    extra store footprint and one more bucketed append per fold
+    (same crash-window position as codes: before the seen commit);
+    GDPR erasure reaches it (victims' quantized embeddings leave with
+    their codes — pytest-pinned)."""
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_ingest_batch,
+        ann_rerank_index,
+        create_ann_store,
+        default_geometry,
+    )
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    store = tempfile.mkdtemp(prefix="ann_sidecar_store_")
+    tables = [
+        store_table_name("ann_codes", f"{store}/codes"),
+        store_table_name("ann_seen", f"{store}/seen"),
+        store_table_name("ann_vecs", f"{store}/vecs"),
+    ]
+    try:
+        create_ann_store(
+            spark, store, emb, **default_geometry(), store_vectors=True
+        )
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), store)
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), store)
+        return ann_rerank_index(
+            spark,
+            store,
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+            nprobe=_RERANK_NPROBE,
+            r_shortlist=_RERANK_R,
+            vectors_from_store=True,
+        ).localCheckpoint(eager=True)
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)

@@ -76,6 +76,13 @@ _CODES_SCHEMA = "cell int, vec_id long, s int, cid int"
 _SEEN_SCHEMA = "vec_id long"
 _CB_SCHEMA = "s int, cid int, cv array<bigint>"
 _COARSE_SCHEMA = "ccid int, cv2 array<bigint>"
+#: IVF-Flat sidecar: the quantized vectors themselves, cell-bucketed
+#: like the codes, so exact rerank can read ONLY the probed cells
+#: (pushed ``cell IN`` scan filter) instead of one pass over the
+#: upstream corpus.  Opt-in at store creation (it doubles-ish the
+#: store's footprint: dim int64s per vector vs M codes).
+_VECS_SCHEMA = "cell int, vec_id long, qv array<bigint>"
+_VECS_MARKER = "_vector_sidecar"
 
 #: DEFAULT geometry = the batch-family test-SF convention
 #: (plans/similarity.py) — the default-geometry store must equal the
@@ -240,6 +247,7 @@ def create_ann_store(
     k_codes: int = K_CODES,
     m_subspaces: int = M_SUBSPACES,
     n_buckets: int | None = None,
+    store_vectors: bool = False,
 ) -> dict:
     """Freeze the coarse centroids and PQ codebook from ``train``
     (vec_id, embedding) — the deterministic first-C/first-K convention
@@ -257,7 +265,15 @@ def create_ann_store(
     ``_SIZE_WARN_FACTOR``× below the √N rule draws a UserWarning.
     Creation prices in one counting pass over ``train`` (plus the
     codebook-prefix scans) — it is the rare, out-of-band step of the
-    store lifecycle.  Returns the geometry dict."""
+    store lifecycle.
+
+    ``store_vectors=True`` enables the IVF-Flat sidecar: every fold
+    also appends the fresh vectors' quantized embeddings to a
+    cell-bucketed ``vecs`` store, so :func:`ann_rerank_index` with
+    ``vectors_from_store=True`` re-ranks from the probed cells alone
+    instead of re-scanning the upstream corpus.  The flag persists as
+    the ``_vector_sidecar`` marker — folds pick it up with no caller
+    args.  Returns the geometry dict."""
     import warnings
 
     n_train = train.count()
@@ -331,10 +347,20 @@ def create_ann_store(
         f"{_cb_dir(store_path)}/pq"
     )
     write_ann_geometry(spark, store_path, geo)
+    if store_vectors:
+        from kafkastreamsproject_spark.operators.fs import hadoop_write_text
+
+        hadoop_write_text(spark, f"{store_path}/{_VECS_MARKER}", "1")
     # new codebooks under this path: drop any cached coarse broadcast
     # (a rebuild under a NEW version dir simply never hits its entry)
     _invalidate_coarse_cache(store_path)
     return geo
+
+
+def has_vector_sidecar(spark: SparkSession, store_path: str) -> bool:
+    from kafkastreamsproject_spark.operators.fs import hadoop_exists
+
+    return hadoop_exists(spark, f"{store_path}/{_VECS_MARKER}")
 
 
 def read_codebooks(
@@ -512,6 +538,22 @@ def _seen_path(store_path: str) -> str:
     return f"{store_path}/seen"
 
 
+def _vecs_path(store_path: str) -> str:
+    return f"{store_path}/vecs"
+
+
+def read_vecs(
+    spark: SparkSession, store_path: str, n_buckets: int | None = None
+) -> DataFrame:
+    if n_buckets is None:
+        n_buckets = ann_geometry(spark, store_path)["n_buckets"]
+    path = _vecs_path(store_path)
+    return read_bucketed_store(
+        spark, path, store_table_name("ann_vecs", path),
+        _VECS_SCHEMA, ["cell"], n_buckets,
+    )
+
+
 def read_codes(
     spark: SparkSession, store_path: str, n_buckets: int | None = None
 ) -> DataFrame:
@@ -574,6 +616,10 @@ def ann_ingest_batch(
         assigned = assign_cells(
             quantize(fresh), coarse, geo["c_cells"], mats_bc
         )
+        if has_vector_sidecar(spark, store_path):
+            # the sidecar append below reuses `assigned` wholesale —
+            # pin it so assignment runs once, not once per consumer
+            assigned = assigned.localCheckpoint(eager=True)
         codes = (
             encode_pq(
                 _subspaces(
@@ -591,6 +637,20 @@ def ann_ingest_batch(
             spark, codes, c_path, store_table_name("ann_codes", c_path),
             ["cell"], n_buckets,
         )
+        if has_vector_sidecar(spark, store_path):
+            # IVF-Flat sidecar: the fresh vectors' quantized
+            # embeddings, cell-bucketed like the codes — appended
+            # BEFORE the seen commit point (same crash-window order:
+            # an uncommitted doc is fully re-indexed on replay)
+            v_path = _vecs_path(store_path)
+            append_bucketed_store(
+                spark,
+                assigned.select("cell", "vec_id", "qv"),
+                v_path,
+                store_table_name("ann_vecs", v_path),
+                ["cell"],
+                n_buckets,
+            )
         s_path = _seen_path(store_path)
         append_bucketed_store(
             spark, fresh.select("vec_id"), s_path,
@@ -603,13 +663,21 @@ def ann_ingest_batch(
 
 
 def compact_codes(spark: SparkSession, store_path: str) -> int:
-    """Bound per-epoch small files in both stores; run between epochs."""
+    """Bound per-epoch small files in every store of the index
+    (seen + codes + the vecs sidecar when present); run between
+    epochs."""
     n_buckets = ann_geometry(spark, store_path)["n_buckets"]
     s_path = _seen_path(store_path)
     compact_bucketed_store(
         spark, s_path, store_table_name("ann_seen", s_path),
         _SEEN_SCHEMA, ["vec_id"], n_buckets,
     )
+    if has_vector_sidecar(spark, store_path):
+        v_path = _vecs_path(store_path)
+        compact_bucketed_store(
+            spark, v_path, store_table_name("ann_vecs", v_path),
+            _VECS_SCHEMA, ["cell"], n_buckets,
+        )
     c_path = _codes_path(store_path)
     return compact_bucketed_store(
         spark, c_path, store_table_name("ann_codes", c_path),
@@ -733,33 +801,47 @@ def ann_rerank_index(
     spark: SparkSession,
     store_path: str,
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     k: int = 5,
     nprobe: int = 2,
     r_shortlist: int = 50,
     geometry: dict | None = None,
     allowed: DataFrame | None = None,
+    vectors_from_store: bool = False,
 ) -> DataFrame:
     """Exact-reranked store search — the standard production fix for
     quantization loss (the batch family's ivf_pq_rerank), run FROM THE
     STORE: :func:`ann_query_index` produces the ADC top-``r_shortlist``
-    per query, then the shortlist's ORIGINAL vectors come back from
-    ``corpus`` (the upstream embedding source — the store holds only
-    codes) and the final top-k ranks by exact integer L2 on the
-    quantized vectors, the family-wide rerank convention.  The store's
-    own recall curve (``ann_store_recall_curve``) shows why this stage
-    exists: ADC recall is quantization-bounded (flat-to-declining in
-    nprobe), while the shortlist's CANDIDATE recall rises with nprobe
-    — rerank converts candidate recall into delivered recall for
-    |queries|·R exact distances.
+    per query, then the shortlist's ORIGINAL vectors come back and the
+    final top-k ranks by exact integer L2 on the quantized vectors,
+    the family-wide rerank convention.  The store's own recall curve
+    (``ann_store_recall_curve``) shows why this stage exists: ADC
+    recall is quantization-bounded (flat-to-declining in nprobe),
+    while the shortlist's CANDIDATE recall rises with nprobe — rerank
+    converts candidate recall into delivered recall for |queries|·R
+    exact distances.
 
-    Scale shape: the |queries|·R shortlist BROADCASTS into one equi-
-    join against the corpus scan (shortlist side small by
-    construction), so rerank costs one corpus pass however large the
-    store is; a deployment that can't afford the pass keeps the raw
-    vectors cell-bucketed next to the codes (IVF-Flat sidecar) and
-    reads only the probed cells.  Returns
-    (query_id, vec_id, exact_dist2, rnk)."""
+    The shortlist's vectors come from one of two places:
+
+    - ``corpus`` (default): the upstream embedding source — the
+      |queries|·R shortlist BROADCASTS into one equi-join against the
+      corpus scan, so rerank costs one corpus pass however large the
+      store is.
+    - ``vectors_from_store=True``: the IVF-Flat sidecar written at
+      ingest (``create_ann_store(store_vectors=True)``) — the probed
+      cells' ids push into the vecs scan as a ``cell IN (...)``
+      parquet filter (the bm25 term-probe discipline: bucketed+sorted
+      by cell, so row-group stats prune everything else), and rerank
+      reads ≈ nprobe·√N vectors per query batch instead of the
+      corpus.  The IN-list is the shortlist's distinct cells
+      (≤ |queries|·nprobe, ≤ C); a deployment probing ≳10⁵ distinct
+      cells per batch swaps the literal filter for a broadcast
+      semi-join on cell.  Raises if the store has no sidecar.  Both
+      paths return IDENTICAL rows (the sidecar holds the same
+      quantized vectors — pytest-pinned; ``ann_rerank_sidecar``
+      oracle-checks the sidecar path).
+
+    Returns (query_id, vec_id, exact_dist2, rnk)."""
     short = ann_query_index(
         spark,
         store_path,
@@ -772,8 +854,31 @@ def ann_rerank_index(
     qa = quantize(queries).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qav")
     )
+    if vectors_from_store:
+        if not has_vector_sidecar(spark, store_path):
+            raise ValueError(
+                f"ANN store at {store_path} was created without the "
+                "IVF-Flat vector sidecar (store_vectors=True) — rerank "
+                "needs `corpus` here, or recreate the store with the "
+                "sidecar (streaming/annindex.py)"
+            )
+        cells = [
+            int(r.cell) for r in short.select("cell").distinct().collect()
+        ]
+        vectors = (
+            read_vecs(spark, store_path)
+            .filter(F.col("cell").isin(cells))
+            .select("vec_id", "qv")
+        )
+    else:
+        if corpus is None:
+            raise ValueError(
+                "ann_rerank_index needs the upstream `corpus` unless "
+                "vectors_from_store=True"
+            )
+        vectors = quantize(corpus)
     rescored = (
-        quantize(corpus)
+        vectors
         .join(F.broadcast(short.select("query_id", "vec_id")), "vec_id")
         .join(F.broadcast(qa), "query_id")
         .select(
@@ -855,6 +960,7 @@ def rebuild_ann_store(
     k_codes: int = K_CODES,
     m_subspaces: int = M_SUBSPACES,
     n_buckets: int | None = None,
+    store_vectors: bool = False,
 ) -> dict:
     """FULL GDPR erasure for the vector index: retrain the codebooks
     on the survivors and build a fresh store under
@@ -893,6 +999,7 @@ def rebuild_ann_store(
         k_codes=k_codes,
         m_subspaces=m_subspaces,
         n_buckets=n_buckets,
+        store_vectors=store_vectors,
     )
     ann_ingest_batch(survivors, new_store_path)
     return {"survivors": n, "geometry": geo}
@@ -978,4 +1085,16 @@ def forget_vectors_in_index(
         ),
         "codebook_residue": n_residue,
     }
+    if has_vector_sidecar(spark, store_path):
+        # the sidecar holds the victims' quantized embeddings VERBATIM
+        # — erasing codes+ledger but not these rows would be the exact
+        # retention this function exists to prevent; same bucket-local
+        # (cell, vec_id) rewrite, same |victims|-bucket bound
+        v_path = _vecs_path(store_path)
+        out["vecs"] = forget_rows_in_store(
+            spark, victim_keys, v_path,
+            store_table_name("ann_vecs", v_path),
+            _VECS_SCHEMA, ["cell"], n_buckets,
+            match_cols=["cell", "vec_id"],
+        )
     return out

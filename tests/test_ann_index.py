@@ -566,3 +566,82 @@ def test_rerank_index_recovers_exact_ordering(spark, tmp_path):
         for rnk, (d, v) in enumerate(dists[:5], start=1):
             want[(qid, rnk)] = (v, d)
     assert got == want
+
+
+def test_vector_sidecar_rerank_reads_probed_cells_only(spark, tmp_path):
+    """IVF-Flat sidecar: a store created with store_vectors=True also
+    persists the quantized vectors cell-bucketed, and rerank with
+    vectors_from_store=True answers IDENTICALLY to the corpus-pass
+    rerank while its vecs scan carries a pushed cell-IN filter (reads
+    the probed cells, not the corpus).  Erasure reaches the sidecar:
+    the victims' quantized embeddings leave the vecs store with their
+    codes.  A store without the sidecar refuses the store-path
+    rerank."""
+    import pytest
+
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_rerank_index,
+        default_geometry,
+        forget_vectors_in_index,
+        read_vecs,
+    )
+
+    corpus = _emb(spark, 0, 40)
+    store = str(tmp_path / "sidecar")
+    create_ann_store(
+        spark, store, corpus, **default_geometry(), store_vectors=True
+    )
+    ann_ingest_batch(corpus.filter(F.col("vec_id") % 2 == 0), store)
+    ann_ingest_batch(corpus.filter(F.col("vec_id") % 2 == 1), store)
+    assert read_vecs(spark, store).count() == 40
+
+    q = _emb(spark, 0, 3)
+
+    def _rr(df):
+        return {
+            (r.query_id, r.rnk): (r.vec_id, r.exact_dist2)
+            for r in df.collect()
+        }
+
+    from_store = ann_rerank_index(
+        spark, store, q, k=5, nprobe=4, r_shortlist=20,
+        vectors_from_store=True,
+    )
+    from_corpus = ann_rerank_index(
+        spark, store, q, corpus, k=5, nprobe=4, r_shortlist=20
+    )
+    assert _rr(from_store) == _rr(from_corpus)
+
+    # the vecs scan prunes on the probed cells (pushed IN filter)
+    pruned = read_vecs(spark, store).filter(F.col("cell").isin([1, 2]))
+    assert "In(cell" in _plan(pruned).replace(" ", ""), _plan(pruned)
+
+    # replay stays a no-op with the sidecar enabled
+    assert ann_ingest_batch(corpus, store)["vecs_indexed"] == 0
+    assert read_vecs(spark, store).count() == 40
+
+    # compaction covers the sidecar and preserves answers
+    before = _rr(from_store)
+    assert compact_codes(spark, store) > 0
+    assert _rr(
+        ann_rerank_index(
+            spark, store, q, k=5, nprobe=4, r_shortlist=20,
+            vectors_from_store=True,
+        )
+    ) == before
+
+    # erasure removes the victims' sidecar rows too
+    victims = spark.createDataFrame([(25,), (33,)], "vec_id long")
+    res = forget_vectors_in_index(spark, victims, store)
+    assert res["vecs"]["rows_deleted"] == 2
+    assert read_vecs(spark, store).filter(
+        F.col("vec_id").isin([25, 33])
+    ).count() == 0
+
+    # a sidecar-less store refuses the store-path rerank
+    plain = _fresh_store(spark, tmp_path, "nosidecar")
+    ann_ingest_batch(corpus, plain)
+    with pytest.raises(ValueError, match="sidecar"):
+        ann_rerank_index(
+            spark, plain, q, k=5, nprobe=4, vectors_from_store=True
+        )
