@@ -2705,3 +2705,164 @@ def ann_rerank_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
         for table in tables:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(store, ignore_errors=True)
+
+
+#: hybrid serving-stack fusion knobs: per-side candidate cut (the
+#: batch hybrid_retrieval_rrf convention), ANN probe width, and the
+#: rerank shortlist feeding the semantic side's exact ranking
+_HYBRID_RRF_K = 100
+_HYBRID_NPROBE = 4
+_HYBRID_SHORTLIST = 150
+
+
+def _hybrid_stores_oracle() -> str:
+    """Both serving paths recomputed independently and fused: the
+    lexical CTE is the batch BM25 scorer (the store scores
+    bit-identically to it — streaming_bm25_index's own oracle), the
+    semantic CTE is the parameterized IVF-PQ + exact-rerank recompute
+    (ann_rerank_sidecar's), and the fusion arithmetic is the batch
+    hybrid_retrieval_rrf convention (RRF k=60 over per-side top-K
+    cuts, integer ranks, 6-dp round)."""
+    from kafkastreamsproject_spark.plans.text import _bm25_sql
+    from kafkastreamsproject_spark.streaming.annindex import (
+        default_geometry,
+    )
+
+    g = default_geometry()
+    sem_sql = _ivf_pq_store_sql(
+        c=g["c_cells"],
+        k=g["k_codes"],
+        m=g["m_subspaces"],
+        nprobe=_HYBRID_NPROBE,
+        nq=1,
+        topk=_HYBRID_RRF_K,
+        rerank_r=_HYBRID_SHORTLIST,
+    )
+    return f"""
+    WITH lex AS ({_bm25_sql()}),
+    lexcut AS (
+      SELECT doc_id, bm25 FROM lex
+      ORDER BY bm25 DESC, doc_id LIMIT {_HYBRID_RRF_K}
+    ),
+    lexr AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                          AS INT) AS lex_rank
+      FROM lexcut
+    ),
+    sem AS ({sem_sql}),
+    semr AS (SELECT vec_id AS doc_id, rnk AS sem_rank FROM sem)
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.lex_rank, s.sem_rank,
+           ROUND(COALESCE(1.0 / (60.0 + l.lex_rank), 0.0)
+                 + COALESCE(1.0 / (60.0 + s.sem_rank), 0.0), 6) AS rrf
+    FROM lexr l FULL OUTER JOIN semr s ON s.doc_id = l.doc_id
+    """
+
+
+@register(
+    "hybrid_search_from_stores",
+    oracle_fn=_hybrid_stores_oracle,
+    tags=("text", "similarity", "retrieval", "streaming"),
+    tier="shadow",
+)
+def hybrid_search_from_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SERVING STACK in one query (r14): lexical candidates
+    from the incremental BM25 inverted index, semantic candidates from
+    the incremental IVF-PQ index with its IVF-Flat sidecar, fused by
+    reciprocal-rank fusion — and NOTHING in the query path scans a
+    corpus.  This is the serving twin of the batch
+    ``hybrid_retrieval_rrf`` (plans/similarity.py): same fusion
+    arithmetic (RRF k=60 over per-side top-100 cuts, integer ranks,
+    doc-id tie-breaks, 6-dp round), but both ranked lists come from
+    PERSISTENT STORES built incrementally across epochs — the lexical
+    probe reads its terms' posting-list rows (pushed ``t IN``), the
+    semantic side probes nprobe cells, ADC-shortlists 150, and
+    exact-reranks from the probed cells' sidecar vectors (pushed
+    ``cell IN``).  The DuckDB oracle recomputes both sides
+    independently (batch BM25 + parameterized IVF recompute) and the
+    fusion, so the cross-engine check covers ranking AND fusion.
+
+    Semantic ranking here is the store's honest product — IVF-pruned,
+    exact-int-L2 reranked — not the batch query's exact cosine; the
+    two hybrids coexist deliberately: the batch one is the recall
+    ceiling, this one is what a deployment actually serves, and
+    ann_store_recall_curve prices the gap.
+
+    Scale shape: lexical cost ∝ query terms' postings (df-cap
+    boundable), semantic cost ≈ nprobe·√N candidates + R sidecar
+    reads, fusion is a 100-vs-100 outer merge.  Corpus size appears
+    nowhere in the query plan — only in the stores' bucket widths."""
+    from kafkastreamsproject_spark.operators.topk import top_k
+    from kafkastreamsproject_spark.plans.text import _BM25_TERMS
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_ingest_batch,
+        ann_rerank_index,
+        create_ann_store,
+        default_geometry,
+    )
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        index_ingest_batch,
+        query_index,
+    )
+
+    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "text"
+    )
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    bm_store = tempfile.mkdtemp(prefix="hybrid_bm25_store_")
+    ann_store = tempfile.mkdtemp(prefix="hybrid_ann_store_")
+    tables = [
+        store_table_name("bm25_postings", f"{bm_store}/postings"),
+        store_table_name("bm25_seen", f"{bm_store}/seen"),
+        store_table_name("ann_codes", f"{ann_store}/codes"),
+        store_table_name("ann_seen", f"{ann_store}/seen"),
+        store_table_name("ann_vecs", f"{ann_store}/vecs"),
+    ]
+    try:
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), bm_store)
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), bm_store)
+        create_ann_store(
+            spark, ann_store, emb, **default_geometry(), store_vectors=True
+        )
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), ann_store)
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), ann_store)
+
+        lexr = top_k(
+            query_index(spark, bm_store, _BM25_TERMS),
+            [F.col("bm25").desc(), F.col("doc_id")],
+            _HYBRID_RRF_K,
+            rank_col="lex_rank",
+        ).select("doc_id", "lex_rank")
+        semr = ann_rerank_index(
+            spark,
+            ann_store,
+            emb.filter(F.col("vec_id") == 0),
+            k=_HYBRID_RRF_K,
+            nprobe=_HYBRID_NPROBE,
+            r_shortlist=_HYBRID_SHORTLIST,
+            vectors_from_store=True,
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("rnk").alias("sem_rank"),
+        )
+        fused = lexr.join(semr, "doc_id", "full_outer")
+        rrf = F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("sem_rank")), F.lit(0.0)
+            ),
+            6,
+        )
+        return fused.select(
+            "doc_id", "lex_rank", "sem_rank", rrf.alias("rrf")
+        ).localCheckpoint(eager=True)
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(bm_store, ignore_errors=True)
+        shutil.rmtree(ann_store, ignore_errors=True)
