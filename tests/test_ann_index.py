@@ -645,3 +645,62 @@ def test_vector_sidecar_rerank_reads_probed_cells_only(spark, tmp_path):
         ann_rerank_index(
             spark, plain, q, k=5, nprobe=4, vectors_from_store=True
         )
+
+
+def test_filtered_rerank_composes(spark, tmp_path):
+    """allowed= and the rerank stage compose: the shortlist is already
+    predicate-filtered (pre-ADC), so the exact-reranked top-k is the
+    best k ELIGIBLE vectors — equal to brute-force exact search over
+    the allowed subset when every cell is probed — and the sidecar
+    path agrees with the corpus path under the filter."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_rerank_index,
+        default_geometry,
+    )
+
+    corpus = _emb(spark, 0, 40)
+    store = str(tmp_path / "filtrerank")
+    create_ann_store(
+        spark, store, corpus, **default_geometry(), store_vectors=True
+    )
+    ann_ingest_batch(corpus, store)
+    q = _emb(spark, 0, 2)
+    evens = spark.range(0, 40, 2).select(F.col("id").alias("vec_id"))
+
+    def _rr(df):
+        return {
+            (r.query_id, r.rnk): (r.vec_id, r.exact_dist2)
+            for r in df.collect()
+        }
+
+    got = _rr(
+        ann_rerank_index(
+            spark, store, q, k=5, nprobe=8, r_shortlist=40,
+            allowed=evens, vectors_from_store=True,
+        )
+    )
+    assert got == _rr(
+        ann_rerank_index(
+            spark, store, q, corpus, k=5, nprobe=8, r_shortlist=40,
+            allowed=evens,
+        )
+    )
+    # equal to exact filtered search: brute-force over the allowed set
+    import numpy as np
+
+    vecs = {
+        v: np.round(
+            np.array([((v * 7 + i) % 13) / 13.0 for i in range(8)]) * 127
+        ).astype(np.int64)
+        for v in range(40)
+    }
+    want = {}
+    for qid in range(2):
+        dists = sorted(
+            (int(((vecs[v] - vecs[qid]) ** 2).sum()), v)
+            for v in range(0, 40, 2)
+            if v != qid
+        )
+        for rnk, (d, v) in enumerate(dists[:5], start=1):
+            want[(qid, rnk)] = (v, d)
+    assert got == want
