@@ -476,6 +476,48 @@ def _assign_cells_vectorized(
     return base.select("vec_id", "qv", cell_of(F.col("qv")).alias("cell"))
 
 
+def _probe_cells_vectorized(
+    base: DataFrame, coarse: DataFrame, nprobe: int, mats_bc=None
+) -> DataFrame:
+    """Top-``nprobe`` coarse cells per query as ONE Arrow-batched
+    Pandas UDF — the query-side twin of :func:`_assign_cells_vectorized`
+    (r14): the expression path's crossJoin costs |queries|·C rows,
+    fine for a 10-query probe but explosive for BULK query batches at
+    C = √N (a dedup-by-ANN join of 10⁶ queries against C = 10⁵ is
+    10¹¹ expression rows).  Ranking is by (distance², ccid): the
+    centroid matrix sorts by ccid, so a STABLE argsort's tie order IS
+    the lowest-ccid tie-break — bit-identical to the window path
+    (pytest-pinned).  Returns (query_id, cell) probe rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mats_local = _collect_coarse_mats(coarse) if mats_bc is None else None
+
+    @pandas_udf("array<int>")
+    def cells_of(qv):
+        ccids, cent, cent_sq = (
+            mats_local if mats_bc is None else mats_bc.value
+        )
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array(qv.tolist(), dtype=np.int64)
+        d = (
+            (m * m).sum(axis=1)[:, None]
+            - 2 * (m @ cent.T)
+            + cent_sq[None, :]
+        )
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(
+            [ccids[row].astype(np.int32).tolist() for row in idx]
+        )
+
+    return base.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(cells_of(F.col("qv"))).alias("cell"),
+    )
+
+
 def assign_cells(
     base: DataFrame,
     coarse: DataFrame,
@@ -735,18 +777,30 @@ def ann_query_index(
     n_buckets = geo["n_buckets"]
     coarse, cb = read_codebooks(spark, store_path)
     qbase = quantize(queries)
-    qd = qbase.crossJoin(F.broadcast(coarse)).select(
-        F.col("vec_id").alias("query_id"),
-        "qv",
-        "ccid",
-        _int_dist2(F.col("qv"), F.col("cv2")).alias("dist2"),
-    )
-    wq = W.partitionBy("query_id").orderBy("dist2", "ccid")
-    probes = (
-        qd.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", F.col("ccid").alias("cell"))
-    )
+    if geo["c_cells"] > _VECTORIZED_ASSIGN_MIN_C:
+        # large C: per-query probe assignment through the same
+        # per-store codebook broadcast the ingest side uses — ∝C
+        # matmul per Arrow batch instead of |queries|·C expression
+        # rows (bit-identical ranking, pytest-pinned)
+        probes = _probe_cells_vectorized(
+            qbase,
+            coarse,
+            nprobe,
+            coarse_broadcast(spark, store_path, coarse),
+        )
+    else:
+        qd = qbase.crossJoin(F.broadcast(coarse)).select(
+            F.col("vec_id").alias("query_id"),
+            "qv",
+            "ccid",
+            _int_dist2(F.col("qv"), F.col("cv2")).alias("dist2"),
+        )
+        wq = W.partitionBy("query_id").orderBy("dist2", "ccid")
+        probes = (
+            qd.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select("query_id", F.col("ccid").alias("cell"))
+        )
     qsub = _subspaces(
         qbase.select(F.col("vec_id").alias("vec_id"), "qv"),
         geo["m_subspaces"],

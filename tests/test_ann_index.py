@@ -704,3 +704,40 @@ def test_filtered_rerank_composes(spark, tmp_path):
         for rnk, (d, v) in enumerate(dists[:5], start=1):
             want[(qid, rnk)] = (v, d)
     assert got == want
+
+
+def test_vectorized_probe_assignment_equals_window_path(spark):
+    """The query-side top-nprobe vectorized assignment is bit-identical
+    to the crossJoin+window path — including lowest-ccid tie-breaks
+    (the 100-centroid codebook over 13-periodic vectors is full of
+    exact duplicates) and nprobe > the number of distinct distances."""
+    from pyspark.sql import Window as W
+
+    from kafkastreamsproject_spark.streaming.annindex import (
+        _int_dist2,
+        _probe_cells_vectorized,
+        quantize,
+    )
+
+    base = quantize(_emb(spark, 0, 50))
+    coarse = quantize(_emb(spark, 0, 100)).select(
+        F.col("vec_id").cast("int").alias("ccid"), F.col("qv").alias("cv2")
+    )
+    for nprobe in (1, 3, 17):
+        qd = base.crossJoin(F.broadcast(coarse)).select(
+            F.col("vec_id").alias("query_id"),
+            "ccid",
+            _int_dist2(F.col("qv"), F.col("cv2")).alias("dist2"),
+        )
+        wq = W.partitionBy("query_id").orderBy("dist2", "ccid")
+        want = {
+            (r.query_id, r.ccid)
+            for r in qd.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .collect()
+        }
+        got = {
+            (r.query_id, r.cell)
+            for r in _probe_cells_vectorized(base, coarse, nprobe).collect()
+        }
+        assert got == want, f"nprobe={nprobe}"
