@@ -741,3 +741,91 @@ def test_vectorized_probe_assignment_equals_window_path(spark):
             for r in _probe_cells_vectorized(base, coarse, nprobe).collect()
         }
         assert got == want, f"nprobe={nprobe}"
+
+
+def test_streaming_sink_folds_with_sidecar_and_skips_replays(
+    spark, tmp_path
+):
+    """to_ann_ingest_sink end-to-end: epochs fold through the store
+    with _applied_epochs markers (restart over the same checkpoint
+    plus a new file folds ONLY the new epoch), the IVF-Flat sidecar
+    fills at ingest with no caller wiring, and the streamed store
+    serves query + sidecar-rerank identically to a one-shot batch
+    build."""
+    import os
+
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_rerank_index,
+        default_geometry,
+        read_vecs,
+        to_ann_ingest_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "stream_store")
+    create_ann_store(
+        spark, store, _emb(spark, 0, 50), **default_geometry(),
+        store_vectors=True,
+    )
+
+    def write_batch(i, lo, hi):
+        _emb(spark, lo, hi).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = to_ann_ingest_sink(stream, store, str(tmp_path / "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+
+    write_batch(0, 0, 20)
+    write_batch(1, 20, 40)
+    run_stream()
+    assert read_seen(spark, store).count() == 40
+    assert read_vecs(spark, store).count() == 40
+
+    def _markers():
+        return [
+            f
+            for f in os.listdir(f"{store}/_applied_epochs")
+            if not f.startswith(".")
+        ]
+
+    assert len(_markers()) == 2
+
+    # the streamed store serves like a one-shot build: plain query
+    # AND the sidecar rerank
+    oneshot = str(tmp_path / "oneshot")
+    create_ann_store(
+        spark, oneshot, _emb(spark, 0, 50), **default_geometry(),
+        store_vectors=True,
+    )
+    ann_ingest_batch(_emb(spark, 0, 40), oneshot)
+    q3 = _emb(spark, 0, 3)
+    assert _res(ann_query_index(spark, store, q3)) == _res(
+        ann_query_index(spark, oneshot, q3)
+    )
+
+    def _rr(path):
+        return {
+            (r.query_id, r.rnk): (r.vec_id, r.exact_dist2)
+            for r in ann_rerank_index(
+                spark, path, q3, k=5, nprobe=4, r_shortlist=20,
+                vectors_from_store=True,
+            ).collect()
+        }
+
+    assert _rr(store) == _rr(oneshot)
+
+    # restart with one NEW file: only the new epoch folds
+    write_batch(2, 40, 50)
+    run_stream()
+    assert read_seen(spark, store).count() == 50
+    assert read_vecs(spark, store).count() == 50
+    assert len(_markers()) == 3
