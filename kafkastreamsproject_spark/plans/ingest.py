@@ -2866,3 +2866,110 @@ def hybrid_search_from_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(bm_store, ignore_errors=True)
         shutil.rmtree(ann_store, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Tombstone delete tier over the serving store (r14): O(1) logical
+# delete → query-time pre-ADC exclusion → physical apply at the
+# compaction cadence.  The query proves BOTH halves against one
+# oracle: phase 1 queries with the deletes pending (bytes still in
+# the store), phase 2 after apply_tombstones made them physical —
+# identical rows both times, and both equal to the batch IVF-PQ
+# recompute over the corpus minus the victims.
+# ---------------------------------------------------------------------------
+
+#: tombstone victims: a deterministic residue class kept CLEAR of the
+#: codebook training prefix (default geometry trains on vec_id <
+#: max(C, K) = 16), so the physical apply needs no residue
+#: acknowledgement — erasing a training member is the rebuild path's
+#: job (`ann_forget_rebuild`)
+_TOMB_SQL_PRED = "vec_id % 9 = 4 AND vec_id >= 16"
+_TOMB_NPROBE = 2
+
+
+def _ann_tombstone_oracle() -> str:
+    """Batch IVF-PQ with the victims excluded at candidate generation
+    — `_ivf_pq_store_sql`'s ``cand_predicate`` hook is exactly the
+    tombstone anti-join's seam (pre-ADC, post-probe) — duplicated
+    across the two phases, because a logical delete and its physical
+    apply must be observationally identical."""
+    inner = _ivf_pq_store_sql(
+        c=8, k=16, m=4, nprobe=_TOMB_NPROBE, nq=10, topk=5,
+        cand_predicate=(
+            " AND NOT (cl.vec_id % 9 = 4 AND cl.vec_id >= 16)"
+        ),
+    )
+    return f"""
+    SELECT CAST(p.phase AS INT) AS phase, b.*
+    FROM (SELECT 1 AS phase UNION ALL SELECT 2) p
+    CROSS JOIN ({inner}) b
+    """
+
+
+@register(
+    "ann_tombstone_delete",
+    oracle_fn=_ann_tombstone_oracle,
+    tags=("similarity", "ann", "streaming", "gdpr"),
+    tier="shadow",
+)
+def ann_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving store's O(1) delete tier, both halves oracle-checked
+    (r14): tombstone a victim set (one tiny parquet append, zero store
+    rewrite), query — the pending set anti-joins out of the candidates
+    BEFORE any ADC work, so victims are unrankable and every top-k
+    fills from survivors — then ``apply_tombstones`` (the
+    log-cleaning half: the bucket-local forget rewrite + clear the
+    set) and query again.  Phase 1 rows must EQUAL phase 2 rows must
+    equal the DuckDB batch recompute with the victims excluded at the
+    same pre-ADC seam: the delete's visibility is immediate and its
+    physical apply is invisible.
+
+    This is the Kafka-log-compaction delete model (reference
+    semantics: a null-valued record tombstones its key until log
+    cleaning drops both) re-expressed over the parquet store — the
+    tier between "query-time filter forever" (broadcast set grows
+    unboundedly) and "rewrite per delete" (O(store) per victim batch).
+    Scale shape: deletes cost one appended file regardless of store
+    size; queries pay one broadcast anti-join on the pending set
+    (driver-bounded between applies); apply touches only the victims'
+    cells' buckets."""
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_ingest_batch,
+        ann_query_index,
+        apply_tombstones,
+        create_ann_store,
+        default_geometry,
+        tombstone_vectors_in_index,
+    )
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    victims = emb.filter(_TOMB_SQL_PRED).select("vec_id")
+    store = tempfile.mkdtemp(prefix="ann_tombstone_store_")
+    tables = [
+        store_table_name("ann_codes", f"{store}/codes"),
+        store_table_name("ann_seen", f"{store}/seen"),
+    ]
+    q = emb.filter(F.col("vec_id") < 10)
+    try:
+        create_ann_store(spark, store, emb, **default_geometry())
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), store)
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), store)
+        tombstone_vectors_in_index(spark, victims, store)
+        pending = ann_query_index(
+            spark, store, q, k=5, nprobe=_TOMB_NPROBE
+        )
+        applied_counts = apply_tombstones(spark, store)
+        assert applied_counts["applied"] > 0
+        applied = ann_query_index(
+            spark, store, q, k=5, nprobe=_TOMB_NPROBE
+        )
+        return pending.withColumn(
+            "phase", F.lit(1).cast("int")
+        ).unionByName(applied.withColumn("phase", F.lit(2).cast("int")))
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)

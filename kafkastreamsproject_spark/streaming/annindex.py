@@ -27,6 +27,16 @@ vector-side counterpart of ``streaming/bm25index.py``:
   a bucket-key anti-join, exactly the bm25index contract (same write
   order, same crash-window analysis, same epoch-marker streaming
   wrapper pattern; codes append first, seen is the commit point).
+- **tombstones** (tiny plain-parquet append set, r14): PENDING
+  logical deletes.  :func:`tombstone_vectors_in_index` is the O(1)
+  delete tier — one small append, no store rewrite — and every query
+  anti-joins the pending set out of its candidates pre-ADC, so a
+  deleted vector disappears from results at the NEXT query.
+  :func:`apply_tombstones` makes the delete physical (the
+  :func:`forget_vectors_in_index` bucket-local rewrite) and clears
+  the set — the Kafka-log-compaction delete model (reference
+  semantics: a null-valued record tombstones its key in a compacted
+  topic until log cleaning drops both) re-expressed over parquet.
 
 Geometry is a STORE-CREATION PARAMETER, not a module constant (r12
 verdict #1: frozen ``C_CELLS = 8`` made every query ADC-score a fixed
@@ -808,6 +818,7 @@ def ann_query_index(
         F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qsv")
     )
 
+    tombs = read_tombstones(spark, store_path)
     with shuffle_scoped_to_buckets(spark, n_buckets):
         codes = read_codes(spark, store_path, n_buckets)
         cand = (
@@ -815,6 +826,12 @@ def ann_query_index(
             .join(codes, "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
         )
+        if tombs is not None:
+            # pending logical deletes leave BEFORE any ADC work — a
+            # tombstoned vector is unrankable, not post-filtered, so
+            # the top-k fills from survivors (same seam as `allowed`;
+            # the pending set is broadcast-bounded between applies)
+            cand = cand.join(F.broadcast(tombs), "vec_id", "left_anti")
         if allowed is not None:
             # pre-ADC: ineligible candidates never reach the scoring
             # join, and the per-query top-k ranks eligible vectors only
@@ -1151,4 +1168,125 @@ def forget_vectors_in_index(
             _VECS_SCHEMA, ["cell"], n_buckets,
             match_cols=["cell", "vec_id"],
         )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tombstone tier (r14): O(1) logical delete, physical at compaction
+# ---------------------------------------------------------------------------
+
+_TOMB_SCHEMA = "vec_id long"
+
+
+def _tomb_path(store_path: str) -> str:
+    return f"{store_path}/tombstones"
+
+
+def read_tombstones(
+    spark: SparkSession, store_path: str
+) -> DataFrame | None:
+    """The store's PENDING logical deletes as a one-column
+    (``vec_id``) DataFrame, or ``None`` when nothing is pending.
+    Replayed tombstone appends leave duplicate rows in the files; the
+    read de-duplicates, so the set is idempotent under crash-replay
+    by construction."""
+    from kafkastreamsproject_spark.operators.fs import hadoop_has_files
+
+    path = _tomb_path(store_path)
+    if not hadoop_has_files(spark, path):
+        return None
+    return (
+        spark.read.schema(_TOMB_SCHEMA).parquet(path)
+        .select("vec_id")
+        .distinct()
+    )
+
+
+def tombstone_vectors_in_index(
+    spark: SparkSession, vec_ids: DataFrame, store_path: str
+) -> dict:
+    """LOGICAL delete: append ``vec_ids`` (one column, ``vec_id``) to
+    the store's pending-tombstone set — one tiny parquet append,
+    O(|victims|) regardless of store size, no bucket rewrite.  From
+    the next query on, :func:`ann_query_index` (and everything built
+    on it: rerank, filtered search, hybrid fusion) anti-joins the
+    pending set out of its candidates BEFORE any ADC work, so the
+    deleted vectors are unrankable, not merely hidden — the top-k
+    fills from survivors (pytest-pinned against post-filtering, which
+    silently under-fills k).
+
+    This is the delete tier between "do nothing" and the two physical
+    paths: :func:`forget_vectors_in_index` (bucket-local rewrite, for
+    when bytes must leave NOW) and :func:`rebuild_ann_store` (codebook
+    retrain, for training-member victims).  Deployments batch deletes
+    here and let :func:`apply_tombstones` make them physical on the
+    compaction cadence.  Until then the victim's ``seen`` row remains,
+    so re-ingest of a tombstoned id stays blocked (first-writer-wins)
+    — a delete-then-reinsert cycle completes only after apply, which
+    is the unambiguous ordering (the reinserted vector can never race
+    the pending delete that would silently swallow it).
+
+    Scale bound: the pending set is broadcast at query time, so it
+    must stay driver-boundable — deletes between compactions are a
+    vanishing fraction of any real corpus, and ``pending`` in the
+    return value is the gauge; apply when it grows past broadcast
+    comfort (~10⁷ ids).  Returns {"tombstoned": n, "pending": total}.
+    """
+    check_ann_geometry(spark, store_path, None)  # store must exist
+    victims = (
+        vec_ids.select(F.col("vec_id").cast("long").alias("vec_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = victims.count()
+    if n:
+        victims.coalesce(1).write.mode("append").parquet(
+            _tomb_path(store_path)
+        )
+    pending = read_tombstones(spark, store_path)
+    return {
+        "tombstoned": n,
+        "pending": pending.count() if pending is not None else 0,
+    }
+
+
+def apply_tombstones(
+    spark: SparkSession,
+    store_path: str,
+    allow_codebook_residue: bool = False,
+) -> dict:
+    """Make the pending logical deletes PHYSICAL and clear the set —
+    the log-cleaning half of the tombstone model, run on the
+    compaction cadence (or explicitly, for GDPR deadlines).
+
+    Delegates the rewrite to :func:`forget_vectors_in_index` — same
+    bucket-local (cell, vec_id) codes/vecs rewrite, same ledger
+    forget, same codebook-residue guard (a pending training-member
+    delete RAISES here unless ``allow_codebook_residue=True``; the
+    full fix is :func:`rebuild_ann_store`, after which the old
+    store's tombstones are moot).  The tombstone files are removed
+    LAST, as the commit point: a crash after the rewrite but before
+    the clear replays the forget as a no-op and clears on the retry —
+    queries are correct throughout, since pending ids are excluded
+    whether or not their bytes are gone.  After apply, the erased ids
+    are re-ingestable (their ``seen`` rows left with the rewrite).
+
+    Returns the forget counts plus {"applied": n}; {"applied": 0}
+    when nothing was pending."""
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path
+
+    tombs = read_tombstones(spark, store_path)
+    if tombs is None:
+        return {"applied": 0}
+    victims = tombs.localCheckpoint(eager=True)
+    n = victims.count()
+    out = forget_vectors_in_index(
+        spark,
+        victims,
+        store_path,
+        allow_codebook_residue=allow_codebook_residue,
+    )
+    fs, hpath = _fs_and_path(spark, _tomb_path(store_path))
+    fs.delete(hpath, True)
+    out["applied"] = n
     return out

@@ -829,3 +829,161 @@ def test_streaming_sink_folds_with_sidecar_and_skips_replays(
     assert read_seen(spark, store).count() == 50
     assert read_vecs(spark, store).count() == 50
     assert len(_markers()) == 3
+
+
+def test_tombstone_is_instant_and_fills_k_from_survivors(spark, tmp_path):
+    """Logical delete (r14): tombstoned vectors leave query results at
+    the NEXT query with zero store rewrite, and the top-k fills from
+    survivors (the pre-ADC anti-join seam — post-filtering the
+    unrestricted top-k would return k-1 rows here)."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        read_tombstones,
+        tombstone_vectors_in_index,
+    )
+
+    store = _fresh_store(spark, tmp_path, "tomb")
+    ann_ingest_batch(_emb(spark, 0, 40), store)
+    q = _emb(spark, 0, 3)
+    base = ann_query_index(spark, store, q, k=3)
+    victim = base.filter(
+        (F.col("query_id") == 0) & (F.col("rnk") == 1)
+    ).collect()[0].vec_id
+
+    assert read_tombstones(spark, store) is None
+    res = tombstone_vectors_in_index(
+        spark, spark.createDataFrame([(int(victim),)], "vec_id long"), store
+    )
+    assert res == {"tombstoned": 1, "pending": 1}
+
+    after = ann_query_index(spark, store, q, k=3)
+    got = {r.vec_id for r in after.collect()}
+    assert victim not in got
+    # every query still fills k — the victim's slot went to a survivor
+    assert after.groupBy("query_id").count().filter(
+        F.col("count") != 3
+    ).count() == 0
+    # survivors' relative order is untouched (exclusion, not rescoring)
+    surv = {
+        (r.query_id, r.vec_id): r.adc_dist2
+        for r in base.collect()
+        if r.vec_id != victim
+    }
+    for r in after.collect():
+        if (r.query_id, r.vec_id) in surv:
+            assert surv[(r.query_id, r.vec_id)] == r.adc_dist2
+
+    # tombstone appends are idempotent under replay: same id again
+    # leaves pending unchanged
+    replay = tombstone_vectors_in_index(
+        spark, spark.createDataFrame([(int(victim),)], "vec_id long"), store
+    )
+    assert replay == {"tombstoned": 1, "pending": 1}
+
+
+def test_apply_tombstones_is_physical_idempotent_and_reingestable(
+    spark, tmp_path
+):
+    """apply_tombstones = log cleaning: bytes leave codes+seen, the
+    pending set clears (commit point LAST), queries are identical
+    before and after, replay is a no-op, and the erased id becomes
+    re-ingestable."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        apply_tombstones,
+        read_tombstones,
+        tombstone_vectors_in_index,
+    )
+
+    store = _fresh_store(spark, tmp_path, "tombapply")
+    ann_ingest_batch(_emb(spark, 0, 40), store)
+    victims = spark.createDataFrame([(25,), (33,)], "vec_id long")
+    tombstone_vectors_in_index(spark, victims, store)
+
+    # re-ingest of a PENDING id is blocked (seen row still present) —
+    # delete-then-reinsert completes only after apply
+    blocked = ann_ingest_batch(
+        _emb(spark, 0, 40).filter(F.col("vec_id") == 25), store
+    )
+    assert blocked["vecs_indexed"] == 0
+
+    q = _emb(spark, 0, 3)
+    logical = _res(ann_query_index(spark, store, q))
+
+    out = apply_tombstones(spark, store)
+    assert out["applied"] == 2
+    assert out["codes"]["rows_deleted"] == 8
+    assert out["seen"]["rows_deleted"] == 2
+    assert read_tombstones(spark, store) is None
+    assert read_codes(spark, store).filter(
+        F.col("vec_id").isin([25, 33])
+    ).count() == 0
+    assert _res(ann_query_index(spark, store, q)) == logical
+
+    assert apply_tombstones(spark, store) == {"applied": 0}
+
+    back = ann_ingest_batch(
+        _emb(spark, 0, 40).filter(F.col("vec_id") == 25), store
+    )
+    assert back["vecs_indexed"] == 1
+
+
+def test_apply_tombstones_keeps_the_codebook_residue_guard(spark, tmp_path):
+    """A pending delete of a codebook TRAINING vector raises at apply
+    (its bytes would survive in codebooks/), exactly like the direct
+    forget path; the acknowledgement flag passes through."""
+    import pytest
+
+    from kafkastreamsproject_spark.streaming.annindex import (
+        apply_tombstones,
+        read_tombstones,
+        tombstone_vectors_in_index,
+    )
+
+    store = _fresh_store(spark, tmp_path, "tombresidue")
+    ann_ingest_batch(_emb(spark, 0, 40), store)
+    tombstone_vectors_in_index(
+        spark, spark.createDataFrame([(0,)], "vec_id long"), store
+    )
+    with pytest.raises(ValueError, match="TRAINING"):
+        apply_tombstones(spark, store)
+    # the failed apply must NOT have cleared the pending set
+    assert read_tombstones(spark, store).count() == 1
+    out = apply_tombstones(spark, store, allow_codebook_residue=True)
+    assert out["applied"] == 1
+    assert out["codebook_residue"] == 1
+    assert read_tombstones(spark, store) is None
+
+
+def test_tombstones_compose_with_filtered_rerank(spark, tmp_path):
+    """The tombstone anti-join sits upstream of both the `allowed`
+    semi-join and the exact-rerank stage: a tombstoned id never
+    reaches rerank even when the metadata predicate admits it."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_rerank_index,
+        tombstone_vectors_in_index,
+    )
+
+    store = _fresh_store(spark, tmp_path, "tombrerank")
+    corpus = _emb(spark, 0, 40)
+    ann_ingest_batch(corpus, store)
+    q = _emb(spark, 0, 2)
+    allowed = spark.createDataFrame(
+        [(int(v),) for v in range(40) if v % 2 == 0], "vec_id long"
+    )
+    base = ann_rerank_index(
+        spark, store, q, corpus=corpus, k=3, r_shortlist=10, allowed=allowed
+    )
+    victim = base.filter(
+        (F.col("query_id") == 0) & (F.col("rnk") == 1)
+    ).collect()[0].vec_id
+    tombstone_vectors_in_index(
+        spark, spark.createDataFrame([(int(victim),)], "vec_id long"), store
+    )
+    after = ann_rerank_index(
+        spark, store, q, corpus=corpus, k=3, r_shortlist=10, allowed=allowed
+    )
+    rows = after.collect()
+    assert victim not in {r.vec_id for r in rows}
+    assert all(r.vec_id % 2 == 0 for r in rows)
+    assert after.groupBy("query_id").count().filter(
+        F.col("count") != 3
+    ).count() == 0
