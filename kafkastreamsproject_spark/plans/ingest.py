@@ -2973,3 +2973,95 @@ def ann_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         for table in tables:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(store, ignore_errors=True)
+
+
+_TOMB_BM_MOD = 41  # BM25 tombstone victims: doc_id % 41 == 5 (~2.4%)
+
+
+def _bm25_tombstone_oracle() -> str:
+    """Batch BM25 over the SURVIVING corpus (the index_forget_replay
+    oracle surgery), duplicated across the two phases: a pending
+    logical delete and its physical apply must be observationally
+    identical — including the re-priced survivor scores, since the
+    pending set excludes victims from df AND N/avgdl, not just from
+    the result rows."""
+    from kafkastreamsproject_spark.plans.text import _bm25_sql
+
+    sql = _bm25_sql()
+    needle = "FROM documents"
+    assert sql.count(needle) == 1, "oracle surgery expects one corpus read"
+    inner = sql.replace(
+        needle,
+        f"FROM documents WHERE doc_id % {_TOMB_BM_MOD} != 5",
+    )
+    return f"""
+    SELECT CAST(p.phase AS INT) AS phase, b.*
+    FROM (SELECT 1 AS phase UNION ALL SELECT 2) p
+    CROSS JOIN ({inner}) b
+    """
+
+
+@register(
+    "bm25_tombstone_delete",
+    oracle_fn=_bm25_tombstone_oracle,
+    tags=("text", "retrieval", "privacy", "streaming"),
+    tier="shadow",
+)
+def bm25_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text index's O(1) delete tier, both halves oracle-checked
+    (r14, the ann_tombstone_delete twin): tombstone every
+    doc_id % 41 == 5 (one tiny parquet append, zero store rewrite) and
+    query — the pending set leaves the term probe AND the corpus
+    statistics, so every survivor re-prices under the post-delete
+    N/avgdl/df immediately, exactly as if the victims had never been
+    indexed — then ``apply_tombstones`` (the forget rewrite + clear)
+    and query again.  Phase 1 rows must EQUAL phase 2 rows must equal
+    the DuckDB batch BM25 over the surviving corpus.
+
+    The statistics half is what makes the text tier subtler than the
+    vector one: an exclusion that only filtered result rows would
+    leave N/avgdl/df stale and silently mis-score EVERY surviving doc
+    until compaction — the oracle here would catch that as a
+    wrong-score mismatch on phase 1.  Scale shape: deletes cost one
+    appended file; queries pay one broadcast anti-join at the probe
+    plus one at the 16 B/doc ledger aggregate; apply touches only the
+    victims' terms' buckets."""
+    from kafkastreamsproject_spark.plans.text import _BM25_TERMS
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        apply_tombstones,
+        index_ingest_batch,
+        query_index,
+        tombstone_docs_in_index,
+    )
+
+    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "text"
+    )
+    store = tempfile.mkdtemp(prefix="bm25_tombstone_store_")
+    tables = [
+        store_table_name("bm25_postings", f"{store}/postings"),
+        store_table_name("bm25_seen", f"{store}/seen"),
+    ]
+    try:
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), store)
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), store)
+        victims = docs.filter(
+            F.col("doc_id") % _TOMB_BM_MOD == 5
+        ).select("doc_id")
+        tombstone_docs_in_index(spark, victims, store)
+        pending = query_index(spark, store, _BM25_TERMS).localCheckpoint(
+            eager=True
+        )
+        applied_counts = apply_tombstones(spark, store)
+        assert applied_counts["applied"] > 0
+        applied = query_index(spark, store, _BM25_TERMS).localCheckpoint(
+            eager=True
+        )
+        return pending.withColumn(
+            "phase", F.lit(1).cast("int")
+        ).unionByName(applied.withColumn("phase", F.lit(2).cast("int")))
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)

@@ -230,11 +230,21 @@ def read_seen(
 
 
 def corpus_stats(spark: SparkSession, store_path: str,
-                 n_buckets: int = N_BUCKETS) -> DataFrame:
+                 n_buckets: int = N_BUCKETS,
+                 exclude: DataFrame | None = None) -> DataFrame:
     """1-row (n_docs, dl_sum) from the seen ledger — a shuffle-free
     partial aggregate over 16 B/doc, idempotent by construction
-    because it reads state rather than folding a snapshot."""
-    return read_seen(spark, store_path, n_buckets).agg(
+    because it reads state rather than folding a snapshot.
+    ``exclude`` (one column, ``doc_id``) drops docs from the count
+    BEFORE aggregating — the tombstone hook: pending logical deletes
+    must stop moving N/avgdl the moment they are tombstoned, or a
+    pending-phase score would differ from the post-apply one."""
+    seen = read_seen(spark, store_path, n_buckets)
+    if exclude is not None:
+        seen = seen.join(
+            F.broadcast(exclude.select("doc_id")), "doc_id", "left_anti"
+        )
+    return seen.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0).cast("long")).alias("dl_sum"),
     )
@@ -379,6 +389,14 @@ def query_index(
     hits = read_postings(spark, store_path, n_buckets).filter(
         F.col("t").isin(list(terms))
     )
+    tombs = read_tombstones(spark, store_path)
+    if tombs is not None:
+        # pending logical deletes leave the probe BEFORE df/tf
+        # aggregation and the ledger stats BELOW exclude them too, so
+        # every surviving doc scores EXACTLY as it will after
+        # apply_tombstones — the delete's visibility is total, not
+        # just "victim missing from results"
+        hits = hits.join(F.broadcast(tombs), "doc_id", "left_anti")
     per_doc = hits.groupBy("doc_id").agg(
         F.max("dl").cast("double").alias("dl"),
         *[
@@ -394,7 +412,7 @@ def query_index(
             for i, w in enumerate(terms)
         ]
     )
-    corpus = corpus_stats(spark, store_path, n_buckets).select(
+    corpus = corpus_stats(spark, store_path, n_buckets, exclude=tombs).select(
         F.col("n_docs").cast("double").alias("n_docs"),
         (F.col("dl_sum").cast("double") / F.col("n_docs").cast("double"))
         .alias("avgdl"),
@@ -525,6 +543,11 @@ def phrase_query_index(
     hits = read_positions(spark, store_path, n_buckets).filter(
         F.col("t").isin(list(phrase))
     )
+    tombs = read_tombstones(spark, store_path)
+    if tombs is not None:
+        # phrase search honors pending logical deletes at the same
+        # pre-aggregation seam as the term probe
+        hits = hits.join(F.broadcast(tombs), "doc_id", "left_anti")
     per_doc = hits.groupBy("doc_id").agg(
         *[
             F.first(F.when(F.col("t") == w, F.col("ps")), ignorenulls=True)
@@ -627,4 +650,109 @@ def forget_docs_in_index(
         spark, victims, s_path, store_table_name("bm25_seen", s_path),
         _SEEN_SCHEMA, ["doc_id"], n_buckets,
     )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tombstone tier (r14): O(1) logical delete, physical at compaction —
+# the annindex tombstone model on the text side.  A pending doc is
+# excluded from term probes, phrase probes, AND the N/avgdl/df
+# statistics, so every surviving doc scores exactly as it will after
+# the physical apply (observational equivalence is the contract the
+# bm25_tombstone_delete oracle checks).
+# ---------------------------------------------------------------------------
+
+_TOMB_SCHEMA = "doc_id long"
+
+
+def _tomb_path(store_path: str) -> str:
+    return f"{store_path}/tombstones"
+
+
+def read_tombstones(
+    spark: SparkSession, store_path: str
+) -> DataFrame | None:
+    """The index's PENDING logical deletes as a one-column
+    (``doc_id``) DataFrame, or ``None`` when nothing is pending.
+    Duplicate rows from replayed appends de-duplicate at read."""
+    from kafkastreamsproject_spark.operators.fs import hadoop_has_files
+
+    path = _tomb_path(store_path)
+    if not hadoop_has_files(spark, path):
+        return None
+    return (
+        spark.read.schema(_TOMB_SCHEMA).parquet(path)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def tombstone_docs_in_index(
+    spark: SparkSession, doc_ids: DataFrame, store_path: str
+) -> dict:
+    """LOGICAL delete: append ``doc_ids`` (one column, ``doc_id``) to
+    the pending set — one tiny parquet append, O(|victims|) regardless
+    of index size.  From the next query on the victims are invisible
+    EVERYWHERE: no term-probe hit, no phrase hit, no df contribution,
+    no N/avgdl contribution — BM25 is a corpus-statistics scorer, so
+    hiding a doc from results while leaving it in the statistics
+    would quietly mis-score every survivor until compaction; the
+    pending set therefore excludes at both seams
+    (:func:`query_index`'s probe AND :func:`corpus_stats`).
+
+    Re-ingest of a pending id stays blocked (its seen row persists
+    until apply) — delete-then-reinsert completes only after
+    :func:`apply_tombstones`, the unambiguous ordering.  The pending
+    set broadcasts at query time; apply on the compaction cadence
+    keeps it driver-bounded.  One physical-store property the pending
+    set does NOT touch: the append-time df cap counts a pending doc's
+    rows until apply (the cap is first-writers-win over BYTES in the
+    store, and those bytes are still there) — capped-index
+    determinism survives deletes unchanged.  Returns
+    {"tombstoned": n, "pending": m}.
+    """
+    victims = (
+        doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = victims.count()
+    if n:
+        victims.coalesce(1).write.mode("append").parquet(
+            _tomb_path(store_path)
+        )
+    pending = read_tombstones(spark, store_path)
+    return {
+        "tombstoned": n,
+        "pending": pending.count() if pending is not None else 0,
+    }
+
+
+def apply_tombstones(
+    spark: SparkSession,
+    store_path: str,
+    n_buckets: int = N_BUCKETS,
+    positional: bool = False,
+) -> dict:
+    """Make the pending logical deletes PHYSICAL and clear the set —
+    delegates to :func:`forget_docs_in_index` (bucket-local postings/
+    positions rewrite, ledger forget), then removes the tombstone
+    files LAST as the commit point: a crash after the rewrite replays
+    the forget as a no-op and clears on retry, and queries are correct
+    throughout because pending ids are excluded whether or not their
+    bytes are gone.  After apply the erased ids are re-indexable.
+    Returns the forget counts plus {"applied": n}."""
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path
+
+    tombs = read_tombstones(spark, store_path)
+    if tombs is None:
+        return {"applied": 0}
+    victims = tombs.localCheckpoint(eager=True)
+    n = victims.count()
+    out = forget_docs_in_index(
+        spark, victims, store_path, n_buckets, positional=positional
+    )
+    fs, hpath = _fs_and_path(spark, _tomb_path(store_path))
+    fs.delete(hpath, True)
+    out["applied"] = n
     return out

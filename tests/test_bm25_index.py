@@ -546,3 +546,84 @@ def test_df_cap_replay_in_crash_window_is_deterministic(spark, tmp_path):
         .collect()
     )
     assert {(r.t, r.doc_id) for r in dup} == {("hot", 2)}
+
+
+def test_tombstone_scores_exactly_like_survivor_index(spark, tmp_path):
+    """Logical delete (r14): with doc 1 pending, every surviving doc
+    scores EXACTLY as an index that never held doc 1 — BM25 is a
+    corpus-statistics scorer, so the pending set must leave df AND
+    N/avgdl, not just the result rows (hiding the doc but keeping its
+    statistics would mis-score every survivor until compaction)."""
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        read_tombstones,
+        tombstone_docs_in_index,
+    )
+
+    store = str(tmp_path / "tombidx")
+    index_ingest_batch(_docs(spark, B1), store)
+    index_ingest_batch(_docs(spark, B2), store)
+    assert read_tombstones(spark, store) is None
+    res = tombstone_docs_in_index(
+        spark, spark.createDataFrame([(1,)], "doc_id long"), store
+    )
+    assert res == {"tombstoned": 1, "pending": 1}
+
+    survivor_store = str(tmp_path / "system_of_record")
+    index_ingest_batch(
+        _docs(spark, [r for r in B1 if r[0] != 1]), survivor_store
+    )
+    index_ingest_batch(_docs(spark, B2), survivor_store)
+
+    got = _scores(query_index(spark, store, TERMS))
+    want = _scores(query_index(spark, survivor_store, TERMS))
+    assert 1 not in got
+    assert got == want
+
+
+def test_apply_tombstones_is_physical_invisible_and_idempotent(
+    spark, tmp_path
+):
+    """apply_tombstones: same scores before and after, postings bytes
+    gone, pending set cleared LAST, replay a no-op, id re-indexable;
+    the positional store leaves with positional=True."""
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        apply_tombstones,
+        phrase_query_index,
+        read_positions,
+        read_tombstones,
+        tombstone_docs_in_index,
+    )
+
+    store = str(tmp_path / "tombapplyidx")
+    index_ingest_batch(_docs(spark, B1), store, positional=True)
+    index_ingest_batch(_docs(spark, B2), store, positional=True)
+    tombstone_docs_in_index(
+        spark, spark.createDataFrame([(1,), (4,)], "doc_id long"), store
+    )
+    # pending docs leave phrase results too
+    assert {
+        r.doc_id
+        for r in phrase_query_index(spark, store, ("alpha", "beta")).collect()
+    } == set()
+
+    logical = _scores(query_index(spark, store, TERMS))
+    out = apply_tombstones(spark, store, positional=True)
+    assert out["applied"] == 2
+    assert out["postings"]["rows_deleted"] > 0
+    assert out["seen"]["rows_deleted"] == 2
+    assert read_tombstones(spark, store) is None
+    assert read_postings(spark, store).filter(
+        F.col("doc_id").isin([1, 4])
+    ).count() == 0
+    assert read_positions(spark, store).filter(
+        F.col("doc_id").isin([1, 4])
+    ).count() == 0
+    assert _scores(query_index(spark, store, TERMS)) == logical
+    assert apply_tombstones(spark, store) == {"applied": 0}
+
+    # re-ingest blocked while pending, open after apply
+    back = index_ingest_batch(
+        _docs(spark, [(1, "alpha beta beta filler one")]), store,
+        positional=True,
+    )
+    assert back["docs_indexed"] == 1
