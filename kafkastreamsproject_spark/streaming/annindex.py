@@ -737,6 +737,48 @@ def compact_codes(spark: SparkSession, store_path: str) -> int:
     )
 
 
+def _query_probes(
+    spark: SparkSession,
+    store_path: str,
+    qbase: DataFrame,
+    coarse: DataFrame,
+    geo: dict,
+    nprobe: int,
+) -> DataFrame:
+    """Each query's nprobe nearest coarse cells as (query_id, cell) —
+    the probe-assignment stage shared by top-k, rerank, and range
+    search.  Small C: broadcast cross-join + window (whole-stage
+    codegen).  Large C (> _VECTORIZED_ASSIGN_MIN_C): the per-store
+    codebook broadcast and Arrow matmul the ingest side uses — ∝C
+    work per batch row instead of |queries|·C expression rows
+    (bit-identical ranking, pytest-pinned)."""
+    if nprobe > geo["c_cells"]:
+        raise ValueError(
+            f"nprobe={nprobe} exceeds the store's c_cells="
+            f"{geo['c_cells']} — a probe list can't be wider than the "
+            "coarse codebook"
+        )
+    if geo["c_cells"] > _VECTORIZED_ASSIGN_MIN_C:
+        return _probe_cells_vectorized(
+            qbase,
+            coarse,
+            nprobe,
+            coarse_broadcast(spark, store_path, coarse),
+        )
+    qd = qbase.crossJoin(F.broadcast(coarse)).select(
+        F.col("vec_id").alias("query_id"),
+        "qv",
+        "ccid",
+        _int_dist2(F.col("qv"), F.col("cv2")).alias("dist2"),
+    )
+    wq = W.partitionBy("query_id").orderBy("dist2", "ccid")
+    return (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("ccid").alias("cell"))
+    )
+
+
 def ann_query_index(
     spark: SparkSession,
     store_path: str,
@@ -778,39 +820,10 @@ def ann_query_index(
     is exactly what the streaming_ann_index oracle asserts
     (``ann_filtered_topk`` asserts the filtered form)."""
     geo = check_ann_geometry(spark, store_path, geometry)
-    if nprobe > geo["c_cells"]:
-        raise ValueError(
-            f"nprobe={nprobe} exceeds the store's c_cells="
-            f"{geo['c_cells']} — a probe list can't be wider than the "
-            "coarse codebook"
-        )
     n_buckets = geo["n_buckets"]
     coarse, cb = read_codebooks(spark, store_path)
     qbase = quantize(queries)
-    if geo["c_cells"] > _VECTORIZED_ASSIGN_MIN_C:
-        # large C: per-query probe assignment through the same
-        # per-store codebook broadcast the ingest side uses — ∝C
-        # matmul per Arrow batch instead of |queries|·C expression
-        # rows (bit-identical ranking, pytest-pinned)
-        probes = _probe_cells_vectorized(
-            qbase,
-            coarse,
-            nprobe,
-            coarse_broadcast(spark, store_path, coarse),
-        )
-    else:
-        qd = qbase.crossJoin(F.broadcast(coarse)).select(
-            F.col("vec_id").alias("query_id"),
-            "qv",
-            "ccid",
-            _int_dist2(F.col("qv"), F.col("cv2")).alias("dist2"),
-        )
-        wq = W.partitionBy("query_id").orderBy("dist2", "ccid")
-        probes = (
-            qd.withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= nprobe)
-            .select("query_id", F.col("ccid").alias("cell"))
-        )
+    probes = _query_probes(spark, store_path, qbase, coarse, geo, nprobe)
     qsub = _subspaces(
         qbase.select(F.col("vec_id").alias("vec_id"), "qv"),
         geo["m_subspaces"],
@@ -969,6 +982,93 @@ def ann_rerank_index(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def ann_range_index(
+    spark: SparkSession,
+    store_path: str,
+    queries: DataFrame,
+    radius2: int,
+    nprobe: int = 2,
+    corpus: DataFrame | None = None,
+    geometry: dict | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """RANGE search from the store: every indexed vector within
+    integer L2 distance² ``radius2`` of each query, among the probed
+    cells — the second standard serving shape next to top-k (the
+    FAISS ``range_search``-on-IVF semantics): dedup radii, "all
+    matches above a similarity floor", recall-oriented candidate
+    generation where the CALLER sets the quality bar instead of a
+    count.  Top-k under-reports in dense neighborhoods and pads with
+    junk in sparse ones; range search returns exactly what qualifies
+    (possibly zero rows — an empty neighborhood is an answer).
+
+    Distances are EXACT (quantized-integer L2), not ADC: a radius is
+    a promise about the true distance, and PQ reconstruction error
+    would make the boundary fuzzy in both directions.  The candidate
+    vectors come from the IVF-Flat sidecar when the store has one —
+    the probed cells push into the vecs scan as the bucket-key join
+    (zero store-side Exchange), so the scan is ≈ nprobe·√N vectors
+    per query under sized geometry — else from ``corpus`` via the
+    codes store's (cell, vec_id) pairs (one corpus join, the
+    no-sidecar fallback).  Pending tombstones and the ``allowed``
+    predicate apply at the same pre-scoring seams as top-k.
+
+    Like every IVF query, recall is probe-bounded: a true neighbor
+    assigned to an unprobed cell is missed, and the nprobe sweep in
+    ``ann_store_recall_curve`` prices that.  Returns
+    (query_id, vec_id, cell, exact_dist2) with no rank column — a
+    range result is a SET; impose order downstream if wanted."""
+    geo = check_ann_geometry(spark, store_path, geometry)
+    n_buckets = geo["n_buckets"]
+    coarse, _cb = read_codebooks(spark, store_path)
+    qbase = quantize(queries)
+    probes = _query_probes(spark, store_path, qbase, coarse, geo, nprobe)
+    qa = qbase.select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qav")
+    )
+    tombs = read_tombstones(spark, store_path)
+    with shuffle_scoped_to_buckets(spark, n_buckets):
+        if has_vector_sidecar(spark, store_path):
+            cand = F.broadcast(probes).join(
+                read_vecs(spark, store_path, n_buckets), "cell"
+            )
+        else:
+            if corpus is None:
+                raise ValueError(
+                    "ann_range_index needs the upstream `corpus` when "
+                    f"the store at {store_path} has no IVF-Flat vector "
+                    "sidecar (create_ann_store(store_vectors=True))"
+                )
+            pairs = F.broadcast(probes).join(
+                read_codes(spark, store_path, n_buckets)
+                .select("cell", "vec_id")
+                .distinct(),
+                "cell",
+            )
+            cand = pairs.join(quantize(corpus), "vec_id")
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+        if tombs is not None:
+            cand = cand.join(F.broadcast(tombs), "vec_id", "left_anti")
+        if allowed is not None:
+            cand = cand.join(
+                F.broadcast(allowed.select("vec_id").distinct()),
+                "vec_id",
+                "left_semi",
+            )
+        out = (
+            cand.join(F.broadcast(qa), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                F.col("cell").cast("long").alias("cell"),
+                _int_dist2(F.col("qv"), F.col("qav")).alias("exact_dist2"),
+            )
+            .filter(F.col("exact_dist2") <= F.lit(int(radius2)))
+            .localCheckpoint(eager=True)
+        )
+    return out
 
 
 def to_ann_ingest_sink(

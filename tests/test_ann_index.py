@@ -987,3 +987,82 @@ def test_tombstones_compose_with_filtered_rerank(spark, tmp_path):
     assert after.groupBy("query_id").count().filter(
         F.col("count") != 3
     ).count() == 0
+
+
+def test_range_search_sidecar_equals_corpus_fallback(spark, tmp_path):
+    """ann_range_index returns identical rows from the IVF-Flat
+    sidecar and from the corpus fallback (codes pairs + corpus join);
+    results respect the radius and never include the query itself."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_range_index,
+        create_ann_store,
+    )
+
+    corpus = _emb(spark, 0, 60)
+    with_vecs = str(tmp_path / "range_sidecar")
+    create_ann_store(
+        spark, with_vecs, _emb(spark, 0, 40), store_vectors=True
+    )
+    ann_ingest_batch(corpus, with_vecs)
+    no_vecs = str(tmp_path / "range_plain")
+    create_ann_store(spark, no_vecs, _emb(spark, 0, 40))
+    ann_ingest_batch(corpus, no_vecs)
+
+    q = _emb(spark, 0, 5)
+    r2 = 40_000
+    a = ann_range_index(spark, with_vecs, q, radius2=r2, nprobe=2)
+    b = ann_range_index(
+        spark, no_vecs, q, radius2=r2, nprobe=2, corpus=corpus
+    )
+    rows_a = {(r.query_id, r.vec_id, r.cell, r.exact_dist2)
+              for r in a.collect()}
+    rows_b = {(r.query_id, r.vec_id, r.cell, r.exact_dist2)
+              for r in b.collect()}
+    assert rows_a and rows_a == rows_b
+    assert all(d <= r2 for (_, _, _, d) in rows_a)
+    assert all(qid != vid for (qid, vid, _, _) in rows_a)
+
+    # no sidecar and no corpus is a contract error, not a wrong answer
+    import pytest
+
+    with pytest.raises(ValueError, match="sidecar"):
+        ann_range_index(spark, no_vecs, q, radius2=r2, nprobe=2)
+
+
+def test_range_search_composes_with_tombstones_and_filter(spark, tmp_path):
+    """Pending tombstones and the `allowed` predicate apply to range
+    results at the same pre-scoring seams as top-k; an empty
+    neighborhood returns zero rows, not an error."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_range_index,
+        create_ann_store,
+        tombstone_vectors_in_index,
+    )
+
+    store = str(tmp_path / "range_tomb")
+    create_ann_store(
+        spark, store, _emb(spark, 0, 40), store_vectors=True
+    )
+    ann_ingest_batch(_emb(spark, 0, 40), store)
+    q = _emb(spark, 0, 3)
+    base = ann_range_index(spark, store, q, radius2=40_000, nprobe=2)
+    victim = base.collect()[0].vec_id
+    tombstone_vectors_in_index(
+        spark, spark.createDataFrame([(int(victim),)], "vec_id long"), store
+    )
+    after = ann_range_index(spark, store, q, radius2=40_000, nprobe=2)
+    assert victim not in {r.vec_id for r in after.collect()}
+
+    evens = spark.createDataFrame(
+        [(int(v),) for v in range(0, 40, 2)], "vec_id long"
+    )
+    filt = ann_range_index(
+        spark, store, q, radius2=40_000, nprobe=2, allowed=evens
+    )
+    assert all(r.vec_id % 2 == 0 for r in filt.collect())
+
+    # radius 0 IS exact-duplicate detection: the generator repeats
+    # vectors with period 13, and only those twins qualify
+    zero = ann_range_index(spark, store, q, radius2=0, nprobe=2).collect()
+    assert zero and all(r.exact_dist2 == 0 for r in zero)
+    assert all((r.vec_id - r.query_id) % 13 == 0 for r in zero)
