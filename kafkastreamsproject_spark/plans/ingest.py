@@ -3186,3 +3186,121 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for table in tables:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(store, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Codebook drift detection (r14): the retrain gauge for the frozen
+# IVF-PQ codebooks — mean per-vector PQ reconstruction error of a
+# cohort, priced against the training-time baseline persisted at
+# store creation.
+# ---------------------------------------------------------------------------
+
+
+def _ann_drift_oracle() -> str:
+    """Independent recompute of the drift arithmetic: codebooks =
+    first-K EVEN vec_ids (the store below trains on the even half),
+    per-vector error = Σ over subspaces of the distance² to the
+    nearest code, baseline = mean over the even half (the training
+    corpus), cohort means and ratios rounded to 6 dp like the
+    operator."""
+    from kafkastreamsproject_spark.plans.similarity import _SQL_KM_Q
+
+    k, m = 16, 4
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {_SQL_KM_Q} AS qv FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id,
+             unnest(range(0, {m})) AS s,
+             unnest(list_transform(range(0, {m}), s ->
+               qv[(s * CAST(ceil(len(qv) / {m}.0) AS BIGINT) + 1):
+                  least((s + 1) * CAST(ceil(len(qv) / {m}.0) AS BIGINT),
+                        len(qv))])) AS sv
+      FROM q
+    ),
+    cb AS (
+      SELECT s, vec_id AS cid, sv AS cv FROM sub
+      WHERE vec_id IN (SELECT vec_id FROM q WHERE vec_id % 2 = 0
+                       ORDER BY vec_id LIMIT {k})
+    ),
+    err AS (
+      SELECT sub.vec_id, sub.s,
+             MIN(CAST(list_sum(list_transform(range(1, len(sub.sv) + 1),
+                 i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])))
+               AS BIGINT)) AS e
+      FROM sub JOIN cb ON cb.s = sub.s
+      GROUP BY 1, 2
+    ),
+    perv AS (SELECT vec_id, SUM(e) AS err2 FROM err GROUP BY 1),
+    base AS (
+      SELECT AVG(err2) AS b FROM perv WHERE vec_id % 2 = 0
+    )
+    SELECT c.cohort,
+           c.n_vectors,
+           ROUND(c.m, 6) AS mean_err2,
+           ROUND(base.b, 6) AS baseline_err2,
+           ROUND(c.m / base.b, 6) AS drift_ratio
+    FROM (
+      SELECT 'train' AS cohort, COUNT(*) AS n_vectors, AVG(err2) AS m
+      FROM perv WHERE vec_id % 2 = 0
+      UNION ALL
+      SELECT 'holdout' AS cohort, COUNT(*) AS n_vectors, AVG(err2) AS m
+      FROM perv WHERE vec_id % 2 = 1
+    ) c CROSS JOIN base
+    """
+
+
+@register(
+    "ann_codebook_drift",
+    oracle_fn=_ann_drift_oracle,
+    tags=("similarity", "ann", "streaming"),
+    tier="shadow",
+)
+def ann_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental index's retrain gauge, oracle-checked (r14):
+    a store's codebooks are FROZEN at creation, so as the ingested
+    distribution drifts, PQ reconstruction error climbs and recall
+    decays silently — queries still fill k, the answers are just
+    worse.  ``codebook_drift`` prices a cohort's mean per-vector
+    reconstruction error against the training-time baseline stamped
+    by ``create_ann_store`` (``_ann_baseline.json``); a sustained
+    ratio climb is the signal to retrain via ``rebuild_ann_store``,
+    and ``ann_ingest_batch(max_drift_ratio=...)`` can enforce the
+    bound AT ingest (refusing codes the codebooks can't represent —
+    pytest-pinned).
+
+    Here the store trains on the EVEN half of the corpus and both
+    cohorts are measured: the train cohort must read exactly 1.0
+    (its mean IS the baseline) and the holdout half prices the
+    even/odd split's distribution gap.  The DuckDB oracle recomputes
+    codebook construction, per-vector errors, baseline, and ratios
+    independently.  Cost shape at scale: one batch pass per
+    measurement (M·K broadcast distances per vector — the same work
+    as encoding), no store reads at all."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        codebook_drift,
+        create_ann_store,
+        default_geometry,
+    )
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    store = tempfile.mkdtemp(prefix="ann_drift_store_")
+    try:
+        create_ann_store(spark, store, even, **default_geometry())
+        tr = codebook_drift(spark, store, even).withColumn(
+            "cohort", F.lit("train")
+        )
+        ho = codebook_drift(spark, store, odd).withColumn(
+            "cohort", F.lit("holdout")
+        )
+        return tr.unionByName(ho).select(
+            "cohort", "n_vectors", "mean_err2", "baseline_err2",
+            "drift_ratio",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

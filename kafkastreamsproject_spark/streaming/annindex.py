@@ -248,6 +248,57 @@ def _cb_dir(store_path: str) -> str:
 #: vectors at the C=8 family default) stay under it by design.
 _SIZE_WARN_FACTOR = 4
 
+_BASELINE_FILE = "_ann_baseline.json"
+
+
+def _write_baseline(
+    spark: SparkSession, store_path: str, rec: dict
+) -> None:
+    import json
+
+    from kafkastreamsproject_spark.operators.fs import hadoop_write_text
+
+    hadoop_write_text(
+        spark, f"{store_path}/{_BASELINE_FILE}", json.dumps(rec)
+    )
+
+
+def ann_baseline(spark: SparkSession, store_path: str) -> dict | None:
+    """The store's training-time fidelity record
+    ({"baseline_err2": float, "trained_n": int}), or ``None`` for a
+    store predating the sidecar."""
+    import json
+
+    from kafkastreamsproject_spark.operators.fs import hadoop_read_text
+
+    text = hadoop_read_text(spark, f"{store_path}/{_BASELINE_FILE}")
+    return json.loads(text) if text else None
+
+
+def _mean_pq_err2(sub: DataFrame, cb: DataFrame) -> float | None:
+    """Mean per-vector PQ reconstruction error under codebook ``cb``:
+    for each (vector, subspace) the distance² to the NEAREST code —
+    the argmin dist2 IS the reconstruction error, no codes join needed
+    — summed over subspaces, averaged over vectors.  ``None`` on an
+    empty input."""
+    per_sub = (
+        sub.join(
+            F.broadcast(
+                cb.select(F.col("s").alias("s_cb"), "cid", "cv")
+            ),
+            F.col("s") == F.col("s_cb"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min(_int_dist2(F.col("sv"), F.col("cv"))).alias("e"))
+    )
+    row = (
+        per_sub.groupBy("vec_id")
+        .agg(F.sum("e").alias("err2"))
+        .agg(F.avg("err2"))
+        .first()
+    )
+    return None if row is None or row[0] is None else float(row[0])
+
 
 def create_ann_store(
     spark: SparkSession,
@@ -357,6 +408,17 @@ def create_ann_store(
         f"{_cb_dir(store_path)}/pq"
     )
     write_ann_geometry(spark, store_path, geo)
+    # training-time quantization fidelity, persisted for drift
+    # detection: the mean per-vector PQ reconstruction error over the
+    # training corpus is what "in-distribution" costs under THIS
+    # codebook — codebook_drift() prices every later batch against it
+    # (one extra training-set pass; creation is the rare out-of-band
+    # step)
+    baseline = _mean_pq_err2(_subspaces(base, m_subspaces), cb)
+    _write_baseline(
+        spark, store_path,
+        {"baseline_err2": baseline, "trained_n": int(n_train)},
+    )
     if store_vectors:
         from kafkastreamsproject_spark.operators.fs import hadoop_write_text
 
@@ -634,13 +696,25 @@ def ann_ingest_batch(
     batch: DataFrame,
     store_path: str,
     geometry: dict | None = None,
+    max_drift_ratio: float | None = None,
 ) -> dict:
     """Fold one micro-batch of (vec_id, embedding) into the index.
     Returns {"vecs_indexed": n, "codes_appended": m}.  Same layered
     idempotency as bm25index: bucket-key seen probe (zero store-side
     Exchange), codes append first, seen append is the commit point.
     Geometry comes from the store's sidecar; a caller-supplied
-    ``geometry`` expectation is asserted against it."""
+    ``geometry`` expectation is asserted against it.
+
+    ``max_drift_ratio`` arms the codebook-drift gate: the fresh rows'
+    mean PQ reconstruction error is priced against the store's
+    training baseline (:func:`codebook_drift`) BEFORE anything is
+    appended, and the fold RAISES past the threshold — refusing to
+    fill the index with codes the frozen codebooks can't represent
+    (each would be served with silently degraded distances forever).
+    The remedy is a codebook retrain (:func:`rebuild_ann_store`).
+    Opt-in because it prices one extra batch pass and because some
+    deployments prefer alerting on the measured ratio to hard-failing
+    the pipeline."""
     spark = batch.sparkSession
     geo = check_ann_geometry(spark, store_path, geometry)
     n_buckets = geo["n_buckets"]
@@ -656,6 +730,23 @@ def ann_ingest_batch(
         fresh = batch.dropDuplicates(["vec_id"]).join(
             seen.select("vec_id"), "vec_id", "left_anti"
         ).localCheckpoint(eager=True)
+
+        if max_drift_ratio is not None:
+            drift = codebook_drift(spark, store_path, fresh).first()
+            if (
+                drift is not None
+                and drift.n_vectors > 0
+                and drift.drift_ratio is not None
+                and drift.drift_ratio > max_drift_ratio
+            ):
+                raise ValueError(
+                    f"codebook drift gate: batch mean PQ reconstruction "
+                    f"error is {drift.drift_ratio}× the training "
+                    f"baseline (limit {max_drift_ratio}) — the frozen "
+                    "codebooks no longer fit the arriving distribution; "
+                    "retrain + rebuild the store (rebuild_ann_store) "
+                    "instead of appending degraded codes"
+                )
 
         # large-C stores assign through the per-store codebook
         # broadcast — ONE driver collect for the stream's lifetime,
@@ -776,6 +867,74 @@ def _query_probes(
         qd.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select("query_id", F.col("ccid").alias("cell"))
+    )
+
+
+def codebook_drift(
+    spark: SparkSession,
+    store_path: str,
+    batch: DataFrame,
+    geometry: dict | None = None,
+) -> DataFrame:
+    """Price a batch's distribution against the store's FROZEN
+    codebooks — the retrain gauge.  The codebooks quantize well only
+    what they were trained on; as the ingested distribution drifts,
+    PQ reconstruction error climbs, ADC distances degrade, and recall
+    decays SILENTLY (queries still return k rows — they're just
+    worse).  This measures it: the batch's mean per-vector
+    reconstruction error under the store's codebooks, against the
+    training-time baseline persisted at :func:`create_ann_store`.
+
+    Returns one row ``(n_vectors, mean_err2, baseline_err2,
+    drift_ratio)`` (6-dp rounds — cross-engine stable).  A ratio near
+    1 is in-distribution; a sustained climb says the codebooks no
+    longer fit the corpus and :func:`rebuild_ann_store` should retrain
+    them (the versioned-rebuild path).  The standard deployment calls
+    this per epoch and alerts on a threshold — or passes
+    ``max_drift_ratio`` to :func:`ann_ingest_batch` to enforce it AT
+    ingest.  Cost: one pass over the batch (M·K broadcast distances
+    per vector — the same work as encoding it)."""
+    geo = check_ann_geometry(spark, store_path, geometry)
+    rec = ann_baseline(spark, store_path)
+    if rec is None or rec.get("baseline_err2") is None:
+        raise ValueError(
+            f"ANN store at {store_path} has no training-fidelity "
+            "baseline (_ann_baseline.json) — recreate the store (or "
+            "rebuild_ann_store) to stamp one before measuring drift"
+        )
+    _coarse, cb = read_codebooks(spark, store_path)
+    sub = _subspaces(quantize(batch), geo["m_subspaces"])
+    per = (
+        sub.join(
+            F.broadcast(
+                cb.select(F.col("s").alias("s_cb"), "cid", "cv")
+            ),
+            F.col("s") == F.col("s_cb"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min(_int_dist2(F.col("sv"), F.col("cv"))).alias("e"))
+        .groupBy("vec_id")
+        .agg(F.sum("e").alias("err2"))
+    )
+    b = float(rec["baseline_err2"])
+    # a 0 baseline (the codebook memorized its training set verbatim —
+    # only possible on tiny/degenerate corpora, K ≥ distinct vectors)
+    # makes the ratio undefined: emit NULL rather than Infinity/NaN,
+    # and let callers treat "unpriceable" explicitly (the ingest gate
+    # passes it through — it cannot price what has no scale)
+    ratio = (
+        F.round(F.col("mean_err2") / F.lit(b), 6)
+        if b > 0
+        else F.lit(None).cast("double")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("err2"), 6).alias("mean_err2"),
+    ).select(
+        "n_vectors",
+        "mean_err2",
+        F.round(F.lit(b), 6).alias("baseline_err2"),
+        ratio.alias("drift_ratio"),
     )
 
 

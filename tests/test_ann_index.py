@@ -1066,3 +1066,73 @@ def test_range_search_composes_with_tombstones_and_filter(spark, tmp_path):
     zero = ann_range_index(spark, store, q, radius2=0, nprobe=2).collect()
     assert zero and all(r.exact_dist2 == 0 for r in zero)
     assert all((r.vec_id - r.query_id) % 13 == 0 for r in zero)
+
+
+def _emb29(spark, lo, hi, dim=8, shift=0.0):
+    # period-29 pattern: more distinct vectors than K=16 codes, so the
+    # codebook CANNOT memorize the training set and baseline_err2 > 0
+    rows = [
+        (int(v), [shift + ((v * 11 + i * 3) % 29) / 29.0 for i in range(dim)])
+        for v in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_codebook_drift_baseline_and_in_distribution_ratio(spark, tmp_path):
+    """create_ann_store stamps the training-time fidelity baseline;
+    measuring the training set itself reads drift_ratio == 1.0, a
+    same-distribution continuation stays near 1, and a degenerate
+    (memorizable) training set yields a NULL ratio, not Inf/NaN."""
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_baseline,
+        codebook_drift,
+    )
+
+    store = str(tmp_path / "drift")
+    create_ann_store(spark, store, _emb29(spark, 0, 40))
+    rec = ann_baseline(spark, store)
+    assert rec is not None and rec["trained_n"] == 40
+    assert rec["baseline_err2"] > 0
+
+    same = codebook_drift(spark, store, _emb29(spark, 0, 40)).first()
+    assert same.n_vectors == 40
+    assert same.drift_ratio == 1.0
+    cont = codebook_drift(spark, store, _emb29(spark, 40, 80)).first()
+    assert 0.5 < cont.drift_ratio < 1.5
+
+    # degenerate store: period-13 generator, 16 codes memorize it all
+    degen = _fresh_store(spark, tmp_path, "drift_degen")
+    z = codebook_drift(spark, degen, _emb(spark, 0, 40)).first()
+    assert z.baseline_err2 == 0.0 and z.drift_ratio is None
+
+
+def test_drift_gate_blocks_out_of_distribution_folds(spark, tmp_path):
+    """The opt-in ingest gate: an out-of-distribution batch (training
+    values live in [0,1); the batch sits at 10+) raises BEFORE any
+    append — the store is byte-identical after — while the same gate
+    passes an in-distribution batch.  Ungated folds still accept
+    anything (alert-only deployments)."""
+    import pytest
+
+    from kafkastreamsproject_spark.streaming.annindex import read_seen
+
+    store = str(tmp_path / "driftgate")
+    create_ann_store(spark, store, _emb29(spark, 0, 40))
+    ann_ingest_batch(_emb29(spark, 0, 20), store)
+
+    far = _emb29(spark, 100, 120, shift=10.0)
+    before_codes = read_codes(spark, store).count()
+    before_seen = read_seen(spark, store).count()
+    with pytest.raises(ValueError, match="drift gate"):
+        ann_ingest_batch(far, store, max_drift_ratio=5.0)
+    assert read_codes(spark, store).count() == before_codes
+    assert read_seen(spark, store).count() == before_seen
+
+    ok = ann_ingest_batch(
+        _emb29(spark, 20, 40), store, max_drift_ratio=5.0
+    )
+    assert ok["vecs_indexed"] == 20
+    # ungated: the same far batch folds (measure-and-alert deployments)
+    assert ann_ingest_batch(far, store)["vecs_indexed"] == 20
