@@ -3304,3 +3304,116 @@ def ann_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Boolean retrieval from the serving index (r14): must / should /
+# must_not — eligibility restricts who returns, statistics stay
+# corpus-wide, must_not vetoes without scoring.
+# ---------------------------------------------------------------------------
+
+_BOOL_MUST = ("vector", "hash")
+_BOOL_SHOULD = ("stream",)
+_BOOL_MUST_NOT = ("merge",)
+
+
+def _bm25_boolean_oracle() -> str:
+    """Batch recompute of the boolean semantics: tf per scoring term
+    and per veto term from one tokenization pass, corpus-wide df/N/
+    avgdl (the query_index convention — eligibility never changes
+    what the statistics mean), WHERE = every must matched AND no
+    must_not matched, score = the pinned BM25 sum over must+should."""
+    terms = _BOOL_MUST + tuple(
+        w for w in _BOOL_SHOULD if w not in _BOOL_MUST
+    )
+    toks = "string_split_regex(trim(text), ' +')"
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter({toks}, t -> t = '{w}')) AS DOUBLE) AS tf{i}"
+        for i, w in enumerate(terms)
+    )
+    nf_cols = ",\n             ".join(
+        f"CAST(len(list_filter({toks}, t -> t = '{w}')) AS DOUBLE) AS nf{i}"
+        for i, w in enumerate(_BOOL_MUST_NOT)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln((s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)"
+        f" * (b.tf{i} * 2.2)"
+        f" / (b.tf{i} + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))"
+        for i in range(len(terms))
+    )
+    must_pred = " AND ".join(
+        f"b.tf{i} > 0" for i in range(len(_BOOL_MUST))
+    )
+    veto_pred = " AND ".join(
+        f"b.nf{i} = 0" for i in range(len(_BOOL_MUST_NOT))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({toks}) AS DOUBLE) AS dl,
+             {tf_cols},
+             {nf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             SUM(dl) / COUNT(*) AS avgdl,
+             {df_cols}
+      FROM base
+    )
+    SELECT b.doc_id, ROUND({score}, 6) AS bm25
+    FROM base b, stats s
+    WHERE {must_pred} AND {veto_pred}
+    """
+
+
+@register(
+    "bm25_boolean_query",
+    oracle_fn=_bm25_boolean_oracle,
+    tags=("text", "retrieval", "streaming"),
+    tier="shadow",
+)
+def bm25_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval from the incrementally-maintained index
+    (r14): docs containing BOTH must terms and NOT the veto term,
+    scored by the standard BM25 sum over must+should — the
+    Lucene-style filtered-search shape production search runs far
+    more often than bag-of-terms.  One pushed ``t IN`` probe of the
+    postings store feeds eligibility (count-distinct-must filter +
+    must_not anti-join over 16 B/row slices) and scoring alike, so
+    the boolean structure costs zero extra store scans; df/N/avgdl
+    stay corpus-wide (the batch scorer's WHERE-clause convention),
+    which the oracle verifies by recomputing scores — a wrong df
+    convention would shift every float, not just membership."""
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        boolean_query_index,
+        index_ingest_batch,
+    )
+
+    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "text"
+    )
+    store = tempfile.mkdtemp(prefix="bm25_boolean_store_")
+    tables = [
+        store_table_name("bm25_postings", f"{store}/postings"),
+        store_table_name("bm25_seen", f"{store}/seen"),
+    ]
+    try:
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), store)
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), store)
+        return boolean_query_index(
+            spark,
+            store,
+            must=_BOOL_MUST,
+            should=_BOOL_SHOULD,
+            must_not=_BOOL_MUST_NOT,
+        ).localCheckpoint(eager=True)
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)

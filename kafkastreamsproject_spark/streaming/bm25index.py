@@ -426,6 +426,106 @@ def query_index(
     )
 
 
+def boolean_query_index(
+    spark: SparkSession,
+    store_path: str,
+    must: tuple[str, ...] = (),
+    should: tuple[str, ...] = (),
+    must_not: tuple[str, ...] = (),
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Boolean retrieval FROM THE STORES — the Lucene-style query
+    shape production search runs far more often than bag-of-terms:
+    a doc qualifies iff it contains EVERY ``must`` term (all of them
+    when ``must`` is empty: any scoring term suffices) and NO
+    ``must_not`` term; qualifying docs score by the standard BM25 sum
+    over ``must`` + ``should`` (must_not never scores — it only
+    vetoes).  df/N/avgdl stay CORPUS-wide, exactly like
+    :func:`query_index` (eligibility restricts WHO is returned, not
+    what the statistics mean — the same convention as the batch
+    scorer's WHERE clause), so ``boolean_query_index(should=terms)``
+    with no must/must_not returns :func:`query_index` verbatim
+    (pytest-pinned).
+
+    Plan shape: ONE pushed ``t IN (must ∪ should ∪ must_not)`` probe
+    of the postings store feeds everything — eligibility (a
+    count-distinct-must filter and a must_not anti-join over 16 B/row
+    slices of the probe) and scoring (the usual tf pivot) — so the
+    boolean structure adds zero store scans over the disjunctive
+    query.  Pending tombstones leave the probe and the ledger stats
+    at the same seams as query_index."""
+    must = tuple(must)
+    should = tuple(w for w in should if w not in must)
+    terms = must + should
+    if not terms:
+        raise ValueError(
+            "boolean_query_index needs at least one scoring term "
+            "(must or should) — must_not alone has nothing to rank"
+        )
+    overlap = set(terms) & set(must_not)
+    if overlap:
+        raise ValueError(
+            f"terms {sorted(overlap)} appear in must/should AND "
+            "must_not — a term cannot both score and veto"
+        )
+    probe = list(dict.fromkeys(terms + tuple(must_not)))
+    hits_all = read_postings(spark, store_path, n_buckets).filter(
+        F.col("t").isin(probe)
+    )
+    tombs = read_tombstones(spark, store_path)
+    if tombs is not None:
+        hits_all = hits_all.join(F.broadcast(tombs), "doc_id", "left_anti")
+
+    hits = hits_all.filter(F.col("t").isin(list(terms)))
+    if must:
+        eligible = (
+            hits_all.filter(F.col("t").isin(list(must)))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("t").alias("nm"))
+            .filter(F.col("nm") == len(set(must)))
+            .select("doc_id")
+        )
+    else:
+        eligible = hits.select("doc_id").distinct()
+    if must_not:
+        veto = hits_all.filter(
+            F.col("t").isin(list(must_not))
+        ).select("doc_id").distinct()
+        eligible = eligible.join(veto, "doc_id", "left_anti")
+
+    per_doc = (
+        hits.groupBy("doc_id")
+        .agg(
+            F.max("dl").cast("double").alias("dl"),
+            *[
+                F.sum(F.when(F.col("t") == w, F.col("tf")).otherwise(0))
+                .cast("double")
+                .alias(f"tf{i}")
+                for i, w in enumerate(terms)
+            ],
+        )
+        .join(eligible, "doc_id", "left_semi")
+    )
+    dfs = hits.agg(
+        *[
+            F.sum((F.col("t") == w).cast("long")).cast("double").alias(f"df{i}")
+            for i, w in enumerate(terms)
+        ]
+    )
+    corpus = corpus_stats(spark, store_path, n_buckets, exclude=tombs).select(
+        F.col("n_docs").cast("double").alias("n_docs"),
+        (F.col("dl_sum").cast("double") / F.col("n_docs").cast("double"))
+        .alias("avgdl"),
+    )
+    return (
+        per_doc.join(F.broadcast(dfs))
+        .join(F.broadcast(corpus))
+        .select(
+            "doc_id", F.round(_score_expr(len(terms)), 6).alias("bm25")
+        )
+    )
+
+
 def to_index_ingest_sink(
     docs: DataFrame,
     store_path: str,

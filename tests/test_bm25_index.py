@@ -627,3 +627,64 @@ def test_apply_tombstones_is_physical_invisible_and_idempotent(
         positional=True,
     )
     assert back["docs_indexed"] == 1
+
+
+def test_boolean_query_semantics(spark, tmp_path):
+    """must = AND, must_not = veto (never scores), should-only
+    degenerates to query_index verbatim; contract errors raise."""
+    import pytest
+
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        boolean_query_index,
+    )
+
+    store = str(tmp_path / "boolidx")
+    index_ingest_batch(_docs(spark, B1), store)
+    index_ingest_batch(_docs(spark, B2), store)
+
+    # must: only docs containing BOTH alpha and beta (doc 1)
+    both = _scores(boolean_query_index(spark, store, must=("alpha", "beta")))
+    assert set(both) == {1}
+    # veto: alpha-docs without gamma (docs 1, 4 have alpha; 4 has gamma)
+    no_gamma = _scores(
+        boolean_query_index(spark, store, must=("alpha",),
+                            must_not=("gamma",))
+    )
+    assert set(no_gamma) == {1}
+    # should-only == the disjunctive scorer, float for float
+    assert _scores(boolean_query_index(spark, store, should=TERMS)) == (
+        _scores(query_index(spark, store, TERMS))
+    )
+    # a must+should doc scores over BOTH terms: doc 1 (alpha+beta)
+    # must=alpha should=beta > must=alpha alone for doc 1
+    a = _scores(boolean_query_index(spark, store, must=("alpha",),
+                                    should=("beta",)))
+    b = _scores(boolean_query_index(spark, store, must=("alpha",)))
+    assert a[1] > b[1]
+    with pytest.raises(ValueError, match="at least one scoring term"):
+        boolean_query_index(spark, store, must_not=("alpha",))
+    with pytest.raises(ValueError, match="cannot both"):
+        boolean_query_index(spark, store, must=("alpha",),
+                            must_not=("alpha",))
+
+
+def test_boolean_query_honors_tombstones(spark, tmp_path):
+    """A pending logical delete leaves boolean results and their
+    statistics: scores equal a survivors-only index."""
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        boolean_query_index,
+        tombstone_docs_in_index,
+    )
+
+    store = str(tmp_path / "booltomb")
+    index_ingest_batch(_docs(spark, B1), store)
+    index_ingest_batch(_docs(spark, B2), store)
+    tombstone_docs_in_index(
+        spark, spark.createDataFrame([(4,)], "doc_id long"), store
+    )
+    surv = str(tmp_path / "boolsurv")
+    index_ingest_batch(_docs(spark, B1), surv)
+    index_ingest_batch(_docs(spark, [r for r in B2 if r[0] != 4]), surv)
+    got = _scores(boolean_query_index(spark, store, must=("alpha",)))
+    want = _scores(boolean_query_index(spark, surv, must=("alpha",)))
+    assert 4 not in got and got == want
