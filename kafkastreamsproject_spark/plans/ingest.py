@@ -3417,3 +3417,106 @@ def bm25_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         for table in tables:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(store, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Versioned serving (r14): the atomic reader swap around a rebuild,
+# proven cross-engine — phase 1 serves the published v0001 (full
+# corpus), phase 2 serves the published rebuild (survivors,
+# codebooks retrained); both resolved through the SAME base-path
+# pointer the readers use.
+# ---------------------------------------------------------------------------
+
+
+def _ann_versioned_oracle() -> str:
+    """Phase 1 = the full-corpus batch IVF-PQ; phase 2 = the
+    survivors-retrained recompute (`_ann_rebuild_oracle`) — if the
+    pointer swap served the wrong directory in either phase, that
+    phase's rows change wholesale."""
+    full = _ivf_pq_store_sql(c=8, k=16, m=4, nprobe=2, nq=10, topk=5)
+    return f"""
+    SELECT 1 AS phase, f.* FROM ({full}) f
+    UNION ALL
+    SELECT 2 AS phase, r.* FROM ({_ann_rebuild_oracle()}) r
+    """
+
+
+@register(
+    "ann_versioned_serving",
+    oracle_fn=_ann_versioned_oracle,
+    tags=("similarity", "ann", "streaming", "gdpr"),
+    tier="shadow",
+)
+def ann_versioned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-rebuild deployment loop end-to-end (r14): build
+    the index under ``base/v0001`` and publish it (readers resolve
+    the ``_current`` pointer — sources/bucketed.py), serve the
+    standard queries (phase 1), then run the GDPR codebook-retrain
+    rebuild THROUGH ``rebuild_and_publish_ann_store`` — the new
+    version builds out of band, the one-file pointer write is the
+    commit point — and serve again (phase 2), resolving the SAME
+    base path both times.  Victim 2 is a codebook training vector,
+    so phase 2's store differs down to the centroids; victims gone,
+    survivors re-scored under retrained codebooks.
+
+    The oracle recomputes both phases independently (full corpus /
+    survivors-retrained), so a pointer that resolved to the wrong
+    version in either phase shifts that phase's rows wholesale.
+    Scale shape: the swap costs one small-file write whether the
+    version holds 10³ or 10¹² rows; old versions persist as rollback
+    targets until ``retire_store_versions``."""
+    from kafkastreamsproject_spark.sources.bucketed import (
+        publish_store_version,
+        resolve_store_version,
+        store_table_name,
+    )
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_ingest_batch,
+        ann_query_index,
+        create_ann_store,
+        rebuild_and_publish_ann_store,
+    )
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    victims = spark.createDataFrame(
+        [(v,) for v in _REBUILD_VICTIMS], "vec_id long"
+    )
+    base = tempfile.mkdtemp(prefix="ann_versioned_base_")
+    tables = []
+    q = emb.filter(F.col("vec_id") < 10)
+    try:
+        v1 = f"{base}/v0001"
+        tables += [
+            store_table_name("ann_codes", f"{v1}/codes"),
+            store_table_name("ann_seen", f"{v1}/seen"),
+        ]
+        create_ann_store(
+            spark, v1, emb, c_cells=8, k_codes=16, m_subspaces=4,
+            n_buckets=8,
+        )
+        ann_ingest_batch(emb, v1)
+        publish_store_version(spark, base, "v0001")
+        phase1 = ann_query_index(
+            spark, resolve_store_version(spark, base), q, k=5, nprobe=2
+        )
+        out = rebuild_and_publish_ann_store(
+            spark, emb, victims, base,
+            c_cells=8, k_codes=16, m_subspaces=4, n_buckets=8,
+        )
+        v2 = f"{base}/{out['version']}"
+        tables += [
+            store_table_name("ann_codes", f"{v2}/codes"),
+            store_table_name("ann_seen", f"{v2}/seen"),
+        ]
+        phase2 = ann_query_index(
+            spark, resolve_store_version(spark, base), q, k=5, nprobe=2
+        )
+        return phase1.withColumn(
+            "phase", F.lit(1).cast("int")
+        ).unionByName(phase2.withColumn("phase", F.lit(2).cast("int")))
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(base, ignore_errors=True)

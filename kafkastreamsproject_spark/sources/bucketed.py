@@ -669,3 +669,93 @@ def forget_rows_in_store(
         "files_rewritten": len(affected_files),
         "rows_deleted": n_old - n_kept,
     }
+
+
+# ---------------------------------------------------------------------------
+# Versioned serving (r14): a base directory holding immutable store
+# VERSIONS plus a `_current` pointer file.  Readers resolve the
+# pointer; writers build a full new version OUT OF BAND and publish it
+# with one tiny pointer write — the atomic-swap half of the
+# "versioned-rebuild deployment" every rebuild docstring promises
+# (codebook retrain, bucket-width change, full recrawl).  The pointer
+# write is the commit point: a crash anywhere before it leaves the old
+# version serving, complete and untouched; after it, every new
+# resolve sees the new version.  Species-agnostic — an ANN store, a
+# BM25 index, or any bucketed store can sit under a version dir.
+# ---------------------------------------------------------------------------
+
+_CURRENT_FILE = "_current"
+
+
+def current_store_version(
+    spark: SparkSession, base_path: str
+) -> str | None:
+    """The published version name under ``base_path``, or None when
+    nothing has been published yet."""
+    from kafkastreamsproject_spark.operators.fs import hadoop_read_text
+
+    text = hadoop_read_text(spark, f"{base_path}/{_CURRENT_FILE}")
+    return text.strip() if text else None
+
+
+def publish_store_version(
+    spark: SparkSession, base_path: str, version: str
+) -> None:
+    """Atomically point ``base_path``'s readers at ``version`` (a
+    child directory that must already hold a complete store).  One
+    small file write — the swap costs the same whether the version
+    holds 10³ or 10¹² rows."""
+    from kafkastreamsproject_spark.operators.fs import (
+        hadoop_exists,
+        hadoop_write_text,
+    )
+
+    if not hadoop_exists(spark, f"{base_path}/{version}"):
+        raise ValueError(
+            f"cannot publish {base_path}/{version}: the version "
+            "directory does not exist — build the store first, publish "
+            "last (the pointer write is the commit point)"
+        )
+    hadoop_write_text(spark, f"{base_path}/{_CURRENT_FILE}", version)
+
+
+def resolve_store_version(spark: SparkSession, base_path: str) -> str:
+    """The concrete store path readers should open: the published
+    version under ``base_path``.  Raises when nothing is published —
+    a versioned base with no pointer is a half-deployed store, and
+    silently serving some directory would hide the deployment bug."""
+    v = current_store_version(spark, base_path)
+    if v is None:
+        raise ValueError(
+            f"no published version under {base_path} (no "
+            f"{_CURRENT_FILE} pointer) — publish_store_version after "
+            "building, or open a concrete store path directly"
+        )
+    return f"{base_path}/{v}"
+
+
+def retire_store_versions(
+    spark: SparkSession, base_path: str, keep: int = 1
+) -> list[str]:
+    """Drop unpublished version directories under ``base_path``,
+    keeping the published one plus the ``keep``-1 most recent others
+    (lexicographic — use sortable version names) as rollback targets.
+    Never touches the published version regardless of age.  Returns
+    the removed version names."""
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path
+
+    cur = current_store_version(spark, base_path)
+    fs, hbase = _fs_and_path(spark, base_path)
+    if not fs.exists(hbase):
+        return []
+    versions = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hbase)
+        if st.isDirectory()
+    )
+    others = [v for v in versions if v != cur]
+    doomed = others[: max(0, len(others) - max(0, keep - 1))]
+    for v in doomed:
+        vfs, vpath = _fs_and_path(spark, f"{base_path}/{v}")
+        vfs.delete(vpath, True)
+    return doomed

@@ -1430,6 +1430,48 @@ def forget_vectors_in_index(
     return out
 
 
+def rebuild_and_publish_ann_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    vec_ids: DataFrame,
+    base_path: str,
+    **rebuild_kwargs,
+) -> dict:
+    """The versioned-rebuild deployment as CODE, not narrative:
+    retrain + rebuild under ``base_path/v{n+1}``
+    (:func:`rebuild_ann_store` — full GDPR erasure including codebook
+    bytes), then atomically repoint ``base_path``'s readers at it
+    (``publish_store_version`` — one tiny pointer write, the commit
+    point).  A crash anywhere before the publish leaves the previous
+    version serving, complete and untouched; readers resolve
+    ``resolve_store_version(spark, base_path)`` and never see a
+    half-built store.  Old versions stay on disk as rollback targets
+    until ``retire_store_versions`` drops them.
+
+    Version names are ``v0001, v0002, …`` (sortable, deterministic:
+    1 + the highest existing ``v``-number).  Returns the rebuild
+    record plus {"version": name}."""
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path
+    from kafkastreamsproject_spark.sources.bucketed import (
+        publish_store_version,
+    )
+
+    fs, hbase = _fs_and_path(spark, base_path)
+    highest = 0
+    if fs.exists(hbase):
+        for st in fs.listStatus(hbase):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+                highest = max(highest, int(name[1:]))
+    version = f"v{highest + 1:04d}"
+    out = rebuild_ann_store(
+        spark, corpus, vec_ids, f"{base_path}/{version}", **rebuild_kwargs
+    )
+    publish_store_version(spark, base_path, version)
+    out["version"] = version
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Tombstone tier (r14): O(1) logical delete, physical at compaction
 # ---------------------------------------------------------------------------

@@ -1136,3 +1136,66 @@ def test_drift_gate_blocks_out_of_distribution_folds(spark, tmp_path):
     assert ok["vecs_indexed"] == 20
     # ungated: the same far batch folds (measure-and-alert deployments)
     assert ann_ingest_batch(far, store)["vecs_indexed"] == 20
+
+
+def test_versioned_rebuild_publish_swap_and_retire(spark, tmp_path):
+    """The versioned-serving loop end-to-end: build v0001 + publish,
+    readers resolve it; rebuild_and_publish after an erasure swaps the
+    pointer to v0002 atomically (an unpublished build leaves v0001
+    serving); retire drops the old version but never the current."""
+    import pytest
+
+    from kafkastreamsproject_spark.sources.bucketed import (
+        current_store_version,
+        publish_store_version,
+        resolve_store_version,
+        retire_store_versions,
+    )
+    from kafkastreamsproject_spark.streaming.annindex import (
+        rebuild_and_publish_ann_store,
+        rebuild_ann_store,
+    )
+
+    base = str(tmp_path / "serving")
+    corpus = _emb(spark, 0, 40)
+
+    # a versioned base with no pointer refuses to serve
+    with pytest.raises(ValueError, match="no published version"):
+        resolve_store_version(spark, base)
+    # publishing a nonexistent version dir refuses too
+    (tmp_path / "serving").mkdir()
+    with pytest.raises(ValueError, match="does not exist"):
+        publish_store_version(spark, base, "v0001")
+
+    create_ann_store(spark, f"{base}/v0001", corpus)
+    ann_ingest_batch(corpus, f"{base}/v0001")
+    publish_store_version(spark, base, "v0001")
+    assert resolve_store_version(spark, base) == f"{base}/v0001"
+
+    q = _emb(spark, 0, 3)
+    before = _res(ann_query_index(spark, resolve_store_version(spark, base), q))
+    assert before
+
+    # an UNPUBLISHED rebuild (the crash window) changes nothing for
+    # readers
+    victims = spark.createDataFrame([(25,)], "vec_id long")
+    rebuild_ann_store(spark, corpus, victims, f"{base}/v0002")
+    assert current_store_version(spark, base) == "v0001"
+    assert _res(
+        ann_query_index(spark, resolve_store_version(spark, base), q)
+    ) == before
+
+    # the real swap: next version number derives past the orphan
+    out = rebuild_and_publish_ann_store(spark, corpus, victims, base)
+    assert out["version"] == "v0003"
+    assert resolve_store_version(spark, base) == f"{base}/v0003"
+    served = ann_query_index(spark, resolve_store_version(spark, base), q)
+    assert 25 not in {r.vec_id for r in served.collect()}
+
+    # retire: current survives, older versions leave
+    doomed = retire_store_versions(spark, base, keep=1)
+    assert doomed == ["v0001", "v0002"]
+    assert resolve_store_version(spark, base) == f"{base}/v0003"
+    assert _res(
+        ann_query_index(spark, resolve_store_version(spark, base), q)
+    ) == _res(served)
