@@ -3520,3 +3520,128 @@ def ann_versioned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         for table in tables:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Serving-store ops readout (r14): DESCRIBE for the index stores —
+# substore row counts and pending logical deletes as a query, with
+# every count oracle-checked against a corpus recompute.
+# ---------------------------------------------------------------------------
+
+
+def _store_stats_oracle() -> str:
+    """Every row count re-derived from the corpus alone: postings =
+    distinct (term, doc) pairs of the tokenization, the seen ledgers
+    = corpus cardinalities, codes = M·N, the vecs sidecar = N, and
+    each tombstone substore = its victim predicate's cardinality."""
+    toks = "string_split_regex(trim(text), ' +')"
+    return f"""
+    WITH posting_count AS (
+      SELECT COUNT(*) AS n FROM (
+        SELECT DISTINCT doc_id, unnest({toks}) AS t FROM documents
+      )
+    ),
+    doc_count AS (SELECT COUNT(*) AS n FROM documents),
+    doc_victims AS (
+      SELECT COUNT(*) AS n FROM documents WHERE doc_id % {_TOMB_BM_MOD} = 5
+    ),
+    vec_count AS (SELECT COUNT(*) AS n FROM embeddings),
+    vec_victims AS (
+      SELECT COUNT(*) AS n FROM embeddings
+      WHERE vec_id % 9 = 4 AND vec_id >= 16
+    )
+    SELECT 'bm25' AS store, 'postings' AS substore,
+           CAST(n AS BIGINT) AS n_rows FROM posting_count
+    UNION ALL
+    SELECT 'bm25', 'seen', CAST(n AS BIGINT) FROM doc_count
+    UNION ALL
+    SELECT 'bm25', 'tombstones', CAST(n AS BIGINT) FROM doc_victims
+    UNION ALL
+    SELECT 'ann', 'codes', CAST(4 * n AS BIGINT) FROM vec_count
+    UNION ALL
+    SELECT 'ann', 'seen', CAST(n AS BIGINT) FROM vec_count
+    UNION ALL
+    SELECT 'ann', 'vecs', CAST(n AS BIGINT) FROM vec_count
+    UNION ALL
+    SELECT 'ann', 'tombstones', CAST(n AS BIGINT) FROM vec_victims
+    """
+
+
+@register(
+    "serving_store_stats",
+    oracle_fn=_store_stats_oracle,
+    tags=("streaming", "ops"),
+    tier="shadow",
+)
+def serving_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ops readout across a small store fleet (r14): build the
+    BM25 index and the sidecar-enabled ANN store, tombstone each
+    store's standard victim set, and union their
+    ``describe_store`` rows — which substores exist, how many rows
+    each holds, how many logical deletes are pending — the question
+    an on-call engineer (or the compaction scheduler) asks before
+    trusting a store.  Every count is re-derived by the oracle from
+    the corpus alone, so the readout is verified, not self-reported:
+    a substore silently dropping or double-counting rows (the exact
+    failure class the idempotency machinery guards) would surface
+    here as a count mismatch.  The physical ``data_files`` column
+    (the compaction trigger's input) is exercised by pytest instead —
+    file counts are layout, not semantics."""
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_ingest_batch,
+        create_ann_store,
+        default_geometry,
+        tombstone_vectors_in_index,
+    )
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        index_ingest_batch,
+        tombstone_docs_in_index,
+    )
+    from kafkastreamsproject_spark.streaming.storestats import (
+        describe_store,
+    )
+
+    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "text"
+    )
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    bm_store = tempfile.mkdtemp(prefix="stats_bm25_store_")
+    ann_store = tempfile.mkdtemp(prefix="stats_ann_store_")
+    tables = [
+        store_table_name("bm25_postings", f"{bm_store}/postings"),
+        store_table_name("bm25_seen", f"{bm_store}/seen"),
+        store_table_name("ann_codes", f"{ann_store}/codes"),
+        store_table_name("ann_seen", f"{ann_store}/seen"),
+        store_table_name("ann_vecs", f"{ann_store}/vecs"),
+    ]
+    try:
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), bm_store)
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), bm_store)
+        tombstone_docs_in_index(
+            spark,
+            docs.filter(F.col("doc_id") % _TOMB_BM_MOD == 5)
+            .select("doc_id"),
+            bm_store,
+        )
+        create_ann_store(
+            spark, ann_store, emb, **default_geometry(), store_vectors=True
+        )
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), ann_store)
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), ann_store)
+        tombstone_vectors_in_index(
+            spark, emb.filter(_TOMB_SQL_PRED).select("vec_id"), ann_store
+        )
+        return (
+            describe_store(spark, bm_store)
+            .unionByName(describe_store(spark, ann_store))
+            .select("store", "substore", F.col("rows").alias("n_rows"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(bm_store, ignore_errors=True)
+        shutil.rmtree(ann_store, ignore_errors=True)

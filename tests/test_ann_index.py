@@ -1199,3 +1199,52 @@ def test_versioned_rebuild_publish_swap_and_retire(spark, tmp_path):
     assert _res(
         ann_query_index(spark, resolve_store_version(spark, base), q)
     ) == _res(served)
+
+
+def test_store_stats_reflect_compaction_and_applies(spark, tmp_path):
+    """describe_store's physical column: data_files climbs with
+    epochs, drops at compaction; the tombstones row tracks pending →
+    applied; species dispatch raises on a non-store path."""
+    import pytest
+
+    from kafkastreamsproject_spark.streaming.annindex import (
+        apply_tombstones,
+        tombstone_vectors_in_index,
+    )
+    from kafkastreamsproject_spark.streaming.storestats import (
+        describe_store,
+    )
+
+    store = _fresh_store(spark, tmp_path, "stats")
+    ann_ingest_batch(_emb(spark, 0, 20), store)
+    ann_ingest_batch(_emb(spark, 20, 40), store)
+
+    def snap():
+        return {
+            r.substore: (r.rows, r.data_files)
+            for r in describe_store(spark, store).collect()
+        }
+
+    s1 = snap()
+    assert s1["codes"][0] == 160 and s1["seen"][0] == 40
+    assert s1["tombstones"] == (0, 0)
+    assert "vecs" not in s1  # no sidecar on this store
+
+    tombstone_vectors_in_index(
+        spark, spark.createDataFrame([(25,), (33,)], "vec_id long"), store
+    )
+    assert snap()["tombstones"][0] == 2
+
+    files_before = s1["codes"][1]
+    compact_codes(spark, store)
+    s2 = snap()
+    assert s2["codes"][1] < files_before  # compaction shrank the layout
+    assert s2["codes"][0] == 160          # without touching the rows
+
+    apply_tombstones(spark, store)
+    s3 = snap()
+    assert s3["tombstones"] == (0, 0)
+    assert s3["codes"][0] == 152 and s3["seen"][0] == 38
+
+    with pytest.raises(ValueError, match="neither"):
+        describe_store(spark, str(tmp_path / "not_a_store"))
