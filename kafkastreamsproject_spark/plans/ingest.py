@@ -3645,3 +3645,178 @@ def serving_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(bm_store, ignore_errors=True)
         shutil.rmtree(ann_store, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Reindex-upsert (r14): the recrawl/re-embedding shape —
+# first-writer-wins drops changed content by design; upsert = forget
+# arriving ids, fold as fresh, converging under at-least-once replay.
+# ---------------------------------------------------------------------------
+
+_UPSERT_DOC_MOD = 23  # recrawled docs: doc_id % 23 == 7
+_UPSERT_DOC_SUFFIX = " vector vector hash"
+
+
+def _bm25_upsert_oracle() -> str:
+    """Batch BM25 over the UPDATED corpus (recrawled docs carry the
+    appended text): the index after the upsert must score it exactly
+    — tf of the changed docs, df of the touched terms, and avgdl all
+    move."""
+    from kafkastreamsproject_spark.plans.text import _bm25_sql
+
+    sql = _bm25_sql()
+    needle = "FROM documents"
+    assert sql.count(needle) == 1, "oracle surgery expects one corpus read"
+    return sql.replace(
+        needle,
+        f"""FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % {_UPSERT_DOC_MOD} = 7
+                  THEN text || '{_UPSERT_DOC_SUFFIX}'
+                  ELSE text END AS text
+      FROM documents
+    )""",
+    )
+
+
+@register(
+    "bm25_reindex_upsert",
+    oracle_fn=_bm25_upsert_oracle,
+    tags=("text", "retrieval", "streaming", "cdc"),
+    tier="shadow",
+)
+def bm25_reindex_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-reindex through the serving index (r14): fold the
+    corpus in two epochs, then every doc_id % 23 == 7 arrives AGAIN
+    with changed text (a query-term-bearing suffix) through
+    ``upsert_docs_in_index`` — the first-writer-wins ledger would
+    drop the recrawl silently; the upsert forgets the arriving ids'
+    old rows and folds the new text as fresh.  The DuckDB oracle is
+    the batch BM25 over the UPDATED corpus, so the check asserts the
+    full statistics cascade: the changed docs' tf, the touched
+    terms' df, and the corpus avgdl all re-price — a stale ledger row
+    or an orphaned old posting would shift floats everywhere.
+
+    Scale shape: cost ∝ the arriving docs' terms' buckets (the
+    bucket-local forget bound) plus the normal fold; converges under
+    at-least-once replay (the forget re-runs as a no-op, the fold
+    re-drops as seen)."""
+    from kafkastreamsproject_spark.plans.text import _BM25_TERMS
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        index_ingest_batch,
+        query_index,
+        upsert_docs_in_index,
+    )
+
+    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "text"
+    )
+    store = tempfile.mkdtemp(prefix="bm25_upsert_store_")
+    tables = [
+        store_table_name("bm25_postings", f"{store}/postings"),
+        store_table_name("bm25_seen", f"{store}/seen"),
+    ]
+    try:
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), store)
+        index_ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), store)
+        recrawled = docs.filter(
+            F.col("doc_id") % _UPSERT_DOC_MOD == 7
+        ).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(_UPSERT_DOC_SUFFIX)).alias("text"),
+        )
+        upsert_docs_in_index(spark, recrawled, store)
+        return query_index(spark, store, _BM25_TERMS).localCheckpoint(
+            eager=True
+        )
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)
+
+
+#: re-embedded vectors: vec_id % 11 == 5, clear of the codebook
+#: training prefix (< 16) — updating a training member's embedding
+#: cannot update the codebook snapshot (the residue guard raises; a
+#: bulk re-embedding retrains via rebuild_and_publish_ann_store)
+_UPSERT_VEC_PRED = "vec_id % 11 = 5 AND vec_id >= 16"
+
+
+def _ann_upsert_oracle() -> str:
+    """Batch IVF-PQ over the re-embedded corpus (the changed vectors
+    NEGATED — float-exact on both engines) under the ORIGINAL
+    codebooks (training ids sit below the predicate, so first-C/K of
+    the updated corpus == the store's frozen snapshot)."""
+    inner = _ivf_pq_store_sql(c=8, k=16, m=4, nprobe=2, nq=10, topk=5)
+    needle = "FROM embeddings"
+    assert inner.count(needle) == 1, "oracle surgery expects one corpus read"
+    return inner.replace(
+        needle,
+        f"""FROM (
+      SELECT vec_id,
+             CASE WHEN {_UPSERT_VEC_PRED}
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings
+    )""",
+    )
+
+
+@register(
+    "ann_reindex_upsert",
+    oracle_fn=_ann_upsert_oracle,
+    tags=("similarity", "ann", "streaming", "cdc"),
+    tier="shadow",
+)
+def ann_reindex_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-embedding reindex through the vector store (r14, the
+    bm25_reindex_upsert twin): every vec_id % 11 == 5 (past the
+    training prefix) arrives again NEGATED through
+    ``upsert_vectors_in_index`` — old codes/ledger rows leave via the
+    bucket-local forget, the new embeddings encode under the store's
+    FROZEN codebooks.  The oracle recomputes the batch IVF-PQ over
+    the re-embedded corpus with the original codebooks (training ids
+    sit below the predicate), so cell re-assignment, code updates,
+    and candidate membership are all verified — a vector left in its
+    old cell would surface as a membership diff, a stale code as a
+    distance diff."""
+    from kafkastreamsproject_spark.sources.bucketed import store_table_name
+    from kafkastreamsproject_spark.streaming.annindex import (
+        ann_ingest_batch,
+        ann_query_index,
+        create_ann_store,
+        default_geometry,
+        upsert_vectors_in_index,
+    )
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    updated = emb.select(
+        "vec_id",
+        F.when(
+            F.expr(_UPSERT_VEC_PRED),
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    store = tempfile.mkdtemp(prefix="ann_upsert_store_")
+    tables = [
+        store_table_name("ann_codes", f"{store}/codes"),
+        store_table_name("ann_seen", f"{store}/seen"),
+    ]
+    try:
+        create_ann_store(spark, store, emb, **default_geometry())
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), store)
+        ann_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), store)
+        upsert_vectors_in_index(
+            spark, updated.filter(F.expr(_UPSERT_VEC_PRED)), store
+        )
+        return ann_query_index(
+            spark, store, updated.filter(F.col("vec_id") < 10),
+            k=5, nprobe=2,
+        )
+    finally:
+        for table in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store, ignore_errors=True)

@@ -1430,6 +1430,41 @@ def forget_vectors_in_index(
     return out
 
 
+def upsert_vectors_in_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    store_path: str,
+    geometry: dict | None = None,
+    allow_codebook_residue: bool = False,
+) -> dict:
+    """REINDEX arriving vectors — the re-embedding/CDC shape the
+    first-writer-wins fold deliberately excludes (a model refresh
+    re-embeds existing ids; raw :func:`ann_ingest_batch` would drop
+    every one of them as already-seen).  The arriving vec_ids'
+    existing codes/sidecar/ledger rows leave via
+    :func:`forget_vectors_in_index` (a no-op for new ids), then the
+    batch folds as fresh under the store's FROZEN codebooks.
+
+    The codebook-residue guard applies: re-embedding a TRAINING
+    member cannot update the codebook snapshot (its old embedding
+    persists there verbatim) — that raises unless acknowledged, and
+    the true fix is a retrain (:func:`rebuild_and_publish_ann_store`,
+    which a bulk re-embedding should prefer anyway: new model ⇒ new
+    distribution ⇒ the drift gauge climbs — see
+    :func:`codebook_drift`).  Crash window and convergence exactly as
+    the bm25 twin (`streaming/bm25index.py:upsert_docs_in_index`).
+    Returns the forget counts plus the fold counts."""
+    ids = vectors.select("vec_id").distinct().localCheckpoint(eager=True)
+    out = {
+        "forgotten": forget_vectors_in_index(
+            spark, ids, store_path,
+            allow_codebook_residue=allow_codebook_residue,
+        )
+    }
+    out.update(ann_ingest_batch(vectors, store_path, geometry))
+    return out
+
+
 def rebuild_and_publish_ann_store(
     spark: SparkSession,
     corpus: DataFrame,

@@ -753,6 +753,50 @@ def forget_docs_in_index(
     return out
 
 
+def upsert_docs_in_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_path: str,
+    n_buckets: int = N_BUCKETS,
+    positional: bool = False,
+    df_cap: int | None = None,
+) -> dict:
+    """REINDEX arriving documents — the recrawl/CDC shape the
+    first-writer-wins ingest contract deliberately excludes: a doc_id
+    already in the ledger is DROPPED by :func:`index_ingest_batch`
+    (correct for replay/duplicate delivery, wrong for a re-crawled
+    page whose text changed).  This op updates instead: the arriving
+    doc_ids' existing postings/positions/ledger rows leave via
+    :func:`forget_docs_in_index` (a no-op for genuinely-new ids), then
+    the batch folds as fresh — afterward the index scores EXACTLY like
+    one built from the updated corpus (the ``bm25_reindex_upsert``
+    oracle).
+
+    Crash window: forget completes, ingest doesn't → the doc is
+    absent-but-consistent (the mid-erasure state the forget docstring
+    documents); replaying the upsert re-runs the forget as a no-op and
+    re-folds the batch, so the op CONVERGES under at-least-once
+    delivery — unlike raw ingest-after-manual-forget, where a replayed
+    ingest against an already-updated ledger silently drops the new
+    text.  Single-writer maintenance op, like everything that rewrites
+    store rows.  Cost ∝ the arriving docs' terms' buckets (the forget
+    bound) + the normal fold.  Returns the forget counts plus the fold
+    counts."""
+    ids = docs.select("doc_id").distinct().localCheckpoint(eager=True)
+    out = {
+        "forgotten": forget_docs_in_index(
+            spark, ids, store_path, n_buckets, positional=positional
+        )
+    }
+    out.update(
+        index_ingest_batch(
+            docs, store_path, n_buckets,
+            positional=positional, df_cap=df_cap,
+        )
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Tombstone tier (r14): O(1) logical delete, physical at compaction —
 # the annindex tombstone model on the text side.  A pending doc is

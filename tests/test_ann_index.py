@@ -1248,3 +1248,49 @@ def test_store_stats_reflect_compaction_and_applies(spark, tmp_path):
 
     with pytest.raises(ValueError, match="neither"):
         describe_store(spark, str(tmp_path / "not_a_store"))
+
+
+def test_vector_upsert_reencodes_and_respects_residue_guard(
+    spark, tmp_path
+):
+    """upsert_vectors_in_index re-encodes changed embeddings (equal to
+    a survivors+new fresh build), converges on replay, and raises on a
+    codebook training member (its old embedding persists in the
+    snapshot)."""
+    import pytest
+
+    from kafkastreamsproject_spark.streaming.annindex import (
+        upsert_vectors_in_index,
+    )
+
+    store = _fresh_store(spark, tmp_path, "vupsert")
+    ann_ingest_batch(_emb(spark, 0, 40), store)
+
+    changed = spark.createDataFrame(
+        [(25, [float(i) / 8 for i in range(8)])],
+        "vec_id long, embedding array<float>",
+    )
+    out = upsert_vectors_in_index(spark, changed, store)
+    assert out["forgotten"]["codes"]["rows_deleted"] == 4
+    assert out["vecs_indexed"] == 1
+
+    fresh = str(tmp_path / "vupsert_fresh")
+    create_ann_store(spark, fresh, _emb(spark, 0, 40))
+    ann_ingest_batch(
+        _emb(spark, 0, 40).filter(F.col("vec_id") != 25), fresh
+    )
+    ann_ingest_batch(changed, fresh)
+    q = _emb(spark, 0, 3)
+    assert _res(ann_query_index(spark, store, q)) == _res(
+        ann_query_index(spark, fresh, q)
+    )
+
+    before = _res(ann_query_index(spark, store, q))
+    upsert_vectors_in_index(spark, changed, store)
+    assert _res(ann_query_index(spark, store, q)) == before
+
+    training = spark.createDataFrame(
+        [(2, [0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="TRAINING"):
+        upsert_vectors_in_index(spark, training, store)

@@ -688,3 +688,39 @@ def test_boolean_query_honors_tombstones(spark, tmp_path):
     got = _scores(boolean_query_index(spark, store, must=("alpha",)))
     want = _scores(boolean_query_index(spark, surv, must=("alpha",)))
     assert 4 not in got and got == want
+
+
+def test_upsert_reindexes_changed_docs_and_converges_on_replay(
+    spark, tmp_path
+):
+    """upsert = forget-then-fold: changed text re-prices the whole
+    index (equal to a fresh build over the updated corpus); replaying
+    the upsert is a no-op; genuinely-new ids pass straight through."""
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        upsert_docs_in_index,
+    )
+
+    store = str(tmp_path / "upsertidx")
+    index_ingest_batch(_docs(spark, B1), store)
+    index_ingest_batch(_docs(spark, B2), store)
+
+    changed = _docs(spark, [(1, "gamma gamma gamma"), (7, "alpha beta new")])
+    out = upsert_docs_in_index(spark, changed, store)
+    assert out["forgotten"]["seen"]["rows_deleted"] == 1  # only doc 1 existed
+    assert out["docs_indexed"] == 2
+
+    fresh = str(tmp_path / "upsertfresh")
+    index_ingest_batch(
+        _docs(spark, [(1, "gamma gamma gamma")] + B1[1:] + B2
+              + [(7, "alpha beta new")]),
+        fresh,
+    )
+    assert _scores(query_index(spark, store, TERMS)) == _scores(
+        query_index(spark, fresh, TERMS)
+    )
+
+    # at-least-once replay of the SAME upsert converges (forget
+    # re-runs against the new rows, fold restores them identically)
+    before = _scores(query_index(spark, store, TERMS))
+    upsert_docs_in_index(spark, changed, store)
+    assert _scores(query_index(spark, store, TERMS)) == before
