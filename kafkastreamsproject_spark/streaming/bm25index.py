@@ -780,8 +780,13 @@ def upsert_docs_in_index(
     ingest against an already-updated ledger silently drops the new
     text.  Single-writer maintenance op, like everything that rewrites
     store rows.  Cost ∝ the arriving docs' terms' buckets (the forget
-    bound) + the normal fold.  Returns the forget counts plus the fold
-    counts."""
+    bound) + the normal fold.  With ``df_cap`` set, the fold re-enters
+    the cap gate at the POST-forget df — a term the old version had
+    capped out may admit the recrawl — so a capped index under upserts
+    is deterministic given the operation history, no longer a pure
+    function of the final corpus (plain capped folds' first-writers-
+    win guarantee assumed append-only).  Returns the forget counts
+    plus the fold counts."""
     ids = docs.select("doc_id").distinct().localCheckpoint(eager=True)
     out = {
         "forgotten": forget_docs_in_index(
