@@ -2788,10 +2788,14 @@ def hybrid_search_from_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling, this one is what a deployment actually serves, and
     ann_store_recall_curve prices the gap.
 
-    Scale shape: lexical cost ∝ query terms' postings (df-cap
-    boundable), semantic cost ≈ nprobe·√N candidates + R sidecar
-    reads, fusion is a 100-vs-100 outer merge.  Corpus size appears
-    nowhere in the query plan — only in the stores' bucket widths."""
+    Scale shape (rows AND bytes, r14 verdict #3/#4): lexical row work
+    ∝ query terms' postings (df-cap boundable) and lexical BYTES ∝
+    the probed term buckets plus the driver-side stats sidecar (the
+    r15 fix — N/avgdl no longer re-aggregate the seen ledger per
+    query); semantic row work ≈ nprobe·√N candidates + R sidecar
+    reads, and semantic BYTES ∝ the probed cells (the r15 ``cell IN``
+    pushdown on the codes scan closed the last O(N)-bytes leg);
+    fusion is a 100-vs-100 outer merge."""
     from kafkastreamsproject_spark.operators.topk import top_k
     from kafkastreamsproject_spark.plans.text import _BM25_TERMS
     from kafkastreamsproject_spark.sources.bucketed import store_table_name

@@ -741,10 +741,21 @@ def retire_store_versions(
     keeping the published one plus the ``keep``-1 most recent others
     (lexicographic — use sortable version names) as rollback targets.
     Never touches the published version regardless of age.  Returns
-    the removed version names."""
+    the removed version names.
+
+    Safety rails (r14 ADVICE): only directories matching the
+    ``v<digits>`` naming convention are retirement candidates (a
+    non-version child — a scratch dir, a store substore — is never
+    deleted), and when NO ``_current`` pointer exists yet (crash
+    before the first publish) this is a no-op: retiring against an
+    unpublished base could delete a fully-built, about-to-be-published
+    store, contradicting the 'never touches the published version'
+    contract's intent."""
     from kafkastreamsproject_spark.operators.fs import _fs_and_path
 
     cur = current_store_version(spark, base_path)
+    if cur is None:
+        return []
     fs, hbase = _fs_and_path(spark, base_path)
     if not fs.exists(hbase):
         return []
@@ -752,6 +763,8 @@ def retire_store_versions(
         st.getPath().getName()
         for st in fs.listStatus(hbase)
         if st.isDirectory()
+        and st.getPath().getName().startswith("v")
+        and st.getPath().getName()[1:].isdigit()
     )
     others = [v for v in versions if v != cur]
     doomed = others[: max(0, len(others) - max(0, keep - 1))]

@@ -870,6 +870,30 @@ def _query_probes(
     )
 
 
+def _pruned_to_probes(store_df: DataFrame, probes: DataFrame) -> DataFrame:
+    """Push the probed cells into the codes/vecs scan as a literal
+    ``cell IN (...)`` parquet filter (r14 verdict #1) — the sidecar
+    rerank path's discipline applied to every store read.  The
+    broadcast-hash join on ``cell`` alone eliminates the Exchange but
+    NOT the scan: every store file is read and non-probed cells are
+    discarded after the fact, an O(N)-bytes read per query batch that
+    inverts the IVF contract at 10¹⁰ vectors.  The distinct probed
+    cells are driver-bounded (≤ |queries|·nprobe ≤ C ints; ``probes``
+    is already materialized and broadcast), and a literal IN on the
+    clustering column both bucket-prunes the scan and row-group-skips
+    inside the kept buckets (files are SORTED BY cell) — bytes read
+    become ∝ probed cells, rows ≈ nprobe·√N under sized geometry.  A
+    deployment probing ≳10⁵ distinct cells per batch swaps the literal
+    for a broadcast semi-join on cell (same as the rerank docstring's
+    caveat)."""
+    cells = [int(r.cell) for r in probes.select("cell").distinct().collect()]
+    if not cells:
+        # no probes (empty query batch) — nothing can match; an empty
+        # IN-list would be degenerate, so prune to nothing explicitly
+        return store_df.filter(F.lit(False))
+    return store_df.filter(F.col("cell").isin(cells))
+
+
 def codebook_drift(
     spark: SparkSession,
     store_path: str,
@@ -948,11 +972,14 @@ def ann_query_index(
     allowed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search FROM THE STORE: assign each query its nprobe
-    nearest cells (broadcast coarse centroids), equi-join the probes
-    against the cell-bucketed codes store (store side scans its
-    buckets in place — zero Exchange under the scoped shuffle conf),
-    ADC-score the candidates against the broadcast codebook + query
-    subvectors, and emit the top-k per query.  ``queries`` is
+    nearest cells (broadcast coarse centroids), push the probed cells
+    into the cell-bucketed codes scan as a literal ``cell IN (...)``
+    parquet filter (bucket pruning + SORTED-BY row-group skipping —
+    bytes read ∝ probed cells, r14 verdict #1), equi-join the probes
+    against the pruned scan (zero store-side Exchange under the
+    scoped shuffle conf), ADC-score the candidates against the
+    broadcast codebook + query subvectors, and emit the top-k per
+    query.  ``queries`` is
     (vec_id, embedding); a query never matches itself (the batch
     family's convention for corpus-member queries).
 
@@ -982,7 +1009,13 @@ def ann_query_index(
     n_buckets = geo["n_buckets"]
     coarse, cb = read_codebooks(spark, store_path)
     qbase = quantize(queries)
-    probes = _query_probes(spark, store_path, qbase, coarse, geo, nprobe)
+    # materialized once: the probe set feeds BOTH the scan-pruning
+    # cell collect below and the candidate equi-join — without the
+    # checkpoint the probe assignment (a |queries|·C window or Arrow
+    # matmul) would run twice
+    probes = _query_probes(
+        spark, store_path, qbase, coarse, geo, nprobe
+    ).localCheckpoint(eager=True)
     qsub = _subspaces(
         qbase.select(F.col("vec_id").alias("vec_id"), "qv"),
         geo["m_subspaces"],
@@ -992,7 +1025,9 @@ def ann_query_index(
 
     tombs = read_tombstones(spark, store_path)
     with shuffle_scoped_to_buckets(spark, n_buckets):
-        codes = read_codes(spark, store_path, n_buckets)
+        codes = _pruned_to_probes(
+            read_codes(spark, store_path, n_buckets), probes
+        )
         cand = (
             F.broadcast(probes)
             .join(codes, "cell")
@@ -1167,11 +1202,13 @@ def ann_range_index(
     a promise about the true distance, and PQ reconstruction error
     would make the boundary fuzzy in both directions.  The candidate
     vectors come from the IVF-Flat sidecar when the store has one —
-    the probed cells push into the vecs scan as the bucket-key join
-    (zero store-side Exchange), so the scan is ≈ nprobe·√N vectors
-    per query under sized geometry — else from ``corpus`` via the
-    codes store's (cell, vec_id) pairs (one corpus join, the
-    no-sidecar fallback).  Pending tombstones and the ``allowed``
+    the probed cells push into the vecs scan as a literal ``cell IN``
+    parquet filter plus the bucket-key join (zero store-side
+    Exchange), so both the rows retained AND the bytes read are
+    ∝ probed cells, ≈ nprobe·√N vectors per query batch under sized
+    geometry (r14 verdict #1) — else from ``corpus`` via the
+    same-pruned codes store's (cell, vec_id) pairs (one corpus join,
+    the no-sidecar fallback).  Pending tombstones and the ``allowed``
     predicate apply at the same pre-scoring seams as top-k.
 
     Like every IVF query, recall is probe-bounded: a true neighbor
@@ -1183,7 +1220,10 @@ def ann_range_index(
     n_buckets = geo["n_buckets"]
     coarse, _cb = read_codebooks(spark, store_path)
     qbase = quantize(queries)
-    probes = _query_probes(spark, store_path, qbase, coarse, geo, nprobe)
+    # materialized once — feeds the scan-pruning collect AND the join
+    probes = _query_probes(
+        spark, store_path, qbase, coarse, geo, nprobe
+    ).localCheckpoint(eager=True)
     qa = qbase.select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qav")
     )
@@ -1191,7 +1231,10 @@ def ann_range_index(
     with shuffle_scoped_to_buckets(spark, n_buckets):
         if has_vector_sidecar(spark, store_path):
             cand = F.broadcast(probes).join(
-                read_vecs(spark, store_path, n_buckets), "cell"
+                _pruned_to_probes(
+                    read_vecs(spark, store_path, n_buckets), probes
+                ),
+                "cell",
             )
         else:
             if corpus is None:
@@ -1201,7 +1244,9 @@ def ann_range_index(
                     "sidecar (create_ann_store(store_vectors=True))"
                 )
             pairs = F.broadcast(probes).join(
-                read_codes(spark, store_path, n_buckets)
+                _pruned_to_probes(
+                    read_codes(spark, store_path, n_buckets), probes
+                )
                 .select("cell", "vec_id")
                 .distinct(),
                 "cell",
@@ -1453,8 +1498,27 @@ def upsert_vectors_in_index(
     distribution ⇒ the drift gauge climbs — see
     :func:`codebook_drift`).  Crash window and convergence exactly as
     the bm25 twin (`streaming/bm25index.py:upsert_docs_in_index`).
-    Returns the forget counts plus the fold counts."""
+    Returns the forget counts plus the fold counts.
+
+    RAISES when any arriving vec_id has a PENDING tombstone (r14
+    ADVICE): silently proceeding would lose the update — the forget
+    removes the seen row, the re-folded rows are anti-joined out of
+    every query by the pending set, and the next
+    :func:`apply_tombstones` physically deletes the NEW rows.  Run
+    apply_tombstones first (delete wins, then the upsert re-creates
+    the vector), the module's delete-then-reinsert ordering."""
     ids = vectors.select("vec_id").distinct().localCheckpoint(eager=True)
+    pending = read_tombstones(spark, store_path)
+    if pending is not None:
+        n_pending = ids.join(F.broadcast(pending), "vec_id", "left_semi").count()
+        if n_pending:
+            raise ValueError(
+                f"{n_pending} arriving vec_id(s) have PENDING tombstones "
+                f"at {store_path} — upserting them now would be silently "
+                "swallowed by the pending set and the next apply.  Run "
+                "apply_tombstones first, then retry the upsert "
+                "(streaming/annindex.py:upsert_vectors_in_index)"
+            )
     out = {
         "forgotten": forget_vectors_in_index(
             spark, ids, store_path,

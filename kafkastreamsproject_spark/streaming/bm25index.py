@@ -14,9 +14,12 @@ two persistent stores folded per micro-batch:
   probe anti-joins the batch against it ON THE BUCKET KEY, so the
   store side plans ZERO Exchange (the streaming/novelty.py
   discipline) — per-epoch probe cost ∝ batch, never ∝ corpus.  It is
-  also the corpus-stats ledger: N and avgdl derive from it by a
-  shuffle-free partial aggregate, so they can never double-count a
-  replayed or re-crawled document.
+  also the ground truth for corpus stats: N and avgdl are maintained
+  INCREMENTALLY in the ``stats/`` delta-log sidecar as each fold
+  commits (r14 verdict #2), so a query reads them driver-side without
+  scanning the ledger — and they can never double-count a replayed or
+  re-crawled document (the delta writer is replay-idempotent; see the
+  sidecar block comment).
 - **postings** (bucketed append store keyed on the term): one row
   ``(t, doc_id, tf, dl)`` per distinct (term, doc) of each FRESH
   document.  Ingest never reads this store at all — freshness is
@@ -229,16 +232,190 @@ def read_seen(
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-stats sidecar (r14 verdict #2): (n_docs, dl_sum) maintained
+# incrementally per mutation as a delta log under ``{store}/stats/``,
+# so the QUERY path never scans the seen ledger — before this,
+# :func:`query_index` re-aggregated the whole ledger on every query,
+# an O(N)-bytes read on a serving path (16 B/doc is cheap at test SF
+# and ~160 GB/query at 10¹⁰ docs).  Design:
+#
+# - One tiny JSON file per ledger mutation, named
+#   ``{seq:08d}-{kind}.json`` with content
+#   {"n_docs": ±n, "dl_sum": ±s, "fp": fingerprint}; reading the
+#   stats sums the deltas (driver-side, O(#mutations);
+#   :func:`compact_postings` merges them to one file on the
+#   compaction cadence, so the count tracks EPOCHS between compacts).
+# - Idempotent under at-least-once replay (the df-cap discipline):
+#   the fingerprint is a deterministic function of the contributing
+#   (doc_id, dl) set, and a writer SKIPS when the last delta already
+#   carries its (kind, n, s, fp) — a replayed crash-window op
+#   recomputes the identical contributing set (the ledger it derives
+#   from is unchanged until the op's own commit point), matches, and
+#   skips; a genuine later op with coincidentally equal content is
+#   impossible mid-generation (an insert's doc set can't re-insert
+#   without a forget between, which writes its own delta between the
+#   two).  Single-writer contract, like every mutation here.
+# - Write order: ingest writes its (+) delta after the postings
+#   append and BEFORE the seen append (the commit point) — replay
+#   converges through every crash window; forget writes its (−) delta
+#   right before the seen forget, computed from the pre-forget
+#   ledger.  A crash between a forget's delta and its ledger rewrite
+#   leaves stats briefly under-counting until the op replays — the
+#   same documented mid-maintenance window as the partial erasure
+#   itself.
+# - Stores created before this sidecar have no stats/ dir:
+#   :func:`corpus_stats` falls back to the old full-ledger aggregate
+#   (and every post-upgrade fold starts the delta log).
+# ---------------------------------------------------------------------------
+
+
+def _stats_path(store_path: str) -> str:
+    return f"{store_path}/stats"
+
+
+def _stats_record(df: DataFrame):
+    """(n, s, fp) over a (doc_id, dl) set: exact count/sum plus an
+    order-independent xxhash64 XOR fingerprint — the replay-identity
+    key for the delta log (bit_xor, not sum: ANSI mode makes a long
+    sum of hashes overflow; XOR is closed over longs, and the rows
+    are unique per doc_id so pairs can't cancel)."""
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0).cast("long")).alias("s"),
+        F.coalesce(
+            F.expr("bit_xor(xxhash64(doc_id, dl))"),
+            F.lit(0).cast("long"),
+        ).alias("fp"),
+    ).first()
+
+
+def _list_stats_deltas(spark: SparkSession, store_path: str) -> list:
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path
+
+    fs, hpath = _fs_and_path(spark, _stats_path(store_path))
+    if not fs.exists(hpath):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().endswith(".json")
+    )
+
+
+def _write_stats_delta(
+    spark: SparkSession,
+    store_path: str,
+    kind: str,
+    n_docs: int,
+    dl_sum: int,
+    fp: int,
+) -> None:
+    """Append one delta, skipping the write when the LAST delta is
+    this op's own (the crash-window replay — see the block comment)."""
+    import json
+
+    from kafkastreamsproject_spark.operators.fs import (
+        hadoop_read_text,
+        hadoop_write_text,
+    )
+
+    record = {"n_docs": int(n_docs), "dl_sum": int(dl_sum), "fp": int(fp)}
+    names = _list_stats_deltas(spark, store_path)
+    if names:
+        last = json.loads(
+            hadoop_read_text(spark, f"{_stats_path(store_path)}/{names[-1]}")
+        )
+        if last == record and names[-1].split("-", 1)[1] == f"{kind}.json":
+            return  # replayed crash-window op: delta already logged
+        seq = int(names[-1].split("-", 1)[0]) + 1
+    else:
+        seq = 0
+    hadoop_write_text(
+        spark,
+        f"{_stats_path(store_path)}/{seq:08d}-{kind}.json",
+        json.dumps(record),
+    )
+
+
+def read_stats_sidecar(
+    spark: SparkSession, store_path: str
+) -> tuple[int, int] | None:
+    """The delta log's (n_docs, dl_sum) total, or None when the store
+    predates the sidecar (no stats/ dir — fall back to the ledger)."""
+    import json
+
+    from kafkastreamsproject_spark.operators.fs import hadoop_read_text
+
+    names = _list_stats_deltas(spark, store_path)
+    if not names:
+        return None
+    n, s = 0, 0
+    for name in names:
+        rec = json.loads(
+            hadoop_read_text(spark, f"{_stats_path(store_path)}/{name}")
+        )
+        n += rec["n_docs"]
+        s += rec["dl_sum"]
+    return n, s
+
+
+def _merge_stats_deltas(spark: SparkSession, store_path: str) -> None:
+    """Collapse the delta log to one snapshot file (compaction-cadence
+    maintenance, single-writer window — never racing a mutation's
+    delta/commit pair)."""
+    from kafkastreamsproject_spark.operators.fs import _fs_and_path
+
+    totals = read_stats_sidecar(spark, store_path)
+    if totals is None or len(_list_stats_deltas(spark, store_path)) <= 1:
+        return
+    fs, hpath = _fs_and_path(spark, _stats_path(store_path))
+    fs.delete(hpath, True)
+    _write_stats_delta(spark, store_path, "m", totals[0], totals[1], 0)
+
+
 def corpus_stats(spark: SparkSession, store_path: str,
                  n_buckets: int = N_BUCKETS,
                  exclude: DataFrame | None = None) -> DataFrame:
-    """1-row (n_docs, dl_sum) from the seen ledger — a shuffle-free
-    partial aggregate over 16 B/doc, idempotent by construction
-    because it reads state rather than folding a snapshot.
-    ``exclude`` (one column, ``doc_id``) drops docs from the count
-    BEFORE aggregating — the tombstone hook: pending logical deletes
-    must stop moving N/avgdl the moment they are tombstoned, or a
-    pending-phase score would differ from the post-apply one."""
+    """1-row (n_docs, dl_sum) — from the stats sidecar when the store
+    has one (driver-side delta sum, ZERO ledger scan: the r14-verdict
+    fix that takes the O(N)-bytes seen aggregate out of every query),
+    else the legacy full-ledger aggregate (pre-sidecar stores).
+    ``exclude`` (one column, ``doc_id``) drops docs from the count —
+    the tombstone hook: pending logical deletes must stop moving
+    N/avgdl the moment they are tombstoned, or a pending-phase score
+    would differ from the post-apply one.  With the sidecar, the
+    exclusion is a PRUNED ledger probe: the pending ids (broadcast-
+    bounded by contract) push into the doc_id-bucketed seen scan as a
+    literal ``doc_id IN (...)`` filter — bucket pruning + SORTED-BY
+    row-group skipping, bytes ∝ pending set, never ∝ corpus — and
+    only ledger-present pending docs adjust the totals (identical
+    semantics to the legacy anti-join)."""
+    base = read_stats_sidecar(spark, store_path)
+    if base is not None:
+        n, s = base
+        if exclude is not None:
+            ids = [
+                r.doc_id
+                for r in exclude.select("doc_id").distinct().collect()
+            ]
+            if ids:
+                adj = (
+                    read_seen(spark, store_path, n_buckets)
+                    .filter(F.col("doc_id").isin(ids))
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("n"),
+                        F.coalesce(
+                            F.sum("dl"), F.lit(0).cast("long")
+                        ).alias("s"),
+                    )
+                    .first()
+                )
+                n -= adj.n
+                s -= adj.s
+        return spark.createDataFrame(
+            [(int(n), int(s))], "n_docs long, dl_sum long"
+        )
     seen = read_seen(spark, store_path, n_buckets)
     if exclude is not None:
         seen = seen.join(
@@ -318,13 +495,24 @@ def index_ingest_batch(
                 store_table_name("bm25_positions", x_path),
                 ["t"], n_buckets,
             )
+        # stats delta between the postings append and the seen commit
+        # point: a crash on either side replays to the identical fresh
+        # set (seen unchanged until the commit), so the delta writer's
+        # fingerprint skip makes this exactly-once (block comment at
+        # _stats_path) — and the record doubles as the fold's own
+        # row counts, saving the separate count() jobs
+        rec = _stats_record(fresh.select("doc_id", "dl"))
+        if rec.n:
+            _write_stats_delta(
+                spark, store_path, "a", rec.n, rec.s, rec.fp
+            )
         s_path = _seen_path(store_path)
         append_bucketed_store(
             spark, fresh.select("doc_id", "dl"), s_path,
             store_table_name("bm25_seen", s_path), ["doc_id"], n_buckets,
         )
     return {
-        "docs_indexed": fresh.count(),
+        "docs_indexed": int(rec.n),
         "postings_appended": posts.count(),
     }
 
@@ -333,8 +521,10 @@ def compact_postings(
     spark: SparkSession, store_path: str, n_buckets: int = N_BUCKETS
 ) -> int:
     """Bound per-epoch small files in both stores (~1 file per bucket
-    after); run between epochs (single-writer window).  Returns the
-    postings store's data-file count after compaction."""
+    after) and collapse the stats delta log to one snapshot; run
+    between epochs (single-writer window).  Returns the postings
+    store's data-file count after compaction."""
+    _merge_stats_deltas(spark, store_path)
     s_path = _seen_path(store_path)
     compact_bucketed_store(
         spark, s_path, store_table_name("bm25_seen", s_path),
@@ -381,11 +571,14 @@ def query_index(
     """Score every indexed document matching ≥1 query term — from the
     STORES alone, never the corpus: the postings probe pushes
     ``t IN terms`` into the bucketed scan, df per term is a 1-row
-    aggregate of the same probe, and N/avgdl aggregate the seen
-    ledger.  Returns (doc_id, bm25), bit-identical to the batch
-    scorer over the union of every folded batch.  Single-writer
-    contract: run between folds (a query racing an in-flight fold
-    could see a posting whose doc is not yet in the ledger)."""
+    aggregate of the same probe, and N/avgdl come from the stats
+    sidecar (driver-side delta sum — no seen-ledger scan in the
+    plan; bytes read ∝ the query terms' postings plus, when deletes
+    are pending, the pending ids' ledger buckets).  Returns
+    (doc_id, bm25), bit-identical to the batch scorer over the union
+    of every folded batch.  Single-writer contract: run between
+    folds (a query racing an in-flight fold could see a posting
+    whose doc is not yet in the ledger)."""
     hits = read_postings(spark, store_path, n_buckets).filter(
         F.col("t").isin(list(terms))
     )
@@ -745,6 +938,18 @@ def forget_docs_in_index(
             _POSITIONS_SCHEMA, ["t"], n_buckets,
             match_cols=["t", "doc_id"],
         )
+    # negative stats delta from the PRE-forget ledger, written before
+    # the seen rewrite: a crash between the two replays to the same
+    # removed set (the ledger rows are still there), so the delta
+    # writer's fingerprint skip holds — see the stats block comment
+    removed = read_seen(spark, store_path, n_buckets).join(
+        F.broadcast(victims), "doc_id", "left_semi"
+    )
+    rec = _stats_record(removed)
+    if rec.n:
+        _write_stats_delta(
+            spark, store_path, "f", -rec.n, -rec.s, rec.fp
+        )
     s_path = _seen_path(store_path)
     out["seen"] = forget_keys_in_store(
         spark, victims, s_path, store_table_name("bm25_seen", s_path),
@@ -786,8 +991,29 @@ def upsert_docs_in_index(
     is deterministic given the operation history, no longer a pure
     function of the final corpus (plain capped folds' first-writers-
     win guarantee assumed append-only).  Returns the forget counts
-    plus the fold counts."""
+    plus the fold counts.
+
+    RAISES when any arriving doc_id has a PENDING tombstone (r14
+    ADVICE): silently proceeding would lose the update — the forget
+    removes the seen row (bypassing the 're-ingest blocked until
+    apply' invariant), the re-folded rows are anti-joined out of
+    every query by the pending set, and the next
+    :func:`apply_tombstones` physically deletes the NEW rows.  The
+    caller resolves the race explicitly: :func:`apply_tombstones`
+    first (delete wins, then the upsert re-creates the doc), which is
+    the module's documented delete-then-reinsert ordering."""
     ids = docs.select("doc_id").distinct().localCheckpoint(eager=True)
+    pending = read_tombstones(spark, store_path)
+    if pending is not None:
+        n_pending = ids.join(F.broadcast(pending), "doc_id", "left_semi").count()
+        if n_pending:
+            raise ValueError(
+                f"{n_pending} arriving doc_id(s) have PENDING tombstones "
+                f"at {store_path} — upserting them now would be silently "
+                "swallowed by the pending set and the next apply.  Run "
+                "apply_tombstones first, then retry the upsert "
+                "(streaming/bm25index.py:upsert_docs_in_index)"
+            )
     out = {
         "forgotten": forget_docs_in_index(
             spark, ids, store_path, n_buckets, positional=positional

@@ -95,12 +95,19 @@ def bm25_store_stats(
 ) -> DataFrame:
     """One row per substore of the BM25 index at ``store_path``:
     postings, seen, positions (when the positional store exists), and
-    pending tombstones."""
+    pending tombstones.  Each substore's bucket width resolves from
+    its own ``_store_meta.json`` (r14 ADVICE: the previous hardcoded
+    default width made ``check_store_meta`` raise for any index
+    created at a non-default width — the ops readout failed exactly
+    on the large stores it targets), the way :func:`ann_store_stats`
+    reads the geometry sidecar."""
     from kafkastreamsproject_spark.operators.fs import (
         hadoop_count_files,
         hadoop_has_files,
     )
+    from kafkastreamsproject_spark.sources.bucketed import read_store_meta
     from kafkastreamsproject_spark.streaming.bm25index import (
+        N_BUCKETS,
         _positions_path,
         _postings_path,
         _seen_path,
@@ -111,20 +118,29 @@ def bm25_store_stats(
         read_tombstones,
     )
 
+    def _width(path: str) -> int:
+        meta = read_store_meta(spark, path)
+        return meta["n_buckets"] if meta else N_BUCKETS
+
     parts = [
         _stat_row(
-            spark, "postings", read_postings(spark, store_path),
+            spark, "postings",
+            read_postings(spark, store_path, _width(_postings_path(store_path))),
             hadoop_count_files(spark, _postings_path(store_path)),
         ),
         _stat_row(
-            spark, "seen", read_seen(spark, store_path),
+            spark, "seen",
+            read_seen(spark, store_path, _width(_seen_path(store_path))),
             hadoop_count_files(spark, _seen_path(store_path)),
         ),
     ]
     if hadoop_has_files(spark, _positions_path(store_path)):
         parts.append(
             _stat_row(
-                spark, "positions", read_positions(spark, store_path),
+                spark, "positions",
+                read_positions(
+                    spark, store_path, _width(_positions_path(store_path))
+                ),
                 hadoop_count_files(spark, _positions_path(store_path)),
             )
         )

@@ -724,3 +724,163 @@ def test_upsert_reindexes_changed_docs_and_converges_on_replay(
     before = _scores(query_index(spark, store, TERMS))
     upsert_docs_in_index(spark, changed, store)
     assert _scores(query_index(spark, store, TERMS)) == before
+
+
+def test_upsert_raises_on_pending_tombstones(spark, tmp_path):
+    """r14 ADVICE (high): upserting a doc whose delete is still
+    PENDING must fail loudly — silently proceeding loses the update
+    (the pending set anti-joins the re-folded rows out of every query
+    and the next apply physically deletes the NEW rows).  After
+    apply_tombstones the same upsert goes through and scores like a
+    fresh build over the updated corpus."""
+    import pytest
+
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        apply_tombstones,
+        tombstone_docs_in_index,
+        upsert_docs_in_index,
+    )
+
+    store = str(tmp_path / "tombupsert")
+    index_ingest_batch(_docs(spark, B1), store)
+    index_ingest_batch(_docs(spark, B2), store)
+    tombstone_docs_in_index(
+        spark, spark.createDataFrame([(1,)], "doc_id long"), store
+    )
+    changed = _docs(spark, [(1, "gamma gamma gamma")])
+    with pytest.raises(ValueError, match="PENDING tombstone"):
+        upsert_docs_in_index(spark, changed, store)
+    # the documented resolution order: apply first, then upsert
+    apply_tombstones(spark, store)
+    upsert_docs_in_index(spark, changed, store)
+
+    fresh = str(tmp_path / "tombupsert_fresh")
+    index_ingest_batch(
+        _docs(spark, [(1, "gamma gamma gamma")] + B1[1:] + B2), fresh
+    )
+    assert _scores(query_index(spark, store, TERMS)) == _scores(
+        query_index(spark, fresh, TERMS)
+    )
+
+
+def test_corpus_stats_sidecar_tracks_ledger_without_scanning_it(
+    spark, tmp_path, monkeypatch
+):
+    """r14 verdict #2: (n_docs, dl_sum) maintained incrementally in
+    the stats/ delta log — the query path's corpus stats come from the
+    sidecar (no seen-ledger scan in the plan), stay equal to a full
+    ledger aggregate through folds / replays / forgets / upserts /
+    compaction, and score bit-identically to the legacy ledger-scan
+    path with and without pending tombstones."""
+    import kafkastreamsproject_spark.streaming.bm25index as bm
+
+    store = str(tmp_path / "statsidecar")
+
+    def ledger_truth():
+        r = (
+            read_seen(spark, store)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .first()
+        )
+        return (r.n, r.s or 0)
+
+    index_ingest_batch(_docs(spark, B1), store)
+    index_ingest_batch(_docs(spark, B2), store)
+    assert bm.read_stats_sidecar(spark, store) == ledger_truth()
+
+    # replayed epochs add nothing (fresh set is empty -> no delta)
+    index_ingest_batch(_docs(spark, B2), store)
+    assert bm.read_stats_sidecar(spark, store) == ledger_truth()
+
+    # the serving read plans NO seen-ledger scan (the O(N)-bytes leg
+    # the sidecar exists to remove); the postings probe remains
+    plan = _plan(query_index(spark, store, TERMS))
+    assert "bm25_seen" not in plan, plan
+    assert "bm25_postings" in plan, plan
+
+    # scores == the legacy full-ledger aggregate path, bit-identical
+    with_sidecar = _scores(query_index(spark, store, TERMS))
+    monkeypatch.setattr(bm, "read_stats_sidecar", lambda *a, **k: None)
+    assert _scores(query_index(spark, store, TERMS)) == with_sidecar
+    monkeypatch.undo()
+
+    # forget writes a negative delta from the pre-forget ledger
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        forget_docs_in_index,
+        tombstone_docs_in_index,
+    )
+
+    forget_docs_in_index(
+        spark, spark.createDataFrame([(3,)], "doc_id long"), store
+    )
+    assert bm.read_stats_sidecar(spark, store) == ledger_truth()
+    # replaying a completed forget is a no-op for the stats too
+    forget_docs_in_index(
+        spark, spark.createDataFrame([(3,)], "doc_id long"), store
+    )
+    assert bm.read_stats_sidecar(spark, store) == ledger_truth()
+
+    # pending tombstones adjust through the PRUNED ledger probe with
+    # the exact legacy anti-join semantics
+    tombstone_docs_in_index(
+        spark, spark.createDataFrame([(2,)], "doc_id long"), store
+    )
+    with_sidecar = _scores(query_index(spark, store, TERMS))
+    monkeypatch.setattr(bm, "read_stats_sidecar", lambda *a, **k: None)
+    assert _scores(query_index(spark, store, TERMS)) == with_sidecar
+    monkeypatch.undo()
+
+    # compaction collapses the delta log to one file, totals unchanged
+    before = bm.read_stats_sidecar(spark, store)
+    compact_postings(spark, store)
+    assert bm.read_stats_sidecar(spark, store) == before
+    assert len(bm._list_stats_deltas(spark, store)) == 1
+
+
+def test_stats_delta_crash_window_replay_is_exactly_once(spark, tmp_path):
+    """The delta writer's fingerprint skip: a fold that crashed AFTER
+    its stats delta but BEFORE the seen commit replays to the same
+    fresh set and must NOT double-count — simulated by writing the
+    delta manually (the crashed fold's state) and then running the
+    full fold."""
+    import kafkastreamsproject_spark.streaming.bm25index as bm
+
+    store = str(tmp_path / "statscrash")
+    index_ingest_batch(_docs(spark, B1), store)
+
+    # simulate the crash window for batch B2: postings + stats delta
+    # written, seen never committed
+    fresh = _docs(spark, B2).select(
+        "doc_id", F.size(bm.TX.tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    rec = bm._stats_record(fresh)
+    bm._write_stats_delta(spark, store, "a", rec.n, rec.s, rec.fp)
+
+    # the replayed fold recomputes the identical delta and skips it
+    index_ingest_batch(_docs(spark, B2), store)
+    r = (
+        read_seen(spark, store)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .first()
+    )
+    assert bm.read_stats_sidecar(spark, store) == (r.n, r.s)
+
+
+def test_bm25_store_stats_resolves_nondefault_width(spark, tmp_path):
+    """r14 ADVICE (low): the ops readout must resolve each substore's
+    bucket width from its _store_meta.json — a hardcoded default made
+    it raise on any index created at a non-default width (exactly the
+    large stores it targets)."""
+    from kafkastreamsproject_spark.streaming.storestats import (
+        bm25_store_stats,
+        describe_store,
+    )
+
+    store = str(tmp_path / "widestats")
+    index_ingest_batch(_docs(spark, B1), store, n_buckets=4)
+    rows = {r.substore: r.rows for r in bm25_store_stats(spark, store).collect()}
+    assert rows["seen"] == len(B1)
+    assert rows["postings"] > 0
+    assert {
+        r.substore: r.rows for r in describe_store(spark, store).collect()
+    }["seen"] == len(B1)
