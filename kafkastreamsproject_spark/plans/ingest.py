@@ -1223,7 +1223,8 @@ def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the bucketed postings + seen-ledger stores as two
     micro-batches, then the fixed three-term query is answered FROM
     THE STORES — per-term postings probe (pushed ``t IN`` filter),
-    1-row df aggregate, N/avgdl from the seen ledger — and the result
+    1-row df aggregate, N/avgdl from the incrementally-maintained
+    stats sidecar (r15: no seen-ledger scan) — and the result
     must score bit-identically to the batch bm25_retrieval rescan of
     the union corpus, which is exactly what the DuckDB oracle
     computes.  tf/dl/df/dl_sum stay integers across any epoch split,
