@@ -37,6 +37,43 @@ def _corpus2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionAll(copy)
 
 
+def _mirror_docids(df: DataFrame) -> DataFrame:
+    """corpus2 CSE (r15): emit each row under doc_id AND doc_id+_SHIFT.
+
+    corpus2 is ``documents ∪ (same texts re-keyed +_SHIFT)`` — the
+    mirrored half is IDENTICAL in every text-derived column, yet the
+    plain-union form recomputes the whole scan + md5/shingle pipeline
+    per union branch (Catalyst pushes projections into each child and
+    cannot see across them).  Computing the derived columns ONCE per
+    original row and exploding the two keys halves the dominant map
+    CPU and drops the second documents scan: the Generate only
+    row-copies the small, text-free derived columns.  This
+    de-duplicates the test-fixture CONSTRUCTION, not operator work —
+    the dedup/near-dup operators downstream are untouched, and at
+    100 TB (no mirrored corpus) the construction seam disappears
+    entirely.  Output is bit-identical to the union form
+    (oracle-pinned; plans/r15/*_{before,after}.txt)."""
+    rest = [c for c in df.columns if c != "doc_id"]
+    return df.select(
+        F.explode(
+            F.array(F.col("doc_id"), F.col("doc_id") + F.lit(_SHIFT))
+        ).alias("doc_id"),
+        *rest,
+    )
+
+
+def _fingerprinted_corpus2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, exact_fp) over corpus2 — md5 once per ORIGINAL text,
+    then the doc_id mirror (:func:`_mirror_docids`): one documents
+    scan and N md5s where the union form paid two and 2N."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return _mirror_docids(
+        docs.select(
+            "doc_id", TX.exact_fingerprint(F.col("text")).alias("exact_fp")
+        )
+    )
+
+
 @register(
     "dedup_exact_groups",
     oracle=f"""
@@ -53,9 +90,9 @@ def _corpus2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate groups: hash-groupBy on md5(text).  Only the
     16-byte fingerprint and doc_id shuffle; HAVING>1 isolates real dups."""
-    c2 = _corpus2(spark, sf_dir)
+    fp2 = _fingerprinted_corpus2(spark, sf_dir)
     return (
-        c2.groupBy(TX.exact_fingerprint(F.col("text")).alias("exact_fp"))
+        fp2.groupBy("exact_fp")
         .agg(
             F.count(F.lit(1)).alias("group_size"),
             F.min("doc_id").alias("canonical_doc_id"),
@@ -80,10 +117,10 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first exact dedup: rank within fingerprint by doc_id, keep
     rank 1.  Equivalent to dropDuplicates but with a deterministic
     survivor (dropDuplicates keeps an arbitrary row per key)."""
-    c2 = _corpus2(spark, sf_dir)
-    w = W.partitionBy(TX.exact_fingerprint(F.col("text"))).orderBy("doc_id")
+    fp2 = _fingerprinted_corpus2(spark, sf_dir)
+    w = W.partitionBy("exact_fp").orderBy("doc_id")
     return (
-        c2.withColumn("rn", F.row_number().over(w))
+        fp2.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id")
     )
@@ -133,8 +170,8 @@ _SQL_MIN_TOKS = (
 )
 
 
-def _shingled_corpus2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """corpus2 rows with ≥ w tokens, plus the shingle-hash array ``hs``.
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs) per ORIGINAL document with ≥ w tokens.
 
     Only the 32-bit shingle hashes leave this relation: every downstream
     consumer (MinHash, SimHash, Jaccard confirmation) operates on the
@@ -143,12 +180,48 @@ def _shingled_corpus2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``fan_out`` widens the scan first: shingling + md5 is the CPU-heavy
     stage and the documents file is a single row group locally.
     """
-    c2 = fan_out(_corpus2(spark, sf_dir))
+    docs = fan_out(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     sh = TX.shingles(F.col("text"), _SHINGLE_W)
     return (
-        c2.filter(F.size(TX.tokens(F.col("text"))) >= _SHINGLE_W)
+        docs.filter(F.size(TX.tokens(F.col("text"))) >= _SHINGLE_W)
         .select("doc_id", H.hash_list(sh).alias("hs"))
     )
+
+
+def _shingled_corpus2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus2 rows with ≥ w tokens, plus the shingle-hash array ``hs``.
+
+    Shingle + md5 runs once per ORIGINAL document
+    (:func:`_shingled_docs`), then the doc_id mirror duplicates the
+    hash rows (:func:`_mirror_docids`) — the union form paid the whole
+    pipeline and a second documents scan for the mirrored half."""
+    return _mirror_docids(_shingled_docs(spark, sf_dir))
+
+
+def _mirrored_sigs(
+    spark: SparkSession, sf_dir: str, n_perms: int = H.N_PERMS
+) -> DataFrame:
+    """persist-once (doc_id, hset, mhs) signature relation over corpus2.
+
+    The signature relation feeds the band explode and both
+    confirmation sides of every minhash-family query — persist it or
+    the md5/minhash pipeline recomputes per consumer.  Persisted
+    BEFORE the doc_id mirror: the cache holds one row per ORIGINAL
+    doc (half the bytes) and the shingle+md5+minhash pipeline runs
+    once per distinct text; each consumer's mirrored half is a
+    row-copy Generate over cached rows, never a recompute.
+    Signatures + hash sets are ~450B/doc: trivially memory-resident
+    at any corpus size worth sharding."""
+    base = scoped_persist(
+        _shingled_docs(spark, sf_dir).select(
+            "doc_id",
+            F.array_distinct("hs").alias("hset"),
+            H.minhash_signature_array(F.col("hs"), n_perms).alias("mhs"),
+        )
+    )
+    return _mirror_docids(base)
 
 
 @register(
@@ -194,17 +267,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirmation join shrink accordingly; both engines compute the same
     md5-based hashes, so the oracle stays bit-identical).  The classic
     shingle→minhash→band→bucket-join pipeline, all relational."""
-    # The signature relation feeds the band explode (twice, self-join)
-    # and both confirmation sides — persist it or the md5/minhash
-    # pipeline recomputes 4×.  Signatures + hash sets are ~450B/doc:
-    # trivially memory-resident at any corpus size worth sharding.
-    sigs = scoped_persist(
-        _shingled_corpus2(spark, sf_dir).select(
-            "doc_id",
-            F.array_distinct("hs").alias("hset"),
-            H.minhash_signature_array(F.col("hs")).alias("mhs"),
-        )
-    )
+    # persist-once signatures, computed per ORIGINAL doc and mirrored
+    # to corpus2 (r15 mirror-CSE; see _mirrored_sigs)
+    sigs = _mirrored_sigs(spark, sf_dir)
     band_structs = F.array(
         *[
             F.struct(
@@ -297,7 +362,10 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production scale use a 64-bit signature with max Hamming 3 (four
     16-bit blocks, 65k buckets each); the banding helper is
     width-generic and tested at both widths."""
-    shingled = _shingled_corpus2(spark, sf_dir)
+    # signature per ORIGINAL doc (explode + bit-weight agg over N docs,
+    # not 2N), then the doc_id mirror over the persisted result — the
+    # r15 mirror-CSE (see _mirror_docids)
+    shingled = _shingled_docs(spark, sf_dir)
     ex = shingled.select("doc_id", F.explode("hs").alias("h"))
     weights = ex.groupBy("doc_id").agg(
         *[
@@ -308,7 +376,9 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = F.lit(0).cast("long")
     for j in range(H.SIMHASH_BITS):
         sig = sig + (F.col(f"w{j}") > 0).cast("long") * (1 << j)
-    sigs = scoped_persist(weights.select("doc_id", sig.alias("simhash")))
+    sigs = _mirror_docids(
+        scoped_persist(weights.select("doc_id", sig.alias("simhash")))
+    )
     blocks = sigs.select(
         "doc_id",
         "simhash",
@@ -383,9 +453,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus²); exact Jaccard over the distinct hash sets confirms.  The
     blocking join shuffles 8-byte longs instead of ~25-byte shingle
     strings, and both engines compute identical md5-based hashes."""
-    shingled = scoped_persist(
-        _shingled_corpus2(spark, sf_dir).select(
-            "doc_id", F.array_distinct("hs").alias("hset")
+    shingled = _mirror_docids(
+        scoped_persist(
+            _shingled_docs(spark, sf_dir).select(
+                "doc_id", F.array_distinct("hs").alias("hset")
+            )
         )
     )
     exploded = shingled.select("doc_id", F.explode("hset").alias("h"))
@@ -1041,13 +1113,7 @@ def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to minhash_lsh_pairs (persist-once
     signatures, band equi-join, hash-array-only confirm side) — the
     extra columns ride the existing pair join, no new shuffle."""
-    sigs = scoped_persist(
-        _shingled_corpus2(spark, sf_dir).select(
-            "doc_id",
-            F.array_distinct("hs").alias("hset"),
-            H.minhash_signature_array(F.col("hs")).alias("mhs"),
-        )
-    )
+    sigs = _mirrored_sigs(spark, sf_dir)
     band_structs = F.array(
         *[
             F.struct(
@@ -1181,13 +1247,7 @@ def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one banding pass (identical to minhash_lsh_pairs) +
     a 5-threshold stack over per-pair (two longs) — the curve costs
     one candidate join, never |curve| joins."""
-    sigs = scoped_persist(
-        _shingled_corpus2(spark, sf_dir).select(
-            "doc_id",
-            F.array_distinct("hs").alias("hset"),
-            H.minhash_signature_array(F.col("hs")).alias("mhs"),
-        )
-    )
+    sigs = _mirrored_sigs(spark, sf_dir)
     band_structs = F.array(
         *[
             F.struct(
@@ -1332,15 +1392,7 @@ def minhash_perm_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider signature costs no extra scan), candidates come from the
     unchanged band equi-join, and the 4-budget sweep is a stack (row
     generator) over per-pair integers, never a re-join."""
-    sigs = scoped_persist(
-        _shingled_corpus2(spark, sf_dir).select(
-            "doc_id",
-            F.array_distinct("hs").alias("hset"),
-            H.minhash_signature_array(
-                F.col("hs"), _PERM_CURVE_MAX
-            ).alias("mhs"),
-        )
-    )
+    sigs = _mirrored_sigs(spark, sf_dir, _PERM_CURVE_MAX)
     band_structs = F.array(
         *[
             F.struct(
@@ -1597,9 +1649,11 @@ def _pf_shingled_and_prefix(
     the per-doc ranking window shuffle 12-byte rows, never text, and
     the window partitions by doc_id (bounded — plan-hygiene clean).
     """
-    shingled = scoped_persist(
-        _shingled_corpus2(spark, sf_dir).select(
-            "doc_id", F.array_distinct("hs").alias("hset")
+    shingled = _mirror_docids(
+        scoped_persist(
+            _shingled_docs(spark, sf_dir).select(
+                "doc_id", F.array_distinct("hs").alias("hset")
+            )
         )
     )
     ex = shingled.select(
@@ -2033,15 +2087,7 @@ def bbit_minhash_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one persisted 16-perm signature (no extra scan); candidates
     come from the unchanged 8-perm band equi-join; the 4-width sweep
     is a stack over per-pair integers, never a re-join."""
-    sigs = scoped_persist(
-        _shingled_corpus2(spark, sf_dir).select(
-            "doc_id",
-            F.array_distinct("hs").alias("hset"),
-            H.minhash_signature_array(
-                F.col("hs"), _PERM_CURVE_MAX
-            ).alias("mhs"),
-        )
-    )
+    sigs = _mirrored_sigs(spark, sf_dir, _PERM_CURVE_MAX)
     band_structs = F.array(
         *[
             F.struct(
@@ -2279,13 +2325,18 @@ def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint value over the rarity-filtered postings, one
     grouped count — work ∝ true shared-content volume, never corpus².
     """
-    c2 = _corpus2(spark, sf_dir)
+    # winnow once per ORIGINAL doc, mirror the (doc_id, fp) rows —
+    # r15 mirror-CSE (fingerprints are text-derived, so the mirrored
+    # half is identical by construction; see _mirror_docids)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     toks = TX.tokens(F.col("text"))
-    fps = (
-        c2.filter(F.size(toks) >= _WIN_MIN_TOKS)
-        .select("doc_id", F.explode(_winnow_fps(F.col("text"))).alias("fp"))
+    fps = _mirror_docids(
+        scoped_persist(
+            docs.filter(F.size(toks) >= _WIN_MIN_TOKS).select(
+                "doc_id", F.explode(_winnow_fps(F.col("text"))).alias("fp")
+            )
+        )
     )
-    fps = scoped_persist(fps)
     rare = (
         fps.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -3124,11 +3175,14 @@ def shingle_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte hash shuffles only, candidate volume ∝ true overlap; the
     three legs are one unioned plan, scanned once each.  Every emitted
     statistic is exact integer arithmetic — cross-engine hash-safe."""
+    # per-width shingling once per ORIGINAL doc, mirrored after the
+    # persist — r15 mirror-CSE (hset is text-derived; _mirror_docids)
     legs = None
     for w in _SWC_WIDTHS:
         sh = TX.shingles(F.col("text"), w)
         leg = (
-            _corpus2(spark, sf_dir)
+            load_table(spark, "documents", sf_dir)
+            .select("doc_id", "text")
             .filter(F.size(TX.tokens(F.col("text"))) >= w)
             .select(
                 F.lit(w).alias("shingle_w"),
@@ -3137,7 +3191,7 @@ def shingle_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         legs = leg if legs is None else legs.unionByName(leg)
-    shingled = scoped_persist(legs)
+    shingled = _mirror_docids(scoped_persist(legs))
 
     ex = shingled.select("shingle_w", "doc_id", F.explode("hset").alias("h"))
     a = ex.select("shingle_w", F.col("doc_id").alias("id_a"), "h")

@@ -69,6 +69,7 @@ part of the similarity-search extension family (SURVEY §2.7).
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -870,6 +871,19 @@ def _query_probes(
     )
 
 
+#: default cap on the literal ``cell IN (...)`` pruning list — see
+#: :func:`_pruned_to_probes`.  8192 ints is a few-hundred-KB predicate,
+#: well under plan-bloat territory, and a sized store (C ≈ √N) with
+#: that many PROBED cells is being read mostly anyway.
+_MAX_PRUNE_CELLS = 8192
+
+
+def _max_prune_cells() -> int:
+    return int(
+        os.environ.get("SPARK_GRAFT_MAX_PRUNE_CELLS", _MAX_PRUNE_CELLS)
+    )
+
+
 def _pruned_to_probes(store_df: DataFrame, probes: DataFrame) -> DataFrame:
     """Push the probed cells into the codes/vecs scan as a literal
     ``cell IN (...)`` parquet filter (r14 verdict #1) — the sidecar
@@ -882,15 +896,26 @@ def _pruned_to_probes(store_df: DataFrame, probes: DataFrame) -> DataFrame:
     is already materialized and broadcast), and a literal IN on the
     clustering column both bucket-prunes the scan and row-group-skips
     inside the kept buckets (files are SORTED BY cell) — bytes read
-    become ∝ probed cells, rows ≈ nprobe·√N under sized geometry.  A
-    deployment probing ≳10⁵ distinct cells per batch swaps the literal
-    for a broadcast semi-join on cell (same as the rerank docstring's
-    caveat)."""
+    become ∝ probed cells, rows ≈ nprobe·√N under sized geometry.
+
+    Adversarial probe widths (r15): past ``_max_prune_cells()``
+    distinct cells the literal IN stops being a win — the IN-list
+    bloats the plan (parse/codegen cost per query) while pruning
+    little, because probing ≳10⁴ distinct cells means the batch
+    touches most of the store anyway.  Beyond the cap this returns
+    the scan unfiltered and the existing broadcast-hash join on
+    ``cell`` (zero Exchange) remains the row bound — the pre-r15
+    shape, now the documented wide-batch fallback instead of the
+    only path.  Cap overridable via $SPARK_GRAFT_MAX_PRUNE_CELLS
+    (scale posture: the serving contract bounds probe sets to
+    broadcast size, so the cap should never bind in production)."""
     cells = [int(r.cell) for r in probes.select("cell").distinct().collect()]
     if not cells:
         # no probes (empty query batch) — nothing can match; an empty
         # IN-list would be degenerate, so prune to nothing explicitly
         return store_df.filter(F.lit(False))
+    if len(cells) > _max_prune_cells():
+        return store_df
     return store_df.filter(F.col("cell").isin(cells))
 
 

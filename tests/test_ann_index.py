@@ -1344,6 +1344,19 @@ def test_topk_and_range_store_scans_prune_to_probed_cells(
     empty = _emb(spark, 0, 0)
     assert ann_query_index(spark, store, empty).count() == 0
 
+    # adversarial probe width (r15): past the cap the literal IN is
+    # dropped (plan-bloat guard) and the broadcast-hash join alone
+    # bounds the rows — results identical, plan carries no In(cell)
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PRUNE_CELLS", "1")
+    wide_plan = _plan(ai._pruned_to_probes(read_codes(spark, store), probes))
+    assert "In(cell" not in wide_plan.replace(" ", ""), wide_plan
+    assert _res(ann_query_index(spark, store, q, k=5, nprobe=2)) == got_topk
+    assert {
+        (r.query_id, r.vec_id): r.exact_dist2
+        for r in ai.ann_range_index(spark, store, q, radius2=3000).collect()
+    } == got_range
+    monkeypatch.delenv("SPARK_GRAFT_MAX_PRUNE_CELLS")
+
 
 def test_vector_upsert_raises_on_pending_tombstones(spark, tmp_path):
     """r14 ADVICE (high), vector side: an upsert of a vec_id with a
