@@ -43,8 +43,10 @@ from kafkastreamsproject_spark.session import get_spark  # noqa: E402
 #: pre-mirror-CSE plans/dedup.py (parent of the mirror-CSE commit)
 OLD_DEDUP_BLOB = "9fccac0be3d1d8ecc0ebbb7a00a2c81d1b2d6ddf"
 
-N_RUNS = 5
-QUERIES = ["simhash_neardup", "ngram_jaccard_pairs"]
+N_RUNS = int(os.environ.get("R15_AB_RUNS", "5"))
+QUERIES = (
+    sys.argv[1:] or ["simhash_neardup", "ngram_jaccard_pairs"]
+)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
