@@ -35,6 +35,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine(a, b) with the operand norms precomputed as columns.
+
+    Same expression tree — ``dot(a,b) / (na · nb)`` over the same
+    doubles — so the result is BIT-IDENTICAL to :func:`cosine` when
+    ``na``/``nb`` are :func:`norm` of ``a``/``b``.  What changes is the
+    evaluation count: inline ``cosine`` in a join projection runs THREE
+    array-aggregate passes per PAIR (dot(a,b), dot(a,a), dot(b,b));
+    materializing each side's norm once per ROW in a projection below
+    the join leaves one pass per pair.  For a self-join scoring P pairs
+    over n rows that is 3P → P + n array passes (r15 sweep:
+    ann_lsh_neardup dominated by exactly this)."""
+    return dot(a, b) / (na * nb)
+
+
 # ---------------------------------------------------------------------------
 # Hyperplane LSH (signed random projections)
 # ---------------------------------------------------------------------------

@@ -283,16 +283,29 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 3·rsd = 6% of exact — ~3 sigma, so the flag is effectively
     deterministic across fixture regenerations (ADVICE r5 widened this
     from a 2.5-sigma 5% envelope that a new user_id distribution could
-    probabilistically flip)."""
+    probabilistically flip).
+
+    Deduplicate BEFORE aggregating (r15): mixing countDistinct with a
+    non-distinct aggregate makes Catalyst plan the Expand-based
+    multi-distinct rewrite — every event row replicated per aggregate
+    group before the partial agg.  Deduping (event_type, user_id) first
+    (map-side partial dedupe, shuffle carries distinct pairs only) and
+    counting the survivors is the same exact count, and the HLL
+    estimate is UNCHANGED because HyperLogLog registers are max-updates
+    over hashed values — insensitive to element multiplicity, so the
+    sketch over the deduped set equals the sketch over the multiset
+    bit-for-bit.  Same two exchanges, no Expand, fewer shuffled rows."""
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
+    distinct_pairs = ev.select("event_type", "user_id").distinct()
+    # count(user_id), not count(*): countDistinct ignores NULLs, and
+    # distinct() keeps at most one (event_type, NULL) row — count over
+    # the non-null column reproduces the original semantics exactly.
+    exact = F.count(F.col("user_id"))
+    return distinct_pairs.groupBy("event_type").agg(
+        exact.alias("exact_users"),
         (
-            F.abs(
-                F.approx_count_distinct("user_id", rsd=0.02)
-                - F.countDistinct("user_id")
-            )
-            / F.countDistinct("user_id")
+            F.abs(F.approx_count_distinct("user_id", rsd=0.02) - exact)
+            / exact
             <= F.lit(0.06)
         ).alias("within_3rsd"),
     )
@@ -374,19 +387,34 @@ def order_existence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full grouping-sets lattice over (flag, status): CUBE emits all
     2^2 sets — which includes every ROLLUP level (flag → flag×status →
-    grand total) plus the status-only slice — in ONE Expand pass over the
-    scan; no re-reads, shuffle bounded by Σ|grouping-set cardinalities|.
-    grouping_id() disambiguates real NULLs from subtotal rows (same
-    bitmask convention in Spark and DuckDB).
-    """
+    grand total) plus the status-only slice.  grouping_id()
+    disambiguates real NULLs from subtotal rows (same bitmask
+    convention in Spark and DuckDB).
+
+    Pre-aggregate before the Expand (r15, guide §2.3 "aggregate before
+    you shuffle" applied to Expand): cubing the raw scan replicates
+    every input row ×4 grouping sets BEFORE the partial aggregate —
+    4N expanded rows and 4N decimal-sum updates (the r15 noop sweep's
+    most expensive declared query, 2.31 s at sf0.1).  The lattice is
+    fully derivable from the finest cell, so aggregate to
+    (flag, status) first — N updates, ≤|flag×status| rows out — and
+    cube THAT: the Expand now replicates ~6 rows.  Bit-identical:
+    decimal addition is exact and associative, so the re-aggregated
+    sums equal the direct ones before the one double cast; COUNT(*)
+    becomes the sum of cell counts; grouping_id() over the same two
+    columns in the same order emits the same bitmask."""
     li = load_table(spark, "lineitem", sf_dir)
     rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(4,2)")
-    return li.cube("l_returnflag", "l_linestatus").agg(
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(rev).alias("_rev"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return cells.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
-        F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("_rev").cast("double"), 4).alias("revenue"),
+        F.sum("_n").alias("n_items"),
     )
 
 

@@ -78,17 +78,34 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured against.  The query set is broadcast, so the corpus is
     scanned exactly once with no shuffle of embedding payloads; the only
     shuffle carries (query_id, neighbor_id, score) triples into the
-    per-query top-k window."""
-    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    per-query top-k window.
+
+    Norm-CSE (r15): each side's L2 norm is materialized once per ROW in
+    a projection below the join (``nrm``/``q_nrm``), so the pair-scoring
+    projection runs ONE array-aggregate pass (the dot product) instead
+    of three — bit-identical scores (V.cosine_prenormed is the same
+    dot/(na·nb) expression over the same doubles), 3·|Q|·N → |Q|·N + N
+    array passes."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).withColumn(
+        "nrm", V.norm(F.col("embedding"))
+    )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+            F.round(
+                V.cosine_prenormed(
+                    F.col("q_emb"), F.col("embedding"),
+                    F.col("q_nrm"), F.col("nrm"),
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
@@ -124,17 +141,30 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's left-to-right float aggregate and DuckDB's list_sum can
     differ in the last ulp, which would otherwise flip pair inclusion at
     the boundary.  Pair order id_a<id_b halves the work and dedups the
-    symmetric pair."""
-    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    symmetric pair.
+
+    Norm-CSE (r15): norms materialized once per row below the join
+    (bit-identical scores via V.cosine_prenormed) — one array pass per
+    pair instead of three."""
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).withColumn(
+        "nrm", V.norm(F.col("embedding"))
+    )
     a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("e_a")
+        F.col("vec_id").alias("id_a"), F.col("label"),
+        F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
     )
-    score = F.round(V.cosine(F.col("e_a"), F.col("e_b")), 6)
+    score = F.round(
+        V.cosine_prenormed(
+            F.col("e_a"), F.col("e_b"), F.col("n_a"), F.col("n_b")
+        ),
+        6,
+    )
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", "label", score.alias("score"))
@@ -212,10 +242,17 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = V.adaptive_n_planes(emb.count())
     emb = fan_out(emb)
     # persisted: both join sides derive from it, and the p projection
-    # sums per vector are worth computing once
+    # sums per vector are worth computing once.  The L2 norm is cached
+    # alongside (norm-CSE, r15): the pair-confirmation cosine then runs
+    # ONE array pass per candidate pair instead of three — Σ bucket²
+    # pairs each paid dot(a,b) + both operands' norms before;
+    # bit-identical scores (V.cosine_prenormed).
     sig = scoped_persist(
         emb.select(
-            "vec_id", "embedding", V.lsh_bucket(F.col("embedding"), p).alias("bucket")
+            "vec_id",
+            "embedding",
+            V.lsh_bucket(F.col("embedding"), p).alias("bucket"),
+            V.norm(F.col("embedding")).alias("nrm"),
         )
     )
     # Bucket histogram max — the skew diagnostic that sizes the block
@@ -226,7 +263,13 @@ def ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_blocks = SJ.n_blocks_for(int(max_bucket or 0))
     pairs = SJ.blocked_self_pairs(sig, "bucket", "vec_id", n_blocks)
-    score = F.round(V.cosine(F.col("embedding_a"), F.col("embedding_b")), 6)
+    score = F.round(
+        V.cosine_prenormed(
+            F.col("embedding_a"), F.col("embedding_b"),
+            F.col("nrm_a"), F.col("nrm_b"),
+        ),
+        6,
+    )
     return (
         pairs.select(
             F.col("vec_id_a").alias("id_a"),
@@ -1251,15 +1294,26 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb0 = load_table(spark, "embeddings", sf_dir)
     p = V.adaptive_n_planes(emb0.count())
     emb = fan_out(emb0)
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    # norm-CSE (r15): norms once per row below the join, one array pass
+    # per scored pair instead of three; scores bit-identical.
+    embn = emb.withColumn("nrm", V.norm(F.col("embedding")))
+    q = embn.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
-    scored = emb.join(
+    scored = embn.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+        F.round(
+            V.cosine_prenormed(
+                F.col("q_emb"), F.col("embedding"),
+                F.col("q_nrm"), F.col("nrm"),
+            ),
+            6,
+        ).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -1369,15 +1423,26 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb0 = load_table(spark, "embeddings", sf_dir)
     p = V.adaptive_n_planes(emb0.count())
     emb = fan_out(emb0)
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    # norm-CSE (r15): norms once per row below the join, one array pass
+    # per scored pair instead of three; scores bit-identical.
+    embn = emb.withColumn("nrm", V.norm(F.col("embedding")))
+    q = embn.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
-    scored = emb.join(
+    scored = embn.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+        F.round(
+            V.cosine_prenormed(
+                F.col("q_emb"), F.col("embedding"),
+                F.col("q_nrm"), F.col("nrm"),
+            ),
+            6,
+        ).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")

@@ -886,3 +886,37 @@ def test_aqe_splits_planted_skew_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cosine_prenormed_bit_identical_to_inline(spark, sf_dir):
+    """The r15 norm-CSE contract: cosine_prenormed(a, b, norm(a),
+    norm(b)) is the SAME expression tree as cosine(a, b) — dot/(na·nb)
+    over the same doubles — so the scores must be bit-identical (not
+    approximately equal) on every pair.  Pins the equivalence the
+    rewritten pair-scoring queries (ann_topk_cosine, ann_lsh_neardup,
+    neardup_cosine_pairs, the recall twins' exact arms) rely on."""
+    from kafkastreamsproject_spark.functions import vectors as V
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(40)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        V.norm(F.col("embedding")).alias("n_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        V.norm(F.col("embedding")).alias("n_b"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    both = pairs.select(
+        "id_a",
+        "id_b",
+        V.cosine(F.col("e_a"), F.col("e_b")).alias("inline"),
+        V.cosine_prenormed(
+            F.col("e_a"), F.col("e_b"), F.col("n_a"), F.col("n_b")
+        ).alias("prenormed"),
+    ).collect()
+    assert both, "no pairs scored"
+    for r in both:
+        assert r.inline == r.prenormed, (r.id_a, r.id_b, r.inline, r.prenormed)
