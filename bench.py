@@ -107,6 +107,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark(app_name="kafkastreamsproject_spark-bench")
+    # Self-describing core count (VERDICT r15 #1/#4): the r15 scaling
+    # block was flagged suspect_cpus_ignored because nothing in the
+    # output proved which master the run used — report the resolved
+    # master and the env-derived cpu count in the JSON itself.
+    master = spark.sparkContext.master
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     specs = all_queries()
     names = [n for n in BENCH_QUERIES if n in specs]
 
@@ -256,11 +262,49 @@ def main() -> None:
         if vals:
             calibration[k] = round(sum(vals) / len(vals), 4)
 
+    # Opt-in scaling probe (VERDICT r15 #7): at sf0.1 every headline
+    # wall is 0.2-1.3 s and dominated by fixed job/stage overhead, so
+    # low-core/high-core ratios sit near 1.0 and read as "cores
+    # ignored".  This leg times one shuffle-heavy synthetic kernel with
+    # enough rows (10x the shuffle canary) that compute dominates
+    # overhead and the core count is visible in the wall.  Opt-in
+    # because it adds ~15-60 s to the bench wall; it never touches the
+    # headline timings or totals.
+    scaling_probe = None
+    if os.environ.get("SPARK_GRAFT_SCALING_PROBE", "0") == "1":
+        try:
+            probe_samples = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                (
+                    spark.range(0, 200_000_000, 1, 64)
+                    .selectExpr("pmod(id, 2000000) AS k", "id AS v")
+                    .groupBy("k")
+                    .agg({"v": "sum"})
+                    .selectExpr("count(*)", "sum(`sum(v)`)")
+                    .collect()
+                )
+                probe_samples.append(time.perf_counter() - t0)
+            scaling_probe = {
+                "kernel": "shuffle_agg_200m_64part",
+                "rows": 200_000_000,
+                "input_partitions": 64,
+                "wall_s": round(min(probe_samples), 4),
+                "runs": len(probe_samples),
+            }
+        except Exception as e:
+            scaling_probe = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     total = round(sum(timings.values()), 4)
     result = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        # which engine this run actually used (VERDICT r15 #1): lets
+        # the driver's scaling block attribute low-core vs high-core
+        # runs without guessing
+        "cpus": cpus,
+        "master": master,
         # "queries" stays the per-query MIN of the 3 runs (steady-state
         # engine cost); "queries_mean" adds the arithmetic mean so
         # cross-round comparisons can separate host noise (min stable,
@@ -304,14 +348,14 @@ def main() -> None:
             k: round(v / SCAN_ANCHOR_S, 3) for k, v in timings.items()
         }
         result["normalized_total"] = round(total / SCAN_ANCHOR_S, 3)
-    # legacy v1 series (raw / live scan-probe) for r9-r11 continuity —
-    # read it only with BENCHNOTES.md's caveat in hand
-    scan_probe = calibration.get("lineitem_scan_agg")
-    if isinstance(scan_probe, float) and scan_probe > 0:
-        result["normalized_v1"] = {
-            k: round(v / scan_probe, 3) for k, v in timings.items()
-        }
-        result["normalized_v1_total"] = round(total / scan_probe, 3)
+    # The legacy normalized_v1 series (raw / live scan-probe, r9-r11
+    # continuity) was DROPPED in r16: the one-line JSON had grown long
+    # enough that the driver's tail-capture failed to parse BENCH_r14
+    # (PERF_r15 lost its whole round-over-round comparison to it), and
+    # BENCHNOTES.md already documents v1 as misleading under host
+    # drift.  Slimming the line is VERDICT r15 "Next round" #1.
+    if scaling_probe is not None:
+        result["scaling_probe"] = scaling_probe
     if retried:
         result["retried_after_degraded_window"] = True
         result["first_attempt"] = first_summary
@@ -319,7 +363,16 @@ def main() -> None:
         # surfaced, not fatal — the driver still gets every good timing,
         # and the error text says exactly which query to fix
         result["errors"] = errors
+    # Stop the JVM BEFORE printing so the JSON is guaranteed to be the
+    # final stdout line a tail-capture sees (Spark logs go to stderr,
+    # but shutdown is the one phase that could interleave) — VERDICT
+    # r15 #1.
+    try:
+        spark.stop()
+    except Exception:
+        pass
     print(json.dumps(result))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -109,12 +109,40 @@ def sql_n_bpe_tokens(text: str = "text") -> str:
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic in [0, ~1]: rewards lexical diversity,
     penalizes stopword stuffing and degenerate token lengths.  The exact
-    weights are a policy choice; determinism is what matters here."""
-    ttr = type_token_ratio(text)
-    sw = stopword_ratio(text)
-    alen = avg_token_len(text)
-    len_ok = F.when((alen >= 3.0) & (alen <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    return ttr * F.lit(0.6) + (F.lit(1.0) - sw) * F.lit(0.3) + len_ok * F.lit(0.1)
+    weights are a policy choice; determinism is what matters here.
+
+    Bound once per row (r16): the naive form re-evaluates
+    ``split(trim(text))`` ~8× per row (ttr, stopword ratio, avg length,
+    and the len_ok branch each inline their own tokenization — lambdas
+    and repeated column references defeat subexpression elimination).
+    :func:`let1` binds the token array, then the four scalar features,
+    so the split and each feature run exactly once; the composite is
+    the same expression tree over the same exact doubles."""
+
+    def features(toks: Column) -> Column:
+        nt = F.size(toks).cast("double")
+        return F.array(
+            F.size(F.array_distinct(toks)).cast("double") / nt,
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast(
+                "double"
+            )
+            / nt,
+            F.length(F.regexp_replace(F.trim(text), " ", "")).cast("double")
+            / nt,
+        )
+
+    def compose(feat: Column) -> Column:
+        ttr = F.element_at(feat, 1)
+        sw = F.element_at(feat, 2)
+        alen = F.element_at(feat, 3)
+        len_ok = F.when((alen >= 3.0) & (alen <= 8.0), F.lit(1.0)).otherwise(
+            F.lit(0.5)
+        )
+        return (
+            ttr * F.lit(0.6) + (F.lit(1.0) - sw) * F.lit(0.3) + len_ok * F.lit(0.1)
+        )
+
+    return let1(let1(tokens(text), features), compose)
 
 
 def shingles(text: Column, width: int = 5) -> Column:
@@ -175,12 +203,39 @@ def lang_marker_count(text: Column, lang: str) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Argmax over marker counts with a fixed priority tie-break
-    (en > fr > es > de > zh) so the prediction is deterministic."""
-    counts = {lang: lang_marker_count(text, lang) for lang in LANG_MARKERS}
-    best = F.greatest(*counts.values())
-    expr = F.lit("unknown")
-    # build the CASE from lowest to highest priority so the highest
-    # priority match wins
-    for lang in reversed(list(LANG_MARKERS)):
-        expr = F.when(counts[lang] == best, F.lit(lang)).otherwise(expr)
-    return expr
+    (en > fr > es > de > zh) so the prediction is deterministic.
+
+    The counts are bound ONCE per row (r16): the naive CASE inlines
+    every count into every branch AND into each branch's greatest(),
+    which plans 30 ``size(filter(split(...)))`` evaluations per row —
+    higher-order lambdas are interpreted with no subexpression
+    elimination, so each one re-splits the text
+    (plans/r16/lang_id_predict_before.txt).  Binding the token array
+    and then the 5-element count array via :func:`let1` evaluates the
+    split once and each marker filter once; the CASE compares
+    element_at/array_max over materialized ints.  greatest(c1..c5) ≡
+    array_max([c1..c5]) for non-null ints (both null-propagate on a
+    null text the same way), and the branch order is unchanged, so the
+    prediction is bit-identical."""
+    langs = list(LANG_MARKERS)
+
+    def counts_of(toks: Column) -> Column:
+        return F.array(
+            *[
+                F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+                for lang in langs
+            ]
+        )
+
+    def pick(counts: Column) -> Column:
+        best = F.array_max(counts)
+        expr = F.lit("unknown")
+        # build the CASE from lowest to highest priority so the
+        # highest priority match wins
+        for i in reversed(range(len(langs))):
+            expr = F.when(
+                F.element_at(counts, i + 1) == best, F.lit(langs[i])
+            ).otherwise(expr)
+        return expr
+
+    return let1(let1(tokens(text), counts_of), pick)

@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafkastreamsproject_spark.operators.cache import scoped_persist
+
 
 def bloom_positions(key: Column, n_hashes: int, n_bits: int) -> list[Column]:
     """The ``n_hashes`` bit positions of one key (long columns in
@@ -78,8 +80,19 @@ def bloom_semi_join(
     ``probe LEFT SEMI JOIN build``; with ``False`` it is a superset
     containing bloom false positives (useful when a downstream exact
     join exists anyway and only the shuffle reduction is wanted).
-    """
-    sketch = F.broadcast(bloom_filter_table(build, build_key, n_hashes, n_bits))
+
+    The sketch is persisted when it feeds more than one semi-join
+    (r16): Catalyst cannot share a subtree across joins, so the
+    unpersisted form re-ran the build scan + explode + distinct
+    aggregate once PER HASH (plans/r16/bloom_semi_lineitem_before.txt
+    nodes 3-11 vs 13-21 are byte-identical twins).  The cache holds ≤
+    min(n_hashes·|build|, n_bits) longs and follows the module's
+    scoped-release contract (registry consumers; wrap direct callers
+    in ``cache_scope``)."""
+    sketch_df = bloom_filter_table(build, build_key, n_hashes, n_bits)
+    if n_hashes > 1:
+        sketch_df = scoped_persist(sketch_df)
+    sketch = F.broadcast(sketch_df)
     survivors = probe
     for i in range(n_hashes):
         pos_i = F.pmod(
@@ -163,14 +176,19 @@ def bloom_pruned_anti_join(
     hash probes: SMJ sorts, wide store rows, or any store side that
     would otherwise shuffle; on an already-bucketed store it trims the
     sort input.  Sizing: FPR ≈ (1 − e^(−n_hashes·|batch|/n_bits))^n_hashes;
-    keep n_bits ≳ 14·|batch| for ~1%."""
-    sketch = F.broadcast(
-        batch.select(
-            F.explode(
-                F.array(*md5_bloom_positions(F.col(batch_key), n_hashes, n_bits))
-            ).alias("pos")
-        ).distinct()
-    )
+    keep n_bits ≳ 14·|batch| for ~1%.
+
+    Persisted for the same reason as :func:`bloom_semi_join` (r16):
+    the sketch feeds one semi-join per hash, and without the cache the
+    batch scan + explode + distinct re-ran per hash."""
+    sketch_df = batch.select(
+        F.explode(
+            F.array(*md5_bloom_positions(F.col(batch_key), n_hashes, n_bits))
+        ).alias("pos")
+    ).distinct()
+    if n_hashes > 1:
+        sketch_df = scoped_persist(sketch_df)
+    sketch = F.broadcast(sketch_df)
     pruned = store
     for i in range(n_hashes):
         pos_i = md5_bloom_positions(F.col(store_key), n_hashes, n_bits)[i]

@@ -400,21 +400,26 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("blk").alias("blk_b"),
         F.col("val").alias("val_b"),
     )
-    # pairs sharing several blocks appear once: distinct before confirm
-    cands = (
+    # Confirm BEFORE deduplicating (r16, guide §2.3 "shuffle fewer
+    # bytes"): the Hamming test is a handful of bitwise ops evaluated
+    # join-side in the same stage, while the distinct is a real
+    # Exchange — filtering first means the distinct's shuffle carries
+    # only QUALIFYING pairs (~hundreds) instead of every Σ bucket²
+    # block-collision candidate (~10⁷ at sf0.1).  filter∘distinct ≡
+    # distinct∘filter (the predicate is deterministic row-local), and
+    # deduplicating (id_a, id_b, hamming) ≡ deduplicating the pair ids
+    # (hamming is a function of the pair) — bit-identical output.
+    ham = H.hamming32(F.col("sh_a"), F.col("sh_b"))
+    return (
         a.join(
             b,
             (F.col("blk") == F.col("blk_b"))
             & (F.col("val") == F.col("val_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "sh_a", "id_b", "sh_b")
-        .distinct()
-    )
-    ham = H.hamming32(F.col("sh_a"), F.col("sh_b"))
-    return (
-        cands.filter(ham <= _SIMHASH_MAX_HAMMING)
+        .filter(ham <= _SIMHASH_MAX_HAMMING)
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .distinct()
     )
 
 
@@ -452,7 +457,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — rare shingles keep candidate volume ∝ true near-dups, not
     corpus²); exact Jaccard over the distinct hash sets confirms.  The
     blocking join shuffles 8-byte longs instead of ~25-byte shingle
-    strings, and both engines compute identical md5-based hashes."""
+    strings, and both engines compute identical md5-based hashes.
+
+    Intersections are COUNTED from the inverted index itself (r16,
+    the ALL-PAIRS overlap trick): the hash sets are distinct per doc,
+    so a pair sharing k hashes appears in the blocking self-join
+    exactly k times — ``groupBy(pair).count()`` IS |A∩B|, and with the
+    set sizes carried through the explode (4 bytes/row),
+    |A∪B| = |A|+|B|−|A∩B| needs no arrays at all.  This replaces the
+    old candidate-distinct + two hset joins + per-pair array_intersect
+    (three extra operators and a ~200-element array pass per
+    candidate) with one aggregate over the same exchange the distinct
+    already paid.  Value-identical: the count equals
+    size(array_intersect) by the distinctness argument, and the
+    quotient is computed over the same exact integers."""
     shingled = _mirror_docids(
         scoped_persist(
             _shingled_docs(spark, sf_dir).select(
@@ -460,25 +478,24 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    exploded = shingled.select("doc_id", F.explode("hset").alias("h"))
-    a = exploded.select(F.col("doc_id").alias("id_a"), "h")
+    exploded = shingled.select(
+        "doc_id", F.size("hset").alias("n"), F.explode("hset").alias("h")
+    )
+    a = exploded.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "h")
     b = exploded.select(
-        F.col("doc_id").alias("id_b"), F.col("h").alias("h_b")
+        F.col("doc_id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("h").alias("h_b"),
     )
-    cands = (
+    pairs = (
         a.join(b, (F.col("h") == F.col("h_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("hset").alias("h_a"))
-    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("hset").alias("h_b2"))
-    # distinct sets: |A∪B| = |A|+|B|−|A∩B|, no union array materialized
-    inter = F.size(F.array_intersect("h_a", "h_b2"))
-    jac = inter / (F.size("h_a") + F.size("h_b2") - inter).cast("double")
+    inter = F.col("_inter")
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter).cast("double")
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= _SHINGLE_JACCARD_T)
+        pairs.filter(jac >= _SHINGLE_JACCARD_T)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 

@@ -182,16 +182,32 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequencies (second groupBy), idf = ln(N/df) via a 1-row
     broadcast of the corpus count, top-3 terms per doc by rounded score
     with a term tie-break.  At 100 TB each stage is a partial+final hash
-    aggregate; the df table is |vocabulary| rows — broadcastable."""
+    aggregate.
+
+    df via a window over tf, not a second aggregate of it (r16): tf fed
+    BOTH the broadcast-df build and the scored left side, and Catalyst
+    re-ran the whole tokenize→explode→groupBy(doc, term) pipeline per
+    consumer — the r16 before-plan scans documents twice with duplicate
+    Generate+HashAggregate+Exchange subtrees (plans/r16/
+    tfidf_top_terms_before.txt nodes 1-5 vs 6-10).  ``count() OVER
+    (PARTITION BY term)`` computes the same df (tf holds exactly one
+    row per (doc, term)) in one pass over one tf pipeline — documents
+    is scanned ONCE, and the full-corpus second tokenize disappears;
+    the term-keyed window exchange replaces the dfreq aggregate's
+    exchange one-for-one.  (A scoped_persist of tf was A/B-measured
+    WORSE — noop 1.49× — the cache round-trip costs more than the
+    pipeline it saves at any SF where tf fits; rejected.)"""
     docs = load_table(spark, "documents", sf_dir)
     terms = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window as _W
+
+    dfc = F.count(F.lit(1)).over(_W.partitionBy("term"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", dfc)
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -562,6 +562,36 @@ def _score_expr(n_terms: int) -> Column:
     return score
 
 
+_MAX_PROBE_TERMS = 8192
+
+
+def _max_probe_terms() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_MAX_PROBE_TERMS", _MAX_PROBE_TERMS))
+
+
+def _term_probe(rel: DataFrame, terms: list[str]) -> DataFrame:
+    """``t ∈ terms`` over a postings-shaped relation.
+
+    Query-sized term lists use a literal ``t IN (...)`` — predicate
+    pushdown + bucket pruning on the t-bucketed store.  Past
+    $SPARK_GRAFT_MAX_PROBE_TERMS (default 8192) distinct terms the
+    literal would bloat the plan (and at that width the probe touches
+    most buckets anyway), so the probe switches to a broadcast
+    left-semi join on the term column — the same plan-bloat guard as
+    the ANN store's $SPARK_GRAFT_MAX_PRUNE_CELLS (r15).  Row set is
+    identical either way; columns are unchanged (left-semi keeps the
+    probe side only)."""
+    terms = list(dict.fromkeys(terms))
+    if len(terms) <= _max_probe_terms():
+        return rel.filter(F.col("t").isin(terms))
+    tdf = rel.sparkSession.createDataFrame(
+        [(t,) for t in terms], "t string"
+    )
+    return rel.join(F.broadcast(tdf), "t", "left_semi")
+
+
 def query_index(
     spark: SparkSession,
     store_path: str,
@@ -579,9 +609,7 @@ def query_index(
     of every folded batch.  Single-writer contract: run between
     folds (a query racing an in-flight fold could see a posting
     whose doc is not yet in the ledger)."""
-    hits = read_postings(spark, store_path, n_buckets).filter(
-        F.col("t").isin(list(terms))
-    )
+    hits = _term_probe(read_postings(spark, store_path, n_buckets), list(terms))
     tombs = read_tombstones(spark, store_path)
     if tombs is not None:
         # pending logical deletes leave the probe BEFORE df/tf
@@ -662,17 +690,17 @@ def boolean_query_index(
             "must_not — a term cannot both score and veto"
         )
     probe = list(dict.fromkeys(terms + tuple(must_not)))
-    hits_all = read_postings(spark, store_path, n_buckets).filter(
-        F.col("t").isin(probe)
+    hits_all = _term_probe(
+        read_postings(spark, store_path, n_buckets), probe
     )
     tombs = read_tombstones(spark, store_path)
     if tombs is not None:
         hits_all = hits_all.join(F.broadcast(tombs), "doc_id", "left_anti")
 
-    hits = hits_all.filter(F.col("t").isin(list(terms)))
+    hits = _term_probe(hits_all, list(terms))
     if must:
         eligible = (
-            hits_all.filter(F.col("t").isin(list(must)))
+            _term_probe(hits_all, list(must))
             .groupBy("doc_id")
             .agg(F.countDistinct("t").alias("nm"))
             .filter(F.col("nm") == len(set(must)))
@@ -681,9 +709,9 @@ def boolean_query_index(
     else:
         eligible = hits.select("doc_id").distinct()
     if must_not:
-        veto = hits_all.filter(
-            F.col("t").isin(list(must_not))
-        ).select("doc_id").distinct()
+        veto = _term_probe(hits_all, list(must_not)).select(
+            "doc_id"
+        ).distinct()
         eligible = eligible.join(veto, "doc_id", "left_anti")
 
     per_doc = (
@@ -833,8 +861,8 @@ def phrase_query_index(
     document-sized lists; a production engine would gallop/merge the
     sorted lists, same plan shape."""
     k = len(phrase)
-    hits = read_positions(spark, store_path, n_buckets).filter(
-        F.col("t").isin(list(phrase))
+    hits = _term_probe(
+        read_positions(spark, store_path, n_buckets), list(phrase)
     )
     tombs = read_tombstones(spark, store_path)
     if tombs is not None:

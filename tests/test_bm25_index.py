@@ -884,3 +884,44 @@ def test_bm25_store_stats_resolves_nondefault_width(spark, tmp_path):
     assert {
         r.substore: r.rows for r in describe_store(spark, store).collect()
     }["seen"] == len(B1)
+
+
+def test_wide_term_probe_switches_to_semi_join(spark, tmp_path, monkeypatch):
+    """r15 VERDICT #8: past $SPARK_GRAFT_MAX_PROBE_TERMS distinct terms
+    the ``t IN (...)`` probe switches to a broadcast left-semi join —
+    identical results (query and boolean), no giant In(t, ...) literal
+    in the wide plan."""
+    from kafkastreamsproject_spark.streaming.bm25index import (
+        boolean_query_index,
+    )
+
+    store = str(tmp_path / "wide_probe_idx")
+    index_ingest_batch(_docs(spark, B1), store)
+    index_ingest_batch(_docs(spark, B2), store)
+
+    terms = ("alpha", "beta", "gamma")
+    narrow = _scores(query_index(spark, store, terms))
+    narrow_bool = _scores(
+        boolean_query_index(
+            spark, store, must=("alpha",), should=("beta", "gamma")
+        )
+    )
+    narrow_plan = _plan(query_index(spark, store, terms))
+    assert "In(t," in narrow_plan.replace(" ", ""), narrow_plan
+
+    # adversarial width: cap of 1 forces every probe onto the
+    # semi-join path
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PROBE_TERMS", "1")
+    wide_plan = _plan(query_index(spark, store, terms))
+    assert "In(t," not in wide_plan.replace(" ", ""), wide_plan
+    assert "LeftSemi" in wide_plan, wide_plan
+    assert _scores(query_index(spark, store, terms)) == narrow
+    assert (
+        _scores(
+            boolean_query_index(
+                spark, store, must=("alpha",), should=("beta", "gamma")
+            )
+        )
+        == narrow_bool
+    )
+    monkeypatch.delenv("SPARK_GRAFT_MAX_PROBE_TERMS")

@@ -918,5 +918,20 @@ def test_cosine_prenormed_bit_identical_to_inline(spark, sf_dir):
         ).alias("prenormed"),
     ).collect()
     assert both, "no pairs scored"
+    import math
+
     for r in both:
-        assert r.inline == r.prenormed, (r.id_a, r.id_b, r.inline, r.prenormed)
+        # NaN-aware equality (r15 ADVICE): a zero-norm embedding makes
+        # BOTH expressions NaN — the two sides still agree, but
+        # float == would fail; NULLs must match as NULLs too
+        same = (
+            r.inline == r.prenormed
+            or (r.inline is None and r.prenormed is None)
+            or (
+                r.inline is not None
+                and r.prenormed is not None
+                and math.isnan(r.inline)
+                and math.isnan(r.prenormed)
+            )
+        )
+        assert same, (r.id_a, r.id_b, r.inline, r.prenormed)
