@@ -272,28 +272,59 @@ def main() -> None:
     # headline timings or totals.
     scaling_probe = None
     if os.environ.get("SPARK_GRAFT_SCALING_PROBE", "0") == "1":
-        try:
-            probe_samples = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                (
-                    spark.range(0, 200_000_000, 1, 64)
-                    .selectExpr("pmod(id, 2000000) AS k", "id AS v")
-                    .groupBy("k")
-                    .agg({"v": "sum"})
-                    .selectExpr("count(*)", "sum(`sum(v)`)")
-                    .collect()
+        # Two kernels with fixed 64-way input splits so the work is
+        # identical at any core count:
+        # - cpu_md5_100m is COMPUTE-bound (one md5 per row) and is the
+        #   cores-are-honored proof: measured 3.5 s at 32 cores vs
+        #   7.8 s at 8 on this box (ratio 2.2).
+        # - shuffle_agg_200m is the headline queries' physical shape
+        #   (two-phase hash agg over an exchange); it is memory-
+        #   bandwidth-bound on one box and measured only 1.34x at
+        #   8-vs-32 cores — kept to document WHY the sub-second sf0.1
+        #   walls cannot separate core counts (they share this
+        #   regime, plus fixed job overhead).
+        def _probe(label, fn, **meta):
+            try:
+                samples = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn()
+                    samples.append(time.perf_counter() - t0)
+                return {
+                    "kernel": label,
+                    "wall_s": round(min(samples), 4),
+                    "runs": len(samples),
+                    **meta,
+                }
+            except Exception as e:
+                return {
+                    "kernel": label,
+                    "error": f"{type(e).__name__}: {e}"[:200],
+                }
+
+        scaling_probe = [
+            _probe(
+                "cpu_md5_100m_64part",
+                lambda: spark.range(0, 100_000_000, 1, 64)
+                .selectExpr(
+                    "sum(conv(substr(md5(cast(id as string)), 1, 8), 16, 10))"
                 )
-                probe_samples.append(time.perf_counter() - t0)
-            scaling_probe = {
-                "kernel": "shuffle_agg_200m_64part",
-                "rows": 200_000_000,
-                "input_partitions": 64,
-                "wall_s": round(min(probe_samples), 4),
-                "runs": len(probe_samples),
-            }
-        except Exception as e:
-            scaling_probe = {"error": f"{type(e).__name__}: {e}"[:200]}
+                .collect(),
+                rows=100_000_000,
+                input_partitions=64,
+            ),
+            _probe(
+                "shuffle_agg_200m_64part",
+                lambda: spark.range(0, 200_000_000, 1, 64)
+                .selectExpr("pmod(id, 2000000) AS k", "id AS v")
+                .groupBy("k")
+                .agg({"v": "sum"})
+                .selectExpr("count(*)", "sum(`sum(v)`)")
+                .collect(),
+                rows=200_000_000,
+                input_partitions=64,
+            ),
+        ]
 
     total = round(sum(timings.values()), 4)
     result = {

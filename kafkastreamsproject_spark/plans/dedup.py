@@ -628,15 +628,22 @@ _PR_ITERS = 3
 
 def _sql_pagerank() -> str:
     ctes = [
+        # MATERIALIZED (r16): edges/deg/nn are referenced once PER
+        # PageRank iteration (and by the walk in the keep variant);
+        # DuckDB inlines plain CTEs per reference, so every iteration
+        # re-ran the whole shingle→minhash→confirm chain (measured
+        # 9-15 s at sf0.001 → ~1 s materialized; identical rows)
         f"""WITH {_SQL_MINHASH_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION
       SELECT id_b AS u, id_a AS v FROM pairs
     ),
-    nodes AS (SELECT DISTINCT u FROM edges),
-    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-    deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY u),
+    nodes AS MATERIALIZED (SELECT DISTINCT u FROM edges),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS MATERIALIZED (
+      SELECT u, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY u
+    ),
     pr0 AS (SELECT u, 1.0 / nn.n AS pr FROM nodes, nn)"""
     ]
     for k in range(_PR_ITERS):
@@ -935,7 +942,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
     {_SQL_MINHASH_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION
       SELECT id_b AS u, id_a AS v FROM pairs
@@ -945,20 +952,27 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.u
     ),
-    comp AS (SELECT u AS node, MIN(comp) AS root FROM walk GROUP BY u),
-    f1 AS (
+    -- MATERIALIZED below (r16): each frontier references the previous
+    -- ones (joins + anti-join NOT EXISTS), and DuckDB inlines plain
+    -- CTEs per reference — f3/dist re-evaluated the whole walk chain
+    -- exponentially (measured 41 s at sf0.001 → ~2 s materialized;
+    -- identical rows, run_compare-verified)
+    comp AS MATERIALIZED (
+      SELECT u AS node, MIN(comp) AS root FROM walk GROUP BY u
+    ),
+    f1 AS MATERIALIZED (
       SELECT DISTINCT c.root, e.v AS node
       FROM comp c JOIN edges e ON e.u = c.node
       WHERE c.node = c.root AND e.v != c.root
     ),
-    f2 AS (
+    f2 AS MATERIALIZED (
       SELECT DISTINCT f1.root, e.v AS node
       FROM f1 JOIN edges e ON e.u = f1.node
       WHERE e.v != f1.root
         AND NOT EXISTS (SELECT 1 FROM f1 x
                         WHERE x.root = f1.root AND x.node = e.v)
     ),
-    f3 AS (
+    f3 AS MATERIALIZED (
       SELECT DISTINCT f2.root, e.v AS node
       FROM f2 JOIN edges e ON e.u = f2.node
       WHERE e.v != f2.root
@@ -1037,8 +1051,11 @@ def cluster_radius_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f0 = comp.select("root").distinct().select(
         "root", F.col("root").alias("node")
     )
-    f1 = frontier(f0)
-    f2 = frontier(f1, f1)
+    # persist each frontier (r16): f1 feeds f2's expansion AND its
+    # anti-join AND f3's anti-join AND the dist union — unpersisted,
+    # Spark re-runs the whole pairs→comp→frontier chain per reference
+    f1 = scoped_persist(frontier(f0))
+    f2 = scoped_persist(frontier(f1, f1))
     f3 = frontier(f2, f1, f2)
     dist = (
         f0.select("root", "node", F.lit(0).alias("d"))
@@ -2233,6 +2250,38 @@ _SQL_WIN_FPS = (
     f"i -> list_min(({_SQL_WIN_KGRAMS})[i:i+{_WIN_W - 1}])))"
 )
 
+# Bound (let-style) twins of the fragments above, r16: the inlined
+# forms re-evaluate their inner list per lambda index — the token
+# split runs once per k-gram slice and the md5 k-gram list once per
+# window slice, O(L²) work per document on the DuckDB side.  The
+# Spark twin (:func:`_winnow_fps`) has let1-bound both levels since
+# r11; these CTE fragments are the SQL equivalent — MATERIALIZED so
+# the binder cannot inline them back.  Measured on the recall-curve
+# oracle at sf0.001: 197 s inlined → ~2 s bound (same results,
+# run_compare-verified).
+_SQL_WIN_KG_BOUND = (
+    f"list_transform(range(1, len(ts) - {_WIN_K} + 2), "
+    f"i -> ('0x' || substr(md5(array_to_string("
+    f"ts[i:i+{_WIN_K - 1}], ' ')), 1, 8))::BIGINT)"
+)
+_SQL_WIN_FPS_BOUND = (
+    f"list_distinct(list_transform(range(1, len(kg) - {_WIN_W} + 2), "
+    f"i -> list_min(kg[i:i+{_WIN_W - 1}])))"
+)
+
+
+def _sql_win_kg_ctes(src_sql: str) -> str:
+    """``tok`` → ``kg`` MATERIALIZED CTE pair over an arbitrary
+    (doc_id, text) source: tokens and k-gram hashes each computed ONCE
+    per row, short docs filtered on the bound token list."""
+    return f"""tok AS MATERIALIZED (
+      SELECT doc_id, {_SQL_WIN_TOKS} AS ts FROM ({src_sql})
+    ),
+    kg AS MATERIALIZED (
+      SELECT doc_id, {_SQL_WIN_KG_BOUND} AS kg
+      FROM tok WHERE len(ts) >= {_WIN_MIN_TOKS}
+    )"""
+
 
 def _winnow_fps(text):
     """Distinct winnowed fingerprints of a text column: hash every
@@ -2262,14 +2311,17 @@ def _winnow_fps(text):
 @register(
     "winnowing_fingerprints",
     oracle=f"""
+    WITH {_sql_win_kg_ctes("SELECT doc_id, text FROM documents")},
+    f AS MATERIALIZED (
+      SELECT doc_id, len(kg) AS nk, len({_SQL_WIN_FPS_BOUND}) AS nf
+      FROM kg
+    )
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(len({_SQL_WIN_KGRAMS}) AS BIGINT) AS n_kgrams,
-           CAST(len({_SQL_WIN_FPS}) AS BIGINT) AS n_fingerprints,
-           CAST((1000000 * len({_SQL_WIN_FPS}))
-                // (len({_SQL_WIN_KGRAMS}) - {_WIN_W} + 1) AS BIGINT)
+           CAST(nk AS BIGINT) AS n_kgrams,
+           CAST(nf AS BIGINT) AS n_fingerprints,
+           CAST((1000000 * nf) // (nk - {_WIN_W} + 1) AS BIGINT)
              AS density_ppm
-    FROM documents
-    WHERE len({_SQL_WIN_TOKS}) >= {_WIN_MIN_TOKS}
+    FROM f
     """,
     tags=("dedup", "fingerprint", "winnowing"),
     tier="shadow",
@@ -2307,9 +2359,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "winnowing_shared_pairs",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
+    {_sql_win_kg_ctes("SELECT doc_id, text FROM corpus2")},
     fps AS (
-      SELECT doc_id, unnest({_SQL_WIN_FPS}) AS fp
-      FROM corpus2 WHERE len({_SQL_WIN_TOKS}) >= {_WIN_MIN_TOKS}
+      SELECT doc_id, unnest({_SQL_WIN_FPS_BOUND}) AS fp FROM kg
     ),
     rare AS (
       SELECT fp FROM fps GROUP BY fp
@@ -2418,9 +2470,9 @@ _SQL_WRC_PLANTED = (
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
     planted AS MATERIALIZED ({_SQL_WRC_PLANTED}),
+    {_sql_win_kg_ctes("SELECT doc_id, text FROM planted")},
     fps AS MATERIALIZED (
-      SELECT doc_id, unnest({_SQL_WIN_FPS}) AS fp
-      FROM planted WHERE len({_SQL_WIN_TOKS}) >= {_WIN_MIN_TOKS}
+      SELECT doc_id, unnest({_SQL_WIN_FPS_BOUND}) AS fp FROM kg
     ),
     dfreq AS MATERIALIZED (
       SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp

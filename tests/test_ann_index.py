@@ -6,6 +6,8 @@ ivf_pq_search runs in tests/test_shadow_queries.py
 
 from __future__ import annotations
 
+import pytest
+
 import contextlib
 import io
 import re
@@ -446,6 +448,7 @@ def test_bare_creation_sizes_geometry_to_the_corpus(spark, tmp_path):
     assert not [w for w in rec if w.category is UserWarning]
 
 
+@pytest.mark.slowsuite  # r16: slowest-tail; deselected by default (pyproject addopts), run via -m slowsuite
 def test_coarse_codebook_collects_once_per_store(spark, tmp_path):
     """r13 verdict #3: the large-C ingest path pulls the coarse
     codebook to the driver ONCE per store (then folds read the Spark
@@ -743,6 +746,7 @@ def test_vectorized_probe_assignment_equals_window_path(spark):
         assert got == want, f"nprobe={nprobe}"
 
 
+@pytest.mark.slowsuite  # r16: slowest-tail; deselected by default (pyproject addopts), run via -m slowsuite
 def test_streaming_sink_folds_with_sidecar_and_skips_replays(
     spark, tmp_path
 ):

@@ -7,6 +7,8 @@ batch-BM25 oracle)."""
 
 from __future__ import annotations
 
+import pytest
+
 import contextlib
 import io
 import re
@@ -433,6 +435,7 @@ def test_streaming_sink_applies_markers_and_skips_replays(spark, tmp_path):
     assert len(_markers()) == 3
 
 
+@pytest.mark.slowsuite  # r16: slowest-tail; deselected by default (pyproject addopts), run via -m slowsuite
 def test_adaptive_compaction_trigger_fires(spark, tmp_path):
     """The file-count compaction trigger (r12 verdict #6): with NO
     hand-tuned compact_every, streaming six epochs through the sink

@@ -4,6 +4,8 @@ near-dup pair survives."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.pipelines.curation import curate_corpus
@@ -579,6 +581,7 @@ def test_curation_source_blocklist_stage(spark):
         curate_corpus(docs, source_blocklist="derive", pack_budget=512)
 
 
+@pytest.mark.slowsuite  # r16: slowest-tail; deselected by default (pyproject addopts), run via -m slowsuite
 def test_curation_classifier_auto_tau_matches_hand_tuned(spark):
     """classifier_tau='auto' derives the operating point from the
     seed's own 33-threshold PR sweep (max-F1 cell, ties to smallest

@@ -42,6 +42,8 @@ import re
 import pandas as pd
 import pytest
 from hypothesis import given, settings
+
+from tests.hypcfg import ex
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
@@ -157,7 +159,7 @@ def _eval(spark, text: str, col) -> object:
 
 
 @given(s=TEXTS, w=st.sampled_from([2, 3, 5]))
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=ex(300), deadline=None)
 def test_shingles_match_python_on_pathological_text(spark, s, w):
     # shingles requires size >= w (callers filter first; sequence(1, <1)
     # would descend into slice(ts, 0, ·) otherwise) — mirror the guard
@@ -167,7 +169,7 @@ def test_shingles_match_python_on_pathological_text(spark, s, w):
 
 
 @given(s=TEXTS, w=st.sampled_from([3, 12]))
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=ex(300), deadline=None)
 def test_lines_expr_matches_python_on_pathological_text(spark, s, w):
     from kafkastreamsproject_spark.streaming.linededup import lines_expr
 
@@ -176,7 +178,7 @@ def test_lines_expr_matches_python_on_pathological_text(spark, s, w):
 
 
 @given(s=TEXTS)
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=ex(300), deadline=None)
 def test_zipwith_bigram_pairs_match_python(spark, s):
     """The shared zip_with-over-slices bigram shape (PMI builder,
     DSIR feature builder, curation DSIR stage)."""
@@ -190,7 +192,7 @@ def test_zipwith_bigram_pairs_match_python(spark, s):
 
 
 @given(s=TEXTS)
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=ex(300), deadline=None)
 def test_dsir_hashed_features_match_python(spark, s):
     """The DSIR hashed-bigram feature ids (plans/llmdata.py:1276 and
     the identical pipelines/curation.py stage): md5-hash of each
@@ -212,7 +214,7 @@ def test_dsir_hashed_features_match_python(spark, s):
 
 
 @given(s=TEXTS)
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=ex(300), deadline=None)
 def test_perceptron_features_match_python(spark, s):
     """hashed_bigram_features after the r11 double-let rewrite: the
     full (n_buckets+1)-long count vector, including the <2-token
@@ -227,7 +229,7 @@ def test_perceptron_features_match_python(spark, s):
 
 
 @given(s=TEXTS, cap=st.sampled_from([0.0, 0.3, 0.8]))
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=ex(300), deadline=None)
 def test_repetition_gate_matches_python(spark, s, cap):
     """The curation funnel's repetition gate (double let1: tokens
     bound once per trigram, trigrams once per reference) — pinned as
@@ -251,7 +253,7 @@ def test_repetition_gate_matches_python(spark, s, cap):
 
 
 @given(s=TEXTS, shape=st.sampled_from([(20, 20), (20, 10), (20, 1), (8, 3)]))
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=ex(300), deadline=None)
 def test_chunk_window_hashes_match_python(spark, s, shape):
     """The let1-rewritten chunk/stride/CDC window-hash builders
     (plans/shadow.py chunk_dedup_stats / stride_chunk_dedup_stats /

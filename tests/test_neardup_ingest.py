@@ -3,6 +3,8 @@ verdict correctness, batch-internal dedup, restart idempotence."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafkastreamsproject_spark.streaming.neardup import (
@@ -184,6 +186,7 @@ def test_banded_store_probe_matches_and_avoids_store_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS banded_store_test")
 
 
+@pytest.mark.slowsuite  # r16: slowest-tail; deselected by default (pyproject addopts), run via -m slowsuite
 def test_sink_with_periodic_compaction_matches_uncompacted(spark, tmp_path):
     """compact_every wired into the sink: same signatures and verdicts
     as an uncompacted run, fewer store files."""

@@ -612,6 +612,7 @@ def test_stream_stream_event_pairs_across_batches(spark, tmp_path):
     assert got == [(1, 4), (2, 4)]
 
 
+@pytest.mark.slowsuite  # r16: slowest-tail; deselected by default (pyproject addopts), run via -m slowsuite
 def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
     """LEFT OUTER stream-stream join: an unmatched view emits with a
     null purchase only once the watermark closes its join window —

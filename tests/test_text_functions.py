@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 import duckdb
 import pandas as pd
 from hypothesis import given, settings
@@ -122,6 +124,7 @@ def test_learn_bpe_matches_python_reference(spark):
         assert got == want, (words, got, want)
 
 
+@pytest.mark.slowsuite  # r16: slowest-tail; deselected by default (pyproject addopts), run via -m slowsuite
 def test_learn_bpe_runs_120_steps(spark):
     """The r7 verdict's ask: ≥100 merges.  A synthetic vocab rich
     enough to sustain 120 distinct merges must match the reference
