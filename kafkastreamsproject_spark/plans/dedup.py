@@ -169,6 +169,37 @@ _SQL_MIN_TOKS = (
     f"len(string_split_regex(trim(text), ' +')) >= {_SHINGLE_W}"
 )
 
+#: bound-token twins (r16): ``_SQL_HASHES`` inlines the token split
+#: inside the shingle lambda (re-split per shingle index — O(L²) per
+#: row) and the sigs CTE used to inline the WHOLE hash list once per
+#: minhash permutation plus once for hset (9× per row).  Binding the
+#: token list (``ts``) and the hash list (``hs``) in MATERIALIZED
+#: CTEs computes each once per row — same values, same results
+#: (run_compare-verified on every consumer), ~9× less oracle CPU.
+_SQL_TOKS0 = "string_split_regex(trim(text), ' +')"
+_SQL_HASHES_BOUND = H.sql_hash_list(
+    f"list_distinct(list_transform(range(1, len(ts) - {_SHINGLE_W} + 2), "
+    f"i -> array_to_string(ts[i:i+{_SHINGLE_W - 1}], ' ')))"
+)
+
+
+def _sql_hs0_ctes(src_sql: str) -> str:
+    """``tok0`` → ``hs0`` MATERIALIZED CTE pair over an arbitrary
+    (doc_id, text) source: the token list and the distinct shingle-hash
+    list each computed once per row, short docs filtered on the bound
+    token list (≡ ``_SQL_MIN_TOKS``)."""
+    return f"""tok0 AS MATERIALIZED (
+      SELECT doc_id, {_SQL_TOKS0} AS ts FROM ({src_sql})
+    ),
+    hs0 AS MATERIALIZED (
+      SELECT doc_id, {_SQL_HASHES_BOUND} AS hs
+      FROM tok0 WHERE len(ts) >= {_SHINGLE_W}
+    )"""
+
+
+#: the corpus2 instance every minhash-family oracle shares
+_SQL_HS0_CORPUS2 = _sql_hs0_ctes("SELECT doc_id, text FROM corpus2")
+
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, hs) per ORIGINAL document with ≥ w tokens.
@@ -228,10 +259,11 @@ def _mirrored_sigs(
     "minhash_lsh_pairs",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
+    {_SQL_HS0_CORPUS2},
     sigs AS (
-      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
-        {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(H.N_PERMS))}
-      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+      SELECT doc_id, list_distinct(hs) AS hset,
+        {", ".join(f"{H.sql_minhash('hs', k)} AS mh{k}" for k in range(H.N_PERMS))}
+      FROM hs0
     ),
     bands AS (
       {" UNION ALL ".join(
@@ -321,9 +353,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_neardup",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
-    shingled AS (
-      SELECT doc_id, {_SQL_HASHES} AS hs FROM corpus2 WHERE {_SQL_MIN_TOKS}
-    ),
+    {_SQL_HS0_CORPUS2},
+    shingled AS (SELECT doc_id, hs FROM hs0),
     ex AS (SELECT doc_id, unnest(hs) AS h FROM shingled),
     wt AS (
       SELECT doc_id,
@@ -427,9 +458,9 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
+    {_SQL_HS0_CORPUS2},
     shingled AS (
-      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset
-      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+      SELECT doc_id, list_distinct(hs) AS hset FROM hs0
     ),
     exploded AS (
       SELECT doc_id, unnest(hset) AS h FROM shingled
@@ -500,18 +531,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 def sql_minhash_ctes(corpus_sql: str) -> str:
     """The shingle→minhash→band→confirm CTE pipeline (sigs → bands →
     cands → pairs) over an arbitrary (doc_id, text) corpus SQL —
     shared by the minhash-family oracles and any oracle that needs the
     confirmed-pair relation over a custom corpus split (e.g. the
-    cross-snapshot incremental probe, plans/ingest.py)."""
+    cross-snapshot incremental probe, plans/ingest.py).  Tokens and
+    shingle hashes are computed once per row in bound MATERIALIZED
+    CTEs (see ``_SQL_HASHES_BOUND``)."""
     return f"""
     corpus0 AS ({corpus_sql}),
+    {_sql_hs0_ctes("SELECT doc_id, text FROM corpus0")},
     sigs AS (
-      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
-        {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(H.N_PERMS))}
-      FROM corpus0 WHERE {_SQL_MIN_TOKS}
+      SELECT doc_id, list_distinct(hs) AS hset,
+        {", ".join(f"{H.sql_minhash('hs', k)} AS mh{k}" for k in range(H.N_PERMS))}
+      FROM hs0
     ),
     bands AS (
       {" UNION ALL ".join(
@@ -1091,10 +1127,11 @@ _SQL_N_MATCH = " + ".join(
     "minhash_estimator_error",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
+    {_SQL_HS0_CORPUS2},
     sigs AS (
-      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
-        {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(H.N_PERMS))}
-      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+      SELECT doc_id, list_distinct(hs) AS hset,
+        {", ".join(f"{H.sql_minhash('hs', k)} AS mh{k}" for k in range(H.N_PERMS))}
+      FROM hs0
     ),
     bands AS (
       {" UNION ALL ".join(
@@ -1221,10 +1258,11 @@ _JAC_CURVE_TS = (50, 70, 90, 95, 98, 100)  # Jaccard confirm cutoffs (percent)
     "jaccard_threshold_curve",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
+    {_SQL_HS0_CORPUS2},
     sigs AS (
-      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
-        {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(H.N_PERMS))}
-      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+      SELECT doc_id, list_distinct(hs) AS hset,
+        {", ".join(f"{H.sql_minhash('hs', k)} AS mh{k}" for k in range(H.N_PERMS))}
+      FROM hs0
     ),
     bands AS (
       {" UNION ALL ".join(
@@ -1360,10 +1398,11 @@ def _sql_prefix_match(p: int) -> str:
     "minhash_perm_error_curve",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
+    {_SQL_HS0_CORPUS2},
     sigs AS (
-      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
-        {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(_PERM_CURVE_MAX))}
-      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+      SELECT doc_id, list_distinct(hs) AS hset,
+        {", ".join(f"{H.sql_minhash('hs', k)} AS mh{k}" for k in range(_PERM_CURVE_MAX))}
+      FROM hs0
     ),
     bands AS (
       {" UNION ALL ".join(
@@ -1650,9 +1689,9 @@ _SQL_PF_CONFIRM = (
 # referenced three times).
 _SQL_PF_CTES = f"""
     corpus2 AS MATERIALIZED ({_SQL_CORPUS2}),
+    {_SQL_HS0_CORPUS2},
     shingled AS MATERIALIZED (
-      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset
-      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+      SELECT doc_id, list_distinct(hs) AS hset FROM hs0
     ),
     ex AS MATERIALIZED (
       SELECT doc_id, len(hset) AS n, unnest(hset) AS h FROM shingled
@@ -1746,9 +1785,9 @@ def _pf_confirm(cands: DataFrame, shingled: DataFrame) -> DataFrame:
     "prefix_filter_jaccard_pairs",
     oracle=f"""
     WITH corpus2 AS MATERIALIZED ({_SQL_CORPUS2}),
+    {_SQL_HS0_CORPUS2},
     shingled AS MATERIALIZED (
-      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset
-      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+      SELECT doc_id, list_distinct(hs) AS hset FROM hs0
     ),
     ex AS MATERIALIZED (
       SELECT doc_id, unnest(hset) AS h FROM shingled
@@ -2046,10 +2085,11 @@ def _sql_bbit_match(b: int) -> str:
     "bbit_minhash_error_curve",
     oracle=f"""
     WITH corpus2 AS ({_SQL_CORPUS2}),
+    {_SQL_HS0_CORPUS2},
     sigs AS (
-      SELECT doc_id, list_distinct({_SQL_HASHES}) AS hset,
-        {", ".join(f"{H.sql_minhash(_SQL_HASHES, k)} AS mh{k}" for k in range(_PERM_CURVE_MAX))}
-      FROM corpus2 WHERE {_SQL_MIN_TOKS}
+      SELECT doc_id, list_distinct(hs) AS hset,
+        {", ".join(f"{H.sql_minhash('hs', k)} AS mh{k}" for k in range(_PERM_CURVE_MAX))}
+      FROM hs0
     ),
     bands AS (
       {" UNION ALL ".join(
